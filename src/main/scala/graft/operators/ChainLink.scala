@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Batch/relational personality of the reference's chain-linking pipeline
+  * (reference: `flink-jobs/simpy_kafka_reader.py` main job; SURVEY.md §2.4/§2.5).
+  *
+  * Scale design (100 TB): the naive form of J1's batch equivalent is an
+  * equi-join on IP alone with the interval predicates as post-join filters —
+  * at N rows per IP that enumerates O(N²) candidate pairs per key, which
+  * dies at scale exactly like the reference's own per-key O(P·C) analysis
+  * (`README.md:19-23`). We instead run a *banded interval join*: bucket time
+  * by W = max interval length, join on (ip, bucket) with the child probing
+  * its own and the previous bucket. Containment implies
+  * `p_start ∈ [c_start − W, c_start]`, so the two probed buckets cover all
+  * matches and each matching pair is produced exactly once (a parent lives in
+  * exactly one bucket). Candidate enumeration drops from O(Σ n_ip²) to
+  * O(Σ n_{ip,bucket}²) — bounded by data density per (ip, max-latency window),
+  * the same locality the streaming state exploits. Shuffle key (ip, bucket)
+  * also spreads hot IPs across partitions, taming skew; AQE handles the rest.
+  */
+object ChainLink {
+
+  /** J1 (batch form) — parent/child link pairs via banded self
+    * interval-containment join. Output: (parent_id, child_id).
+    */
+  def links(msgs: DataFrame): DataFrame = {
+    // Bucket width = max interval length in the data (one cheap columnar
+    // scalar agg; at scale this is a metadata-cheap reduce, or a config).
+    val w = math.max(1L,
+      msgs.agg(max(col("end_at_ms") - col("start_at_ms"))).head().getLong(0))
+
+    val p = msgs.select(
+      col("id").as("parent_id"),
+      col("dst_ip").as("ip"),
+      col("start_at_ms").as("p_start"),
+      col("end_at_ms").as("p_end"),
+      floor(col("start_at_ms") / w).cast("long").as("bucket"))
+
+    val c = msgs.select(
+      col("id").as("child_id"),
+      col("src_ip").as("c_ip"),
+      col("start_at_ms").as("c_start"),
+      col("end_at_ms").as("c_end"))
+      .withColumn("bucket", explode(array(
+        (floor(col("c_start") / w) - 1).cast("long"),
+        floor(col("c_start") / w).cast("long"))))
+
+    p.join(c, col("ip") === col("c_ip") && p("bucket") === c("bucket"))
+      .where(col("p_start") <= col("c_start") &&
+        col("p_end") >= col("c_end") &&
+        col("parent_id") =!= col("child_id"))
+      .select("parent_id", "child_id")
+  }
+
+  /** Flagship — A1 (batch form): enrich every message with sorted
+    * parents/children arrays (reference output shape, `README.md:49-60`).
+    */
+  def chainLink(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.msgs(spark, dir)
+    val l = links(m).cache() // reused by both aggregations
+    val parents = l.groupBy(col("child_id").as("id"))
+      .agg(sort_array(collect_set(col("parent_id"))).as("parents"))
+    val children = l.groupBy(col("parent_id").as("id"))
+      .agg(sort_array(collect_set(col("child_id"))).as("children"))
+    m.join(parents, Seq("id"), "left")
+      .join(children, Seq("id"), "left")
+      .select(m("id"), m("src_ip"), m("dst_ip"), m("start_at_ms"),
+        m("latency_msec"), m("end_at_ms"),
+        coalesce(col("parents"), array().cast("array<string>")).as("parents"),
+        coalesce(col("children"), array().cast("array<string>")).as("children"))
+      .orderBy("id")
+  }
+
+  /** J1 link pairs as a named query (sorted for the oracle). */
+  def linkPairs(spark: SparkSession, dir: String): DataFrame =
+    links(Tables.msgs(spark, dir)).orderBy("parent_id", "child_id")
+
+  /** P3 — `expand_roles` fan-out (reference: `simpy_kafka_reader.py:94-102`):
+    * each message replicated as a ("parent", key=dst_ip) and a
+    * ("child", key=src_ip) role record. The 1→2 flatMap that turns the
+    * self-join into per-IP local matching.
+    */
+  def expandRoles(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.msgs(spark, dir)
+    m.select(explode(array(
+        struct(lit("parent").as("role"), col("dst_ip").as("ip_key")),
+        struct(lit("child").as("role"), col("src_ip").as("ip_key"))))
+        .as("r"),
+        col("id"), col("start_at_ms"), col("end_at_ms"))
+      .select(col("r.role").as("role"), col("r.ip_key").as("ip_key"),
+        col("id"), col("start_at_ms"), col("end_at_ms"))
+      .orderBy("id", "role")
+  }
+
+  /** P4 — `expand_updates` fan-out (reference: `simpy_kafka_reader.py:105-115`):
+    * each link(p,c) splits into add_child→p and add_parent→c update events;
+    * message events pass through keyed by their own id.
+    */
+  def expandUpdates(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.msgs(spark, dir)
+    val l = links(m)
+    val linkUpdates = l.select(explode(array(
+        struct(lit("add_child").as("event_type"), col("parent_id").as("key_id"),
+          col("child_id").as("other_id")),
+        struct(lit("add_parent").as("event_type"), col("child_id").as("key_id"),
+          col("parent_id").as("other_id")))).as("u"))
+      .select(col("u.event_type").as("event_type"), col("u.key_id").as("key_id"),
+        col("u.other_id").as("other_id"))
+    // other_id is '' (not NULL) for message events: NULL ordering differs
+    // between Spark (nulls first) and DuckDB (nulls last).
+    val msgEvents = m.select(lit("message").as("event_type"),
+      col("id").as("key_id"), lit("").as("other_id"))
+    msgEvents.unionAll(linkUpdates)
+      .orderBy("event_type", "key_id", "other_id")
+  }
+
+  /** J2 (batch form) — watermark emission set: messages whose `end_at_ms` is
+    * at or below the final watermark `max(start_at_ms) − 30 000`
+    * (reference: `linking_utils.py:59-76`, 30 s bound
+    * `simpy_kafka_reader.py:28`).
+    */
+  def watermarkEmitted(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.msgs(spark, dir)
+    val wm = m.agg((max(col("start_at_ms")) - 30000L).as("wm"))
+    m.crossJoin(broadcast(wm)).where(col("end_at_ms") <= col("wm"))
+      .select(m.columns.map(col): _*).orderBy("id")
+  }
+
+  /** J3 — eviction complement: messages still buffered at the final
+    * watermark (reference eviction scan `simpy_kafka_reader.py:162-184`
+    * removes `end_at_ms <= timer`; these are the survivors).
+    */
+  def evictionSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.msgs(spark, dir)
+    val wm = m.agg((max(col("start_at_ms")) - 30000L).as("wm"))
+    m.crossJoin(broadcast(wm)).where(col("end_at_ms") > col("wm"))
+      .select(m.columns.map(col): _*).orderBy("id")
+  }
+
+  /** A1 (summary form) — per-id parent/child degree, rolled up into a
+    * (parent_cnt, child_cnt) → n histogram. Pure-integer output (hash-safe).
+    */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.msgs(spark, dir)
+    val l = links(m).cache()
+    val parents = l.groupBy(col("child_id").as("id"))
+      .agg(countDistinct("parent_id").as("parent_cnt"))
+    val children = l.groupBy(col("parent_id").as("id"))
+      .agg(countDistinct("child_id").as("child_cnt"))
+    m.select("id")
+      .join(parents, Seq("id"), "left")
+      .join(children, Seq("id"), "left")
+      .select(coalesce(col("parent_cnt"), lit(0L)).as("parent_cnt"),
+        coalesce(col("child_cnt"), lit(0L)).as("child_cnt"))
+      .groupBy("parent_cnt", "child_cnt").agg(count(lit(1)).as("n"))
+      .orderBy("parent_cnt", "child_cnt")
+  }
+
+  /** P1 — lenient message parse (reference: `simpy_kafka_reader.py:42-77`):
+    * missing/malformed numeric fields default to 0 via `int(float(x))`
+    * coercion. Demonstrated on `events.props` JSON: extract `k` with
+    * default 0. Uses `from_json` + coalesce (Catalyst-native, codegen'd).
+    */
+  def parseEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k DOUBLE"))
+          .getField("k").as("k_raw"))
+      .select(col("event_id"),
+        floor(coalesce(col("k_raw"), lit(0.0))).cast("long").as("k"))
+      .orderBy("event_id")
+  }
+}

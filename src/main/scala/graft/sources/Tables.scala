@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders + the FROZEN `msgs` derivation shared between the Spark
+  * queries and the DuckDB oracle SQL (FIXTURES.md §3).
+  *
+  * Everything here must be *engine-agnostic deterministic*: no engine hash
+  * functions (Spark murmur3 != DuckDB hash), no float accumulation, integer
+  * modulo only on non-negative operands, `floor` (not cast) for double→long.
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Spark 4 rejects parquet TIMESTAMP(NANOS) outright; read as int64 nanos.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Epoch millis of `events.ts` (parquet timestamp[ns], read as int64 nanos
+    * via nanosAsLong). Integer division — a double round-trip would lose
+    * precision at ~1.7e18 ns (> 2^53). Matches DuckDB `epoch_ms(ts)` (floor;
+    * all values positive).
+    */
+  def epochMs(ts: Column): Column = expr("ts div 1000000")
+
+  /** The frozen derivation of the reference's message table from
+    * `events.parquet`. Mirrored bit-for-bit by [[msgsCte]] for DuckDB.
+    *
+    * dst_ip uses a portable LCG mix of event_id (NOT Spark's `hash()`,
+    * which DuckDB cannot reproduce). All arithmetic stays in int64 range:
+    * max event_id ~6e5 * 1103515245 ~ 6.6e14 << 2^63.
+    */
+  def msgs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val startMs = epochMs(col("ts"))
+    ev.select(
+      concat(lit("msg_"), col("event_id").cast("string")).as("id"),
+      concat(lit("10.0.0."), (col("user_id") % 16).cast("string")).as("src_ip"),
+      concat(lit("10.0.0."),
+        ((col("user_id") + (col("event_id") * 1103515245L + 12345L) % 16) % 16)
+          .cast("string")).as("dst_ip"),
+      startMs.as("start_at_ms"),
+      (col("value") * 60000.0).as("latency_msec"),
+      (startMs + floor(col("value") * 60000.0).cast("long")).as("end_at_ms"))
+  }
+
+  /** DuckDB CTE computing exactly [[msgs]]. Prepend to oracle SQL as
+    * `WITH msgs AS (...)`.
+    */
+  val msgsCte: String =
+    """msgs AS (
+      |  SELECT 'msg_' || event_id AS id,
+      |         '10.0.0.' || (user_id % 16) AS src_ip,
+      |         '10.0.0.' || ((user_id + (event_id * 1103515245 + 12345) % 16) % 16) AS dst_ip,
+      |         epoch_ms(ts) AS start_at_ms,
+      |         value * 60000.0 AS latency_msec,
+      |         epoch_ms(ts) + CAST(floor(value * 60000.0) AS BIGINT) AS end_at_ms
+      |  FROM events
+      |)""".stripMargin
+
+  /** Portable 60-bit string hash: identical in Spark and DuckDB.
+    *
+    * Spark:  conv(substring(md5(s),1,15),16,10) cast long
+    * DuckDB: CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+    *
+    * 15 hex digits = 60 bits, always non-negative, fits int64. md5 is
+    * codegen'd in Spark — far faster than any per-char fold, and stable
+    * across engines unlike murmur3/xxhash.
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL fragment for [[portableHash]] applied to expression `e`. */
+  def portableHashSql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+}
