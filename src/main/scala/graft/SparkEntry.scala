@@ -27,6 +27,14 @@ object SparkEntry {
     "eviction_survivors" -> ((s, d) => ChainLink.evictionSurvivors(s, d)),
     "degree_histogram" -> ((s, d) => ChainLink.degreeHistogram(s, d)),
     "parse_events" -> ((s, d) => ChainLink.parseEvents(s, d)),
+    "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
+    "q3_top_orders" -> ((s, d) => Relational.q3TopOrders(s, d)),
+    "q5_nation_revenue" -> ((s, d) => Relational.q5NationRevenue(s, d)),
+    "q_semi_high_qty" -> ((s, d) => Relational.qSemiHighQty(s, d)),
+    "q_anti_no_orders" -> ((s, d) => Relational.qAntiNoOrders(s, d)),
+    "q_window_top3" -> ((s, d) => Relational.qWindowTop3(s, d)),
+    "q_events_tumbling" -> ((s, d) => Relational.qEventsTumbling(s, d)),
+    "q_distinct_users" -> ((s, d) => Relational.qDistinctUsers(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -114,5 +122,72 @@ object SparkEntry {
         |         TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?[0-9.]+)', 1) AS DOUBLE),
         |         0.0)) AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_e4,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_semi_high_qty" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_anti_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_top3" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_events_tumbling" ->
+      """SELECT event_type, epoch_ms(ts) // 300000 AS bucket,
+        |       count(*) AS n,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Standard relational staples over the TPC-H-ish testdata, demonstrating the
+  * general engine surface (scan → filter → join → agg → window → top-k).
+  *
+  * Money math policy: doubles are converted per-row to integer cents
+  * (`round(x*100)::bigint` — exact, engine-portable) before aggregation, so
+  * sums are order-independent exact integers and hash-compare cleanly against
+  * DuckDB. Floating-point accumulation would differ in the last ulp between
+  * engines/partitionings.
+  *
+  * Scale notes: fact-fact joins (lineitem⋈orders) shuffle on the join key and
+  * benefit from AQE; true dimension tables (region/nation) are explicitly
+  * broadcast; filters and column pruning are expressed so they reach the
+  * parquet scan (verified via .explain in BenchSpec).
+  */
+object Relational {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** TPC-H Q1-flavored pricing summary: one-pass scan + hash agg.
+    * Map-side partial aggregation; 6-row output.
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("sum_disc_e4"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-flavored: segment filter → 3-way join → agg → top-10.
+    * customer is filtered before the join (predicate pushdown to parquet);
+    * AQE picks broadcast for the filtered side at small SF, shuffle join at
+    * scale. Total order (revenue desc, orderkey) makes LIMIT deterministic.
+    */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-flavored: revenue by nation where customer and supplier share
+    * the nation (local supplier). nation is broadcast (true dimension);
+    * customer/supplier co-shuffle with the facts.
+    */
+  def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(Tables.load(spark, dir, "nation"))
+    val c = Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val s = Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(n, s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Semi-join (EXISTS): orders having at least one high-quantity lineitem,
+    * counted per priority. left_semi avoids materializing the join fan-out.
+    */
+  def qSemiHighQty(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val hi = Tables.load(spark, dir, "lineitem")
+      .where(col("l_quantity") > 45).select("l_orderkey")
+    o.join(hi, o("o_orderkey") === hi("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Anti-join (NOT EXISTS): customers with no high-value (>300k) order,
+    * per market segment. The filter is pushed below the anti-join build side.
+    */
+  def qAntiNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_totalprice") > 300000.0).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Window function: top-3 orders per customer by totalprice.
+    * Single shuffle on o_custkey; rank ties broken by orderkey (total order).
+    */
+  def qWindowTop3(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("totalprice_cents"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= 3)
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Tumbling 5-minute event-time window aggregation over the events stream
+    * table — the batch shape of a streaming `groupBy(window(...))`. Bucket
+    * arithmetic is integer epoch-ms division (portable).
+    */
+  def qEventsTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.select(col("event_type"),
+        expr("(ts div 1000000) div 300000").as("bucket"),
+        cents(col("value")).as("value_cents"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_value_cents"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Distinct aggregation: exact distinct users + event count per type. */
+  def qDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+}
