@@ -9,7 +9,9 @@ import graft.sources.Tables
   * Every entry in [[queries]] is a batch DataFrame query over the parquet
   * tables in `sfDir`; [[oracleSql]] holds the equivalent DuckDB SQL run by
   * the driver over the same tables. Column names and row order are aligned
-  * between the two by construction (explicit aliases + total ORDER BY).
+  * between the two by construction (explicit aliases + total ORDER BY), and
+  * every expression is engine-portable (integer money, md5-based hashing,
+  * left-fold float reductions — see Tables.scala).
   */
 object SparkEntry {
 
@@ -17,8 +19,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ChainLink.chainLink(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7 step 5). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // chain-linking pipeline (reference operators)
     "chain_link" -> ((s, d) => ChainLink.chainLink(s, d)),
     "link_pairs" -> ((s, d) => ChainLink.linkPairs(s, d)),
     "expand_roles" -> ((s, d) => ChainLink.expandRoles(s, d)),
@@ -27,6 +30,7 @@ object SparkEntry {
     "eviction_survivors" -> ((s, d) => ChainLink.evictionSurvivors(s, d)),
     "degree_histogram" -> ((s, d) => ChainLink.degreeHistogram(s, d)),
     "parse_events" -> ((s, d) => ChainLink.parseEvents(s, d)),
+    // relational staples
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_top_orders" -> ((s, d) => Relational.q3TopOrders(s, d)),
     "q5_nation_revenue" -> ((s, d) => Relational.q5NationRevenue(s, d)),
@@ -35,6 +39,22 @@ object SparkEntry {
     "q_window_top3" -> ((s, d) => Relational.qWindowTop3(s, d)),
     "q_events_tumbling" -> ((s, d) => Relational.qEventsTumbling(s, d)),
     "q_distinct_users" -> ((s, d) => Relational.qDistinctUsers(s, d)),
+    // training-data pipeline: dedup
+    "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
+    "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    // similarity search
+    "ann_topk" -> ((s, d) => Similarity.annTopk(s, d)),
+    "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    // text analysis
+    "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
+    // multimodal
+    "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -48,6 +68,55 @@ object SparkEntry {
       |   AND p.end_at_ms >= c.end_at_ms
       |   AND p.id <> c.id
       |)""".stripMargin
+
+  /** Word-array + distinct-3-gram-shingle CTEs over documents. */
+  private val docShCtes: String =
+    """dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(w) >= 3 THEN
+      |      list_transform(generate_series(1, len(w) - 2),
+      |                     i -> array_to_string(w[i:i+2], ' '))
+      |    ELSE [] END)) AS shingle
+      |  FROM dw),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)""".stripMargin
+
+  /** Pairwise shingle-intersection CTE (needs docShCtes). */
+  private val interCte: String =
+    """inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** 63-bit simhash CTE chain over documents (needs dw from docShCtes). */
+  private val simhashCtes: String =
+    """wh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS wh
+      |       FROM (SELECT doc_id, unnest(w) AS word FROM dw)),
+      |bitsum AS (
+      |  SELECT doc_id, b, sum(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b) bs
+      |  GROUP BY 1, 2),
+      |sim AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b
+      |                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |  FROM bitsum GROUP BY 1)""".stripMargin
+
+  /** Normalized double-precision embedding CTE; dot products are left folds
+    * matching Spark's `aggregate` exactly.
+    */
+  private val vecCte: String =
+    """v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+      |                          (a, b) -> a + b)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), s -> s[1] * s[2]), (x, y) -> x + y)"
+
+  private val revenueE4 =
+    """CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -124,36 +193,31 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_e4,
-        |       count(*) AS count_order
-        |FROM lineitem
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         |         AS sum_base_cents,
+         |       $revenueE4 AS sum_disc_e4,
+         |       count(*) AS count_order
+         |FROM lineitem
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q3_top_orders" ->
-      """SELECT o_orderkey,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY 1 ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin,
+      s"""SELECT o_orderkey, $revenueE4 AS revenue_e4
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY 1 ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q5_nation_revenue" ->
-      """SELECT n_name,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
-        |       count(*) AS n_items
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""SELECT n_name, $revenueE4 AS revenue_e4, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_semi_high_qty" ->
       """SELECT o_orderpriority, count(*) AS n_orders
@@ -181,7 +245,7 @@ object SparkEntry {
     "q_events_tumbling" ->
       """SELECT event_type, epoch_ms(ts) // 300000 AS bucket,
         |       count(*) AS n,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -189,5 +253,182 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS content_md5, count(*) AS n_copies
+        |FROM documents GROUP BY 2 ORDER BY 1""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH $docShCtes, $interCte
+         |SELECT doc_a, doc_b, inter, sa.n_sh + sb.n_sh - inter AS union_n
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE inter * 3 >= sa.n_sh + sb.n_sh
+         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $docShCtes, $interCte,
+         |hashed AS (SELECT doc_id,
+         |             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000000007 AS h
+         |           FROM sh),
+         |mh AS (SELECT doc_id, j,
+         |         min(((j * 4097 + 1) * h + j * 12289 + 7) % 1000000007) AS mh
+         |       FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+         |       GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |            array_to_string(list_sort(list(printf('%02d@%d', j, mh))), ':') AS sig
+         |          FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b, i.inter, sa.n_sh + sb.n_sh - i.inter AS union_n
+         |FROM cand c
+         |JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+         |JOIN sizes sa ON c.doc_a = sa.doc_id
+         |JOIN sizes sb ON c.doc_b = sb.doc_id
+         |WHERE i.inter * 5 >= (sa.n_sh + sb.n_sh - i.inter) * 4
+         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $docShCtes, $simhashCtes,
+         |bands AS (SELECT doc_id, simhash, k, (simhash >> (16 * k)) & 65535 AS band_val
+         |          FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.simhash AS sha, b.simhash AS shb
+         |         FROM bands a JOIN bands b
+         |           ON a.k = b.k AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH $vecCte,
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
+         |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.40
+         |ORDER BY 1, 2""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH $vecCte,
+         |p AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+         |        ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |      FROM v q JOIN v t ON t.vec_id <> q.vec_id
+         |      WHERE q.vec_id % 20 = 0)
+         |SELECT q_id, n_id, cos, rk FROM (
+         |  SELECT q_id, n_id, cos,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM p)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH $vecCte,
+         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+         |          WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |          SELECT v.vec_id, c.cent_id,
+         |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                   ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                   c.cent_id) AS rn
+         |          FROM v CROSS JOIN cents c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v
+         |      WHERE vec_id % 20 = 0),
+         |probes AS (SELECT q_id, cent_id FROM (
+         |             SELECT q.q_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |                      ${dotSql("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM q CROSS JOIN cents c) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id FROM probes p
+         |         JOIN asg a ON p.cent_id = a.cent_id
+         |         WHERE a.vec_id <> p.q_id)
+         |SELECT q_id, n_id, cos, rk FROM (
+         |  SELECT cand.q_id, v.vec_id AS n_id,
+         |         ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) AS cos,
+         |         row_number() OVER (PARTITION BY cand.q_id ORDER BY
+         |           ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) DESC, v.vec_id) AS rk
+         |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN v ON cand.vec_id = v.vec_id)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "text_stats" ->
+      """WITH dw AS (SELECT doc_id, n_chars, length(text) AS n_chars_calc,
+        |                   string_split(text, ' ') AS w
+        |            FROM documents)
+        |SELECT doc_id, n_chars, CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
+        |       CAST(len(w) AS BIGINT) AS n_words,
+        |       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+        |       CAST(list_reduce(list_transform(w, x -> length(x)),
+        |                        (a, b) -> greatest(a, b)) AS BIGINT) AS max_word_len,
+        |       CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of'
+        |                                 OR x = 'and')) AS BIGINT) AS stopword_n,
+        |       CAST((100 * len(list_distinct(w))) // len(w) AS BIGINT) AS quality_pct
+        |FROM dw ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH dw AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |         CAST(len(list_filter(w, x -> x = 'the' OR x = 'order' OR x = 'table' OR x = 'window')) AS BIGINT) AS s_en,
+        |         CAST(len(list_filter(w, x -> x = 'slow' OR x = 'agg' OR x = 'merge' OR x = 'vector')) AS BIGINT) AS s_es,
+        |         CAST(len(list_filter(w, x -> x = 'scan' OR x = 'data' OR x = 'query' OR x = 'small')) AS BIGINT) AS s_fr,
+        |         CAST(len(list_filter(w, x -> x = 'customer' OR x = 'hash' OR x = 'join' OR x = 'row')) AS BIGINT) AS s_de,
+        |         CAST(len(list_filter(w, x -> x = 'join' OR x = 'small' OR x = 'customer' OR x = 'column')) AS BIGINT) AS s_zh
+        |       FROM dw),
+        |pr AS (SELECT doc_id, lang,
+        |         CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+        |              WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+        |              WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |              WHEN s_de >= s_zh THEN 'de'
+        |              ELSE 'zh' END AS pred_lang
+        |       FROM sc)
+        |SELECT doc_id, lang, pred_lang,
+        |       CAST(pred_lang = lang AS BIGINT) AS is_match
+        |FROM pr ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(length(text) // greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1)
+        |            AS BIGINT) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH $docShCtes, $simhashCtes,
+         |grams AS (SELECT doc_id, unnest(
+         |            CASE WHEN len(w) >= 5 THEN
+         |              list_transform(generate_series(1, len(w) - 4),
+         |                             i -> array_to_string(w[i:i+4], ' '))
+         |            ELSE [array_to_string(w, ' ')] END) AS g
+         |          FROM dw),
+         |ming AS (SELECT doc_id,
+         |           min(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)) AS min_gram_hash
+         |         FROM grams GROUP BY 1),
+         |pre AS (SELECT doc_id,
+         |          CAST('0x' || substr(md5(array_to_string(w[1:8], ' ')), 1, 15) AS BIGINT)
+         |            AS prefix_hash
+         |        FROM dw)
+         |SELECT m.doc_id, min_gram_hash, simhash, prefix_hash
+         |FROM ming m JOIN sim USING (doc_id) JOIN pre USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "media_meta" ->
+      """SELECT doc_id,
+        |       CASE WHEN source = 'src0' THEN 'image'
+        |            WHEN source = 'src1' THEN 'audio'
+        |            WHEN source = 'src2' THEN 'video'
+        |            ELSE 'text' END AS media_type,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames,
+        |       CAST(64 + CAST('0x' || substr(md5('w' || doc_id), 1, 15) AS BIGINT) % 1920
+        |            AS BIGINT) AS width,
+        |       CAST(64 + CAST('0x' || substr(md5('h' || doc_id), 1, 15) AS BIGINT) % 1080
+        |            AS BIGINT) AS height,
+        |       list_transform(
+        |         generate_series(0, CAST(least(octet_length(encode(text)) // 100, 3) AS BIGINT)),
+        |         j -> CAST('0x' || substr(md5(text || '#' || j), 1, 15) AS BIGINT))
+        |         AS frame_hashes
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

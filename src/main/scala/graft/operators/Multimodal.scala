@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal column plumbing: media payloads as opaque binary columns with
+  * typed metadata, processed by a per-partition batch "decoder".
+  *
+  * The decode itself is a STUB — image/audio codecs are not available in
+  * this environment — but everything Spark-side is real and tested: the
+  * binary column derivation, the typed Dataset schema, the `mapPartitions`
+  * batch shape (one decoder instantiation per partition, streaming over
+  * rows — exactly how a JNI/FFmpeg decoder is amortized at scale), and the
+  * deterministic per-frame feature extraction.
+  *
+  * The stub's outputs are pure functions of the payload bytes (md5-derived),
+  * so the whole pipeline remains DuckDB-oracle-checkable — the oracle
+  * replays the same arithmetic in SQL.
+  */
+object Multimodal {
+
+  /** Input: payload bytes + claimed media type. */
+  final case class MediaIn(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Decoded metadata + per-frame features (fake but deterministic). */
+  final case class MediaMeta(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Long,
+      n_frames: Long,
+      width: Long,
+      height: Long,
+      frame_hashes: Seq[Long])
+
+  /** Media table derivation: documents → (doc_id, media_type, payload). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      when(col("source") === "src0", "image")
+        .when(col("source") === "src1", "audio")
+        .when(col("source") === "src2", "video")
+        .otherwise("text").as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  // ---- the decoder stub (Scala mirror of Tables.portableHash semantics) ----
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** Identical to [[Tables.portableHash]]: first 15 md5 hex digits as int64. */
+  private[operators] def portableHashBytes(bytes: Array[Byte]): Long =
+    java.lang.Long.parseLong(md5Hex(bytes).substring(0, 15), 16)
+
+  private def utf8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  /** The per-record "decode": byte length → frame count; per-frame sample
+    * hash; fake dimensions from the content hash. In production this is the
+    * codec call; the batch shape around it is what matters here.
+    */
+  private[operators] def decodeOne(in: MediaIn): MediaMeta = {
+    val len = in.payload.length.toLong
+    val nFrames = len / 100 + 1
+    val sampled = math.min(nFrames - 1, 3L)
+    val hashes = (0L to sampled).map { j =>
+      portableHashBytes(utf8(new String(in.payload, StandardCharsets.UTF_8) + "#" + j))
+    }
+    val w = 64 + portableHashBytes(utf8("w" + in.doc_id)) % 1920
+    val h = 64 + portableHashBytes(utf8("h" + in.doc_id)) % 1080
+    MediaMeta(in.doc_id, in.media_type, len, nFrames, w, h, hashes)
+  }
+
+  /** Typed batch-decode pipeline: one decoder per partition, streamed rows. */
+  def decode(media: Dataset[MediaIn]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (JNI handle, codec ctx, …)
+      rows.map(decodeOne)
+    }
+  }
+
+  /** The oracle-checked query: derive media table, batch-decode, project
+    * metadata sorted by doc_id.
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir).as[MediaIn]
+    decode(media).toDF().orderBy("doc_id")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Two personalities:
+  *   - [[annTopk]] — exact brute-force cosine top-k: the correctness
+  *     baseline. O(Q·N) pair cosines; fine for a query *sample*, never for
+  *     all-pairs at scale.
+  *   - [[annIvf]] — IVF-style two-level search (the scale path): vectors are
+  *     assigned to their nearest coarse centroid (one shuffle keyed by
+  *     centroid), queries probe the `nprobe` nearest centroid lists only.
+  *     Work drops from O(Q·N) to O(Q·N·nprobe/C). Centroids here are a
+  *     deterministic subset (`vec_id % 50 == 0`) so the DuckDB oracle can
+  *     replay the index build exactly; a production build would k-means them,
+  *     which changes only the centroid table.
+  *
+  * All cosines are double-precision left folds (bit-identical to the oracle).
+  * Queries are the deterministic sample `vec_id % 20 == 0`.
+  */
+object Similarity {
+
+  private val K = 5
+
+  /** Exact brute-force top-5 cosine neighbors per sampled query vector. */
+  def annTopk(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normed(Tables.load(spark, dir, "embeddings"))
+    val q = v.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val pairs = broadcast(q).join(v, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rk", row_number().over(w)).where(col("rk") <= K)
+      .orderBy("q_id", "rk")
+  }
+
+  /** IVF-bucketed ANN: nprobe=2 over deterministic coarse centroids. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normed(Tables.load(spark, dir, "embeddings")).cache()
+    val cents = v.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
+
+    // index build: every vector → its nearest centroid (ties → min cent_id)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assign = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        Dedup.cosine(col("e"), col("ce"), col("nrm"), col("cn")).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+
+    // query: probe the 2 nearest centroid lists
+    val q = v.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("cent_id"))
+    val probes = broadcast(q).crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cent_id"),
+        Dedup.cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("qcos"))
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= 2)
+      .select(col("q_id"), col("cent_id"))
+
+    // search only the probed buckets
+    val candidates = probes
+      .join(assign, "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    candidates
+      .join(broadcast(q), "q_id")
+      .join(v, "vec_id")
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
+      .orderBy("q_id", "rk")
+  }
+}

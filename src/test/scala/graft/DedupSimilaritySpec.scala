@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Cross-checks between the scalable (banded/LSH) implementations and
+  * ground-truth semantics on small SF.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("minhash-LSH pairs are true near-dups (jaccard >= 0.8 ground truth)") {
+    // ground truth: all pairs with jaccard >= 0.8 via direct shingle sets
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").sliding(3).map(_.mkString(" ")).toSet)
+    val truth = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+      inter = (sa & sb).size; union = (sa | sb).size
+      if union > 0 && inter * 5 >= union * 4
+    } yield (ia, ib)).toSet
+
+    val got = Dedup.dedupMinhash(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH may miss borderline pairs (probabilistic recall) but must never
+    // emit a false positive, and on this data (planted ~0.99 dups) it
+    // should find the bulk of the truth set.
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    assert(got.nonEmpty)
+    assert(got.size * 10 >= truth.size * 8, s"recall too low: ${got.size}/${truth.size}")
+  }
+
+  test("simhash pairs all have hamming <= 3 and near-dup docs collide") {
+    val rows = Dedup.dedupSimhash(spark, sf001).collect()
+    rows.foreach(r => assert(r.getLong(2) <= 3))
+  }
+
+  test("ann_ivf is a plausible approximation of brute-force top-k") {
+    val brute = Similarity.annTopk(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.1, s"IVF recall unreasonably low: $recall")
+  }
+
+  test("media decode stub matches the declarative formula") {
+    import spark.implicits._
+    val sqlSide = Multimodal.mediaTable(spark, sf001)
+      .select(col("doc_id"), octet_length(col("payload").cast("string")).as("bl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val decoded = Multimodal.mediaMeta(spark, sf001).collect()
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(2) == sqlSide(id).toLong, s"byte_len mismatch for $id")
+      assert(r.getLong(3) == sqlSide(id) / 100 + 1)
+      val hashes = r.getSeq[Long](6)
+      assert(hashes.length == math.min(sqlSide(id) / 100, 3) + 1)
+    }
+  }
+}
