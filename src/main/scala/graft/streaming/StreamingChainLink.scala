@@ -1,0 +1,219 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig}
+import graft.core.{Linking, LinkedMsg, Msg}
+
+/** P3 role fan-out record (reference: `simpy_kafka_reader.py:94-102`), flat
+  * so the event-time column threads through the typed pipeline.
+  */
+final case class RoleRecord(
+    role: String,
+    ip_key: String,
+    id: String,
+    src_ip: String,
+    dst_ip: String,
+    start_at_ms: Long,
+    latency_msec: Double,
+    end_at_ms: Long,
+    event_time: Timestamp) {
+  def msg: Msg = Msg(id, src_ip, dst_ip, start_at_ms, latency_msec, end_at_ms)
+}
+
+/** Msg + its event-time column (watermark carrier). */
+final case class TimedMsg(
+    id: String,
+    src_ip: String,
+    dst_ip: String,
+    start_at_ms: Long,
+    latency_msec: Double,
+    end_at_ms: Long,
+    event_time: Timestamp)
+
+/** Stage-1 → stage-2 update event. Folds the reference's link event + P4
+  * `expand_updates` flatMap into one shape: `message` carries the payload
+  * keyed by its own id; `add_parent`/`add_child` carry the other side's id
+  * (reference: `simpy_kafka_reader.py:105-115, 149-157`).
+  */
+final case class UpdateEvent(
+    event_type: String,
+    key_id: String,
+    other_id: String,
+    src_ip: String,
+    dst_ip: String,
+    start_at_ms: Long,
+    latency_msec: Double,
+    end_at_ms: Long,
+    event_time: Timestamp)
+
+/** J1 — the streaming self theta-join as a symmetric hash on per-IP keyed
+  * state (reference `IpLinkingProcess`, `simpy_kafka_reader.py:118-193`).
+  *
+  * A parent-role record scans `child_state` for contained children, emits
+  * one update pair per match, inserts itself into `parent_state`, and emits
+  * its message payload; a child-role record does the mirror image. Exactly
+  * one link per matching pair: only the later-arriving side scans the
+  * earlier one. Event-time timers at each record's `end_at_ms` evict state
+  * once the watermark passes (reference eviction scan `:162-184`).
+  *
+  * Divergences from the reference, both deliberate:
+  *   - Self-links: the reference's streaming path would link a
+  *     `src_ip == dst_ip` message to itself (reflexive containment, no id
+  *     guard at `:146-157`), contradicting its own executable spec
+  *     (`test_chain_linking.py:34-35` skips i==j). We follow the spec and
+  *     guard on id, keeping streaming ≡ batch.
+  *   - Idle flush (W4): Flink mixes processing-time idle timers with
+  *     event-time eviction; one Spark operator has one TimeMode. State TTL
+  *     is the idiomatic replacement (liveness only, not values —
+  *     SURVEY.md §7 risk 1); tests drive the watermark instead.
+  */
+final class LinkingProcessor
+    extends StatefulProcessor[String, RoleRecord, UpdateEvent] {
+
+  @transient private var parentState: org.apache.spark.sql.streaming.MapState[String, Msg] = _
+  @transient private var childState: org.apache.spark.sql.streaming.MapState[String, Msg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val msgEnc = Encoders.product[Msg]
+    val strEnc = Encoders.STRING
+    parentState = getHandle.getMapState[String, Msg]("parent_state", strEnc, msgEnc, TTLConfig.NONE)
+    childState = getHandle.getMapState[String, Msg]("child_state", strEnc, msgEnc, TTLConfig.NONE)
+  }
+
+  private def ts(ms: Long, wmMs: Long): Timestamp =
+    // output event time must not be behind the operator watermark
+    new Timestamp(math.max(ms, wmMs + 1))
+
+  override def handleInputRows(key: String, rows: Iterator[RoleRecord],
+      timers: TimerValues): Iterator[UpdateEvent] = {
+    val wm = timers.getCurrentWatermarkInMs()
+    val out = Seq.newBuilder[UpdateEvent]
+    rows.foreach { r =>
+      val cur = r.msg
+      if (r.role == "parent") {
+        childState.iterator().foreach { case (cid, child) =>
+          if (cid != cur.id && Linking.isParent(cur, child)) {
+            val t = ts(math.max(cur.start_at_ms, child.start_at_ms), wm)
+            out += UpdateEvent("add_child", cur.id, child.id, "", "", 0L, 0.0, 0L, t)
+            out += UpdateEvent("add_parent", child.id, cur.id, "", "", 0L, 0.0, 0L, t)
+          }
+        }
+        parentState.updateValue(cur.id, cur)
+        out += UpdateEvent("message", cur.id, "", cur.src_ip, cur.dst_ip,
+          cur.start_at_ms, cur.latency_msec, cur.end_at_ms, ts(cur.start_at_ms, wm))
+      } else {
+        parentState.iterator().foreach { case (pid, parent) =>
+          if (pid != cur.id && Linking.isParent(parent, cur)) {
+            val t = ts(math.max(parent.start_at_ms, cur.start_at_ms), wm)
+            out += UpdateEvent("add_child", parent.id, cur.id, "", "", 0L, 0.0, 0L, t)
+            out += UpdateEvent("add_parent", cur.id, parent.id, "", "", 0L, 0.0, 0L, t)
+          }
+        }
+        childState.updateValue(cur.id, cur)
+      }
+      getHandle.registerTimer(cur.end_at_ms)
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: String, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[UpdateEvent] = {
+    val cutoff = expired.getExpiryTimeInMs()
+    parentState.iterator().filter(_._2.end_at_ms <= cutoff).map(_._1).toSeq
+      .foreach(parentState.removeKey)
+    childState.iterator().filter(_._2.end_at_ms <= cutoff).map(_._1).toSeq
+      .foreach(childState.removeKey)
+    Iterator.empty
+  }
+}
+
+/** A1 — group-by-id incremental list aggregation (reference
+  * `MessageAggregationProcess`, `simpy_kafka_reader.py:196-310`): store the
+  * base message first-write-wins, accumulate deduped parent/child id lists,
+  * emit exactly once when the watermark passes `end_at_ms`, then clear.
+  * Updates arriving before the base message accumulate; orphan updates
+  * (no base) are never emitted — reference behavior (`:266-269`).
+  */
+final class AggregationProcessor
+    extends StatefulProcessor[String, UpdateEvent, LinkedMsg] {
+
+  @transient private var base: org.apache.spark.sql.streaming.ValueState[Msg] = _
+  @transient private var parents: org.apache.spark.sql.streaming.ListState[String] = _
+  @transient private var children: org.apache.spark.sql.streaming.ListState[String] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    base = getHandle.getValueState[Msg]("base", Encoders.product[Msg], TTLConfig.NONE)
+    parents = getHandle.getListState[String]("parents", Encoders.STRING, TTLConfig.NONE)
+    children = getHandle.getListState[String]("children", Encoders.STRING, TTLConfig.NONE)
+  }
+
+  private def appendDistinct(ls: org.apache.spark.sql.streaming.ListState[String],
+      id: String): Unit =
+    if (id.nonEmpty && !ls.get().contains(id)) ls.appendValue(id)
+
+  override def handleInputRows(key: String, rows: Iterator[UpdateEvent],
+      timers: TimerValues): Iterator[LinkedMsg] = {
+    rows.foreach { u =>
+      u.event_type match {
+        case "message" =>
+          if (!base.exists()) { // first-write-wins (reference :232-236)
+            val m = Msg(u.key_id, u.src_ip, u.dst_ip, u.start_at_ms,
+              u.latency_msec, u.end_at_ms)
+            base.update(m)
+            getHandle.registerTimer(m.end_at_ms)
+          }
+        case "add_parent" => appendDistinct(parents, u.other_id)
+        case "add_child" => appendDistinct(children, u.other_id)
+        case _ => ()
+      }
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: String, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[LinkedMsg] = {
+    if (base.exists() && base.get().end_at_ms <= expired.getExpiryTimeInMs()) {
+      val m = base.get()
+      val out = LinkedMsg.of(m, parents.get().toSeq, children.get().toSeq)
+      base.clear(); parents.clear(); children.clear()
+      Iterator.single(out)
+    } else Iterator.empty
+  }
+}
+
+/** The full streaming personality: role fan-out → per-IP linking → per-id
+  * aggregation, as two chained `transformWithState` operators with watermark
+  * propagation through the declared output event-time column — the same
+  * two-shuffle topology as the reference job graph (SURVEY.md §3.1), minus
+  * the Python/JVM boundary.
+  */
+object StreamingChainLink {
+
+  /** msgs (any source: Kafka-parsed, MemoryStream, files) → enriched
+    * LinkedMsg stream. `maxOutOfOrder` mirrors SIMPY_MAX_OUT_OF_ORDER_MS.
+    */
+  def linked(msgs: Dataset[Msg], maxOutOfOrder: String = "30 seconds"): Dataset[LinkedMsg] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    val roles = msgs
+      .withColumn("event_time", timestamp_millis(col("start_at_ms")))
+      .withWatermark("event_time", maxOutOfOrder)
+      .as[TimedMsg]
+      .flatMap { m =>
+        Seq(RoleRecord("parent", m.dst_ip, m.id, m.src_ip, m.dst_ip,
+            m.start_at_ms, m.latency_msec, m.end_at_ms, m.event_time),
+          RoleRecord("child", m.src_ip, m.id, m.src_ip, m.dst_ip,
+            m.start_at_ms, m.latency_msec, m.end_at_ms, m.event_time))
+      }
+    val updates = roles
+      .groupByKey(_.ip_key)
+      .transformWithState(new LinkingProcessor, "event_time", OutputMode.Append)
+    updates
+      .groupByKey(_.key_id)
+      .transformWithState(new AggregationProcessor, TimeMode.EventTime, OutputMode.Append)
+  }
+}

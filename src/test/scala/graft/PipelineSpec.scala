@@ -1,0 +1,63 @@
+package graft
+
+import graft.core.Msg
+import graft.streaming.Pipeline
+
+/** P1 lenient-parse semantics, matched against the reference's
+  * `_to_int`/`_to_float` behavior table (simpy_kafka_reader.py:42-77).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def parse(jsons: String*): Seq[Msg] = {
+    val sp = spark
+    import sp.implicits._
+    Pipeline.parseMsgs(jsons.toDS()).collect().toSeq
+  }
+
+  test("well-formed message parses exactly") {
+    val Seq(m) = parse(
+      """{"id":"msg_1","src_ip":"10.0.0.1","dst_ip":"10.0.0.2",
+        |"start_at_ms":1000,"latency_msec":12.5,"end_at_ms":1013}""".stripMargin)
+    assert(m == Msg("msg_1", "10.0.0.1", "10.0.0.2", 1000L, 12.5, 1013L))
+  }
+
+  test("missing fields default to ''/0/0.0 (reference parse_message)") {
+    val Seq(m) = parse("""{"id":"msg_2"}""")
+    assert(m == Msg("msg_2", "", "", 0L, 0.0, 0L))
+  }
+
+  test("numeric strings coerce via int(float(x)) — trunc toward zero") {
+    val Seq(m) = parse(
+      """{"id":"x","start_at_ms":"1000.9","latency_msec":"3.25","end_at_ms":"-5.5"}""")
+    assert(m.start_at_ms == 1000L) // int(float("1000.9")) == 1000
+    assert(m.latency_msec == 3.25)
+    assert(m.end_at_ms == -5L) // Python int() truncates toward zero, not floor
+  }
+
+  test("non-numeric garbage in numeric field defaults to 0") {
+    val Seq(m) = parse("""{"id":"x","start_at_ms":"oops"}""")
+    assert(m.start_at_ms == 0L)
+  }
+
+  test("malformed JSON yields a fully-defaulted row (divergence: reference crashes)") {
+    val Seq(m) = parse("""not json at all""")
+    assert(m == Msg("", "", "", 0L, 0.0, 0L))
+  }
+
+  test("linked-message JSON sink serialization matches the reference shape") {
+    val sp = spark
+    import sp.implicits._
+    val linked = Seq(graft.core.LinkedMsg("msg_1", "10.0.0.1", "10.0.0.2",
+      1000L, 12.5, 1013L, Seq("msg_0"), Seq("msg_2", "msg_3"))).toDS()
+    val Seq(json) = Pipeline.toLinkedJson(linked).as[String].collect().toSeq
+    assert(json ==
+      """{"id":"msg_1","src_ip":"10.0.0.1","dst_ip":"10.0.0.2","start_at_ms":1000,""" +
+        """"latency_msec":12.5,"end_at_ms":1013,"parents":["msg_0"],""" +
+        """"children":["msg_2","msg_3"]}""")
+  }
+
+  test("kafka source needs the connector jar (deploy-time dep, absent offline)") {
+    val e = intercept[Exception](Pipeline.kafkaSource(spark, "broker:9092"))
+    assert(e.getMessage.contains("kafka"))
+  }
+}

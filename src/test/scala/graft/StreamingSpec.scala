@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.core.{Linking, Msg}
+import graft.streaming.StreamingChainLink
+
+/** Streaming ≡ batch: the chained transformWithState pipeline must produce
+  * the all-pairs spec's output for every message the watermark has passed,
+  * under adversarial (out-of-order) arrival.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def m(id: String, src: String, dst: String, s: Long, e: Long): Msg =
+    Msg(id, src, dst, s, (e - s).toDouble, e)
+
+  /** Run msgs through the streaming pipeline in the given batches, return
+    * emitted LinkedMsg rows, keyed by id.
+    */
+  private def run(batches: Seq[Seq[Msg]], watermark: String = "0 seconds")
+      : Map[String, (Seq[String], Seq[String])] = {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val input = MemoryStream[Msg]
+    val out = StreamingChainLink.linked(input.toDS(), watermark)
+    val name = s"stream_out_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    sp.table(name).as[graft.core.LinkedMsg].collect()
+      .map(l => l.id -> (l.parents, l.children)).toMap
+  }
+
+  // far-future sentinel that advances the watermark past everything
+  private val flush = m("flush", "10.9.9.9", "10.9.9.8", 1000000L, 1000001L)
+
+  test("golden case 1 (linear chain) through the streaming pipeline") {
+    val msgs = Seq(
+      m("id1", "10.0.0.1", "10.0.0.2", 1000, 1500),
+      m("id2", "10.0.0.2", "10.0.0.3", 1100, 1300),
+      m("id3", "10.0.0.3", "10.0.0.4", 1120, 1220))
+    val got = run(Seq(msgs, Seq(flush)))
+    assert(got("id1") == (Seq(), Seq("id2")))
+    assert(got("id2") == (Seq("id1"), Seq("id3")))
+    assert(got("id3") == (Seq("id2"), Seq()))
+    assert(!got.contains("flush")) // watermark never passed its end
+  }
+
+  test("out-of-order arrival across micro-batches heals like the reference watermark test") {
+    // child before parent, in different batches (test_chain_linking.py:170-185)
+    val got = run(Seq(
+      Seq(m("id2", "10.0.0.2", "10.0.0.3", 1100, 1500)),
+      Seq(m("id1", "10.0.0.1", "10.0.0.2", 900, 2000)),
+      Seq(flush)), watermark = "30 seconds")
+    assert(got("id2") == (Seq("id1"), Seq()))
+    assert(got("id1") == (Seq(), Seq("id2")))
+  }
+
+  test("streaming output == all-pairs batch spec on a random message set") {
+    val rnd = new scala.util.Random(42)
+    val ips = (0 until 8).map(i => s"10.0.0.$i")
+    val msgs = (0 until 120).map { i =>
+      val s = 1000L + rnd.nextInt(20000)
+      val e = s + 100 + rnd.nextInt(8000)
+      Msg(s"m$i", ips(rnd.nextInt(ips.size)), ips(rnd.nextInt(ips.size)),
+        s, (e - s).toDouble, e)
+    }
+    // adversarial arrival: shuffled, split into 5 batches
+    val arrival = rnd.shuffle(msgs).grouped(30).toSeq
+    val got = run(arrival :+ Seq(flush), watermark = "30 seconds")
+    val spec = Linking.linkAllPairs(msgs)
+      .map(l => l.id -> (l.parents, l.children)).toMap
+    msgs.foreach { mm =>
+      assert(got.contains(mm.id), s"${mm.id} never emitted")
+      assert(got(mm.id) == spec(mm.id), s"mismatch for ${mm.id}")
+    }
+  }
+}
