@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Catalyst integration: expose the engine's custom expressions to SQL.
+  *
+  * Two entry points:
+  *   - `--conf spark.sql.extensions=graft.functions.GraftExtensions` at
+  *     session build (the library-deployment path)
+  *   - [[GraftFunctions.register]] on a live session (REPL/test path)
+  *
+  * so `SELECT graft_dot(a.e, b.e)` works anywhere the DataFrame API does.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}
+
+object GraftFunctions {
+  /** Register the function library into an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, VectorOps}
+
+class FunctionsSpec extends SparkSpec {
+
+  test("graft_dot matches the interpreted HOF fold bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (Seq(1.5, -2.25, 3.0), Seq(0.5, 4.0, -1.25)),
+      (Seq(0.1, 0.2), Seq(0.3, 0.4)),
+      (Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+    val rows = df.select(
+      VectorOps.dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0),
+        (acc, v) => acc + v).as("slow")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot is SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("graft_dot participates in whole-stage codegen") {
+    val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .select(col("embedding").cast("array<double>").as("e"))
+    val df = emb.select(VectorOps.dot(col("e"), col("e")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    // '*' prefixes mark operators inside a WholeStageCodegen span; the
+    // graft_dot projection must be codegen'd, fused with the scan
+    val dotLine = plan.linesIterator.find(_.contains("graft_dot")).get.trim
+    assert(dotLine.startsWith("*"), s"graft_dot not codegen'd:\n$plan")
+    assert(df.head().getDouble(0) > 0.0)
+  }
+}
