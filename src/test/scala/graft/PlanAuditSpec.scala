@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{ChainLink, Dedup, Relational, Similarity}
+import graft.sources.Tables
+
+/** Physical-plan audits: the properties that decide 100 TB behavior must be
+  * visible in the plan — filters pushed to the parquet scan, columns pruned,
+  * the right join strategies, map-side partial aggregation. These guard
+  * against regressions that correctness tests can't see.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: scan prunes to the 4 needed lineitem columns; partial agg present") {
+    val p = plan(Relational.q1Pricing(spark, sf001))
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("l_returnflag") && scan.contains("l_quantity"))
+    assert(!scan.contains("l_shipdate") && !scan.contains("l_orderkey"),
+      s"unpruned scan: $scan")
+    // partial + final hash aggregation (map-side combine)
+    assert(p.contains("HashAggregate"))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+
+  test("q3: segment filter is pushed into the customer parquet scan") {
+    val p = plan(Relational.q3TopOrders(spark, sf001))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"missing pushdown:\n$pushed")
+  }
+
+  test("q5: nation dimension joins via broadcast") {
+    val p = plan(Relational.q5NationRevenue(spark, sf001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "nation should broadcast")
+  }
+
+  test("chain-link join is an equi-join on (ip, bucket), never a nested loop") {
+    val p = plan(ChainLink.links(Tables.msgs(spark, sf001)))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("semi/anti joins stay semi/anti in the physical plan") {
+    assert(plan(Relational.qSemiHighQty(spark, sf001)).contains("LeftSemi"))
+    assert(plan(Relational.qAntiNoOrders(spark, sf001)).contains("LeftAnti"))
+  }
+
+  test("minhash/ngram dedup joins are hash joins on signature keys") {
+    val p = plan(Dedup.dedupNgram(spark, sf001))
+    assert(!p.contains("CartesianProduct"), "dedup must never be all-pairs")
+  }
+
+  test("ann_topk broadcasts the query sample, scans vectors once") {
+    val p = plan(Similarity.annTopk(spark, sf001))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("graft_dot"), "codegen dot product must be in the plan")
+  }
+
+  test("events scan for tumbling agg prunes props (the wide column)") {
+    val p = plan(Relational.qEventsTumbling(spark, sf001))
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scan.contains("props"), s"props not pruned: $scan")
+  }
+}
