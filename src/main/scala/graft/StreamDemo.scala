@@ -48,6 +48,25 @@ object StreamDemo {
     val linkedRows = out.where("size(parents) > 0 OR size(children) > 0")
     println(s"emitted=${out.count()} of ${msgs.size} fed; linked=${linkedRows.count()}")
     linkedRows.show(20, truncate = false)
+
+    // streaming training-data ops on a documents-derived stream
+    val docIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = docIn.toDF().toDF("doc_id", "text", "event_time")
+    val dq = graft.streaming.StreamingOps.dedupExactStream(docs)
+      .writeStream.format("memory").queryName("demo_dedup")
+      .outputMode("append").start()
+    val docRows = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(50).collect()
+      .map(r => (r.getLong(0), r.getString(1), new java.sql.Timestamp(r.getLong(0) * 1000)))
+    val withDups = docRows ++ docRows.take(10).map { case (i, t, ts) =>
+      (i + 100000L, t, new java.sql.Timestamp(ts.getTime + 1000))
+    }
+    docIn.addData(withDups.toSeq)
+    dq.processAllAvailable()
+    dq.stop()
+    val kept = spark.table("demo_dedup").count()
+    println(s"stream-dedup: fed=${withDups.length} kept=$kept " +
+      s"(dropped ${withDups.length - kept} in-watermark duplicates)")
     spark.stop()
   }
 }

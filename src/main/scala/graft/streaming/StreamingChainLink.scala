@@ -71,7 +71,7 @@ final case class UpdateEvent(
   *     is the idiomatic replacement (liveness only, not values —
   *     SURVEY.md §7 risk 1); tests drive the watermark instead.
   */
-final class LinkingProcessor
+final class LinkingProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, RoleRecord, UpdateEvent] {
 
   @transient private var parentState: org.apache.spark.sql.streaming.MapState[String, Msg] = _
@@ -80,8 +80,8 @@ final class LinkingProcessor
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     val msgEnc = Encoders.product[Msg]
     val strEnc = Encoders.STRING
-    parentState = getHandle.getMapState[String, Msg]("parent_state", strEnc, msgEnc, TTLConfig.NONE)
-    childState = getHandle.getMapState[String, Msg]("child_state", strEnc, msgEnc, TTLConfig.NONE)
+    parentState = getHandle.getMapState[String, Msg]("parent_state", strEnc, msgEnc, stateTtl)
+    childState = getHandle.getMapState[String, Msg]("child_state", strEnc, msgEnc, stateTtl)
   }
 
   private def ts(ms: Long, wmMs: Long): Timestamp =
@@ -138,7 +138,7 @@ final class LinkingProcessor
   * Updates arriving before the base message accumulate; orphan updates
   * (no base) are never emitted — reference behavior (`:266-269`).
   */
-final class AggregationProcessor
+final class AggregationProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, UpdateEvent, LinkedMsg] {
 
   @transient private var base: org.apache.spark.sql.streaming.ValueState[Msg] = _
@@ -146,9 +146,9 @@ final class AggregationProcessor
   @transient private var children: org.apache.spark.sql.streaming.ListState[String] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    base = getHandle.getValueState[Msg]("base", Encoders.product[Msg], TTLConfig.NONE)
-    parents = getHandle.getListState[String]("parents", Encoders.STRING, TTLConfig.NONE)
-    children = getHandle.getListState[String]("children", Encoders.STRING, TTLConfig.NONE)
+    base = getHandle.getValueState[Msg]("base", Encoders.product[Msg], stateTtl)
+    parents = getHandle.getListState[String]("parents", Encoders.STRING, stateTtl)
+    children = getHandle.getListState[String]("children", Encoders.STRING, stateTtl)
   }
 
   private def appendDistinct(ls: org.apache.spark.sql.streaming.ListState[String],
@@ -196,7 +196,8 @@ object StreamingChainLink {
   /** msgs (any source: Kafka-parsed, MemoryStream, files) → enriched
     * LinkedMsg stream. `maxOutOfOrder` mirrors SIMPY_MAX_OUT_OF_ORDER_MS.
     */
-  def linked(msgs: Dataset[Msg], maxOutOfOrder: String = "30 seconds"): Dataset[LinkedMsg] = {
+  def linked(msgs: Dataset[Msg], maxOutOfOrder: String = "30 seconds",
+      stateTtl: TTLConfig = TTLConfig.NONE): Dataset[LinkedMsg] = {
     val spark = msgs.sparkSession
     import spark.implicits._
     val roles = msgs
@@ -211,9 +212,9 @@ object StreamingChainLink {
       }
     val updates = roles
       .groupByKey(_.ip_key)
-      .transformWithState(new LinkingProcessor, "event_time", OutputMode.Append)
+      .transformWithState(new LinkingProcessor(stateTtl), "event_time", OutputMode.Append)
     updates
       .groupByKey(_.key_id)
-      .transformWithState(new AggregationProcessor, TimeMode.EventTime, OutputMode.Append)
+      .transformWithState(new AggregationProcessor(stateTtl), TimeMode.EventTime, OutputMode.Append)
   }
 }

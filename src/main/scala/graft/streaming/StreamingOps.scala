@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming variants of the training-data pipeline operators: the same
+  * semantics as the batch queries in `graft.operators`, expressed over
+  * unbounded inputs with watermark-bounded state — what a continuous
+  * ingestion pipeline runs.
+  *
+  * Inputs are DataFrames with an `event_time` TimestampType column plus the
+  * named payload columns, so any source (Kafka + from_json, files, rate,
+  * MemoryStream) plugs in.
+  */
+object StreamingOps {
+
+  /** Streaming exact dedup on content hash — first occurrence wins, state
+    * dropped once the watermark passes (`dropDuplicatesWithinWatermark`:
+    * bounded state, unlike plain dropDuplicates which grows forever).
+    * Columns in: (doc_id, text, event_time).
+    */
+  def dedupExactStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("content_md5", md5(col("text")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("content_md5")
+
+  /** Streaming tumbling-window aggregation per event_type (the streaming
+    * form of the batch `q_events_tumbling`); integer-cents values.
+    * Columns in: (event_type, value, event_time).
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_cents"))
+
+  /** Streaming per-document text stats/quality — stateless map, unbounded
+    * throughput (the batch `text_stats` shape on a stream).
+    * Columns in: (doc_id, text, event_time).
+    */
+  def textStatsStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("event_time"),
+        split(col("text"), " ").as("w"),
+        length(col("text")).cast("long").as("n_chars"))
+      .select(col("doc_id"), col("event_time"), col("n_chars"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_words"))
+      .withColumn("quality_pct", expr("(100 * n_distinct_words) div n_words"))
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingOps
+
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("streaming exact dedup drops in-watermark duplicates, first wins") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingOps.dedupExactStream(
+      in.toDF().toDF("doc_id", "text", "event_time"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq(
+        (1L, "alpha beta", ts(1000)), (2L, "gamma delta", ts(2000))))
+      q.processAllAvailable()
+      // duplicate of doc 1's content arriving later, inside the watermark
+      in.addData(Seq((3L, "alpha beta", ts(3000)), (4L, "epsilon", ts(4000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = sp.table("dedup_out").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L), s"got $ids")
+  }
+
+  test("streaming tumbling counts equal the batch shape after watermark passes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(String, Double, Timestamp)]
+    val out = StreamingOps.tumblingCounts(
+      in.toDF().toDF("event_type", "value", "event_time"),
+      windowLen = "1 minute", watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("tumble_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq(
+        ("click", 1.25, ts(10000)), ("click", 2.50, ts(20000)),
+        ("view", 0.75, ts(30000))))
+      q.processAllAvailable()
+      in.addData(Seq(("click", 9.99, ts(200000)))) // advances watermark past window 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = sp.table("tumble_out")
+      .select("event_type", "n", "sum_value_cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("click", 2L, 375L), ("view", 1L, 75L)), s"got $rows")
+  }
+
+  test("streaming text stats are computed per record, stateless") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingOps.textStatsStream(
+      in.toDF().toDF("doc_id", "text", "event_time"))
+    val q = out.writeStream.format("memory").queryName("stats_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((7L, "a b a c", ts(1000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = sp.table("stats_out").head()
+    assert(r.getAs[Long]("n_words") == 4 && r.getAs[Long]("n_distinct_words") == 3)
+    assert(r.getAs[Long]("quality_pct") == 75)
+  }
+}
