@@ -55,6 +55,9 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     // multimodal
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    // SQL personality
+    "q_sql_segment_revenue" -> ((s, d) => SqlApi.revenueBySegment(s, d)),
+    "q_sql_cosine_by_label" -> ((s, d) => SqlApi.sqlCosineByLabel(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -430,5 +433,27 @@ object SparkEntry {
         |         j -> CAST('0x' || substr(md5(text || '#' || j), 1, 15) AS BIGINT))
         |         AS frame_hashes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sql_segment_revenue" ->
+      s"""SELECT c_mktsegment, $revenueE4 AS revenue_e4, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_sql_cosine_by_label" ->
+      s"""WITH $vecCte,
+         |v2 AS (SELECT v.vec_id, e.label, v.e, v.nrm
+         |       FROM v JOIN embeddings e ON v.vec_id = e.vec_id),
+         |p AS (SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
+         |      FROM v2 a JOIN v2 b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |r AS (SELECT label, vec_a, vec_b, cos,
+         |        row_number() OVER (PARTITION BY label
+         |                           ORDER BY cos DESC, vec_a, vec_b) AS rk
+         |      FROM p)
+         |SELECT label, vec_a, vec_b, cos FROM r WHERE rk = 1
+         |ORDER BY label""".stripMargin,
   )
 }

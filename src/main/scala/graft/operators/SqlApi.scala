@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** The SQL personality: the same engine driven through `spark.sql` over
+  * registered views — a user of the reference who prefers SQL gets the
+  * identical Catalyst plans the DataFrame API produces, plus the engine's
+  * custom expressions (`graft_dot`) as SQL functions.
+  */
+object SqlApi {
+
+  private def view(spark: SparkSession, dir: String, name: String): Unit =
+    Tables.load(spark, dir, name).createOrReplaceTempView(name)
+
+  /** Revenue by market segment, pure SQL text (same integer-cents policy). */
+  def revenueBySegment(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "customer").foreach(view(spark, dir, _))
+    spark.sql(
+      """SELECT c_mktsegment,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_e4,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** Top similar pair per label via `graft_dot` in SQL — the custom codegen
+    * expression exposed through the SQL function registry.
+    */
+  def sqlCosineByLabel(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    view(spark, dir, "embeddings")
+    spark.sql(
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS e,
+        |         sqrt(graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                        CAST(embedding AS ARRAY<DOUBLE>))) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         graft_dot(a.e, b.e) / (a.nrm * b.nrm) AS cos
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |r AS (
+        |  SELECT label, vec_a, vec_b, cos,
+        |         row_number() OVER (PARTITION BY label
+        |                            ORDER BY cos DESC, vec_a, vec_b) AS rk
+        |  FROM p)
+        |SELECT label, vec_a, vec_b, cos FROM r WHERE rk = 1
+        |ORDER BY label""".stripMargin)
+  }
+}
