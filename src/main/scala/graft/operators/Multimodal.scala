@@ -48,9 +48,18 @@ object Multimodal {
 
   // ---- the decoder stub (Scala mirror of Tables.portableHash semantics) ----
 
+  private val hexChars = "0123456789abcdef".toCharArray
+
   private def md5Hex(bytes: Array[Byte]): String = {
     val d = MessageDigest.getInstance("MD5").digest(bytes)
-    d.map("%02x".format(_)).mkString
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Identical to [[Tables.portableHash]]: first 15 md5 hex digits as int64. */
