@@ -76,13 +76,32 @@ final class LinkingProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
 
   @transient private var parentState: org.apache.spark.sql.streaming.MapState[String, Msg] = _
   @transient private var childState: org.apache.spark.sql.streaming.MapState[String, Msg] = _
+  @transient private var evictAt: org.apache.spark.sql.streaming.ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     val msgEnc = Encoders.product[Msg]
     val strEnc = Encoders.STRING
     parentState = getHandle.getMapState[String, Msg]("parent_state", strEnc, msgEnc, stateTtl)
     childState = getHandle.getMapState[String, Msg]("child_state", strEnc, msgEnc, stateTtl)
+    evictAt = getHandle.getValueState[Long]("evict_at", Encoders.scalaLong, stateTtl)
   }
+
+  /** One rolling eviction timer per key (earliest pending end) instead of a
+    * timer per record: the reference registers a timer at every record's
+    * `end_at_ms` and linearly rescans state on each firing (`:159-184`) —
+    * semantically a per-record eviction point, but k timers per batch means
+    * k full scans. The rolling form evicts everything at or below the
+    * watermark in ONE scan per firing and re-arms at the earliest surviving
+    * end. Eviction can only happen later (never earlier) than the
+    * reference's, so links are a superset within the watermark bound —
+    * i.e., closer to the batch spec (equivalence tests pin this).
+    */
+  private def armTimer(candidateEnd: Long): Unit =
+    if (!evictAt.exists() || candidateEnd < evictAt.get()) {
+      if (evictAt.exists()) getHandle.deleteTimer(evictAt.get())
+      getHandle.registerTimer(candidateEnd)
+      evictAt.update(candidateEnd)
+    }
 
   private def ts(ms: Long, wmMs: Long): Timestamp =
     // output event time must not be behind the operator watermark
@@ -92,41 +111,63 @@ final class LinkingProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
       timers: TimerValues): Iterator[UpdateEvent] = {
     val wm = timers.getCurrentWatermarkInMs()
     val out = Seq.newBuilder[UpdateEvent]
+    // Load both state maps ONCE per (key, micro-batch) and write back only
+    // the additions at the end: per-record processing order (and thus the
+    // reference's scan-opposite-then-insert-self semantics) is unchanged,
+    // but the state store is touched O(state + additions) per batch instead
+    // of O(records × state) probes against RocksDB.
+    val pBuf = scala.collection.mutable.LinkedHashMap.empty[String, Msg]
+    val cBuf = scala.collection.mutable.LinkedHashMap.empty[String, Msg]
+    parentState.iterator().foreach { case (k, v) => pBuf(k) = v }
+    childState.iterator().foreach { case (k, v) => cBuf(k) = v }
+    val pAdded = Seq.newBuilder[Msg]
+    val cAdded = Seq.newBuilder[Msg]
     rows.foreach { r =>
       val cur = r.msg
       if (r.role == "parent") {
-        childState.iterator().foreach { case (cid, child) =>
-          if (cid != cur.id && Linking.isParent(cur, child)) {
+        cBuf.valuesIterator.foreach { child =>
+          if (child.id != cur.id && Linking.isParent(cur, child)) {
             val t = ts(math.max(cur.start_at_ms, child.start_at_ms), wm)
             out += UpdateEvent("add_child", cur.id, child.id, "", "", 0L, 0.0, 0L, t)
             out += UpdateEvent("add_parent", child.id, cur.id, "", "", 0L, 0.0, 0L, t)
           }
         }
-        parentState.updateValue(cur.id, cur)
+        pBuf(cur.id) = cur
+        pAdded += cur
         out += UpdateEvent("message", cur.id, "", cur.src_ip, cur.dst_ip,
           cur.start_at_ms, cur.latency_msec, cur.end_at_ms, ts(cur.start_at_ms, wm))
       } else {
-        parentState.iterator().foreach { case (pid, parent) =>
-          if (pid != cur.id && Linking.isParent(parent, cur)) {
+        pBuf.valuesIterator.foreach { parent =>
+          if (parent.id != cur.id && Linking.isParent(parent, cur)) {
             val t = ts(math.max(parent.start_at_ms, cur.start_at_ms), wm)
             out += UpdateEvent("add_child", parent.id, cur.id, "", "", 0L, 0.0, 0L, t)
             out += UpdateEvent("add_parent", cur.id, parent.id, "", "", 0L, 0.0, 0L, t)
           }
         }
-        childState.updateValue(cur.id, cur)
+        cBuf(cur.id) = cur
+        cAdded += cur
       }
-      getHandle.registerTimer(cur.end_at_ms)
+      armTimer(cur.end_at_ms)
     }
+    pAdded.result().foreach(m => parentState.updateValue(m.id, m))
+    cAdded.result().foreach(m => childState.updateValue(m.id, m))
     out.result().iterator
   }
 
   override def handleExpiredTimer(key: String, timers: TimerValues,
       expired: ExpiredTimerInfo): Iterator[UpdateEvent] = {
-    val cutoff = expired.getExpiryTimeInMs()
-    parentState.iterator().filter(_._2.end_at_ms <= cutoff).map(_._1).toSeq
-      .foreach(parentState.removeKey)
-    childState.iterator().filter(_._2.end_at_ms <= cutoff).map(_._1).toSeq
-      .foreach(childState.removeKey)
+    val cutoff = math.max(expired.getExpiryTimeInMs(), timers.getCurrentWatermarkInMs())
+    var minSurviving = Long.MaxValue
+    Seq(parentState, childState).foreach { st =>
+      val expiredKeys = Seq.newBuilder[String]
+      st.iterator().foreach { case (k, m) =>
+        if (m.end_at_ms <= cutoff) expiredKeys += k
+        else if (m.end_at_ms < minSurviving) minSurviving = m.end_at_ms
+      }
+      expiredKeys.result().foreach(st.removeKey)
+    }
+    evictAt.clear()
+    if (minSurviving != Long.MaxValue) armTimer(minSurviving)
     Iterator.empty
   }
 }
@@ -151,12 +192,14 @@ final class AggregationProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
     children = getHandle.getListState[String]("children", Encoders.STRING, stateTtl)
   }
 
-  private def appendDistinct(ls: org.apache.spark.sql.streaming.ListState[String],
-      id: String): Unit =
-    if (id.nonEmpty && !ls.get().contains(id)) ls.appendValue(id)
-
   override def handleInputRows(key: String, rows: Iterator[UpdateEvent],
       timers: TimerValues): Iterator[LinkedMsg] = {
+    // load lists once per (key, micro-batch); write back only if changed
+    val pSet = scala.collection.mutable.LinkedHashSet.empty[String]
+    val cSet = scala.collection.mutable.LinkedHashSet.empty[String]
+    if (parents.exists()) parents.get().foreach(pSet += _)
+    if (children.exists()) children.get().foreach(cSet += _)
+    val (p0, c0) = (pSet.size, cSet.size)
     rows.foreach { u =>
       u.event_type match {
         case "message" =>
@@ -166,11 +209,13 @@ final class AggregationProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
             base.update(m)
             getHandle.registerTimer(m.end_at_ms)
           }
-        case "add_parent" => appendDistinct(parents, u.other_id)
-        case "add_child" => appendDistinct(children, u.other_id)
+        case "add_parent" => if (u.other_id.nonEmpty) pSet += u.other_id
+        case "add_child" => if (u.other_id.nonEmpty) cSet += u.other_id
         case _ => ()
       }
     }
+    if (pSet.size != p0) parents.put(pSet.toArray)
+    if (cSet.size != c0) children.put(cSet.toArray)
     Iterator.empty
   }
 
