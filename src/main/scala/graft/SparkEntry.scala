@@ -39,6 +39,8 @@ object SparkEntry {
     "q_window_top3" -> ((s, d) => Relational.qWindowTop3(s, d)),
     "q_events_tumbling" -> ((s, d) => Relational.qEventsTumbling(s, d)),
     "q_distinct_users" -> ((s, d) => Relational.qDistinctUsers(s, d)),
+    "q_rollup_revenue" -> ((s, d) => Relational.qRollupRevenue(s, d)),
+    "q_lag_events" -> ((s, d) => Relational.qLagEvents(s, d)),
     // training-data pipeline: dedup
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(s, d)),
@@ -256,6 +258,26 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rollup_revenue" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+        |         AS returnflag,
+        |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END
+        |         AS linestatus,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS base_cents
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_lag_events" ->
+      """SELECT event_id, user_id,
+        |       coalesce(lag(event_id, 1) OVER w, -1) AS prev_event_id,
+        |       coalesce(lead(event_id, 1) OVER w, -1) AS next_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS content_md5, count(*) AS n_copies

@@ -135,6 +135,37 @@ object Relational {
       .orderBy("event_type", "bucket")
   }
 
+  /** Rollup aggregation with grouping labels coalesced to 'ALL' (no NULLs
+    * in output — Spark/DuckDB null ordering differs). Demonstrates
+    * grouping-set machinery (partial aggregation per grouping set).
+    */
+  def qRollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("base_cents"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .select(
+        when(col("g_rf") === 1, "ALL").otherwise(col("l_returnflag")).as("returnflag"),
+        when(col("g_ls") === 1, "ALL").otherwise(col("l_linestatus")).as("linestatus"),
+        col("n"), col("base_cents"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  /** lag/lead windowing: each event with its user's previous and next
+    * event ids (session-reconstruction primitive). Single shuffle on
+    * user_id; '' (not NULL) at sequence edges for portable ordering.
+    */
+  def qLagEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts div 1000000"), col("event_id"))
+    ev.select(col("event_id"), col("user_id"),
+        coalesce(lag(col("event_id"), 1).over(w), lit(-1L)).as("prev_event_id"),
+        coalesce(lead(col("event_id"), 1).over(w), lit(-1L)).as("next_event_id"))
+      .orderBy("event_id")
+  }
+
   /** Distinct aggregation: exact distinct users + event count per type. */
   def qDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
