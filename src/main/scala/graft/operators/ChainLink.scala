@@ -24,29 +24,42 @@ import graft.sources.Tables
 object ChainLink {
 
   /** J1 (batch form) — parent/child link pairs via banded self
-    * interval-containment join. Output: (parent_id, child_id).
+    * interval-containment join with parent replication. Output:
+    * (parent_id, child_id).
+    *
+    * Each parent is replicated to every time bucket its interval overlaps;
+    * each child probes exactly the bucket containing its start. Containment
+    * puts `c_start` inside the parent's interval, so every matching pair
+    * meets in exactly one bucket — no dedup needed, identical output for
+    * ANY bucket width. Width is therefore a pure performance knob: we use
+    * an approximate high quantile of interval length, so a single outlier
+    * interval cannot collapse the banding (it just replicates that one
+    * parent more), unlike a max-based width where one day-long interval
+    * would force day-wide buckets and quadratic per-bucket blowup.
     */
   def links(msgs: DataFrame): DataFrame = {
-    // Bucket width = max interval length in the data (one cheap columnar
-    // scalar agg; at scale this is a metadata-cheap reduce, or a config).
-    val w = math.max(1L,
-      msgs.agg(max(col("end_at_ms") - col("start_at_ms"))).head().getLong(0))
+    // perf-only knob: P95 interval length (approx; any value is correct).
+    // Floor at maxLen/64 caps the worst-case replication factor at 65
+    // buckets even when the length distribution is extremely skewed.
+    val stats = msgs.agg(
+      approx_percentile(col("end_at_ms") - col("start_at_ms"), lit(0.95), lit(1000)),
+      max(col("end_at_ms") - col("start_at_ms"))).head()
+    val w = math.max(1L, math.max(stats.getLong(0), stats.getLong(1) / 64))
 
     val p = msgs.select(
       col("id").as("parent_id"),
       col("dst_ip").as("ip"),
       col("start_at_ms").as("p_start"),
-      col("end_at_ms").as("p_end"),
-      floor(col("start_at_ms") / w).cast("long").as("bucket"))
+      col("end_at_ms").as("p_end"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"p_start div $w"), expr(s"p_end div $w"))))
 
     val c = msgs.select(
       col("id").as("child_id"),
       col("src_ip").as("c_ip"),
       col("start_at_ms").as("c_start"),
-      col("end_at_ms").as("c_end"))
-      .withColumn("bucket", explode(array(
-        (floor(col("c_start") / w) - 1).cast("long"),
-        floor(col("c_start") / w).cast("long"))))
+      col("end_at_ms").as("c_end"),
+      expr(s"start_at_ms div $w").as("bucket"))
 
     p.join(c, col("ip") === col("c_ip") && p("bucket") === c("bucket"))
       .where(col("p_start") <= col("c_start") &&
