@@ -30,6 +30,18 @@ object SparkEntry {
     "eviction_survivors" -> ((s, d) => ChainLink.evictionSurvivors(s, d)),
     "degree_histogram" -> ((s, d) => ChainLink.degreeHistogram(s, d)),
     "parse_events" -> ((s, d) => ChainLink.parseEvents(s, d)),
+    "q_grandparents" -> ((s, d) => ChainLink.grandparents(s, d)),
+    "q_sessions" -> ((s, d) => ChainLink.sessionize(s, d)),
+    // HLL sketch: engine-specific estimates → no cross-engine oracle
+    // (driver records the weaker rows-only check by design)
+    "q_approx_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      sources.Tables.load(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
     // relational staples
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_top_orders" -> ((s, d) => Relational.q3TopOrders(s, d)),
@@ -258,6 +270,32 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_grandparents" ->
+      s"""WITH $msgsCte, $linksCte
+         |SELECT DISTINCT g.parent_id AS grand_id, g.child_id AS mid_id,
+         |       c.child_id AS child_id
+         |FROM links g JOIN links c ON g.child_id = c.parent_id
+         |WHERE g.parent_id <> c.child_id
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_sessions" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS em FROM events),
+        |g AS (
+        |  SELECT event_id, user_id, em,
+        |         CASE WHEN em - lag(em, 1) OVER w > 1800000 THEN 1 ELSE 0 END
+        |           AS gap_break
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id)),
+        |s AS (
+        |  SELECT user_id, em,
+        |         CAST(sum(gap_break) OVER (PARTITION BY user_id ORDER BY em, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(em) AS session_start_ms, max(em) AS session_end_ms
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_rollup_revenue" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END

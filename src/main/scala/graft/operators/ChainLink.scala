@@ -172,6 +172,42 @@ object ChainLink {
       .orderBy("parent_cnt", "child_cnt")
   }
 
+  /** Call-graph traversal: 2-hop ancestor triples (grandparent → parent →
+    * child), the composable form of the reference's output arrays — shows
+    * the link relation supports multi-hop graph queries. Self-join of the
+    * banded link set on the shared mid node.
+    */
+  def grandparents(spark: SparkSession, dir: String): DataFrame = {
+    val l = links(Tables.msgs(spark, dir)).cache()
+    l.as("g").join(l.as("c"), col("g.child_id") === col("c.parent_id"))
+      .where(col("g.parent_id") =!= col("c.child_id"))
+      .select(col("g.parent_id").as("grand_id"),
+        col("g.child_id").as("mid_id"),
+        col("c.child_id").as("child_id"))
+      .distinct()
+      .orderBy("grand_id", "mid_id", "child_id")
+  }
+
+  /** Gap-based sessionization of the events stream (batch form of a session
+    * window): a new session starts when a user's inter-event gap exceeds
+    * 30 minutes. One shuffle on user_id; the session id is a running count
+    * of gap-breaks — integer-exact and portable.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("em"), col("event_id"))
+    val wCum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ev.select(col("event_id"), col("user_id"), expr("ts div 1000000").as("em"))
+      .withColumn("gap_break",
+        when(col("em") - lag(col("em"), 1).over(w) > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("gap_break")).over(wCum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("em").as("session_start_ms"),
+        max("em").as("session_end_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** P1 — lenient message parse (reference: `simpy_kafka_reader.py:42-77`):
     * missing/malformed numeric fields default to 0 via `int(float(x))`
     * coercion. Demonstrated on `events.props` JSON: extract `k` with
