@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, TTLConfig}
+import graft.core.{LinkedMsg, Msg}
+import graft.operators._
+import graft.sources.Tables
+import graft.streaming.{Pipeline, StreamingChainLink}
+
+/** The user-facing facade: everything a user of the reference pipeline
+  * (`rongg10/SimPy--Kafka--Flink--Kafka`) runs today, plus the
+  * training-data-pipeline extensions, behind one object.
+  *
+  * {{{
+  * val spark = Engine.session()               // tuned local session
+  * val linked = Engine.chainLink(spark, dir)  // batch call-graph enrichment
+  * Engine.runKafkaJob(spark, "broker:9092", "/ckpt")  // the streaming job
+  * }}}
+  */
+object Engine {
+
+  /** A session tuned the way the engine expects (AQE, RocksDB state store
+    * for transformWithState, UTC, custom SQL functions registered).
+    */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  // ---- reference surface: batch personality ----
+
+  /** The messages table derived from a testdata dir (FIXTURES.md §3). */
+  def msgs(spark: SparkSession, dir: String): DataFrame = Tables.msgs(spark, dir)
+
+  /** Enrich messages with parents/children arrays (the reference's output). */
+  def chainLink(spark: SparkSession, dir: String): DataFrame =
+    ChainLink.chainLink(spark, dir)
+
+  /** Raw parent→child link pairs (banded interval-containment self-join). */
+  def linkPairs(msgs: DataFrame): DataFrame = ChainLink.links(msgs)
+
+  // ---- reference surface: streaming personality ----
+
+  /** Chain-link a stream of messages (any source). */
+  def chainLinkStream(msgs: Dataset[Msg], maxOutOfOrder: String = "30 seconds",
+      stateTtl: TTLConfig = TTLConfig.NONE): Dataset[LinkedMsg] =
+    StreamingChainLink.linked(msgs, maxOutOfOrder, stateTtl)
+
+  /** The full Kafka→link→Kafka job (reference `simpy_kafka_reader.main`). */
+  def runKafkaJob(spark: SparkSession, bootstrapServers: String,
+      checkpointLocation: String): StreamingQuery =
+    Pipeline.runKafkaJob(spark, bootstrapServers, checkpointLocation)
+
+  /** Lenient wire-format parse (reference `parse_message` semantics). */
+  def parseMsgs(raw: Dataset[String]): Dataset[Msg] = Pipeline.parseMsgs(raw)
+
+  // ---- training-data pipeline extensions ----
+
+  /** Exact dedup survivors by content hash. */
+  def dedupExact(docs: SparkSession, dir: String): DataFrame =
+    Dedup.dedupExact(docs, dir)
+
+  /** MinHash-LSH near-duplicate pairs (Jaccard ≥ 0.8, verified). */
+  def nearDuplicates(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupMinhash(spark, dir)
+
+  /** Exact top-k cosine neighbors for the sampled query set. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annTopk(spark, dir)
+
+  /** IVF-bucketed approximate nearest neighbors (the scale path). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annIvf(spark, dir)
+
+  /** Per-document stats, quality score, language id, fingerprints. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textStats(spark, dir)
+
+  /** All named queries (the driver contract). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
+}

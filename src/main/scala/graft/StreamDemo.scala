@@ -67,6 +67,11 @@ object StreamDemo {
     val kept = spark.table("demo_dedup").count()
     println(s"stream-dedup: fed=${withDups.length} kept=$kept " +
       s"(dropped ${withDups.length - kept} in-watermark duplicates)")
+
+    // batch flagship through the public facade for comparison
+    val batchLinked = Engine.chainLink(spark, sfDir)
+      .where("size(parents) > 0 OR size(children) > 0").count()
+    println(s"facade batch chain_link: $batchLinked linked messages in $sfDir")
     spark.stop()
   }
 }

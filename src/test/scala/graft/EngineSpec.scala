@@ -1,0 +1,23 @@
+package graft
+
+/** The facade drives the same code paths as the named queries. */
+class EngineSpec extends SparkSpec {
+
+  test("facade batch surface returns the flagship result") {
+    val out = Engine.chainLink(spark, sf0001)
+    assert(out.count() == 1000)
+    assert(out.columns.toSeq ==
+      Seq("id", "src_ip", "dst_ip", "start_at_ms", "latency_msec",
+        "end_at_ms", "parents", "children"))
+  }
+
+  test("facade exposes every driver query") {
+    assert(Engine.queries.keySet == SparkEntry.queries.keySet)
+    assert(Engine.queries.size >= 35)
+  }
+
+  test("graft_dot is registered by the facade session path") {
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_dot(array(1.0D), array(2.0D))").head().getDouble(0) == 2.0)
+  }
+}
