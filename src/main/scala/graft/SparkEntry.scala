@@ -72,6 +72,8 @@ object SparkEntry {
     // SQL personality
     "q_sql_segment_revenue" -> ((s, d) => SqlApi.revenueBySegment(s, d)),
     "q_sql_cosine_by_label" -> ((s, d) => SqlApi.sqlCosineByLabel(s, d)),
+    // clustering
+    "q_kmeans_step" -> ((s, d) => Clustering.kmeansStep(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -413,6 +415,24 @@ object SparkEntry {
          |           ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) DESC, v.vec_id) AS rk
          |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN v ON cand.vec_id = v.vec_id)
          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "q_kmeans_step" ->
+      s"""WITH $vecCte,
+         |cents AS (SELECT vec_id AS cluster_id, e AS ce, nrm AS cn FROM v
+         |          WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, cluster_id, e FROM (
+         |          SELECT v.vec_id, c.cluster_id, v.e,
+         |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                   ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                   c.cluster_id) AS rn
+         |          FROM v CROSS JOIN cents c) WHERE rn = 1),
+         |pts AS (SELECT cluster_id, di.i - 1 AS dim,
+         |               CAST(round(e[di.i] * 1000000.0) AS BIGINT) AS q
+         |        FROM asg CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) di)
+         |SELECT cluster_id, CAST(dim AS BIGINT) AS dim,
+         |       CAST(trunc(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS centroid_q,
+         |       count(*) AS n_members
+         |FROM pts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_stats" ->
       """WITH dw AS (SELECT doc_id, n_chars, length(text) AS n_chars_calc,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Embedding clustering: one deterministic Lloyd (k-means) step — the
+  * building block a training-data pipeline iterates for corpus
+  * stratification / IVF index builds.
+  *
+  * Determinism across engines is the hard part of clustering-as-a-query:
+  * a mean of doubles is order-dependent. The update therefore quantizes
+  * each coordinate to int64 micro-units (`round(x·1e6)`) and aggregates
+  * exact integer sums; the new centroid coordinate is `sum div count`
+  * (integer division). Bit-identical in any engine, any partitioning, any
+  * order — at the cost of 1e-6 quantization, irrelevant for clustering.
+  *
+  * Scale: assignment is a broadcast of C centroids against N vectors
+  * (one codegen'd dot per pair, no shuffle of the vectors); the update is
+  * one shuffle of (cluster, dim, q) rows — O(N·d) map-side-combined.
+  */
+object Clustering {
+
+  /** One Lloyd step from the deterministic seed set (`vec_id % 50 == 0`).
+    * Output: (cluster_id, dim, centroid_q, n_members) — the updated
+    * centroid in micro-units, long-format by dimension.
+    */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normed(Tables.load(spark, dir, "embeddings"))
+    val cents = v.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cluster_id"), col("e").as("ce"), col("nrm").as("cn"))
+
+    // assignment: nearest centroid by cosine (ties → smallest cluster_id)
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cluster_id"))
+    val assign = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cluster_id"), col("e"),
+        Dedup.cosine(col("e"), col("ce"), col("nrm"), col("cn")).as("ccos"))
+      .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cluster_id"), col("e"))
+
+    // update: exact integer sums of micro-quantized coordinates
+    assign
+      .select(col("cluster_id"), posexplode(col("e")).as(Seq("dim", "x")))
+      .select(col("cluster_id"), col("dim"),
+        round(col("x") * 1000000.0).cast("long").as("q"))
+      .groupBy("cluster_id", "dim")
+      .agg(sum("q").as("qsum"), count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("dim").cast("long").as("dim"),
+        expr("qsum div n_members").as("centroid_q"), col("n_members"))
+      .orderBy("cluster_id", "dim")
+  }
+}
