@@ -66,8 +66,8 @@ object Engine {
   // ---- training-data pipeline extensions ----
 
   /** Exact dedup survivors by content hash. */
-  def dedupExact(docs: SparkSession, dir: String): DataFrame =
-    Dedup.dedupExact(docs, dir)
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupExact(spark, dir)
 
   /** MinHash-LSH near-duplicate pairs (Jaccard ≥ 0.8, verified). */
   def nearDuplicates(spark: SparkSession, dir: String): DataFrame =

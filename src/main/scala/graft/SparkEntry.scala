@@ -22,7 +22,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ §7 step 5). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // chain-linking pipeline (reference operators)
-    "chain_link" -> ((s, d) => ChainLink.chainLink(s, d)),
+    // Driver-checked variant projects the arrays to canonical CSV strings:
+    // the driver's pandas-based compare cannot sort/hash array columns
+    // (ADVICE r1). The library API (ChainLink.chainLink / entry) keeps
+    // first-class ArrayType columns.
+    "chain_link" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      ChainLink.chainLink(s, d)
+        .withColumn("parents", concat_ws(",", col("parents")))
+        .withColumn("children", concat_ws(",", col("children")))
+    }),
     "link_pairs" -> ((s, d) => ChainLink.linkPairs(s, d)),
     "expand_roles" -> ((s, d) => ChainLink.expandRoles(s, d)),
     "expand_updates" -> ((s, d) => ChainLink.expandUpdates(s, d)),
@@ -67,8 +76,14 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
-    // multimodal
-    "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    // multimodal (frame_hashes array → CSV string for the driver compare;
+    // Multimodal.mediaMeta keeps the typed ArrayType column)
+    "media_meta" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.mediaMeta(s, d)
+        .withColumn("frame_hashes",
+          concat_ws(",", transform(col("frame_hashes"), _.cast("string"))))
+    }),
     // SQL personality
     "q_sql_segment_revenue" -> ((s, d) => SqlApi.revenueBySegment(s, d)),
     "q_sql_cosine_by_label" -> ((s, d) => SqlApi.sqlCosineByLabel(s, d)),
@@ -78,6 +93,9 @@ object SparkEntry {
 
   private val msgsCte = Tables.msgsCte
 
+  /** Mirrors `ChainLink.links` exactly, including its exclusion of inverted
+    * (corrupt) intervals from both sides of the containment join.
+    */
   private val linksCte: String =
     """links AS (
       |  SELECT p.id AS parent_id, c.id AS child_id
@@ -86,6 +104,8 @@ object SparkEntry {
       |   AND p.start_at_ms <= c.start_at_ms
       |   AND p.end_at_ms >= c.end_at_ms
       |   AND p.id <> c.id
+      |  WHERE p.end_at_ms >= p.start_at_ms
+      |    AND c.end_at_ms >= c.start_at_ms
       |)""".stripMargin
 
   /** Word-array + distinct-3-gram-shingle CTEs over documents. */
@@ -148,8 +168,8 @@ object SparkEntry {
          |chi AS (SELECT parent_id AS id, list_sort(list(DISTINCT child_id)) AS children
          |        FROM links GROUP BY 1)
          |SELECT m.id, m.src_ip, m.dst_ip, m.start_at_ms, m.latency_msec, m.end_at_ms,
-         |       coalesce(p.parents, CAST([] AS VARCHAR[])) AS parents,
-         |       coalesce(c.children, CAST([] AS VARCHAR[])) AS children
+         |       coalesce(array_to_string(p.parents, ','), '') AS parents,
+         |       coalesce(array_to_string(c.children, ','), '') AS children
          |FROM msgs m
          |LEFT JOIN par p ON m.id = p.id
          |LEFT JOIN chi c ON m.id = c.id
@@ -204,10 +224,15 @@ object SparkEntry {
          |LEFT JOIN chi c ON m.id = c.id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Full JSON number syntax (incl. exponents) so the regex extraction is
+    // semantically equivalent to Spark's from_json on any valid JSON value:
+    // non-numeric / quoted / missing `k` → NULL on both sides → default 0.
     "parse_events" ->
       """SELECT event_id,
         |       CAST(floor(coalesce(
-        |         TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?[0-9.]+)', 1) AS DOUBLE),
+        |         TRY_CAST(regexp_extract(props,
+        |           '"k"\s*:\s*(-?(?:0|[1-9][0-9]*)(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)', 1)
+        |           AS DOUBLE),
         |         0.0)) AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
@@ -508,9 +533,10 @@ object SparkEntry {
         |            AS BIGINT) AS width,
         |       CAST(64 + CAST('0x' || substr(md5('h' || doc_id), 1, 15) AS BIGINT) % 1080
         |            AS BIGINT) AS height,
-        |       list_transform(
+        |       array_to_string(list_transform(
         |         generate_series(0, CAST(least(octet_length(encode(text)) // 100, 3) AS BIGINT)),
-        |         j -> CAST('0x' || substr(md5(text || '#' || j), 1, 15) AS BIGINT))
+        |         j -> CAST(CAST('0x' || substr(md5(text || '#' || j), 1, 15) AS BIGINT)
+        |                   AS VARCHAR)), ',')
         |         AS frame_hashes
         |FROM documents ORDER BY doc_id""".stripMargin,
 

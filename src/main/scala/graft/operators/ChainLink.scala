@@ -36,15 +36,27 @@ object ChainLink {
     * interval cannot collapse the banding (it just replicates that one
     * parent more), unlike a max-based width where one day-long interval
     * would force day-wide buckets and quadratic per-bucket blowup.
+    *
+    * Inverted intervals (`end_at_ms < start_at_ms`) are corrupt wire data
+    * (the lenient parse can default `end_at_ms` to 0) and are excluded from
+    * linking on BOTH sides — under raw containment an inverted child's
+    * `start_at_ms` may lie arbitrarily far outside every parent's interval,
+    * which no bounded banding can cover. The DuckDB oracle
+    * (`SparkEntry.linksCte`) applies the same filter, so output equals the
+    * all-pairs spec restricted to well-formed intervals.
     */
-  def links(msgs: DataFrame): DataFrame = {
+  def links(msgsRaw: DataFrame): DataFrame = {
+    val msgs = msgsRaw.where(col("end_at_ms") >= col("start_at_ms"))
     // perf-only knob: P95 interval length (approx; any value is correct).
     // Floor at maxLen/64 caps the worst-case replication factor at 65
     // buckets even when the length distribution is extremely skewed.
     val stats = msgs.agg(
       approx_percentile(col("end_at_ms") - col("start_at_ms"), lit(0.95), lit(1000)),
       max(col("end_at_ms") - col("start_at_ms"))).head()
-    val w = math.max(1L, math.max(stats.getLong(0), stats.getLong(1) / 64))
+    // Null aggregates (empty input) → any width; the join below is empty.
+    val w =
+      if (stats.isNullAt(0) || stats.isNullAt(1)) 1L
+      else math.max(1L, math.max(stats.getLong(0), stats.getLong(1) / 64))
 
     val p = msgs.select(
       col("id").as("parent_id"),
@@ -212,6 +224,9 @@ object ChainLink {
     * missing/malformed numeric fields default to 0 via `int(float(x))`
     * coercion. Demonstrated on `events.props` JSON: extract `k` with
     * default 0. Uses `from_json` + coalesce (Catalyst-native, codegen'd).
+    * Oracle equivalence: the DuckDB side extracts with a full JSON-number
+    * regex (incl. exponents); both sides map non-numeric/quoted/missing
+    * `k` to the 0 default, so they agree on any valid-JSON props value.
     */
   def parseEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")

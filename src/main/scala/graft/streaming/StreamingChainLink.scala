@@ -124,19 +124,26 @@ final class LinkingProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
     val cAdded = Seq.newBuilder[Msg]
     rows.foreach { r =>
       val cur = r.msg
+      // Inverted intervals (lenient-parse defaults can yield end=0) are
+      // corrupt: excluded from matching/state on both roles, identical to
+      // the batch banded join's filter — the record still flows through as
+      // a `message` event, so it reaches the output with empty arrays.
+      val wellFormed = cur.end_at_ms >= cur.start_at_ms
       if (r.role == "parent") {
-        cBuf.valuesIterator.foreach { child =>
-          if (child.id != cur.id && Linking.isParent(cur, child)) {
-            val t = ts(math.max(cur.start_at_ms, child.start_at_ms), wm)
-            out += UpdateEvent("add_child", cur.id, child.id, "", "", 0L, 0.0, 0L, t)
-            out += UpdateEvent("add_parent", child.id, cur.id, "", "", 0L, 0.0, 0L, t)
+        if (wellFormed) {
+          cBuf.valuesIterator.foreach { child =>
+            if (child.id != cur.id && Linking.isParent(cur, child)) {
+              val t = ts(math.max(cur.start_at_ms, child.start_at_ms), wm)
+              out += UpdateEvent("add_child", cur.id, child.id, "", "", 0L, 0.0, 0L, t)
+              out += UpdateEvent("add_parent", child.id, cur.id, "", "", 0L, 0.0, 0L, t)
+            }
           }
+          pBuf(cur.id) = cur
+          pAdded += cur
         }
-        pBuf(cur.id) = cur
-        pAdded += cur
         out += UpdateEvent("message", cur.id, "", cur.src_ip, cur.dst_ip,
           cur.start_at_ms, cur.latency_msec, cur.end_at_ms, ts(cur.start_at_ms, wm))
-      } else {
+      } else if (wellFormed) {
         pBuf.valuesIterator.foreach { parent =>
           if (parent.id != cur.id && Linking.isParent(parent, cur)) {
             val t = ts(math.max(parent.start_at_ms, cur.start_at_ms), wm)
@@ -147,7 +154,7 @@ final class LinkingProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
         cBuf(cur.id) = cur
         cAdded += cur
       }
-      armTimer(cur.end_at_ms)
+      if (wellFormed) armTimer(cur.end_at_ms)
     }
     pAdded.result().foreach(m => parentState.updateValue(m.id, m))
     cAdded.result().foreach(m => childState.updateValue(m.id, m))

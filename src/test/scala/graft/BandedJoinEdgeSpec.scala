@@ -11,8 +11,11 @@ class BandedJoinEdgeSpec extends SparkSpec {
   private def check(msgs: Seq[Msg]): Unit = {
     val sp = spark
     import sp.implicits._
+    // Contract: all-pairs spec over well-formed intervals (end >= start);
+    // inverted intervals are corrupt data, excluded from both sides.
+    val wf = msgs.filter(x => x.end_at_ms >= x.start_at_ms)
     val expected = (for {
-      p <- msgs; c <- msgs if p.id != c.id && Linking.isParent(p, c)
+      p <- wf; c <- wf if p.id != c.id && Linking.isParent(p, c)
     } yield (p.id, c.id)).toSet
     val got = ChainLink.links(msgs.toDF())
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
@@ -55,6 +58,45 @@ class BandedJoinEdgeSpec extends SparkSpec {
     val kids = (0 until 30).map(i => m(s"c$i", "2", "3", i * 30000L, i * 30000L + 5000))
     val decoys = (0 until 30).map(i => m(s"d$i", "4", "5", i * 30000L, i * 30000L + 5000))
     check(p +: (kids ++ decoys))
+  }
+
+  test("inverted intervals are excluded from both sides (ADVICE r1)") {
+    check(Seq(
+      m("p", "1", "2", 0, 100),
+      m("inv_child", "2", "3", 90, 10), // end < start: would "nest" under raw F1
+      m("inv_parent", "1", "2", 50, 0), // end < start: cannot parent anything
+      m("ok", "2", "3", 10, 90)))
+  }
+
+  test("lenient-parse end=0 rows (wire defaults) never crash or mislink") {
+    check(Seq(
+      m("p", "1", "2", 1000, 2000),
+      m("broken", "2", "3", 1500, 0), // parse default end_at_ms=0
+      m("c", "2", "3", 1200, 1800)))
+  }
+
+  test("empty input yields empty output (no NPE on null aggregates)") {
+    val sp = spark
+    import sp.implicits._
+    assert(ChainLink.links(Seq.empty[Msg].toDF()).count() === 0L)
+  }
+
+  test("all rows inverted yields empty output") {
+    check(Seq(m("a", "1", "2", 100, 0), m("b", "2", "3", 200, 50)))
+  }
+
+  test("random sets with 10% inverted intervals: banded == spec across 10 seeds") {
+    (0 until 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed + 1000)
+      val msgs = (0 until 60).map { i =>
+        val s = rnd.nextInt(50000).toLong
+        val e =
+          if (i % 10 == 0) s - 1 - rnd.nextInt(40000) // inverted
+          else s + rnd.nextInt(if (i % 7 == 0) 200000 else 5000)
+        m(s"m$i", rnd.nextInt(5).toString, rnd.nextInt(5).toString, s, e)
+      }
+      check(msgs)
+    }
   }
 
   test("random sets: banded == spec across 10 seeds") {
