@@ -89,6 +89,15 @@ object SparkEntry {
     "q_sql_cosine_by_label" -> ((s, d) => SqlApi.sqlCosineByLabel(s, d)),
     // clustering
     "q_kmeans_step" -> ((s, d) => Clustering.kmeansStep(s, d)),
+    // second-wave analytics staples
+    "q_asof_last_view" -> ((s, d) => Analytics.asofLastView(s, d)),
+    "q_pivot_events" -> ((s, d) => Analytics.pivotEventCounts(s, d)),
+    "q_percentiles" -> ((s, d) => Analytics.quantityPercentiles(s, d)),
+    "q_promo_share" -> ((s, d) => Analytics.promoShare(s, d)),
+    "q_top_ngrams" -> ((s, d) => Analytics.topNgrams(s, d)),
+    "q_tfidf_top_term" -> ((s, d) => Analytics.tfidfTopTerm(s, d)),
+    "q_lsh_cosine" -> ((s, d) => Analytics.lshCosine(s, d)),
+    "q_overlap_count" -> ((s, d) => Analytics.overlapCount(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -156,6 +165,31 @@ object SparkEntry {
   private val revenueE4 =
     """CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
       |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)""".stripMargin
+
+  /** q_lsh_cosine oracle: the 16 hyperplane sign vectors are inlined as the
+    * exact same ±1 literals the Spark side uses
+    * ([[Analytics.hyperplaneSigns]]), so signatures agree bit-for-bit.
+    */
+  private lazy val lshCosineSql: String = {
+    val sigTerms = Analytics.hyperplaneSigns.zipWithIndex.map { case (row, b) =>
+      val lits = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN ${dotSql("e", lits)} > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $vecCte,
+       |sig AS (SELECT vec_id, e, nrm, CAST($sigTerms AS BIGINT) AS sig FROM v),
+       |bands AS (SELECT vec_id, sig, k, (sig >> (4 * k)) & 15 AS band_val
+       |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bands a JOIN bands b
+       |           ON a.k = b.k AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+       |SELECT * FROM (
+       |  SELECT c.vec_a, c.vec_b,
+       |         ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
+       |  FROM cand c
+       |  JOIN v va ON c.vec_a = va.vec_id
+       |  JOIN v vb ON c.vec_b = vb.vec_id)
+       |WHERE cos >= 0.6 ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -547,6 +581,86 @@ object SparkEntry {
          |JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment
          |ORDER BY c_mktsegment""".stripMargin,
+
+    // DuckDB's native ASOF JOIN — a genuinely different mechanism than the
+    // Spark side's union+window carry-forward, so agreement validates the
+    // as-of semantics, not just the arithmetic. Views deduped to
+    // max(event_id) per (user, ms) to pin the tie-break both engines use.
+    "q_asof_last_view" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS pem
+        |           FROM events WHERE event_type = 'purchase'),
+        |v0 AS (SELECT user_id, epoch_ms(ts) AS vem, max(event_id) AS view_event_id
+        |       FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.pem AS purchase_ms,
+        |       coalesce(v0.view_event_id, -1) AS view_event_id,
+        |       coalesce(v0.vem, -1) AS view_ms
+        |FROM p ASOF LEFT JOIN v0
+        |  ON p.user_id = v0.user_id AND p.pem >= v0.vem
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT user_id % 8 AS bucket,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_percentiles" ->
+      """WITH r AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |                  row_number() OVER (PARTITION BY l_returnflag
+        |                                     ORDER BY l_quantity) AS rn
+        |           FROM lineitem),
+        |n AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |       min(CASE WHEN rn = (n + 3) // 4 THEN q END) AS p25,
+        |       min(CASE WHEN rn = (n + 1) // 2 THEN q END) AS p50,
+        |       min(CASE WHEN rn = (9 * n + 9) // 10 THEN q END) AS p90,
+        |       max(q) AS qmax,
+        |       min(n) AS n
+        |FROM r JOIN n USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_promo_share" ->
+      s"""WITH t AS (
+         |  SELECT p_type, $revenueE4 AS revenue_e4, count(*) AS n_items
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1)
+         |SELECT p_type, revenue_e4, n_items,
+         |       revenue_e4 * 1000 // sum(revenue_e4) OVER () AS share_permille
+         |FROM t ORDER BY p_type""".stripMargin,
+
+    "q_top_ngrams" ->
+      s"""WITH $docShCtes
+         |SELECT shingle, count(*) AS df FROM sh
+         |GROUP BY 1 ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+
+    "q_tfidf_top_term" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT doc_id, term, tf, df, tf * 1000000 // df AS score,
+        |             row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY tf * 1000000 // df DESC, term) AS rk
+        |      FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, score FROM s WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lsh_cosine" -> lshCosineSql,
+
+    "q_overlap_count" ->
+      s"""WITH $msgsCte,
+         |wf AS (SELECT id, src_ip, start_at_ms, end_at_ms FROM msgs
+         |       WHERE end_at_ms >= start_at_ms),
+         |p AS (SELECT a.id AS id, count(*) AS n_overlap
+         |      FROM wf a JOIN wf b ON a.src_ip = b.src_ip AND a.id <> b.id
+         |        AND a.start_at_ms <= b.end_at_ms AND b.start_at_ms <= a.end_at_ms
+         |      GROUP BY 1)
+         |SELECT wf.id, coalesce(p.n_overlap, 0) AS n_overlap
+         |FROM wf LEFT JOIN p ON wf.id = p.id
+         |ORDER BY wf.id""".stripMargin,
 
     "q_sql_cosine_by_label" ->
       s"""WITH $vecCte,

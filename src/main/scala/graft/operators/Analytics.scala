@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.sources.Tables
+
+/** Second-wave analytics operators: the staples a training-data /
+  * clickstream pipeline needs beyond the reference's own surface — as-of
+  * joins, pivots, exact distributed quantiles, share-of-total, n-gram
+  * frequency, tf-idf term ranking, hyperplane-LSH similarity, and interval
+  * overlap counting.
+  *
+  * Same engine-portability policy as everywhere else: integer-exact outputs
+  * (or single-op doubles), no engine-specific hashes, total ORDER BY.
+  */
+object Analytics {
+
+  /** As-of join: each purchase event matched to the user's most recent view
+    * at-or-before it (ties on timestamp → highest event_id).
+    *
+    * Implemented with the union+window trick instead of a range join: tag
+    * both streams, sort each user's timeline once, and carry the latest view
+    * forward with `last(..., ignoreNulls)`. ONE shuffle on user_id, linear
+    * scan per user — no per-row binary search, no range-join candidate
+    * blowup. This is the canonical scalable as-of shape; a point-in-time
+    * feature lookup at 100 TB works the same way.
+    */
+  def asofLastView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000").as("em"), col("event_type"))
+      .withColumn("is_view", (col("event_type") === "view").cast("int"))
+    // views sort before purchases at equal timestamps so a same-ms view
+    // is visible to the purchase (ASOF semantics: vem <= pem)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("em").asc, col("is_view").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("view_event_id",
+        last(when(col("is_view") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("view_ms",
+        last(when(col("is_view") === 1, col("em")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("em").as("purchase_ms"),
+        coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+        coalesce(col("view_ms"), lit(-1L)).as("view_ms"))
+      .orderBy("event_id")
+  }
+
+  /** Pivot: event counts per (user bucket × event type) — wide output with
+    * one column per type. Spark's `pivot` with explicit values compiles to a
+    * single hash aggregation (no per-column scans).
+    */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.select((col("user_id") % 8).as("bucket"), col("event_type"))
+      .groupBy("bucket")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("bucket")
+  }
+
+  /** Exact distributed quantiles (p25/p50/p90 of l_quantity per returnflag)
+    * via sort + row_number — the deterministic engine-portable form of
+    * `percentile_disc` (value at 1-based rank ⌈p·n⌉, computed with integer
+    * ceiling division so both engines agree bit-for-bit).
+    *
+    * Scale: one shuffle to sort within groups; group counts are a tiny
+    * broadcast. For quantiles over a *single* giant group, swap in
+    * `approx_percentile` (t-digest) — exact ranks would need a global sort.
+    */
+  def quantityPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+    val ranked = li.withColumn("rn", row_number().over(w))
+    val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        min(when(col("rn") === expr("(n + 3) div 4"), col("q"))).as("p25"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("q"))).as("p50"),
+        min(when(col("rn") === expr("(9 * n + 9) div 10"), col("q"))).as("p90"),
+        max(col("q")).as("qmax"),
+        min(col("n")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Share-of-total (TPC-H Q14 flavored): revenue per part type with its
+    * permille share of total revenue. `part` is a true dimension →
+    * explicit broadcast; the share is a window over the 6-row aggregate
+    * (integer permille, portable).
+    */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+    val p = broadcast(Tables.load(spark, dir, "part").select("p_partkey", "p_type"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type")
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+      .withColumn("share_permille",
+        expr("revenue_e4 * 1000 div sum(revenue_e4) OVER ()"))
+      .orderBy("p_type")
+  }
+
+  /** Corpus-level n-gram frequency: top-20 word 3-grams by document
+    * frequency. Reuses the memoized distinct-shingle relation; one hash agg
+    * + a 20-row top-k (ties broken by shingle text → total order).
+    */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingles(Tables.load(spark, dir, "documents"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(20)
+
+  /** Tf-idf-style distinctive term per document: argmax over terms of
+    * `tf · 10⁶ ÷ df` (integer-scaled rarity weighting — monotone in
+    * tf/df like tf·idf, but engine-portable with no float log). Two hash
+    * aggregations + one broadcast-able join on term.
+    */
+  def tfidfTopTerm(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select("doc_id", "term", "tf", "df", "score")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic ±1 random-hyperplane matrix (16 planes × 64 dims),
+    * md5-derived so the Spark side and the DuckDB oracle inline the exact
+    * same literals (see `SparkEntry.oracleSql("q_lsh_cosine")`).
+    */
+  private[graft] val hyperplaneSigns: Array[Array[Double]] =
+    Array.tabulate(16, 64) { (b, d) =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hp${b}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((digest(0) & 1) == 1) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane (SRP) LSH over embeddings: 16 sign bits → 4 bands of
+    * 4 bits → candidates share a band → verified with exact cosine ≥ 0.6.
+    *
+    * The scale path for cosine near-dup detection when no IVF index exists:
+    * signature computation is a map (16 codegen'd dot products), banding is
+    * `explode(4)`, and the candidate join keys on (band, band_val) so the
+    * shuffle carries signatures, not vectors. Band width trades recall vs
+    * candidate volume — 4 bits is sized for the test corpus; at 100 TB you
+    * widen to 16-bit bands (and 64+ planes) to keep buckets sparse.
+    */
+  def lshCosine(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    val signLits = hyperplaneSigns.map(row => array(row.map(lit(_)): _*))
+    val sigCol = (0 until 16).map { b =>
+      when(VectorOps.dot(col("e"), signLits(b)) > 0d, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = v.select(col("vec_id"), col("e"), col("nrm"), sigCol.as("sig"))
+    val bands = sig.select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("band_val", expr("(sig >> (4 * k)) & 15"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(sig.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= 0.6)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Interval overlap count: for each well-formed message, how many other
+    * messages on the same src_ip overlap it in time. The *overlap*-join
+    * sibling of the containment join: replicate each interval across its
+    * time buckets, join on (ip, bucket), dedup pairs. Any overlapping pair
+    * shares the bucket containing max(start_a, start_b), so banding finds
+    * every pair; `distinct` removes multi-bucket double-counts.
+    */
+  def overlapCount(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.msgs(spark, dir)
+      .where(col("end_at_ms") >= col("start_at_ms"))
+      .select(col("id"), col("src_ip"), col("start_at_ms"), col("end_at_ms"))
+    val stats = m.agg(
+      approx_percentile(col("end_at_ms") - col("start_at_ms"), lit(0.95), lit(1000)),
+      max(col("end_at_ms") - col("start_at_ms"))).head()
+    val w =
+      if (stats.isNullAt(0) || stats.isNullAt(1)) 1L
+      else math.max(1L, math.max(stats.getLong(0), stats.getLong(1) / 64))
+    val r = m.withColumn("bucket", explode(sequence(
+      expr(s"start_at_ms div $w"), expr(s"end_at_ms div $w"))))
+    val pairs = r.as("a").join(r.as("b"),
+        col("a.src_ip") === col("b.src_ip") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .where(col("a.start_at_ms") <= col("b.end_at_ms") &&
+        col("b.start_at_ms") <= col("a.end_at_ms"))
+      .select(col("a.id").as("id"), col("b.id").as("other_id"))
+      .distinct()
+    val counts = pairs.groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    m.select("id").join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .orderBy("id")
+  }
+}

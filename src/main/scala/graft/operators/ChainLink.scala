@@ -80,12 +80,19 @@ object ChainLink {
       .select("parent_id", "child_id")
   }
 
+  /** The links relation for a testdata dir, memoized per session: five
+    * driver queries are views over it (see [[graft.sources.Materialized]]).
+    */
+  def linksFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"links:$dir")(
+      links(Tables.msgs(spark, dir)))
+
   /** Flagship — A1 (batch form): enrich every message with sorted
     * parents/children arrays (reference output shape, `README.md:49-60`).
     */
   def chainLink(spark: SparkSession, dir: String): DataFrame = {
     val m = Tables.msgs(spark, dir)
-    val l = links(m).cache() // reused by both aggregations
+    val l = linksFor(spark, dir) // reused by both aggregations
     val parents = l.groupBy(col("child_id").as("id"))
       .agg(sort_array(collect_set(col("parent_id"))).as("parents"))
     val children = l.groupBy(col("parent_id").as("id"))
@@ -101,7 +108,7 @@ object ChainLink {
 
   /** J1 link pairs as a named query (sorted for the oracle). */
   def linkPairs(spark: SparkSession, dir: String): DataFrame =
-    links(Tables.msgs(spark, dir)).orderBy("parent_id", "child_id")
+    linksFor(spark, dir).orderBy("parent_id", "child_id")
 
   /** P3 — `expand_roles` fan-out (reference: `simpy_kafka_reader.py:94-102`):
     * each message replicated as a ("parent", key=dst_ip) and a
@@ -126,7 +133,7 @@ object ChainLink {
     */
   def expandUpdates(spark: SparkSession, dir: String): DataFrame = {
     val m = Tables.msgs(spark, dir)
-    val l = links(m)
+    val l = linksFor(spark, dir)
     val linkUpdates = l.select(explode(array(
         struct(lit("add_child").as("event_type"), col("parent_id").as("key_id"),
           col("child_id").as("other_id")),
@@ -170,7 +177,7 @@ object ChainLink {
     */
   def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
     val m = Tables.msgs(spark, dir)
-    val l = links(m).cache()
+    val l = linksFor(spark, dir)
     val parents = l.groupBy(col("child_id").as("id"))
       .agg(countDistinct("parent_id").as("parent_cnt"))
     val children = l.groupBy(col("parent_id").as("id"))
@@ -190,7 +197,7 @@ object ChainLink {
     * banded link set on the shared mid node.
     */
   def grandparents(spark: SparkSession, dir: String): DataFrame = {
-    val l = links(Tables.msgs(spark, dir)).cache()
+    val l = linksFor(spark, dir)
     l.as("g").join(l.as("c"), col("g.child_id") === col("c.parent_id"))
       .where(col("g.parent_id") =!= col("c.child_id"))
       .select(col("g.parent_id").as("grand_id"),

@@ -28,7 +28,7 @@ object Similarity {
 
   /** Exact brute-force top-5 cosine neighbors per sampled query vector. */
   def annTopk(spark: SparkSession, dir: String): DataFrame = {
-    val v = Dedup.normed(Tables.load(spark, dir, "embeddings"))
+    val v = Dedup.normedFor(spark, dir)
     val q = v.where(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     val pairs = broadcast(q).join(v, col("vec_id") =!= col("q_id"))
@@ -41,7 +41,7 @@ object Similarity {
 
   /** IVF-bucketed ANN: nprobe=2 over deterministic coarse centroids. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val v = Dedup.normed(Tables.load(spark, dir, "embeddings")).cache()
+    val v = Dedup.normedFor(spark, dir)
     val cents = v.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
 

@@ -93,7 +93,7 @@ object TextAnalysis {
           .otherwise(array(concat_ws(" ", col("w"))))).as("g"))
       .groupBy("doc_id")
       .agg(min(Tables.portableHash(col("g"))).as("min_gram_hash"))
-    val sim = Dedup.simhashes(d)
+    val sim = Dedup.simhashesFor(spark, dir)
     val prefix = d.select(col("doc_id"),
       Tables.portableHash(concat_ws(" ",
         slice(split(col("text"), " "), 1, 8))).as("prefix_hash"))

@@ -1,0 +1,30 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memoization of shared intermediate relations (the links
+  * relation, shingle/simhash signatures, normalized embeddings).
+  *
+  * Several queries in the driver contract are views over the same expensive
+  * intermediate — e.g. `chain_link`, `link_pairs`, `expand_updates`,
+  * `degree_histogram`, and `q_grandparents` all derive from the banded
+  * interval join. Recomputing that join per query is pure waste in any
+  * long-lived session. This is the single-process analog of what a 100 TB
+  * deployment does with materialized intermediates: build the link relation /
+  * signature index ONCE (a parquet/Delta table refreshed incrementally) and
+  * serve every downstream query from it.
+  *
+  * Keyed by (session identity, logical key); values are `.cache()`d lazy
+  * DataFrames, so nothing is computed until first use and Spark evicts
+  * partitions under memory pressure (MEMORY_AND_DISK).
+  */
+object Materialized {
+
+  private val cache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** Memoize `build` under `key` for this session. */
+  def of(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent(s"${System.identityHashCode(spark)}#$key",
+      _ => build.cache())
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.Analytics
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Second-wave analytics operators vs brute-force Scala references on
+  * sf0.001 (the DuckDB oracle pins exact cross-engine equality at sf0.01;
+  * these specs pin the semantics against an independent in-memory model).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("asof join == brute-force most-recent-view-at-or-before") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("em"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val views = ev.filter(_._4 == "view")
+    val expected = ev.filter(_._4 == "purchase").map { case (id, u, em, _) =>
+      val prior = views.filter(v => v._2 == u && v._3 <= em)
+      if (prior.isEmpty) (id, u, em, -1L, -1L)
+      else {
+        val best = prior.maxBy(v => (v._3, v._1)) // latest ms, then max id
+        (id, u, em, best._1, best._3)
+      }
+    }.sortBy(_._1).toSeq
+    val got = Analytics.asofLastView(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("overlap count == brute-force quadratic overlap scan") {
+    val msgs = Tables.msgs(spark, sf0001)
+      .where(col("end_at_ms") >= col("start_at_ms"))
+      .select("id", "src_ip", "start_at_ms", "end_at_ms")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = msgs.map { case (id, ip, s, e) =>
+      id -> msgs.count(o => o._1 != id && o._2 == ip && s <= o._4 && o._3 <= e).toLong
+    }.sortBy(_._1).toSeq
+    val got = Analytics.overlapCount(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("percentiles: ranks hit the ceil(p*n) element of the sorted group") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = li.groupBy(_._1).map { case (rf, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length
+      def at(num: Long, den: Long) = sorted(((num + den - 1) / den - 1).toInt)
+      (rf, at(n, 4), at(n, 2), at(9L * n, 10), sorted.last, n.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Analytics.quantityPercentiles(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
+
+  test("lsh cosine: verified candidates are a subset of exact pairs >= 0.6") {
+    val exact = operators.Dedup.normedFor(spark, sf0001)
+      .as("a").join(operators.Dedup.normedFor(spark, sf0001).as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        (graft.functions.VectorOps.dot(col("a.e"), col("b.e")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .where(col("cos") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Analytics.lshCosine(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet.subsetOf(exact), "LSH produced a false positive")
+    assert(got.length == got.toSet.size, "duplicate pairs")
+    // deterministic corpus → pin observed recall so regressions surface
+    assert(exact.isEmpty || got.length * 2 >= exact.size,
+      s"recall collapsed: ${got.length}/${exact.size}")
+  }
+
+  test("pivot row sums == per-bucket event counts") {
+    val totals = Tables.load(spark, sf0001, "events")
+      .groupBy((col("user_id") % 8).as("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Analytics.pivotEventCounts(spark, sf0001).collect().foreach { r =>
+      val sum = (1 to 5).map(r.getLong).sum
+      assert(sum == totals(r.getLong(0)))
+    }
+  }
+
+  test("tfidf top term: unique row per doc, score consistent with tf/df") {
+    val rows = Analytics.tfidfTopTerm(spark, sf0001).collect()
+    val docs = Tables.load(spark, sf0001, "documents").count()
+    assert(rows.length == docs)
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(3))
+    }
+  }
+}
