@@ -85,6 +85,22 @@ object Engine {
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(spark, dir)
 
+  /** As-of join: purchases to the most recent prior view per user. */
+  def asofLastView(spark: SparkSession, dir: String): DataFrame =
+    Analytics.asofLastView(spark, dir)
+
+  /** Exact per-group quantiles (engine-portable percentile_disc). */
+  def quantityPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Analytics.quantityPercentiles(spark, dir)
+
+  /** Random-hyperplane LSH cosine near-neighbor pairs (verified). */
+  def lshCosine(spark: SparkSession, dir: String): DataFrame =
+    Analytics.lshCosine(spark, dir)
+
+  /** Banded interval-overlap partner counts per message. */
+  def overlapCount(spark: SparkSession, dir: String): DataFrame =
+    Analytics.overlapCount(spark, dir)
+
   /** All named queries (the driver contract). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

@@ -85,19 +85,20 @@ object TextAnalysis {
     */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val grams = d.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"),
-        explode(when(size(col("w")) >= 5,
-          transform(sequence(lit(1), size(col("w")) - 4),
-            i => concat_ws(" ", slice(col("w"), i, lit(5)))))
-          .otherwise(array(concat_ws(" ", col("w"))))).as("g"))
-      .groupBy("doc_id")
-      .agg(min(Tables.portableHash(col("g"))).as("min_gram_hash"))
+    // min gram hash as a pure array expression: array_min over per-gram
+    // hashes — zero shuffle (the explode+groupBy form moved one row per
+    // 5-gram through an aggregation for a per-doc min the map side can
+    // compute alone). prefix_hash rides the same scan.
+    val w = split(col("text"), " ")
+    val gramArr = when(size(w) >= 5,
+      transform(sequence(lit(1), size(w) - 4),
+        i => concat_ws(" ", slice(w, i, lit(5)))))
+      .otherwise(array(concat_ws(" ", w)))
+    val mapSide = d.select(col("doc_id"),
+      array_min(transform(gramArr, g => Tables.portableHash(g))).as("min_gram_hash"),
+      Tables.portableHash(concat_ws(" ", slice(w, 1, 8))).as("prefix_hash"))
     val sim = Dedup.simhashesFor(spark, dir)
-    val prefix = d.select(col("doc_id"),
-      Tables.portableHash(concat_ws(" ",
-        slice(split(col("text"), " "), 1, 8))).as("prefix_hash"))
-    grams.join(sim, "doc_id").join(prefix, "doc_id")
+    mapSide.join(sim, "doc_id")
       .select("doc_id", "min_gram_hash", "simhash", "prefix_hash")
       .orderBy("doc_id")
   }

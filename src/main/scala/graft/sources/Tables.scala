@@ -32,19 +32,20 @@ object Tables {
     * which DuckDB cannot reproduce). All arithmetic stays in int64 range:
     * max event_id ~6e5 * 1103515245 ~ 6.6e14 << 2^63.
     */
-  def msgs(spark: SparkSession, dir: String): DataFrame = {
-    val ev = load(spark, dir, "events")
-    val startMs = epochMs(col("ts"))
-    ev.select(
-      concat(lit("msg_"), col("event_id").cast("string")).as("id"),
-      concat(lit("10.0.0."), (col("user_id") % 16).cast("string")).as("src_ip"),
-      concat(lit("10.0.0."),
-        ((col("user_id") + (col("event_id") * 1103515245L + 12345L) % 16) % 16)
-          .cast("string")).as("dst_ip"),
-      startMs.as("start_at_ms"),
-      (col("value") * 60000.0).as("latency_msec"),
-      (startMs + floor(col("value") * 60000.0).cast("long")).as("end_at_ms"))
-  }
+  def msgs(spark: SparkSession, dir: String): DataFrame =
+    Materialized.of(spark, s"msgs:$dir") {
+      val ev = load(spark, dir, "events")
+      val startMs = epochMs(col("ts"))
+      ev.select(
+        concat(lit("msg_"), col("event_id").cast("string")).as("id"),
+        concat(lit("10.0.0."), (col("user_id") % 16).cast("string")).as("src_ip"),
+        concat(lit("10.0.0."),
+          ((col("user_id") + (col("event_id") * 1103515245L + 12345L) % 16) % 16)
+            .cast("string")).as("dst_ip"),
+        startMs.as("start_at_ms"),
+        (col("value") * 60000.0).as("latency_msec"),
+        (startMs + floor(col("value") * 60000.0).cast("long")).as("end_at_ms"))
+    }
 
   /** DuckDB CTE computing exactly [[msgs]]. Prepend to oracle SQL as
     * `WITH msgs AS (...)`.

@@ -37,6 +37,23 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value_cents"))
 
+  /** Streaming gap-based sessionization via Spark's native `session_window`:
+    * per-user sessions close after `gap` of inactivity, emitted once the
+    * watermark passes the session end — the streaming form of the batch
+    * `q_sessions` query. State is one open session per active user, evicted
+    * on emission (merging session windows is built into the operator).
+    * Columns in: (user_id, event_time).
+    */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("event_time", watermark)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Streaming per-document text stats/quality — stateless map, unbounded
     * throughput (the batch `text_stats` shape on a stream).
     * Columns in: (doc_id, text, event_time).

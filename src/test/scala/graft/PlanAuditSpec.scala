@@ -67,4 +67,41 @@ class PlanAuditSpec extends SparkSpec {
     val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
     assert(!scan.contains("props"), s"props not pruned: $scan")
   }
+
+  test("as-of join compiles to a join-free single-shuffle window plan") {
+    val p = plan(operators.Analytics.asofLastView(spark, sf001))
+    assert(!p.contains("Join"), s"as-of must not be a join:\n$p")
+    assert(p.contains("Window"))
+    // one shuffle for the user_id window + the final presentation sort
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p)
+  }
+
+  test("promo share broadcasts the part dimension") {
+    val p = plan(operators.Analytics.promoShare(spark, sf001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "part should broadcast")
+  }
+
+  test("lsh cosine joins on band keys, codegen dot in the plan, no cartesian") {
+    val p = plan(operators.Analytics.lshCosine(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_dot"))
+  }
+
+  test("overlap count joins on (ip, bucket) equi-keys, never nested loop") {
+    val p = plan(operators.Analytics.overlapCount(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("percentiles broadcast the tiny group-count side") {
+    val p = plan(operators.Analytics.quantityPercentiles(spark, sf001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "group counts should broadcast")
+  }
+
+  test("pivot is one hash-aggregation pair, no per-column scans") {
+    val p = plan(operators.Analytics.pivotEventCounts(spark, sf001))
+    assert(!p.contains("Join"))
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, "single scan")
+  }
 }

@@ -56,6 +56,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows == Set(("click", 2L, 375L), ("view", 1L, 75L)), s"got $rows")
   }
 
+  test("streaming session windows merge events within the gap, split across it") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = StreamingOps.sessionizeStream(
+      in.toDF().toDF("user_id", "event_time"),
+      gap = "1 minute", watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 30 s apart (one session), then one 5 min later
+      in.addData(Seq((1L, ts(10000)), (1L, ts(40000)), (2L, ts(15000))))
+      q.processAllAvailable()
+      in.addData(Seq((1L, ts(340000))))
+      q.processAllAvailable()
+      in.addData(Seq((9L, ts(10000000)))) // push watermark far past everything
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = sp.table("sessions_out")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // user 1: session {10s,40s} (n=2) + session {340s} (n=1); user 2: n=1
+    assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)), s"got $rows")
+  }
+
   test("streaming text stats are computed per record, stateless") {
     val sp = spark
     import sp.implicits._
