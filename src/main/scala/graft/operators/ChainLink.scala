@@ -87,24 +87,30 @@ object ChainLink {
     graft.sources.Materialized.of(spark, s"links:$dir")(
       links(Tables.msgs(spark, dir)))
 
+  /** The enriched (unsorted) linked relation, memoized per session —
+    * `chain_link` presents it sorted, `degree_histogram` folds it.
+    */
+  def linkedFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"linked:$dir") {
+      val m = Tables.msgs(spark, dir)
+      val l = linksFor(spark, dir) // reused by both aggregations
+      val parents = l.groupBy(col("child_id").as("id"))
+        .agg(sort_array(collect_set(col("parent_id"))).as("parents"))
+      val children = l.groupBy(col("parent_id").as("id"))
+        .agg(sort_array(collect_set(col("child_id"))).as("children"))
+      m.join(parents, Seq("id"), "left")
+        .join(children, Seq("id"), "left")
+        .select(m("id"), m("src_ip"), m("dst_ip"), m("start_at_ms"),
+          m("latency_msec"), m("end_at_ms"),
+          coalesce(col("parents"), array().cast("array<string>")).as("parents"),
+          coalesce(col("children"), array().cast("array<string>")).as("children"))
+    }
+
   /** Flagship — A1 (batch form): enrich every message with sorted
     * parents/children arrays (reference output shape, `README.md:49-60`).
     */
-  def chainLink(spark: SparkSession, dir: String): DataFrame = {
-    val m = Tables.msgs(spark, dir)
-    val l = linksFor(spark, dir) // reused by both aggregations
-    val parents = l.groupBy(col("child_id").as("id"))
-      .agg(sort_array(collect_set(col("parent_id"))).as("parents"))
-    val children = l.groupBy(col("parent_id").as("id"))
-      .agg(sort_array(collect_set(col("child_id"))).as("children"))
-    m.join(parents, Seq("id"), "left")
-      .join(children, Seq("id"), "left")
-      .select(m("id"), m("src_ip"), m("dst_ip"), m("start_at_ms"),
-        m("latency_msec"), m("end_at_ms"),
-        coalesce(col("parents"), array().cast("array<string>")).as("parents"),
-        coalesce(col("children"), array().cast("array<string>")).as("children"))
-      .orderBy("id")
-  }
+  def chainLink(spark: SparkSession, dir: String): DataFrame =
+    linkedFor(spark, dir).orderBy("id")
 
   /** J1 link pairs as a named query (sorted for the oracle). */
   def linkPairs(spark: SparkSession, dir: String): DataFrame =
@@ -175,21 +181,15 @@ object ChainLink {
   /** A1 (summary form) — per-id parent/child degree, rolled up into a
     * (parent_cnt, child_cnt) → n histogram. Pure-integer output (hash-safe).
     */
-  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val m = Tables.msgs(spark, dir)
-    val l = linksFor(spark, dir)
-    val parents = l.groupBy(col("child_id").as("id"))
-      .agg(countDistinct("parent_id").as("parent_cnt"))
-    val children = l.groupBy(col("parent_id").as("id"))
-      .agg(countDistinct("child_id").as("child_cnt"))
-    m.select("id")
-      .join(parents, Seq("id"), "left")
-      .join(children, Seq("id"), "left")
-      .select(coalesce(col("parent_cnt"), lit(0L)).as("parent_cnt"),
-        coalesce(col("child_cnt"), lit(0L)).as("child_cnt"))
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame =
+    // arrays in the linked relation are already distinct (collect_set), so
+    // the degree is their size — a fold over the memoized enrichment, not a
+    // second pair of countDistinct aggregations over the link pairs.
+    linkedFor(spark, dir)
+      .select(size(col("parents")).cast("long").as("parent_cnt"),
+        size(col("children")).cast("long").as("child_cnt"))
       .groupBy("parent_cnt", "child_cnt").agg(count(lit(1)).as("n"))
       .orderBy("parent_cnt", "child_cnt")
-  }
 
   /** Call-graph traversal: 2-hop ancestor triples (grandparent → parent →
     * child), the composable form of the reference's output arrays — shows

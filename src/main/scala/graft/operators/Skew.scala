@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew mitigation for heavy-hitter keys.
+  *
+  * AQE's skew-join splitting handles storage-level skew in shuffle joins at
+  * runtime, but two shapes still need manual salting at 100 TB:
+  *
+  *   - a broadcast-ineligible join where ONE key carries a large fraction of
+  *     the big side (AQE splits partitions, but a single hot key still lands
+  *     in one task when the small side can't broadcast);
+  *   - distinct-style aggregations (`collect_set`, `countDistinct`) on a hot
+  *     key — partial aggregation doesn't shrink distinct state, so the final
+  *     reducer for that key explodes.
+  *
+  * Both helpers preserve exact semantics for ANY salt assignment; the salt
+  * is derived with `xxhash64` over the row (deterministic, re-evaluation
+  * safe — `rand()` is not, it breaks on task retry).
+  */
+object Skew {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Equi-join `big ⋈ small` on `key`, with the big side salted into
+    * `salt` sub-keys and the small side replicated `salt`×. Output equals
+    * `big.join(small, key)` exactly; the hot key's probe work is spread
+    * over `salt` tasks at the cost of a `salt`× build-side blowup — size
+    * `salt` ≈ (hot-key share × parallelism).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val b = big.withColumn(SaltCol,
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
+    val s = small.withColumn(SaltCol,
+      explode(sequence(lit(0), lit(salt - 1))))
+    b.join(s, Seq(key, SaltCol)).drop(SaltCol)
+  }
+
+  /** Two-phase `collect_set` under a hot group key: per-(key, salt) partial
+    * sets, then a flatten+distinct merge — the distinct state for a hot key
+    * is built across `salt` tasks instead of one. Returns
+    * (key, values: sorted array).
+    */
+  def saltedCollectSet(df: DataFrame, key: String, value: Column, salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    df.withColumn(SaltCol,
+        pmod(xxhash64(value), lit(salt)).cast("int"))
+      .groupBy(col(key), col(SaltCol))
+      .agg(collect_set(value).as("part"))
+      .groupBy(col(key))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("part"))))).as("values"))
+  }
+
+  /** Exact distinct count under a hot group key via the same two-phase
+    * split: distinct within (key, salt) partitions disjoint value ranges
+    * (salt = hash(value) % n), so the final count is a plain sum.
+    */
+  def saltedCountDistinct(df: DataFrame, key: String, value: Column, salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    df.withColumn(SaltCol,
+        pmod(xxhash64(value), lit(salt)).cast("int"))
+      .groupBy(col(key), col(SaltCol))
+      .agg(countDistinct(value).as("part_n"))
+      .groupBy(col(key))
+      .agg(sum(col("part_n")).as("n_distinct"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+/** Salting must never change results — only the distribution of work. */
+class SkewSpec extends SparkSpec {
+
+  private def skewed = {
+    val sp = spark
+    import sp.implicits._
+    // 90% of rows share key "hot"
+    (0 until 2000).map { i =>
+      val k = if (i % 10 == 0) s"cold_${i % 50}" else "hot"
+      (k, i.toLong, s"v${i % 97}")
+    }.toDF("k", "n", "v")
+  }
+
+  private def dim = {
+    val sp = spark
+    import sp.implicits._
+    (Seq(("hot", "H")) ++ (0 until 50).map(i => (s"cold_$i", s"C$i")))
+      .toDF("k", "label")
+  }
+
+  test("saltedJoin == plain join on skewed data (any salt)") {
+    val plain = skewed.join(dim, "k")
+      .select("k", "n", "v", "label")
+      .collect().map(_.toSeq).toSet
+    Seq(1, 4, 16).foreach { s =>
+      val salted = Skew.saltedJoin(skewed, dim, "k", s)
+        .select("k", "n", "v", "label")
+        .collect().map(_.toSeq).toSet
+      assert(salted == plain, s"salt=$s diverged")
+    }
+    // the salt must be part of the physical join key
+    val p = Skew.saltedJoin(skewed, dim, "k", 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__graft_salt"), "salt not in the plan")
+  }
+
+  test("saltedCollectSet == direct sorted collect_set") {
+    val direct = skewed.groupBy("k")
+      .agg(array_sort(collect_set(col("v"))).as("values"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val salted = Skew.saltedCollectSet(skewed, "k", col("v"), 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(salted == direct)
+  }
+
+  test("saltedCountDistinct == direct countDistinct") {
+    val direct = skewed.groupBy("k").agg(countDistinct(col("v")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCountDistinct(skewed, "k", col("v"), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+}
