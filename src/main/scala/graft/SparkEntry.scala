@@ -98,6 +98,16 @@ object SparkEntry {
     "q_tfidf_top_term" -> ((s, d) => Analytics.tfidfTopTerm(s, d)),
     "q_lsh_cosine" -> ((s, d) => Analytics.lshCosine(s, d)),
     "q_overlap_count" -> ((s, d) => Analytics.overlapCount(s, d)),
+    // training-data curation
+    "q_split_assign" -> ((s, d) => Curation.splitAssign(s, d)),
+    "q_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "q_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
+    "q_dedup_clusters" -> ((s, d) => Curation.dedupClusters(s, d)),
+    // third-wave relational staples
+    "q_cube_revenue" -> ((s, d) => Relational.qCubeRevenue(s, d)),
+    "q_ntile_quartile" -> ((s, d) => Relational.qNtileQuartile(s, d)),
+    "q_value_histogram" -> ((s, d) => Relational.qValueHistogram(s, d)),
+    "q_skew_distinct" -> ((s, d) => Relational.qSkewDistinct(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -649,6 +659,100 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_lsh_cosine" -> lshCosineSql,
+
+    "q_split_assign" ->
+      s"""SELECT doc_id, source, bucket,
+         |       CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source,
+         |        ${Tables.portableHashSql("'split:' || doc_id")} % 100 AS bucket
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |         CASE WHEN source = 'src0' THEN 500
+         |              WHEN source = 'src1' THEN 250
+         |              ELSE 100 END AS threshold_permille,
+         |         ${Tables.portableHashSql("'samp:' || doc_id")} % 1000 AS h
+         |  FROM documents)
+         |SELECT source, CAST(threshold_permille AS BIGINT) AS threshold_permille,
+         |       count(*) AS n_total,
+         |       CAST(sum(CASE WHEN h < threshold_permille THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_sampled
+         |FROM d GROUP BY 1, 2 ORDER BY source""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH $docShCtes,
+         |bh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+         |cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bh USING (shingle)
+         |         WHERE s.doc_id % 37 <> 0)
+         |SELECT d.doc_id,
+         |       CAST(CASE WHEN d.doc_id % 37 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS is_benchmark,
+         |       CAST(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |         AS contaminated,
+         |       CAST(CASE WHEN d.doc_id % 37 <> 0 AND c.doc_id IS NULL
+         |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Transitive closure over the symmetric near-dup edge list (recursive
+    // CTE) vs Spark's min-label-propagation fixpoint — two genuinely
+    // different mechanisms agreeing on component labels.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $docShCtes, $interCte,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE inter * 3 >= sa.n_sh + sb.n_sh),
+         |e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT s, t FROM e
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+         |mn AS (SELECT s, min(t) AS m FROM reach GROUP BY 1),
+         |cl AS (SELECT d.doc_id,
+         |         CASE WHEN mn.m IS NULL THEN d.doc_id
+         |              WHEN mn.m < d.doc_id THEN mn.m
+         |              ELSE d.doc_id END AS cluster_id
+         |       FROM documents d LEFT JOIN mn ON d.doc_id = mn.s),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+         |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size
+         |FROM cl JOIN sz USING (cluster_id)
+         |ORDER BY cl.doc_id""".stripMargin,
+
+    "q_cube_revenue" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+        |         AS returnflag,
+        |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END
+        |         AS linestatus,
+        |       count(*) AS n,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_ntile_quartile" ->
+      """SELECT event_id, event_type,
+        |       CAST(ntile(4) OVER (PARTITION BY event_type
+        |                           ORDER BY value, event_id) AS BIGINT) AS quartile
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_value_histogram" ->
+      """SELECT least(CAST(floor(value * 20) AS BIGINT), 19) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_overlap_count" ->
       s"""WITH $msgsCte,

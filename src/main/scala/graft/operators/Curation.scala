@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Training-data curation operators — the steps between "raw corpus" and
+  * "training shards" that a 100 TB pipeline runs after dedup ([[Dedup]]) and
+  * quality scoring ([[TextAnalysis]]): deterministic split assignment,
+  * stratified sampling, benchmark decontamination, and near-duplicate
+  * clustering (connected components over the near-dup pair graph).
+  *
+  * Everything is hash-deterministic (no `rand()`): assignments survive task
+  * retry, re-runs, and engine changes, because they derive from
+  * [[Tables.portableHash]] over stable ids — the property that makes a split
+  * reproducible across the fleet and auditable by an external engine
+  * (the DuckDB oracle reproduces every assignment bit-for-bit).
+  */
+object Curation {
+
+  /** Deterministic train/val/test assignment: bucket = portableHash
+    * ("split:" ++ doc_id) mod 100 → <80 train, <90 val, else test.
+    *
+    * At scale this is a pure map — no shuffle, no state, no sampling step;
+    * any worker can recompute any doc's split locally, which is what makes
+    * the split stable under retries and incremental corpus growth (new docs
+    * hash into splits at the same ratios without reshuffling old ones).
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (Tables.portableHash(concat(lit("split:"), col("doc_id").cast("string")))
+          % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+      .orderBy("doc_id")
+
+  /** Stratified deterministic sampling: per-source keep rates (src0 50%,
+    * src1 25%, rest 10%) applied via hash-threshold — doc kept iff
+    * portableHash("samp:" ++ doc_id) mod 1000 < threshold(source).
+    * Returns per-stratum totals: (source, threshold_permille, n_total,
+    * n_sampled).
+    *
+    * Hash-threshold sampling is the scale-correct form of stratified
+    * sampling: one map + one partial-aggregated groupBy, no sort, no
+    * per-stratum reservoir state, and the sample is a deterministic
+    * function of the id (append-only corpora keep their old sample).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val thr = when(col("source") === "src0", lit(500L))
+      .when(col("source") === "src1", lit(250L))
+      .otherwise(lit(100L))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), thr.as("threshold_permille"),
+        (Tables.portableHash(concat(lit("samp:"), col("doc_id").cast("string")))
+          % 1000).as("h"))
+      .groupBy("source", "threshold_permille")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("h") < col("threshold_permille"), 1L).otherwise(0L))
+          .as("n_sampled"))
+      .orderBy("source")
+  }
+
+  /** Benchmark decontamination: docs with `doc_id % 37 = 0` form the held-out
+    * benchmark set; a training doc is contaminated iff it shares at least one
+    * word-3-gram shingle with any benchmark doc. Returns every doc with
+    * (is_benchmark, contaminated, kept) flags.
+    *
+    * The overlap test is an inverted-index semi-join on the 60-bit shingle
+    * hash (reusing the session-memoized shingle index built for the dedup
+    * family): the benchmark side collapses to DISTINCT hashes — a small
+    * relation that Catalyst broadcasts — so the scan side never shuffles.
+    * This is how n-gram decontamination stays O(corpus) at 100 TB: the
+    * benchmark's fingerprint set is tiny relative to the corpus and ships
+    * to every executor once.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val shh = Dedup.shinglesHashedFor(spark, dir)
+    val benchHashes = shh.where(col("doc_id") % 37 === 0)
+      .select(col("h")).distinct()
+    val contaminated = shh.where(col("doc_id") % 37 =!= 0)
+      .join(benchHashes, "h")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(1L))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 37 === 0, 1L).otherwise(0L).as("is_benchmark"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_benchmark"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"))
+      .withColumn("kept",
+        when(col("is_benchmark") === 0 && col("contaminated") === 0, 1L)
+          .otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** Near-duplicate clusters: connected components over the n-gram Jaccard
+    * ≥ 0.5 pair graph ([[Dedup.dedupNgram]]), labeling every doc with the
+    * minimum doc_id reachable in its component. Returns
+    * (doc_id, cluster_id, cluster_size) — singletons cluster with
+    * themselves. Pair dedup keeps one doc per *pair*; cluster dedup is the
+    * transitively-correct version (A~B, B~C ⇒ one survivor among {A,B,C}).
+    *
+    * Implementation is min-label propagation to fixpoint over the symmetric
+    * edge list — the Pregel shape: each round is one shuffle
+    * (edges ⋈ labels → min per node), and the driver only ever sees a
+    * changed-label count, never row data. Rounds = component diameter; for
+    * near-dup graphs that is small (near-dup clusters are dense cliques, not
+    * chains). `localCheckpoint` truncates lineage each round so plans stay
+    * flat. At 100 TB the same loop runs with the alternating large-star /
+    * small-star optimization (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the fixpoint-and-min semantics here
+    * are identical.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupNgram(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val propagated = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst").as("node2")).agg(min("label").as("nbr_min"))
+      val next = labels.join(propagated, labels("node") === col("node2"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nbr_min"),
+          col("label"))).as("label"), col("label").as("prev"))
+        .localCheckpoint()
+      changed = next.where(col("label") =!= col("prev")).count()
+      labels = next.select("node", "label")
+    }
+    val assigned = Tables.load(spark, dir, "documents").select("doc_id")
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+}

@@ -173,4 +173,56 @@ object Relational {
       .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
       .orderBy("event_type")
   }
+
+  /** Full cube over (returnflag, linestatus) — all four grouping sets in one
+    * pass (vs [[qRollupRevenue]]'s hierarchy). Same no-NULL label policy.
+    */
+  def qCubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .select(
+        when(col("g_rf") === 1, "ALL").otherwise(col("l_returnflag")).as("returnflag"),
+        when(col("g_ls") === 1, "ALL").otherwise(col("l_linestatus")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  /** ntile bucketing: value quartile of each event within its type. The
+    * window order is total (value, event_id) so bucket boundaries are
+    * deterministic; one shuffle on event_type.
+    */
+  def qNtileQuartile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    ev.select(col("event_id"), col("event_type"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("event_id")
+  }
+
+  /** Fixed-width value histogram: 20 buckets over value∈[0,1), overflow
+    * clamped to the last bucket. A pure map + one partial-aggregated groupBy
+    * — the O(corpus) shape for distribution profiling at any scale.
+    */
+  def qValueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.select(least(floor(col("value") * 20).cast("long"), lit(19L)).as("bucket"),
+        cents(col("value")).as("value_cents"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_value_cents"))
+      .orderBy("bucket")
+  }
+
+  /** Hot-key-safe exact distinct count via [[Skew.saltedCountDistinct]]
+    * (two-phase: distinct within hash-disjoint salt partitions, then sum).
+    * Semantically identical to [[qDistinctUsers]]'s countDistinct — the
+    * oracle is the plain GROUP BY, so the salted rewrite is driver-verified.
+    */
+  def qSkewDistinct(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedCountDistinct(Tables.load(spark, dir, "events"),
+        "event_type", col("user_id"), salt = 8)
+      .orderBy("event_type")
 }
