@@ -108,6 +108,8 @@ object SparkEntry {
     "q_ntile_quartile" -> ((s, d) => Relational.qNtileQuartile(s, d)),
     "q_value_histogram" -> ((s, d) => Relational.qValueHistogram(s, d)),
     "q_skew_distinct" -> ((s, d) => Relational.qSkewDistinct(s, d)),
+    "q_rolling_sum" -> ((s, d) => Relational.qRollingSum(s, d)),
+    "q_except_users" -> ((s, d) => Relational.qExceptUsers(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -753,6 +755,23 @@ object SparkEntry {
     "q_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rolling_sum" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS em,
+        |                  CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events)
+        |SELECT event_id, user_id, em,
+        |       CAST(sum(v) OVER (PARTITION BY user_id ORDER BY em
+        |              RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS roll_cents
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "q_except_users" ->
+      """SELECT user_id FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY user_id""".stripMargin,
 
     "q_overlap_count" ->
       s"""WITH $msgsCte,

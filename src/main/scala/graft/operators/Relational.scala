@@ -216,6 +216,35 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** RANGE-frame rolling aggregate: each event's 10-minute trailing spend
+    * per user. RANGE (not ROWS) semantics — all peer rows at the same
+    * timestamp are in-frame regardless of tie order, so the result is
+    * deterministic without a total sort order. One shuffle on user_id.
+    */
+  def qRollingSum(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("(ts div 1000000)").as("em"), cents(col("value")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("em"))
+      .rangeBetween(-600000L, 0L)
+    ev.select(col("event_id"), col("user_id"), col("em"),
+        sum(col("v")).over(w).as("roll_cents"))
+      .orderBy("event_id")
+  }
+
+  /** Set difference (EXCEPT): users who clicked but never purchased.
+    * `Dataset.except` compiles to a hash anti-join on the distinct sets —
+    * the same aggregate-then-anti shape you'd hand-write at scale.
+    */
+  def qExceptUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicked = ev.where(col("event_type") === "click")
+      .select(col("user_id")).distinct()
+    val purchased = ev.where(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    clicked.except(purchased).orderBy("user_id")
+  }
+
   /** Hot-key-safe exact distinct count via [[Skew.saltedCountDistinct]]
     * (two-phase: distinct within hash-disjoint salt partitions, then sum).
     * Semantically identical to [[qDistinctUsers]]'s countDistinct — the
