@@ -269,4 +269,42 @@ object StreamingChainLink {
       .groupByKey(_.key_id)
       .transformWithState(new AggregationProcessor(stateTtl), TimeMode.EventTime, OutputMode.Append)
   }
+
+  /** J1's pure-DataFrame streaming alternative (SURVEY.md §2.4): the link
+    * relation as Spark's BUILT-IN watermarked stream-stream self-join — no
+    * custom processor, no explicit state management. The engine's symmetric
+    * hash-join state replaces `parent_state`/`child_state`, and state
+    * cleanup falls out of the event-time range bound: a child starts inside
+    * its parent's interval, and intervals are bounded by `maxSpanMs`
+    * (reference spec: call latency ≤ 20 s, `requirements-v2.md:16-17`), so
+    * `c_time ∈ [p_time, p_time + maxSpanMs]` lets Spark drop buffered rows
+    * once the watermark passes. Messages with spans longer than `maxSpanMs`
+    * would be dropped from the join state before matching — the
+    * processor-based [[linked]] pipeline has no such bound, which is why it
+    * is the flagship path and this is the capability-parity alternative.
+    *
+    * Both sides hash-partition on the IP equi-key (`p.dst_ip = c.src_ip`) —
+    * the same partition-pruned match space as the reference's `key_by` and
+    * the batch banded join.
+    */
+  def linksViaStreamJoin(msgs: Dataset[Msg], maxOutOfOrder: String = "30 seconds",
+      maxSpanMs: Long = 30000L): org.apache.spark.sql.DataFrame = {
+    val p = msgs.toDF().select(col("id").as("p_id"), col("dst_ip").as("p_dst_ip"),
+        col("start_at_ms").as("p_start"), col("end_at_ms").as("p_end"))
+      .withColumn("p_time", timestamp_millis(col("p_start")))
+      .withWatermark("p_time", maxOutOfOrder)
+    val c = msgs.toDF().select(col("id").as("c_id"), col("src_ip").as("c_src_ip"),
+        col("start_at_ms").as("c_start"), col("end_at_ms").as("c_end"))
+      .withColumn("c_time", timestamp_millis(col("c_start")))
+      .withWatermark("c_time", maxOutOfOrder)
+    p.join(c,
+      col("p_dst_ip") === col("c_src_ip") &&
+        col("p_id") =!= col("c_id") &&
+        col("p_start") <= col("c_start") &&
+        col("p_end") >= col("c_end") &&
+        col("p_end") >= col("p_start") && col("c_end") >= col("c_start") &&
+        col("c_time") >= col("p_time") &&
+        col("c_time") <= col("p_time") + expr(s"INTERVAL $maxSpanMs MILLISECONDS"))
+      .select(col("p_id").as("parent_id"), col("c_id").as("child_id"))
+  }
 }

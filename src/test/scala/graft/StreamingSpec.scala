@@ -79,4 +79,35 @@ class StreamingSpec extends SparkSpec {
       assert(got(mm.id) == spec(mm.id), s"mismatch for ${mm.id}")
     }
   }
+
+  test("built-in stream-stream join variant == all-pairs spec link set") {
+    val rnd = new scala.util.Random(7)
+    val ips = (0 until 6).map(i => s"10.1.0.$i")
+    val msgs = (0 until 100).map { i =>
+      val s = 1000L + rnd.nextInt(15000)
+      val e = s + 100 + rnd.nextInt(9000) // span ≤ 9.1s < maxSpanMs
+      Msg(s"j$i", ips(rnd.nextInt(ips.size)), ips(rnd.nextInt(ips.size)),
+        s, (e - s).toDouble, e)
+    }
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val input = MemoryStream[Msg]
+    val out = StreamingChainLink.linksViaStreamJoin(input.toDS(), "30 seconds")
+    val name = s"ssj_out_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      (rnd.shuffle(msgs).grouped(25).toSeq :+ Seq(flush))
+        .foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = sp.table(name).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val spec = (for {
+      p <- msgs; c <- msgs
+      if p.id != c.id && Linking.isParent(p, c)
+    } yield (p.id, c.id)).toSet
+    assert(got == spec)
+  }
 }
