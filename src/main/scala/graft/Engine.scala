@@ -101,6 +101,24 @@ object Engine {
   def overlapCount(spark: SparkSession, dir: String): DataFrame =
     Analytics.overlapCount(spark, dir)
 
+  /** Deterministic train/val/test split assignment (pure map, no shuffle). */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    operators.Curation.splitAssign(spark, dir)
+
+  /** Benchmark n-gram decontamination flags per document. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    operators.Curation.decontaminate(spark, dir)
+
+  /** Near-dup clusters (connected components over the Jaccard pair graph). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    operators.Curation.dedupClusters(spark, dir)
+
+  /** Write a bucketed+sorted table: pay the shuffle once at ingest, then
+    * every join/agg on the bucket key is Exchange-free.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    sources.Bucketing.writeBucketed(df, table, key, buckets)
+
   /** All named queries (the driver contract). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

@@ -23,8 +23,24 @@ object Materialized {
 
   private val cache = new ConcurrentHashMap[String, DataFrame]()
 
-  /** Memoize `build` under `key` for this session. */
-  def of(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(s"${System.identityHashCode(spark)}#$key",
-      _ => build.cache())
+  /** Memoize `build` under `key` for this session.
+    *
+    * NOT computeIfAbsent: builders nest (the enriched relation memo builds
+    * the links memo inside its builder), and ConcurrentHashMap forbids
+    * recursive mutation during computeIfAbsent — it throws "Recursive
+    * update" whenever the nested key hashes into the same bin, which is
+    * run-dependent. get + putIfAbsent allows nesting; the benign race (two
+    * threads build the same lazy DataFrame, loser unpersists) costs nothing
+    * because nothing is computed until first action.
+    */
+  def of(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = s"${System.identityHashCode(spark)}#$key"
+    val existing = cache.get(k)
+    if (existing != null) existing
+    else {
+      val built = build.cache()
+      val prev = cache.putIfAbsent(k, built)
+      if (prev != null) { built.unpersist(); prev } else built
+    }
+  }
 }

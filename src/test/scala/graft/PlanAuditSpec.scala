@@ -104,4 +104,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"))
     assert(p.linesIterator.count(_.contains("FileScan")) == 1, "single scan")
   }
+
+  test("decontamination joins the benchmark fingerprint set via broadcast") {
+    val p = plan(operators.Curation.decontaminate(spark, sf001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"benchmark hashes should broadcast:\n$p")
+  }
+
+  test("bucketed join on a shared bucket spec has no Exchange") {
+    import org.apache.spark.sql.functions._
+    // drop catalog entries AND locations surviving a previous JVM (the
+    // in-memory metastore forgets tables; the warehouse dir does not)
+    Seq("b_lineitem", "b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = java.nio.file.Paths.get("/tmp/graft-test-warehouse", t)
+      if (java.nio.file.Files.exists(dir))
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    sources.Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    sources.Bucketing.writeBucketed(ord, "b_orders", "o_orderkey", 8)
+    // at sf0.001 both sides fit the broadcast threshold, which masks the
+    // bucketing (the planner prefers broadcast and disables bucketed
+    // reads); disable auto-broadcast to audit the at-scale plan shape
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = sources.Bucketing.bucketedJoin(spark, "b_lineitem", "b_orders",
+        "l_orderkey", "o_orderkey")
+      val p = plan(joined)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+      // and it computes the same thing as the plain (shuffling) join
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
 }
