@@ -110,6 +110,8 @@ object SparkEntry {
     "q_skew_distinct" -> ((s, d) => Relational.qSkewDistinct(s, d)),
     "q_rolling_sum" -> ((s, d) => Relational.qRollingSum(s, d)),
     "q_except_users" -> ((s, d) => Relational.qExceptUsers(s, d)),
+    "q_latest_snapshot" -> ((s, d) => Relational.qLatestSnapshot(s, d)),
+    "q_dedup_first_event" -> ((s, d) => Relational.qDedupFirstEvent(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -772,6 +774,23 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
         |ORDER BY user_id""".stripMargin,
+
+    "q_latest_snapshot" ->
+      """SELECT user_id, event_type, event_id, em, value_cents FROM (
+        |  SELECT user_id, event_type, event_id, epoch_ms(ts) AS em,
+        |         CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_dedup_first_event" ->
+      """SELECT user_id, event_type, event_id, em FROM (
+        |  SELECT user_id, event_type, event_id, epoch_ms(ts) AS em,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_ms(ts), event_id) AS rk
+        |  FROM events)
+        |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "q_overlap_count" ->
       s"""WITH $msgsCte,

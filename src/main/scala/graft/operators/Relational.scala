@@ -245,6 +245,37 @@ object Relational {
     clicked.except(purchased).orderBy("user_id")
   }
 
+  /** Changelog compaction (CDC upsert shape): latest event per
+    * (user_id, event_type), latest = max ts then max event_id. At scale this
+    * is the standard "compact a change stream to a snapshot" job — one
+    * shuffle on the key, max_by semantics via window rank; with bucketed
+    * layout ([[graft.sources.Bucketing]]) even that shuffle disappears.
+    */
+  def qLatestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(expr("ts div 1000000").desc, col("event_id").desc)
+    ev.select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000000").as("em"), cents(col("value")).as("value_cents"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") === 1).drop("rk")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Keep-first dedup by key: each user's earliest event of each type —
+    * the keep-canonical half of dedup (vs [[qLatestSnapshot]]'s keep-latest).
+    */
+  def qDedupFirstEvent(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(expr("ts div 1000000"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000000").as("em"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") === 1).drop("rk")
+      .orderBy("user_id", "event_type")
+  }
+
   /** Hot-key-safe exact distinct count via [[Skew.saltedCountDistinct]]
     * (two-phase: distinct within hash-disjoint salt partitions, then sum).
     * Semantically identical to [[qDistinctUsers]]'s countDistinct — the
