@@ -54,6 +54,26 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming changelog compaction (the streaming form of the batch
+    * `q_latest_snapshot`): maintain the latest event per (user_id,
+    * event_type), latest = max (event_time, event_id). Update output mode —
+    * each micro-batch emits the keys whose snapshot changed, which is
+    * exactly a CDC upsert feed for a downstream store. `max_by` keeps state
+    * at one row per key regardless of input rate.
+    * Columns in: (user_id, event_type, event_id, value, event_time).
+    */
+  def latestSnapshotStream(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_time"),
+          round(col("value") * 100).cast("long").as("value_cents")),
+        struct(col("event_time"), col("event_id"))).as("latest"))
+      .select(col("user_id"), col("event_type"),
+        col("latest.event_id").as("event_id"),
+        col("latest.event_time").as("event_time"),
+        col("latest.value_cents").as("value_cents"))
+
   /** Streaming per-document text stats/quality — stateless map, unbounded
     * throughput (the batch `text_stats` shape on a stream).
     * Columns in: (doc_id, text, event_time).

@@ -83,6 +83,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)), s"got $rows")
   }
 
+  test("streaming changelog compaction tracks the latest event per key") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, String, Long, Double, Timestamp)]
+    val out = StreamingOps.latestSnapshotStream(
+      in.toDF().toDF("user_id", "event_type", "event_id", "value", "event_time"))
+    val q = out.writeStream.format("memory").queryName("snap_out")
+      .outputMode("update").start()
+    try {
+      in.addData(Seq(
+        (1L, "click", 10L, 1.00, ts(1000)),
+        (1L, "click", 11L, 2.00, ts(5000)),
+        (2L, "view", 20L, 3.00, ts(2000))))
+      q.processAllAvailable()
+      // older event for user 1 must NOT displace the snapshot; newer must
+      in.addData(Seq(
+        (1L, "click", 9L, 9.00, ts(500)),
+        (2L, "view", 21L, 4.00, ts(8000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    // final snapshot per key = last update emitted for that key
+    val rows = sp.table("snap_out").collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(4))))
+    val latest = rows.zipWithIndex.groupBy(_._1._1)
+      .map { case (k, xs) => k -> xs.maxBy(_._2)._1._2 }
+    assert(latest == Map(
+      (1L, "click") -> ((11L, 200L)),
+      (2L, "view") -> ((21L, 400L))), s"got $latest")
+  }
+
   test("streaming text stats are computed per record, stateless") {
     val sp = spark
     import sp.implicits._
