@@ -87,6 +87,7 @@ object SparkEntry {
     // SQL personality
     "q_sql_segment_revenue" -> ((s, d) => SqlApi.revenueBySegment(s, d)),
     "q_sql_cosine_by_label" -> ((s, d) => SqlApi.sqlCosineByLabel(s, d)),
+    "q_sql_small_qty" -> ((s, d) => SqlApi.smallQtyParts(s, d)),
     // clustering
     "q_kmeans_step" -> ((s, d) => Clustering.kmeansStep(s, d)),
     // second-wave analytics staples
@@ -774,6 +775,17 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
         |ORDER BY user_id""".stripMargin,
+
+    "q_sql_small_qty" ->
+      """SELECT l_partkey,
+        |       count(*) AS n_small,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_small_qty
+        |FROM lineitem l
+        |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin,
 
     "q_latest_snapshot" ->
       """SELECT user_id, event_type, event_id, em, value_cents FROM (

@@ -30,6 +30,28 @@ object SqlApi {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** TPC-H Q17-flavored correlated scalar subquery: parts whose small-order
+    * lineitems (quantity below 20% of that part's average) exist, with
+    * their counts. Catalyst decorrelates the subquery into an aggregate +
+    * join — the rewrite that makes correlated SQL scale (one pass over
+    * lineitem for ALL the per-part averages, not one subquery per row).
+    * The comparison is double-deterministic cross-engine: both sides
+    * compute 0.2·avg from identical integer quantities with IEEE ops.
+    */
+  def smallQtyParts(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "lineitem")
+    spark.sql(
+      """SELECT l_partkey,
+        |       count(*) AS n_small,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_small_qty
+        |FROM lineitem l
+        |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin)
+  }
+
   /** Top similar pair per label via `graft_dot` in SQL — the custom codegen
     * expression exposed through the SQL function registry.
     */
