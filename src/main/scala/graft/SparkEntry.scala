@@ -113,6 +113,9 @@ object SparkEntry {
     "q_except_users" -> ((s, d) => Relational.qExceptUsers(s, d)),
     "q_latest_snapshot" -> ((s, d) => Relational.qLatestSnapshot(s, d)),
     "q_dedup_first_event" -> ((s, d) => Relational.qDedupFirstEvent(s, d)),
+    "q_full_outer_daily" -> ((s, d) => Relational.qFullOuterDaily(s, d)),
+    "q_intersect_users" -> ((s, d) => Relational.qIntersectUsers(s, d)),
+    "q_dense_rank_brand" -> ((s, d) => Relational.qDenseRankBrand(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -786,6 +789,35 @@ object SparkEntry {
         |                    WHERE l2.l_partkey = l.l_partkey)
         |GROUP BY l_partkey
         |ORDER BY l_partkey""".stripMargin,
+
+    "q_full_outer_daily" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events),
+        |c AS (SELECT day, count(*) AS n_clicks FROM e
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT day, count(*) AS n_purchases FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(c.day, p.day) AS day,
+        |       coalesce(n_clicks, 0) AS n_clicks,
+        |       coalesce(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON c.day = p.day
+        |ORDER BY day""".stripMargin,
+
+    "q_intersect_users" ->
+      """SELECT user_id FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY user_id""".stripMargin,
+
+    "q_dense_rank_brand" ->
+      """SELECT p_brand, p_partkey,
+        |       CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |       rk
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |             CAST(dense_rank() OVER (PARTITION BY p_brand
+        |                    ORDER BY p_retailprice DESC) AS BIGINT) AS rk
+        |      FROM part)
+        |WHERE rk <= 2 ORDER BY p_brand, rk, p_partkey""".stripMargin,
 
     "q_latest_snapshot" ->
       """SELECT user_id, event_type, event_id, em, value_cents FROM (

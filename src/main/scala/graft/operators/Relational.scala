@@ -276,6 +276,48 @@ object Relational {
       .orderBy("user_id", "event_type")
   }
 
+  /** Full-outer join: daily click vs purchase counts aligned on the day
+    * bucket — days with only one side survive with zero-filled counts
+    * (coalesce keeps the output NULL-free for portable ordering).
+    */
+  def qFullOuterDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("(ts div 1000000) div 86400000").as("day"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("day").agg(count(lit(1)).as("n_clicks"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy("day").agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purchases, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy("day")
+  }
+
+  /** Set intersection (INTERSECT): users who both clicked and purchased. */
+  def qIntersectUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicked = ev.where(col("event_type") === "click")
+      .select(col("user_id")).distinct()
+    val purchased = ev.where(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    clicked.intersect(purchased).orderBy("user_id")
+  }
+
+  /** dense_rank with ties preserved: top-2 retail-price ranks per brand —
+    * unlike row_number, price ties share a rank and ALL tied parts survive,
+    * so the cut is value-deterministic without a tie-break column.
+    */
+  def qDenseRankBrand(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+    p.select(col("p_brand"), col("p_partkey"),
+        cents(col("p_retailprice")).as("price_cents"),
+        dense_rank().over(w).cast("long").as("rk"))
+      .where(col("rk") <= 2)
+      .orderBy("p_brand", "rk", "p_partkey")
+  }
+
   /** Hot-key-safe exact distinct count via [[Skew.saltedCountDistinct]]
     * (two-phase: distinct within hash-disjoint salt partitions, then sum).
     * Semantically identical to [[qDistinctUsers]]'s countDistinct — the

@@ -105,6 +105,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("FileScan")) == 1, "single scan")
   }
 
+  test("correlated subquery is decorrelated to one aggregate + join") {
+    val p = plan(operators.SqlApi.smallQtyParts(spark, sf001))
+    // decorrelation: per-part averages come from ONE aggregation joined
+    // back, never a per-row subquery plan
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("FileScan")) == 2,
+      s"expected exactly 2 lineitem scans (outer + decorrelated agg):\n$p")
+  }
+
   test("decontamination joins the benchmark fingerprint set via broadcast") {
     val p = plan(operators.Curation.decontaminate(spark, sf001))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
