@@ -121,6 +121,26 @@ class PlanAuditSpec extends SparkSpec {
       s"benchmark hashes should broadcast:\n$p")
   }
 
+  test("partitioned layout: partition filter prunes directories at the scan") {
+    val base = java.nio.file.Paths.get("/tmp/graft-test-partitioned")
+    if (java.nio.file.Files.exists(base))
+      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    Tables.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "event_type")
+      .write.partitionBy("event_type").parquet(base.toString)
+    val df = spark.read.parquet(base.toString)
+      .where(org.apache.spark.sql.functions.col("event_type") === "click")
+    val p = plan(df)
+    val scan = p.linesIterator.find(_.contains("FileScan")).get
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter not applied: $scan")
+    // the filter prunes to the one matching directory — no post-scan filter
+    // on event_type remains
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") &&
+      l.contains("event_type")), s"residual filter present:\n$p")
+  }
+
   test("bucketed join on a shared bucket spec has no Exchange") {
     import org.apache.spark.sql.functions._
     // drop catalog entries AND locations surviving a previous JVM (the
