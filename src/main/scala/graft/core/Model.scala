@@ -56,14 +56,30 @@ object Linking {
       p.start_at_ms <= c.start_at_ms &&
       p.end_at_ms >= c.end_at_ms
 
+  /** Corrupt-interval guard: inverted intervals (`end_at_ms < start_at_ms`,
+    * e.g. lenient wire-parse defaults producing `end_at_ms = 0`) never
+    * participate in linking, on either side. This is THE single statement
+    * of the rule every implementation applies (batch banded join, streaming
+    * processors, stream-stream join, DuckDB `linksCte` oracle) — declared
+    * once in the spec so implementations and tests can't drift (ADVICE r1).
+    */
+  def wellFormed(m: Msg): Boolean = m.end_at_ms >= m.start_at_ms
+
+  /** The complete pair-matching rule: F1 containment + F6 self-exclusion +
+    * the corrupt-interval guard.
+    */
+  def matches(p: Msg, c: Msg): Boolean =
+    p.id != c.id && wellFormed(p) && wellFormed(c) && isParent(p, c)
+
   /** A2 — all-pairs O(N²) golden spec (reference: `test_chain_linking.py:32-42`).
     * Self-pairs excluded by id (F6): containment is reflexive, so a message
-    * would otherwise always match itself.
+    * would otherwise always match itself. Corrupt rows still appear in the
+    * output — with empty arrays — exactly like the batch/streaming output.
     */
   def linkAllPairs(msgs: Seq[Msg]): Seq[LinkedMsg] =
     msgs.map { m =>
-      val parents = msgs.collect { case o if o.id != m.id && isParent(o, m) => o.id }
-      val children = msgs.collect { case o if o.id != m.id && isParent(m, o) => o.id }
+      val parents = msgs.collect { case o if matches(o, m) => o.id }
+      val children = msgs.collect { case o if matches(m, o) => o.id }
       LinkedMsg.of(m, parents, children)
     }
 }
@@ -94,15 +110,13 @@ final class WatermarkMatcher(maxOutOfOrderMs: Long) {
   def add(m: Msg): Seq[LinkedMsg] = {
     val entry = Buffered(m)
     buffer.valuesIterator.foreach { other =>
-      if (other.msg.id != m.id) {
-        if (Linking.isParent(other.msg, m)) { // buffered is parent of new
-          other.children += m.id
-          entry.parents += other.msg.id
-        }
-        if (Linking.isParent(m, other.msg)) { // new is parent of buffered
-          other.parents += m.id
-          entry.children += other.msg.id
-        }
+      if (Linking.matches(other.msg, m)) { // buffered is parent of new
+        other.children += m.id
+        entry.parents += other.msg.id
+      }
+      if (Linking.matches(m, other.msg)) { // new is parent of buffered
+        other.parents += m.id
+        entry.children += other.msg.id
       }
     }
     buffer.put(m.id, entry)

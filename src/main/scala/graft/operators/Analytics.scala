@@ -31,7 +31,7 @@ object Analytics {
     val ev = Tables.load(spark, dir, "events")
       .where(col("event_type").isin("view", "purchase"))
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000000").as("em"), col("event_type"))
+        Tables.epochMs.as("em"), col("event_type"))
       .withColumn("is_view", (col("event_type") === "view").cast("int"))
     // views sort before purchases at equal timestamps so a same-ms view
     // is visible to the purchase (ASOF semantics: vem <= pem)
@@ -114,7 +114,7 @@ object Analytics {
     * + a 20-row top-k (ties broken by shingle text → total order).
     */
   def topNgrams(spark: SparkSession, dir: String): DataFrame =
-    Dedup.shingles(Tables.load(spark, dir, "documents"))
+    Dedup.shinglesFor(spark, dir)
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle"))
       .limit(20)
@@ -195,12 +195,7 @@ object Analytics {
     val m = Tables.msgs(spark, dir)
       .where(col("end_at_ms") >= col("start_at_ms"))
       .select(col("id"), col("src_ip"), col("start_at_ms"), col("end_at_ms"))
-    val stats = m.agg(
-      approx_percentile(col("end_at_ms") - col("start_at_ms"), lit(0.95), lit(1000)),
-      max(col("end_at_ms") - col("start_at_ms"))).head()
-    val w =
-      if (stats.isNullAt(0) || stats.isNullAt(1)) 1L
-      else math.max(1L, math.max(stats.getLong(0), stats.getLong(1) / 64))
+    val w = ChainLink.bandWidth(m)
     val r = m.withColumn("bucket", explode(sequence(
       expr(s"start_at_ms div $w"), expr(s"end_at_ms div $w"))))
     val pairs = r.as("a").join(r.as("b"),

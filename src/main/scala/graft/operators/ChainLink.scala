@@ -45,18 +45,24 @@ object ChainLink {
     * (`SparkEntry.linksCte`) applies the same filter, so output equals the
     * all-pairs spec restricted to well-formed intervals.
     */
-  def links(msgsRaw: DataFrame): DataFrame = {
-    val msgs = msgsRaw.where(col("end_at_ms") >= col("start_at_ms"))
-    // perf-only knob: P95 interval length (approx; any value is correct).
-    // Floor at maxLen/64 caps the worst-case replication factor at 65
-    // buckets even when the length distribution is extremely skewed.
+  /** Perf-only banding knob shared by every interval join (containment
+    * links, overlap counts): approx P95 interval length, floored at
+    * maxLen/64 so the worst-case replication factor is capped at 65 buckets
+    * even under extreme length skew. Any positive value is CORRECT — width
+    * only trades replication against per-bucket candidate density. Null
+    * aggregates (empty input) → 1; the downstream join is empty anyway.
+    */
+  private[operators] def bandWidth(msgs: DataFrame): Long = {
     val stats = msgs.agg(
       approx_percentile(col("end_at_ms") - col("start_at_ms"), lit(0.95), lit(1000)),
       max(col("end_at_ms") - col("start_at_ms"))).head()
-    // Null aggregates (empty input) → any width; the join below is empty.
-    val w =
-      if (stats.isNullAt(0) || stats.isNullAt(1)) 1L
-      else math.max(1L, math.max(stats.getLong(0), stats.getLong(1) / 64))
+    if (stats.isNullAt(0) || stats.isNullAt(1)) 1L
+    else math.max(1L, math.max(stats.getLong(0), stats.getLong(1) / 64))
+  }
+
+  def links(msgsRaw: DataFrame): DataFrame = {
+    val msgs = msgsRaw.where(col("end_at_ms") >= col("start_at_ms"))
+    val w = bandWidth(msgs)
 
     val p = msgs.select(
       col("id").as("parent_id"),
@@ -217,7 +223,7 @@ object ChainLink {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("em"), col("event_id"))
     val wCum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    ev.select(col("event_id"), col("user_id"), expr("ts div 1000000").as("em"))
+    ev.select(col("event_id"), col("user_id"), Tables.epochMs.as("em"))
       .withColumn("gap_break",
         when(col("em") - lag(col("em"), 1).over(w) > 1800000L, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("gap_break")).over(wCum))

@@ -128,7 +128,7 @@ object Relational {
   def qEventsTumbling(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     ev.select(col("event_type"),
-        expr("(ts div 1000000) div 300000").as("bucket"),
+        Tables.epochMsBucket(300000L).as("bucket"),
         cents(col("value")).as("value_cents"))
       .groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_value_cents"))
@@ -159,7 +159,7 @@ object Relational {
   def qLagEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(expr("ts div 1000000"), col("event_id"))
+      .orderBy(Tables.epochMs, col("event_id"))
     ev.select(col("event_id"), col("user_id"),
         coalesce(lag(col("event_id"), 1).over(w), lit(-1L)).as("prev_event_id"),
         coalesce(lead(col("event_id"), 1).over(w), lit(-1L)).as("next_event_id"))
@@ -224,7 +224,7 @@ object Relational {
   def qRollingSum(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"),
-        expr("(ts div 1000000)").as("em"), cents(col("value")).as("v"))
+        Tables.epochMs.as("em"), cents(col("value")).as("v"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("em"))
       .rangeBetween(-600000L, 0L)
     ev.select(col("event_id"), col("user_id"), col("em"),
@@ -254,9 +254,9 @@ object Relational {
   def qLatestSnapshot(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(expr("ts div 1000000").desc, col("event_id").desc)
+      .orderBy(Tables.epochMs.desc, col("event_id").desc)
     ev.select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts div 1000000").as("em"), cents(col("value")).as("value_cents"),
+        Tables.epochMs.as("em"), cents(col("value")).as("value_cents"),
         row_number().over(w).as("rk"))
       .where(col("rk") === 1).drop("rk")
       .orderBy("user_id", "event_type")
@@ -268,9 +268,9 @@ object Relational {
   def qDedupFirstEvent(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(expr("ts div 1000000"), col("event_id"))
+      .orderBy(Tables.epochMs, col("event_id"))
     ev.select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts div 1000000").as("em"),
+        Tables.epochMs.as("em"),
         row_number().over(w).as("rk"))
       .where(col("rk") === 1).drop("rk")
       .orderBy("user_id", "event_type")
@@ -282,7 +282,7 @@ object Relational {
     */
   def qFullOuterDaily(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
-      .select(col("event_type"), expr("(ts div 1000000) div 86400000").as("day"))
+      .select(col("event_type"), Tables.epochMsBucket(86400000L).as("day"))
     val clicks = ev.where(col("event_type") === "click")
       .groupBy("day").agg(count(lit(1)).as("n_clicks"))
     val purchases = ev.where(col("event_type") === "purchase")

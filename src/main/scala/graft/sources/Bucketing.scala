@@ -33,8 +33,11 @@ object Bucketing {
     */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       leftKey: String, rightKey: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    spark.table(left).join(spark.table(right),
-      col(leftKey) === col(rightKey))
+    // per-side column refs, not col(name): with the same key name on both
+    // sides (the normal bucketed-join case, e.g. doc_id = doc_id) a bare
+    // col() is ambiguous and analysis fails
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
   }
 }

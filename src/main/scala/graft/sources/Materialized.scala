@@ -21,7 +21,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Materialized {
 
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+  /** Per-session memo maps, keyed WEAKLY by the session object itself:
+    * a stopped/collected session's entries become unreachable and are
+    * GC-reclaimed (identityHashCode keys would leak forever and can even be
+    * reissued to a different session after GC, serving another session's
+    * plans). Access to the WeakHashMap is synchronized; the inner map is
+    * concurrent.
+    */
+  private val sessions =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]()
+
+  private def forSession(spark: SparkSession): ConcurrentHashMap[String, DataFrame] =
+    sessions.synchronized {
+      var m = sessions.get(spark)
+      if (m == null) { m = new ConcurrentHashMap[String, DataFrame](); sessions.put(spark, m) }
+      m
+    }
 
   /** Memoize `build` under `key` for this session.
     *
@@ -34,12 +49,12 @@ object Materialized {
     * because nothing is computed until first action.
     */
   def of(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = s"${System.identityHashCode(spark)}#$key"
-    val existing = cache.get(k)
+    val cache = forSession(spark)
+    val existing = cache.get(key)
     if (existing != null) existing
     else {
       val built = build.cache()
-      val prev = cache.putIfAbsent(k, built)
+      val prev = cache.putIfAbsent(key, built)
       if (prev != null) { built.unpersist(); prev } else built
     }
   }

@@ -19,11 +19,18 @@ object Tables {
   }
 
   /** Epoch millis of `events.ts` (parquet timestamp[ns], read as int64 nanos
-    * via nanosAsLong). Integer division — a double round-trip would lose
-    * precision at ~1.7e18 ns (> 2^53). Matches DuckDB `epoch_ms(ts)` (floor;
-    * all values positive).
+    * via nanosAsLong), referenced by column name. Integer division — a
+    * double round-trip would lose precision at ~1.7e18 ns (> 2^53). Matches
+    * DuckDB `epoch_ms(ts)` (floor; all values positive). The single home of
+    * the ns→ms conversion: every operator over `events` uses this.
     */
-  def epochMs(ts: Column): Column = expr("ts div 1000000")
+  val epochMs: Column = expr("ts div 1000000")
+
+  /** [[epochMs]] bucketed by integer division — the whole chain stays in
+    * int64 arithmetic (tumbling windows, daily buckets).
+    */
+  def epochMsBucket(divisorMs: Long): Column =
+    expr(s"(ts div 1000000) div $divisorMs")
 
   /** The frozen derivation of the reference's message table from
     * `events.parquet`. Mirrored bit-for-bit by [[msgsCte]] for DuckDB.
@@ -35,7 +42,7 @@ object Tables {
   def msgs(spark: SparkSession, dir: String): DataFrame =
     Materialized.of(spark, s"msgs:$dir") {
       val ev = load(spark, dir, "events")
-      val startMs = epochMs(col("ts"))
+      val startMs = epochMs
       ev.select(
         concat(lit("msg_"), col("event_id").cast("string")).as("id"),
         concat(lit("10.0.0."), (col("user_id") % 16).cast("string")).as("src_ip"),

@@ -128,11 +128,11 @@ final class LinkingProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
       // corrupt: excluded from matching/state on both roles, identical to
       // the batch banded join's filter — the record still flows through as
       // a `message` event, so it reaches the output with empty arrays.
-      val wellFormed = cur.end_at_ms >= cur.start_at_ms
+      val wellFormed = Linking.wellFormed(cur)
       if (r.role == "parent") {
         if (wellFormed) {
           cBuf.valuesIterator.foreach { child =>
-            if (child.id != cur.id && Linking.isParent(cur, child)) {
+            if (Linking.matches(cur, child)) {
               val t = ts(math.max(cur.start_at_ms, child.start_at_ms), wm)
               out += UpdateEvent("add_child", cur.id, child.id, "", "", 0L, 0.0, 0L, t)
               out += UpdateEvent("add_parent", child.id, cur.id, "", "", 0L, 0.0, 0L, t)
@@ -145,7 +145,7 @@ final class LinkingProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
           cur.start_at_ms, cur.latency_msec, cur.end_at_ms, ts(cur.start_at_ms, wm))
       } else if (wellFormed) {
         pBuf.valuesIterator.foreach { parent =>
-          if (parent.id != cur.id && Linking.isParent(parent, cur)) {
+          if (Linking.matches(parent, cur)) {
             val t = ts(math.max(parent.start_at_ms, cur.start_at_ms), wm)
             out += UpdateEvent("add_child", parent.id, cur.id, "", "", 0L, 0.0, 0L, t)
             out += UpdateEvent("add_parent", cur.id, parent.id, "", "", 0L, 0.0, 0L, t)

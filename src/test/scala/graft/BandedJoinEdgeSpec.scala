@@ -11,11 +11,10 @@ class BandedJoinEdgeSpec extends SparkSpec {
   private def check(msgs: Seq[Msg]): Unit = {
     val sp = spark
     import sp.implicits._
-    // Contract: all-pairs spec over well-formed intervals (end >= start);
-    // inverted intervals are corrupt data, excluded from both sides.
-    val wf = msgs.filter(x => x.end_at_ms >= x.start_at_ms)
+    // Contract: the spec's complete matching rule (F1 + F6 + corrupt-
+    // interval guard), stated once in Linking.matches.
     val expected = (for {
-      p <- wf; c <- wf if p.id != c.id && Linking.isParent(p, c)
+      p <- msgs; c <- msgs if Linking.matches(p, c)
     } yield (p.id, c.id)).toSet
     val got = ChainLink.links(msgs.toDF())
       .collect().map(r => (r.getString(0), r.getString(1))).toSet

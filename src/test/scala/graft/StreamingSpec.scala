@@ -105,8 +105,7 @@ class StreamingSpec extends SparkSpec {
     val got = sp.table(name).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     val spec = (for {
-      p <- msgs; c <- msgs
-      if p.id != c.id && Linking.isParent(p, c)
+      p <- msgs; c <- msgs if Linking.matches(p, c)
     } yield (p.id, c.id)).toSet
     assert(got == spec)
   }
