@@ -113,6 +113,7 @@ object SparkEntry {
     "q_except_users" -> ((s, d) => Relational.qExceptUsers(s, d)),
     "q_latest_snapshot" -> ((s, d) => Relational.qLatestSnapshot(s, d)),
     "q_dedup_first_event" -> ((s, d) => Relational.qDedupFirstEvent(s, d)),
+    "q_events_hopping" -> ((s, d) => Relational.qEventsHopping(s, d)),
     "q_full_outer_daily" -> ((s, d) => Relational.qFullOuterDaily(s, d)),
     "q_intersect_users" -> ((s, d) => Relational.qIntersectUsers(s, d)),
     "q_dense_rank_brand" -> ((s, d) => Relational.qDenseRankBrand(s, d)),
@@ -789,6 +790,18 @@ object SparkEntry {
         |                    WHERE l2.l_partkey = l.l_partkey)
         |GROUP BY l_partkey
         |ORDER BY l_partkey""".stripMargin,
+
+    // width = 2×slide ⇒ every event is in exactly the two windows starting
+    // at floor(em/slide)·slide and one slide earlier (start ≤ t < start+width
+    // always holds for both) — mirrors Spark's epoch-aligned window().
+    "q_events_hopping" ->
+      """WITH e AS (SELECT event_type,
+        |                  (epoch_ms(ts) // 300000) * 300000 AS s0 FROM events),
+        |x AS (SELECT event_type, s0 AS window_start_ms FROM e
+        |      UNION ALL
+        |      SELECT event_type, s0 - 300000 FROM e)
+        |SELECT event_type, window_start_ms, count(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_full_outer_daily" ->
       """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events),

@@ -276,6 +276,24 @@ object Relational {
       .orderBy("user_id", "event_type")
   }
 
+  /** Hopping (sliding) window counts via Spark's native `window()` with a
+    * 10-minute width and 5-minute slide — each event lands in exactly two
+    * windows. The generator explodes to width/slide rows per event BEFORE
+    * the aggregation, so partial aggregation still map-side combines; window
+    * starts are epoch-aligned integers on both engines.
+    */
+  def qEventsHopping(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.select(col("event_type"),
+        window(timestamp_micros(expr("ts div 1000")), "600 seconds", "300 seconds")
+          .as("w"))
+      .select(col("event_type"),
+        (unix_timestamp(col("w.start")) * 1000).as("window_start_ms"))
+      .groupBy("event_type", "window_start_ms")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "window_start_ms")
+  }
+
   /** Full-outer join: daily click vs purchase counts aligned on the day
     * bucket — days with only one side survive with zero-filled counts
     * (coalesce keeps the output NULL-free for portable ordering).
