@@ -88,6 +88,7 @@ object SparkEntry {
     "q_sql_segment_revenue" -> ((s, d) => SqlApi.revenueBySegment(s, d)),
     "q_sql_cosine_by_label" -> ((s, d) => SqlApi.sqlCosineByLabel(s, d)),
     "q_sql_small_qty" -> ((s, d) => SqlApi.smallQtyParts(s, d)),
+    "q_sql_grouping_sets" -> ((s, d) => SqlApi.groupingSetsMarginals(s, d)),
     // clustering
     "q_kmeans_step" -> ((s, d) => Clustering.kmeansStep(s, d)),
     // second-wave analytics staples
@@ -790,6 +791,17 @@ object SparkEntry {
         |                    WHERE l2.l_partkey = l.l_partkey)
         |GROUP BY l_partkey
         |ORDER BY l_partkey""".stripMargin,
+
+    "q_sql_grouping_sets" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+        |         AS returnflag,
+        |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END
+        |         AS linestatus,
+        |       count(*) AS n,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
 
     // width = 2×slide ⇒ every event is in exactly the two windows starting
     // at floor(em/slide)·slide and one slide earlier (start ≤ t < start+width

@@ -52,6 +52,25 @@ object SqlApi {
         |ORDER BY l_partkey""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (neither rollup nor cube): per-returnflag and
+    * per-linestatus marginals in ONE pass — the arbitrary-sets form only
+    * SQL exposes (DataFrame API has rollup/cube). Labels are NULL-free for
+    * portable ordering.
+    */
+  def groupingSetsMarginals(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "lineitem")
+    spark.sql(
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+        |         AS returnflag,
+        |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END
+        |         AS linestatus,
+        |       count(*) AS n,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
   /** Top similar pair per label via `graft_dot` in SQL — the custom codegen
     * expression exposed through the SQL function registry.
     */
