@@ -84,6 +84,7 @@ object SparkEntry {
         .withColumn("frame_hashes",
           concat_ws(",", transform(col("frame_hashes"), _.cast("string"))))
     }),
+    "media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
     // SQL personality
     "q_sql_segment_revenue" -> ((s, d) => SqlApi.revenueBySegment(s, d)),
     "q_sql_cosine_by_label" -> ((s, d) => SqlApi.sqlCosineByLabel(s, d)),
@@ -593,6 +594,31 @@ object SparkEntry {
         |                   AS VARCHAR)), ',')
         |         AS frame_hashes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN source = 'src0' THEN 'image'
+        |              WHEN source = 'src1' THEN 'audio'
+        |              WHEN source = 'src2' THEN 'video'
+        |              ELSE 'text' END AS media_type,
+        |         octet_length(encode(text)) AS blen, text,
+        |         CAST(64 + CAST('0x' || substr(md5('w' || doc_id), 1, 15) AS BIGINT) % 1920
+        |              AS BIGINT) AS width,
+        |         CAST(64 + CAST('0x' || substr(md5('h' || doc_id), 1, 15) AS BIGINT) % 1080
+        |              AS BIGINT) AS height
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, media_type, width, height, text,
+        |         unnest(generate_series(0, CAST(least(blen // 100, 3) AS BIGINT)))
+        |           AS frame_idx
+        |  FROM m)
+        |SELECT doc_id, media_type, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST('0x' || substr(md5(text || '#' || frame_idx), 1, 15) AS BIGINT)
+        |         AS frame_hash,
+        |       width * 128 // greatest(width, height) AS thumb_w,
+        |       height * 128 // greatest(width, height) AS thumb_h
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_sql_segment_revenue" ->
       s"""SELECT c_mktsegment, $revenueE4 AS revenue_e4, count(*) AS n_items

@@ -101,4 +101,23 @@ object Multimodal {
     val media = mediaTable(spark, dir).as[MediaIn]
     decode(media).toDF().orderBy("doc_id")
   }
+
+  /** Frame-sample + resize plumbing: the decoded docs fanned out 1→N to one
+    * row per sampled frame (`posexplode` — the UDTF shape), each carrying an
+    * aspect-preserving integer thumbnail target (long edge 128). In
+    * production the per-frame row is where pixel work happens; here the
+    * generator fan-out, the deterministic sample positions, and the integer
+    * resize arithmetic are the real, oracle-checked parts.
+    */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val meta = decode(mediaTable(spark, dir).as[MediaIn]).toDF()
+    meta.select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        posexplode(col("frame_hashes")).as(Seq("frame_idx", "frame_hash")))
+      .select(col("doc_id"), col("media_type"),
+        col("frame_idx").cast("long").as("frame_idx"), col("frame_hash"),
+        expr("width * 128 div greatest(width, height)").as("thumb_w"),
+        expr("height * 128 div greatest(width, height)").as("thumb_h"))
+      .orderBy("doc_id", "frame_idx")
+  }
 }
