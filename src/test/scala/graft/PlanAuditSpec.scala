@@ -141,17 +141,31 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("event_type")), s"residual filter present:\n$p")
   }
 
-  test("bucketed join on a shared bucket spec has no Exchange") {
-    import org.apache.spark.sql.functions._
+  test("bucketed join accepts same-name keys on both sides") {
+    // regression: col(key) === col(key) was ambiguous; per-side refs resolve
+    Seq("b_docs_a", "b_docs_b").foreach(dropBucketedTable)
+    val d = Tables.load(spark, sf0001, "documents").select("doc_id", "source")
+    sources.Bucketing.writeBucketed(d, "b_docs_a", "doc_id", 4)
+    sources.Bucketing.writeBucketed(d, "b_docs_b", "doc_id", 4)
+    val n = sources.Bucketing.bucketedJoin(spark, "b_docs_a", "b_docs_b",
+      "doc_id", "doc_id").count()
+    assert(n == d.count())
+    Seq("b_docs_a", "b_docs_b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  private def dropBucketedTable(t: String): Unit = {
     // drop catalog entries AND locations surviving a previous JVM (the
     // in-memory metastore forgets tables; the warehouse dir does not)
-    Seq("b_lineitem", "b_orders").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = java.nio.file.Paths.get("/tmp/graft-test-warehouse", t)
-      if (java.nio.file.Files.exists(dir))
-        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val dir = java.nio.file.Paths.get("/tmp/graft-test-warehouse", t)
+    if (java.nio.file.Files.exists(dir))
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+  }
+
+  test("bucketed join on a shared bucket spec has no Exchange") {
+    import org.apache.spark.sql.functions._
+    Seq("b_lineitem", "b_orders").foreach(dropBucketedTable)
     val li = Tables.load(spark, sf0001, "lineitem")
       .select("l_orderkey", "l_quantity")
     val ord = Tables.load(spark, sf0001, "orders")
