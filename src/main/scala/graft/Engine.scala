@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, TTLConfig}
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.core.{LinkedMsg, Msg}
 import graft.operators._
 import graft.sources.Tables
@@ -51,9 +51,9 @@ object Engine {
   // ---- reference surface: streaming personality ----
 
   /** Chain-link a stream of messages (any source). */
-  def chainLinkStream(msgs: Dataset[Msg], maxOutOfOrder: String = "30 seconds",
-      stateTtl: TTLConfig = TTLConfig.NONE): Dataset[LinkedMsg] =
-    StreamingChainLink.linked(msgs, maxOutOfOrder, stateTtl)
+  def chainLinkStream(msgs: Dataset[Msg], maxOutOfOrder: String = "30 seconds")
+      : Dataset[LinkedMsg] =
+    StreamingChainLink.linked(msgs, maxOutOfOrder)
 
   /** The full Kafka→link→Kafka job (reference `simpy_kafka_reader.main`). */
   def runKafkaJob(spark: SparkSession, bootstrapServers: String,

@@ -67,11 +67,16 @@ final case class UpdateEvent(
   *     (`test_chain_linking.py:34-35` skips i==j). We follow the spec and
   *     guard on id, keeping streaming ≡ batch.
   *   - Idle flush (W4): Flink mixes processing-time idle timers with
-  *     event-time eviction; one Spark operator has one TimeMode. State TTL
-  *     is the idiomatic replacement (liveness only, not values —
-  *     SURVEY.md §7 risk 1); tests drive the watermark instead.
+  *     event-time eviction; one Spark operator has one TimeMode, and Spark
+  *     rejects state TTL in EventTime mode outright — there is NO
+  *     processing-time escape hatch here. In practice the divergence is
+  *     liveness-only and narrower than it looks: the micro-batch watermark
+  *     is global (min across partitions), so a sparse KEY still flushes
+  *     whenever any data flows anywhere; only a globally idle stream stalls
+  *     emission, where the reference's 60 s flush would emit. Values are
+  *     never affected (SURVEY.md §7 risk 1).
   */
-final class LinkingProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
+final class LinkingProcessor
     extends StatefulProcessor[String, RoleRecord, UpdateEvent] {
 
   @transient private var parentState: org.apache.spark.sql.streaming.MapState[String, Msg] = _
@@ -81,9 +86,9 @@ final class LinkingProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     val msgEnc = Encoders.product[Msg]
     val strEnc = Encoders.STRING
-    parentState = getHandle.getMapState[String, Msg]("parent_state", strEnc, msgEnc, stateTtl)
-    childState = getHandle.getMapState[String, Msg]("child_state", strEnc, msgEnc, stateTtl)
-    evictAt = getHandle.getValueState[Long]("evict_at", Encoders.scalaLong, stateTtl)
+    parentState = getHandle.getMapState[String, Msg]("parent_state", strEnc, msgEnc, TTLConfig.NONE)
+    childState = getHandle.getMapState[String, Msg]("child_state", strEnc, msgEnc, TTLConfig.NONE)
+    evictAt = getHandle.getValueState[Long]("evict_at", Encoders.scalaLong, TTLConfig.NONE)
   }
 
   /** One rolling eviction timer per key (earliest pending end) instead of a
@@ -186,7 +191,7 @@ final class LinkingProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
   * Updates arriving before the base message accumulate; orphan updates
   * (no base) are never emitted — reference behavior (`:266-269`).
   */
-final class AggregationProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
+final class AggregationProcessor
     extends StatefulProcessor[String, UpdateEvent, LinkedMsg] {
 
   @transient private var base: org.apache.spark.sql.streaming.ValueState[Msg] = _
@@ -194,9 +199,9 @@ final class AggregationProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
   @transient private var children: org.apache.spark.sql.streaming.ListState[String] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    base = getHandle.getValueState[Msg]("base", Encoders.product[Msg], stateTtl)
-    parents = getHandle.getListState[String]("parents", Encoders.STRING, stateTtl)
-    children = getHandle.getListState[String]("children", Encoders.STRING, stateTtl)
+    base = getHandle.getValueState[Msg]("base", Encoders.product[Msg], TTLConfig.NONE)
+    parents = getHandle.getListState[String]("parents", Encoders.STRING, TTLConfig.NONE)
+    children = getHandle.getListState[String]("children", Encoders.STRING, TTLConfig.NONE)
   }
 
   override def handleInputRows(key: String, rows: Iterator[UpdateEvent],
@@ -248,8 +253,8 @@ object StreamingChainLink {
   /** msgs (any source: Kafka-parsed, MemoryStream, files) → enriched
     * LinkedMsg stream. `maxOutOfOrder` mirrors SIMPY_MAX_OUT_OF_ORDER_MS.
     */
-  def linked(msgs: Dataset[Msg], maxOutOfOrder: String = "30 seconds",
-      stateTtl: TTLConfig = TTLConfig.NONE): Dataset[LinkedMsg] = {
+  def linked(msgs: Dataset[Msg], maxOutOfOrder: String = "30 seconds")
+      : Dataset[LinkedMsg] = {
     val spark = msgs.sparkSession
     import spark.implicits._
     val roles = msgs
@@ -264,10 +269,10 @@ object StreamingChainLink {
       }
     val updates = roles
       .groupByKey(_.ip_key)
-      .transformWithState(new LinkingProcessor(stateTtl), "event_time", OutputMode.Append)
+      .transformWithState(new LinkingProcessor, "event_time", OutputMode.Append)
     updates
       .groupByKey(_.key_id)
-      .transformWithState(new AggregationProcessor(stateTtl), TimeMode.EventTime, OutputMode.Append)
+      .transformWithState(new AggregationProcessor, TimeMode.EventTime, OutputMode.Append)
   }
 
   /** J1's pure-DataFrame streaming alternative (SURVEY.md §2.4): the link
