@@ -40,6 +40,7 @@ object SparkEntry {
     "degree_histogram" -> ((s, d) => ChainLink.degreeHistogram(s, d)),
     "parse_events" -> ((s, d) => ChainLink.parseEvents(s, d)),
     "q_grandparents" -> ((s, d) => ChainLink.grandparents(s, d)),
+    "q_trace_depth" -> ((s, d) => ChainLink.traceDepth(s, d)),
     "q_sessions" -> ((s, d) => ChainLink.sessionize(s, d)),
     // HLL sketch: engine-specific estimates → no cross-engine oracle
     // (driver records the weaker rows-only check by design)
@@ -360,6 +361,26 @@ object SparkEntry {
          |FROM links g JOIN links c ON g.child_id = c.parent_id
          |WHERE g.parent_id <> c.child_id
          |ORDER BY 1, 2, 3""".stripMargin,
+
+    // Longest path over the strict-containment DAG via recursive CTE
+    // (UNION dedups (node, d) pairs each step; DAG ⇒ termination) vs the
+    // Spark side's iterative max-relaxation — independent mechanisms.
+    "q_trace_depth" ->
+      s"""WITH RECURSIVE $msgsCte, $linksCte,
+         |strict AS (
+         |  SELECT l.parent_id, l.child_id FROM links l
+         |  JOIN msgs p ON l.parent_id = p.id
+         |  JOIN msgs c ON l.child_id = c.id
+         |  WHERE NOT (p.start_at_ms = c.start_at_ms AND p.end_at_ms = c.end_at_ms)),
+         |paths AS (
+         |  SELECT child_id AS id, 1 AS d FROM strict
+         |  UNION
+         |  SELECT s.child_id, p.d + 1 FROM paths p
+         |  JOIN strict s ON s.parent_id = p.id),
+         |dep AS (SELECT id, max(d) AS depth FROM paths GROUP BY 1)
+         |SELECT m.id, CAST(coalesce(dep.depth, 0) AS BIGINT) AS depth
+         |FROM msgs m LEFT JOIN dep USING (id)
+         |ORDER BY m.id""".stripMargin,
 
     "q_sessions" ->
       """WITH e AS (

@@ -213,6 +213,57 @@ object ChainLink {
       .orderBy("grand_id", "mid_id", "child_id")
   }
 
+  /** Ancestor-chain depth per message: longest path over the STRICT-
+    * containment link DAG. Equal-interval pairs link mutually (a 2-cycle in
+    * the full relation — the reference allows mutual parent/child), so depth
+    * restricts edges to strict containment, which is irreflexive and
+    * transitive ⇒ acyclic, making longest-path well-defined.
+    *
+    * Implementation is iterative relaxation (d(c) ← max over parents
+    * d(p)+1) to fixpoint — rounds = max chain depth (call trees are ~5 deep
+    * in the reference workload). Same Pregel shape as
+    * [[Curation.dedupClusters]]: one shuffle per round over only the nodes
+    * that appear in edges; every other message keeps depth 0. The oracle is
+    * a recursive-CTE longest path — an independent mechanism.
+    */
+  def traceDepth(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.msgs(spark, dir).select(col("id"),
+      col("start_at_ms"), col("end_at_ms"))
+    val strict = linksFor(spark, dir)
+      .join(iv.select(col("id").as("parent_id"), col("start_at_ms").as("ps"),
+        col("end_at_ms").as("pe")), "parent_id")
+      .join(iv.select(col("id").as("child_id"), col("start_at_ms").as("cs"),
+        col("end_at_ms").as("ce")), "child_id")
+      .where(!(col("ps") === col("cs") && col("pe") === col("ce")))
+      .select("parent_id", "child_id").cache()
+    var cached = strict.select(col("parent_id").as("node"))
+      .union(strict.select(col("child_id"))).distinct()
+      .withColumn("d", lit(0L)).cache()
+    var depth = cached
+    var changed = 1L
+    while (changed > 0) {
+      val next = depth.join(
+          strict.join(depth, strict("parent_id") === depth("node"))
+            .groupBy(col("child_id").as("node2"))
+            .agg((max(col("d")) + 1L).as("cand")),
+          depth("node") === col("node2"), "left")
+        .select(col("node"), greatest(col("d"), coalesce(col("cand"),
+          col("d"))).as("d"), col("d").as("prev"))
+        .cache()
+      changed = next.where(col("d") =!= col("prev")).count()
+      cached.unpersist()
+      cached = next
+      depth = next.select("node", "d")
+    }
+    val finalDepth = depth.localCheckpoint()
+    cached.unpersist()
+    strict.unpersist()
+    Tables.msgs(spark, dir).select(col("id"))
+      .join(finalDepth.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("d"), lit(0L)).as("depth"))
+      .orderBy("id")
+  }
+
   /** Gap-based sessionization of the events stream (batch form of a session
     * window): a new session starts when a user's inter-event gap exceeds
     * 30 minutes. One shuffle on user_id; the session id is a running count

@@ -88,6 +88,29 @@ class CurationSpec extends SparkSpec {
     assert(got.exists(_._3 > 1), "no non-singleton cluster in fixture")
   }
 
+  test("trace depth satisfies the longest-path invariant on every strict edge") {
+    val iv = Tables.msgs(spark, sf0001)
+      .select("id", "start_at_ms", "end_at_ms").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val strict = graft.operators.ChainLink.linkPairs(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (p, c) => iv(p) != iv(c) }
+    val depth = graft.operators.ChainLink.traceDepth(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // longest-path: every child is at least one deeper than EACH parent,
+    // and exactly one deeper than SOME parent
+    strict.foreach { case (p, c) =>
+      assert(depth(c) >= depth(p) + 1, s"edge $p->$c: ${depth(p)} ${depth(c)}")
+    }
+    val parentsOf = strict.groupBy(_._2)
+    parentsOf.foreach { case (c, es) =>
+      assert(es.exists { case (p, _) => depth(c) == depth(p) + 1 },
+        s"$c depth ${depth(c)} not tight")
+    }
+    // sf0.001's strict graph is shallow (depth 1); non-vacuity = edges exist
+    assert(strict.nonEmpty && depth.values.max >= 1)
+  }
+
   test("salted distinct count equals plain countDistinct") {
     val plain = Tables.load(spark, sf0001, "events")
       .groupBy("event_type").agg(countDistinct("user_id").as("n"))
