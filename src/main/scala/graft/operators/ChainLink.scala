@@ -236,30 +236,38 @@ object ChainLink {
         col("end_at_ms").as("ce")), "child_id")
       .where(!(col("ps") === col("cs") && col("pe") === col("ce")))
       .select("parent_id", "child_id").cache()
-    var cached = strict.select(col("parent_id").as("node"))
-      .union(strict.select(col("child_id"))).distinct()
-      .withColumn("d", lit(0L)).cache()
-    var depth = cached
+    var (cur, freeCur) = Iterative.round(
+      strict.select(col("parent_id").as("node"))
+        .union(strict.select(col("child_id"))).distinct()
+        .withColumn("d", lit(0L)))
+    var depth = cur
+    // Frontier-restricted relaxation: only nodes whose depth changed last
+    // round can raise a child's depth this round, so the propagation join
+    // probes the (rapidly shrinking) frontier instead of all nodes. The
+    // full depth relation is still carried (checkpointed) each round.
+    var frontier = cur // round 1: every node is a candidate source
     var changed = 1L
     while (changed > 0) {
-      val next = depth.join(
-          strict.join(depth, strict("parent_id") === depth("node"))
-            .groupBy(col("child_id").as("node2"))
-            .agg((max(col("d")) + 1L).as("cand")),
-          depth("node") === col("node2"), "left")
-        .select(col("node"), greatest(col("d"), coalesce(col("cand"),
-          col("d"))).as("d"), col("d").as("prev"))
-        .cache()
+      val (next, freeNext) = Iterative.round(
+        depth.join(
+            strict.join(frontier, strict("parent_id") === frontier("node"))
+              .groupBy(col("child_id").as("node2"))
+              .agg((max(frontier("d")) + 1L).as("cand")),
+            depth("node") === col("node2"), "left")
+          .select(depth("node"), greatest(depth("d"), coalesce(col("cand"),
+            depth("d"))).as("d"), depth("d").as("prev")))
       changed = next.where(col("d") =!= col("prev")).count()
-      cached.unpersist()
-      cached = next
+      freeCur()
+      cur = next
+      freeCur = freeNext
       depth = next.select("node", "d")
+      frontier = next.where(col("d") =!= col("prev")).select("node", "d")
     }
-    val finalDepth = depth.localCheckpoint()
-    cached.unpersist()
     strict.unpersist()
+    // `depth` stays a flat checkpointed relation (tiny: nodes-in-edges
+    // only); its blocks are released when the session or RDD is GC'd.
     Tables.msgs(spark, dir).select(col("id"))
-      .join(finalDepth.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .join(depth.withColumnRenamed("node", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("d"), lit(0L)).as("depth"))
       .orderBy("id")
   }

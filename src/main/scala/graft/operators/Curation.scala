@@ -118,36 +118,33 @@ object Curation {
     val pairs = Dedup.dedupNgram(spark, dir).select("doc_a", "doc_b")
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
-    // Each round caches via the exact handle we later unpersist (Dataset
-    // .unpersist releases CacheManager entries, NOT localCheckpoint RDD
-    // blocks — checkpointing every round would pin diameter-many label
-    // copies until session end). The count() that drives convergence also
-    // materializes the round's cache, so superseded rounds release eagerly.
-    var cached = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    var labels = cached
+    // Each round goes through Iterative.round: eager localCheckpoint keeps
+    // round plans FLAT (they reference the previous round twice, so plans
+    // would otherwise double per round), and the release handle frees the
+    // superseded round's blocks — Dataset.unpersist can't (they belong to
+    // the RDD, not the CacheManager).
+    var (cur, freeCur) = Iterative.round(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
+    var labels = cur
     var changed = 1L
     while (changed > 0) {
-      val next = labels.join(
-          edges.join(labels, edges("src") === labels("node"))
-            .groupBy(col("dst").as("node2")).agg(min("label").as("nbr_min")),
-          labels("node") === col("node2"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nbr_min"),
-          col("label"))).as("label"), col("label").as("prev"))
-        .cache()
+      val (next, freeNext) = Iterative.round(
+        labels.join(
+            edges.join(labels, edges("src") === labels("node"))
+              .groupBy(col("dst").as("node2")).agg(min("label").as("nbr_min")),
+            labels("node") === col("node2"), "left")
+          .select(col("node"), least(col("label"), coalesce(col("nbr_min"),
+            col("label"))).as("label"), col("label").as("prev")))
       changed = next.where(col("label") =!= col("prev")).count()
-      cached.unpersist()
-      cached = next
+      freeCur()
+      cur = next
+      freeCur = freeNext
       labels = next.select("node", "label")
     }
-    // ONE final checkpoint: truncates the loop's accumulated lineage (plan
-    // depth = rounds) so downstream queries replan from a flat relation;
-    // then release the last round's cache and the edge list.
-    val finalLabels = labels.localCheckpoint()
-    cached.unpersist()
     edges.unpersist()
     val assigned = Tables.load(spark, dir, "documents").select("doc_id")
-      .join(finalLabels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
     val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
