@@ -236,16 +236,17 @@ object ChainLink {
         col("end_at_ms").as("ce")), "child_id")
       .where(!(col("ps") === col("cs") && col("pe") === col("ce")))
       .select("parent_id", "child_id").cache()
-    var (cur, freeCur) = Iterative.round(
+    val (init, freeInit) = Iterative.round(
       strict.select(col("parent_id").as("node"))
         .union(strict.select(col("child_id"))).distinct()
         .withColumn("d", lit(0L)))
-    var depth = cur
+    var depth = init
     // Frontier-restricted relaxation: only nodes whose depth changed last
     // round can raise a child's depth this round, so the propagation join
     // probes the (rapidly shrinking) frontier instead of all nodes. The
     // full depth relation is still carried (checkpointed) each round.
-    var frontier = cur // round 1: every node is a candidate source
+    var frontier = init // round 1: every node is a candidate source
+    var freeCur = freeInit
     var changed = 1L
     while (changed > 0) {
       val (next, freeNext) = Iterative.round(
@@ -258,7 +259,6 @@ object ChainLink {
             depth("d"))).as("d"), depth("d").as("prev")))
       changed = next.where(col("d") =!= col("prev")).count()
       freeCur()
-      cur = next
       freeCur = freeNext
       depth = next.select("node", "d")
       frontier = next.where(col("d") =!= col("prev")).select("node", "d")

@@ -123,10 +123,11 @@ object Curation {
     // would otherwise double per round), and the release handle frees the
     // superseded round's blocks — Dataset.unpersist can't (they belong to
     // the RDD, not the CacheManager).
-    var (cur, freeCur) = Iterative.round(
+    val (init, freeInit) = Iterative.round(
       edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")))
-    var labels = cur
+    var labels = init
+    var freeCur = freeInit
     var changed = 1L
     while (changed > 0) {
       val (next, freeNext) = Iterative.round(
@@ -138,7 +139,6 @@ object Curation {
             col("label"))).as("label"), col("label").as("prev")))
       changed = next.where(col("label") =!= col("prev")).count()
       freeCur()
-      cur = next
       freeCur = freeNext
       labels = next.select("node", "label")
     }

@@ -285,7 +285,7 @@ object Relational {
   def qEventsHopping(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     ev.select(col("event_type"),
-        window(timestamp_micros(expr("ts div 1000")), "600 seconds", "300 seconds")
+        window(timestamp_millis(Tables.epochMs), "600 seconds", "300 seconds")
           .as("w"))
       .select(col("event_type"),
         (unix_timestamp(col("w.start")) * 1000).as("window_start_ms"))
