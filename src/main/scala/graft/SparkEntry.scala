@@ -102,6 +102,9 @@ object SparkEntry {
     "q_tfidf_top_term" -> ((s, d) => Analytics.tfidfTopTerm(s, d)),
     "q_lsh_cosine" -> ((s, d) => Analytics.lshCosine(s, d)),
     "q_overlap_count" -> ((s, d) => Analytics.overlapCount(s, d)),
+    "q_funnel" -> ((s, d) => Analytics.funnelStages(s, d)),
+    "q_corr_moments" -> ((s, d) => Analytics.corrMoments(s, d)),
+    "q_edit_distance" -> ((s, d) => Analytics.editDistance(s, d)),
     // training-data curation
     "q_split_assign" -> ((s, d) => Curation.splitAssign(s, d)),
     "q_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
@@ -716,6 +719,41 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_lsh_cosine" -> lshCosineSql,
+
+    "q_funnel" ->
+      """WITH j AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |                    ORDER BY epoch_ms(ts), event_id) AS seq
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1),
+        |s AS (SELECT user_id,
+        |        CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 3
+        |             WHEN regexp_matches(seq, 'v.*c') THEN 2
+        |             WHEN regexp_matches(seq, 'v') THEN 1
+        |             ELSE 0 END AS stage
+        |      FROM j)
+        |SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_corr_moments" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(x) AS BIGINT) AS sum_x,
+        |       CAST(sum(y) AS BIGINT) AS sum_y,
+        |       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+        |       CAST(sum(y * y) AS BIGINT) AS sum_y2
+        |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |             CAST(round(l_extendedprice) AS BIGINT) AS y
+        |      FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_edit_distance" ->
+      """SELECT doc_id,
+        |       CAST(levenshtein(substr(text, 1, 32),
+        |                        'the quick brown fox jumps over') AS BIGINT)
+        |         AS edit_dist
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_split_assign" ->
       s"""SELECT doc_id, source, bucket,

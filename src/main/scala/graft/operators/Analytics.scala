@@ -109,6 +109,66 @@ object Analytics {
       .orderBy("p_type")
   }
 
+  /** Funnel analysis: how far each user progresses through
+    * view → click → purchase (in event-time order, other events ignored).
+    * The per-user journey collapses to an ordered initial-letter string —
+    * one hash aggregation, map-side combinable — and stage membership is a
+    * subsequence regex on that string; output is users per deepest stage.
+    * This is the O(users) shape for funnel queries at any scale: no
+    * self-joins per stage, no per-stage scans.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val journeys = ev
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        struct(Tables.epochMs.as("em"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("i")).as("e"))
+      .groupBy("user_id")
+      .agg(concat_ws("", transform(sort_array(collect_list(col("e"))),
+        e => e.getField("i"))).as("seq"))
+    journeys.select(col("user_id"),
+        when(col("seq").rlike("v.*c.*p"), 3L)
+          .when(col("seq").rlike("v.*c"), 2L)
+          .when(col("seq").rlike("v"), 1L)
+          .otherwise(0L).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  /** Statistical moments as EXACT integers: n, Σx, Σy, Σxy, Σx², Σy² over
+    * (quantity, whole-dollar price) — everything a correlation/regression
+    * needs, but order-independent int64 sums that hash-compare across
+    * engines (a float `corr()` differs in the last ulp between engines and
+    * partitionings). The caller derives r or β from the moments. Dollars,
+    * not cents: Σy² in cents would overflow int64 near 10⁸ rows/group
+    * (y²≈10¹⁴ each); dollar-scale keeps headroom to ~10¹² rows.
+    */
+  def corrMoments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sum_x"), sum("y").as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+      .orderBy("l_returnflag")
+  }
+
+  /** String similarity via edit distance: Levenshtein between each doc's
+    * 32-char prefix and a fixed probe phrase (standard DP, identical in
+    * Spark and DuckDB). Map-only — the per-pair form plugs the same
+    * function into any candidate join.
+    */
+  def editDistance(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 32),
+          lit("the quick brown fox jumps over")).cast("long").as("edit_dist"))
+      .orderBy("doc_id")
+
   /** Corpus-level n-gram frequency: top-20 word 3-grams by document
     * frequency. Reuses the memoized distinct-shingle relation; one hash agg
     * + a 20-row top-k (ties broken by shingle text → total order).
