@@ -16,13 +16,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Queries are independent; run 4 at a time on the shared session
+    // (Spark schedules concurrent actions fine, and Materialized's memo is
+    // concurrency-safe) — roughly halves the dump wall-clock, dominated by
+    // many small sequential jobs otherwise.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      scala.concurrent.Future {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
+    import scala.concurrent.duration._
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), 60.minutes)
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
