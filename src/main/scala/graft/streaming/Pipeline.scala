@@ -49,6 +49,21 @@ object Pipeline {
       .as[Msg]
   }
 
+  /** File sources through the same lenient wire parse as the Kafka path:
+    * a JSON-lines directory read as raw text → [[parseMsgs]]. Works batch
+    * (`spark.read`) and streaming (`spark.readStream` — set
+    * `streaming = true` for a file-watching source with the same
+    * semantics). Malformed lines default the row, exactly like the wire.
+    */
+  def jsonFileMsgs(spark: org.apache.spark.sql.SparkSession, path: String,
+      streaming: Boolean = false): Dataset[Msg] = {
+    import spark.implicits._
+    val raw =
+      if (streaming) spark.readStream.text(path).select(col("value")).as[String]
+      else spark.read.text(path).select(col("value")).as[String]
+    parseMsgs(raw)
+  }
+
   /** S1 — Kafka source with the reference's consumer config
     * (`simpy_kafka_reader.py:345-356`): subscribe `test-topic`,
     * `auto.offset.reset` default latest.

@@ -60,4 +60,22 @@ class PipelineSpec extends SparkSpec {
     val e = intercept[Exception](Pipeline.kafkaSource(spark, "broker:9092"))
     assert(e.getMessage.contains("kafka"))
   }
+
+  test("JSON-lines file source flows through the lenient wire parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    java.nio.file.Files.writeString(dir.resolve("part0.jsonl"),
+      """{"id":"f1","src_ip":"10.0.0.1","dst_ip":"10.0.0.2","start_at_ms":100,"latency_msec":5.0,"end_at_ms":200}
+        |{"id":"f2","src_ip":"10.0.0.2","start_at_ms":"150.7"}
+        |not json at all
+        |""".stripMargin)
+    val got = Pipeline.jsonFileMsgs(spark, dir.toString).collect()
+      .map(m => m.id -> m).toMap
+    assert(got("f1").end_at_ms == 200L)
+    // missing fields default; numeric string coerces via int(float(x))
+    assert(got("f2").dst_ip == "" && got("f2").start_at_ms == 150L &&
+      got("f2").end_at_ms == 0L)
+    // malformed line defaults the whole row (id "")
+    assert(got("").start_at_ms == 0L)
+    assert(got.size == 3)
+  }
 }
