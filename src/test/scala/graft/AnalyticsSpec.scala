@@ -97,4 +97,27 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(3))
     }
   }
+
+  test("funnel stages count users by deepest ordered subsequence") {
+    // brute-force the stage over the same event subset, per user
+    val ev = Tables.load(spark, sf0001, "events")
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), expr("ts div 1000000").as("em"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val stages = ev.groupBy(_._1).map { case (_, es) =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4.head).mkString
+      if (seq.matches(".*v.*c.*p.*")) 3L
+      else if (seq.matches(".*v.*c.*")) 2L
+      else if (seq.contains("v")) 1L
+      else 0L
+    }
+    val expected = stages.groupBy(identity)
+      .map { case (k, v) => (k, v.size.toLong) }
+    val got = graft.operators.Analytics.funnelStages(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+    assert(got.keySet.exists(_ >= 2), "fixture should reach stage 2+")
+  }
 }
