@@ -19,13 +19,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_phash"),
+      new ExpressionInfo(classOf[PortableHash60].getName, "graft_phash"),
+      (exprs: Seq[Expression]) => PortableHash60(exprs(0))))
   }
 }
 
 object GraftFunctions {
   /** Register the function library into an existing session. */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_phash", exprs => PortableHash60(exprs(0)), "built-in")
+  }
 }

@@ -70,15 +70,17 @@ object Tables {
 
   /** Portable 60-bit string hash: identical in Spark and DuckDB.
     *
-    * Spark:  conv(substring(md5(s),1,15),16,10) cast long
+    * Spark:  graft_phash(s) — a codegen'd expression computing
+    *         `conv(substring(md5(s),1,15),16,10)::long` digest-direct
+    *         (no hex-string materialization; see
+    *         [[graft.functions.PortableHash60]])
     * DuckDB: CAST('0x' || substr(md5(s),1,15) AS BIGINT)
     *
-    * 15 hex digits = 60 bits, always non-negative, fits int64. md5 is
-    * codegen'd in Spark — far faster than any per-char fold, and stable
+    * 15 hex digits = 60 bits, always non-negative, fits int64; stable
     * across engines unlike murmur3/xxhash.
     */
   def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.PortableHash60(c)
 
   /** DuckDB SQL fragment for [[portableHash]] applied to expression `e`. */
   def portableHashSql(e: String): String =

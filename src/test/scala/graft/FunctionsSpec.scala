@@ -41,4 +41,28 @@ class FunctionsSpec extends SparkSpec {
     assert(dotLine.startsWith("*"), s"graft_dot not codegen'd:\n$plan")
     assert(df.head().getDouble(0) > 0.0)
   }
+
+  test("graft_phash == conv(substring(md5,1,15),16,10) on random strings") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(5)
+    val strs = (0 until 500).map(_ => rnd.alphanumeric
+      .take(rnd.nextInt(40)).mkString) ++
+      Seq("", " ", "√unicode✓", "a b c", "\t")
+    val df = strs.toDF("s").select(
+      graft.functions.PortableHash60(col("s")).as("fused"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("composed"))
+    assert(df.where(col("fused") =!= col("composed")).count() == 0L)
+    assert(df.where(col("fused") < 0).count() == 0L)
+  }
+
+  test("graft_phash registered for SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_phash('abc') AS h").head().getLong(0)
+    val expected = spark.sql(
+      "SELECT CAST(conv(substring(md5('abc'), 1, 15), 16, 10) AS BIGINT)")
+      .head().getLong(0)
+    assert(r == expected)
+  }
 }
