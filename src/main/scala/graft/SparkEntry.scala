@@ -105,6 +105,8 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => Analytics.funnelStages(s, d)),
     "q_corr_moments" -> ((s, d) => Analytics.corrMoments(s, d)),
     "q_edit_distance" -> ((s, d) => Analytics.editDistance(s, d)),
+    "q_day_retention" -> ((s, d) => Analytics.dayRetention(s, d)),
+    "q_iqr_outliers" -> ((s, d) => Analytics.iqrOutliers(s, d)),
     // training-data curation
     "q_split_assign" -> ((s, d) => Curation.splitAssign(s, d)),
     "q_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
@@ -754,6 +756,37 @@ object SparkEntry {
         |                        'the quick brown fox jumps over') AS BIGINT)
         |         AS edit_dist
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_day_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |           FROM events),
+        |r AS (SELECT a.day, count(*) AS n_retained
+        |      FROM a JOIN a b ON a.user_id = b.user_id AND b.day = a.day + 1
+        |      GROUP BY 1)
+        |SELECT a.day, count(*) AS n_active,
+        |       coalesce(min(r.n_retained), 0) AS n_retained
+        |FROM a LEFT JOIN r ON a.day = r.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_iqr_outliers" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events),
+        |rk AS (SELECT event_type, v,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+        |       FROM e),
+        |n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+        |q AS (SELECT event_type,
+        |        min(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1,
+        |        min(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS q3
+        |      FROM rk JOIN n USING (event_type) GROUP BY 1),
+        |b AS (SELECT event_type, q1 * 2 - (q3 - q1) * 3 AS lo2,
+        |             q3 * 2 + (q3 - q1) * 3 AS hi2
+        |      FROM q)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN v * 2 < lo2 OR v * 2 > hi2 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM e JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_split_assign" ->
       s"""SELECT doc_id, source, bucket,

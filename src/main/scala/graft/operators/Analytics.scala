@@ -169,6 +169,55 @@ object Analytics {
           lit("the quick brown fox jumps over")).cast("long").as("edit_dist"))
       .orderBy("doc_id")
 
+  /** Next-day cohort retention: per activity day, how many distinct users
+    * were also active the following day. Two hash aggregations + one
+    * equi-join on (user, day+1) — the O(users×days) shape; no per-cohort
+    * scans.
+    */
+  def dayRetention(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.load(spark, dir, "events")
+      .select(col("user_id"), Tables.epochMsBucket(86400000L).as("day"))
+      .distinct()
+    val returned = active.as("a").join(active.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.day") === col("a.day") + 1L)
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("n_retained"))
+    active.groupBy("day").agg(count(lit(1)).as("n_active"))
+      .join(returned, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .orderBy("day")
+  }
+
+  /** IQR outlier counts per event type: values outside
+    * [Q1 − 1.5·IQR, Q3 + 1.5·IQR], with exact rank-based quartiles over
+    * integer cents (the same engine-portable percentile_disc construction
+    * as [[quantityPercentiles]]) and the 1.5 factor as a ×2/÷2 integer
+    * computation — no floats anywhere.
+    */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val ranked = ev.withColumn("rn", row_number().over(w))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val quartiles = ranked.join(broadcast(counts), "event_type")
+      .groupBy("event_type")
+      .agg(min(when(col("rn") === expr("(n + 3) div 4"), col("v"))).as("q1"),
+        min(when(col("rn") === expr("(3 * n + 3) div 4"), col("v"))).as("q3"))
+      // bounds in half-cents so 1.5·IQR stays integer-exact
+      .select(col("event_type"),
+        (col("q1") * 2 - (col("q3") - col("q1")) * 3).as("lo2"),
+        (col("q3") * 2 + (col("q3") - col("q1")) * 3).as("hi2"))
+    ev.join(broadcast(quartiles), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") * 2 < col("lo2") || col("v") * 2 > col("hi2"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** Corpus-level n-gram frequency: top-20 word 3-grams by document
     * frequency. Reuses the memoized distinct-shingle relation; one hash agg
     * + a 20-row top-k (ties broken by shingle text → total order).
