@@ -107,6 +107,7 @@ object SparkEntry {
     "q_edit_distance" -> ((s, d) => Analytics.editDistance(s, d)),
     "q_day_retention" -> ((s, d) => Analytics.dayRetention(s, d)),
     "q_iqr_outliers" -> ((s, d) => Analytics.iqrOutliers(s, d)),
+    "q_markov_transitions" -> ((s, d) => Analytics.markovTransitions(s, d)),
     // training-data curation
     "q_split_assign" -> ((s, d) => Curation.splitAssign(s, d)),
     "q_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
@@ -756,6 +757,16 @@ object SparkEntry {
         |                        'the quick brown fox jumps over') AS BIGINT)
         |         AS edit_dist
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ms(ts), event_id) AS from_type,
+        |         event_type AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM t WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_day_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day

@@ -169,6 +169,23 @@ object Analytics {
           lit("the quick brown fox jumps over")).cast("long").as("edit_dist"))
       .orderBy("doc_id")
 
+  /** Event-sequence transition counts (the Markov-chain bigram table):
+    * for each user's time-ordered event stream, count (from_type → to_type)
+    * transitions corpus-wide. One lag window + one hash aggregation — the
+    * sequence-feature extraction shape for behavioral models at any scale.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(Tables.epochMs, col("event_id"))
+    ev.select(col("user_id"), col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .where(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Next-day cohort retention: per activity day, how many distinct users
     * were also active the following day. Two hash aggregations + one
     * equi-join on (user, day+1) — the O(users×days) shape; no per-cohort
