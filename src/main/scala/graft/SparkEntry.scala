@@ -108,6 +108,8 @@ object SparkEntry {
     "q_day_retention" -> ((s, d) => Analytics.dayRetention(s, d)),
     "q_iqr_outliers" -> ((s, d) => Analytics.iqrOutliers(s, d)),
     "q_markov_transitions" -> ((s, d) => Analytics.markovTransitions(s, d)),
+    "q_rfm_segments" -> ((s, d) => Analytics.rfmSegments(s, d)),
+    "q_pareto_share" -> ((s, d) => Analytics.paretoShare(s, d)),
     // training-data curation
     "q_split_assign" -> ((s, d) => Curation.splitAssign(s, d)),
     "q_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
@@ -757,6 +759,43 @@ object SparkEntry {
         |                        'the quick brown fox jumps over') AS BIGINT)
         |         AS edit_dist
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_ms(ts)) AS last_ms, count(*) AS frequency,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS monetary_cents
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, last_ms, frequency, monetary_cents,
+        |       CAST(ntile(5) OVER (ORDER BY last_ms, user_id) AS BIGINT)
+        |         AS r_score,
+        |       CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT)
+        |         AS f_score,
+        |       CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT)
+        |         AS m_score
+        |FROM u ORDER BY user_id""".stripMargin,
+
+    "q_pareto_share" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS spend_cents,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY spend_cents DESC, user_id)
+        |        AS rk FROM u),
+        |n AS (SELECT count(*) AS n FROM u)
+        |SELECT (SELECT n FROM n) AS n_users,
+        |       CAST(sum(CASE WHEN rk <= ((SELECT n FROM n) + 4) // 5
+        |                THEN n_events ELSE 0 END) AS BIGINT) AS top20_events,
+        |       CAST(sum(n_events) AS BIGINT) AS total_events,
+        |       CAST(sum(CASE WHEN rk <= ((SELECT n FROM n) + 4) // 5
+        |                THEN n_events ELSE 0 END) * 1000
+        |            // sum(n_events) AS BIGINT) AS event_share_permille,
+        |       CAST(sum(CASE WHEN rk <= ((SELECT n FROM n) + 4) // 5
+        |                THEN spend_cents ELSE 0 END) * 1000
+        |            // sum(spend_cents) AS BIGINT) AS spend_share_permille
+        |FROM r""".stripMargin,
 
     "q_markov_transitions" ->
       """WITH t AS (

@@ -169,6 +169,53 @@ object Analytics {
           lit("the quick brown fox jumps over")).cast("long").as("edit_dist"))
       .orderBy("doc_id")
 
+  /** RFM segmentation: per-user recency (last-activity ms), frequency
+    * (event count), monetary (integer cents), each scored into quintiles by
+    * ntile over a total order — one aggregation + three cheap windows over
+    * the (small) per-user relation, the standard customer-scoring shape.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val perUser = ev.groupBy("user_id")
+      .agg(max(Tables.epochMs).as("last_ms"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("value") * 100).cast("long")).as("monetary_cents"))
+    def quintile(c: String) = ntile(5).over(
+      Window.orderBy(col(c), col("user_id"))).cast("long")
+    perUser.select(col("user_id"), col("last_ms"), col("frequency"),
+        col("monetary_cents"),
+        quintile("last_ms").as("r_score"),
+        quintile("frequency").as("f_score"),
+        quintile("monetary_cents").as("m_score"))
+      .orderBy("user_id")
+  }
+
+  /** Pareto concentration: the event-count share (permille) of the top-20%
+    * highest-spending users — the 80/20 check. Rank by exact integer spend
+    * (ties broken by user_id), cut at ⌈n/5⌉, integer-division share.
+    */
+  def paretoShare(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val perUser = ev.groupBy("user_id")
+      .agg(sum(round(col("value") * 100).cast("long")).as("spend_cents"),
+        count(lit(1)).as("n_events"))
+    val ranked = perUser.withColumn("rk", row_number().over(
+      Window.orderBy(col("spend_cents").desc, col("user_id"))))
+    val n = ranked.agg(count(lit(1))).head().getLong(0)
+    val cut = (n + 4) / 5
+    ranked.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("rk") <= cut, col("n_events")).otherwise(0L))
+          .as("top20_events"),
+        sum(col("n_events")).as("total_events"),
+        sum(when(col("rk") <= cut, col("spend_cents")).otherwise(0L))
+          .as("top20_cents"),
+        sum(col("spend_cents")).as("total_cents"))
+      .select(col("n_users"), col("top20_events"), col("total_events"),
+        expr("top20_events * 1000 div total_events").as("event_share_permille"),
+        expr("top20_cents * 1000 div total_cents").as("spend_share_permille"))
+  }
+
   /** Event-sequence transition counts (the Markov-chain bigram table):
     * for each user's time-ordered event stream, count (from_type → to_type)
     * transitions corpus-wide. One lag window + one hash aggregation — the
