@@ -42,14 +42,21 @@ object SparkEntry {
     "q_grandparents" -> ((s, d) => ChainLink.grandparents(s, d)),
     "q_trace_depth" -> ((s, d) => ChainLink.traceDepth(s, d)),
     "q_sessions" -> ((s, d) => ChainLink.sessionize(s, d)),
-    // HLL sketch: engine-specific estimates → no cross-engine oracle
-    // (driver records the weaker rows-only check by design)
+    // HLL sketch with a *checkable* accuracy contract: the estimate itself is
+    // engine-specific, so the emitted columns are the exact distinct count
+    // plus a deterministic `within_2pct` flag (|estimate − exact|·50 ≤ exact).
+    // The DuckDB oracle asserts the flag is 1, making the sketch's accuracy
+    // claim part of the hash-checked contract instead of a rows-only row.
     "q_approx_distinct" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       sources.Tables.load(s, d, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("est"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("est") - col("exact_users")) * 50 <= col("exact_users"))
+            .cast("long").as("within_2pct"))
         .orderBy("event_type")
     }),
     // relational staples
@@ -356,6 +363,15 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The oracle asserts the sketch contract: Spark's HLL++ estimate must be
+    // within 2% of the exact count (the flag is computed Spark-side from the
+    // real estimate; the oracle pins it to 1, so an out-of-tolerance sketch
+    // hash-mismatches).
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       count(*) AS n, CAST(1 AS BIGINT) AS within_2pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
@@ -703,7 +719,8 @@ object SparkEntry {
          |  FROM lineitem JOIN part ON l_partkey = p_partkey
          |  GROUP BY 1)
          |SELECT p_type, revenue_e4, n_items,
-         |       revenue_e4 * 1000 // sum(revenue_e4) OVER () AS share_permille
+         |       CAST(revenue_e4 * 1000 // sum(revenue_e4) OVER () AS BIGINT)
+         |         AS share_permille
          |FROM t ORDER BY p_type""".stripMargin,
 
     "q_top_ngrams" ->

@@ -16,26 +16,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Queries are independent; run 4 at a time on the shared session
-    // (Spark schedules concurrent actions fine, and Materialized's memo is
-    // concurrency-safe) — roughly halves the dump wall-clock, dominated by
-    // many small sequential jobs otherwise.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
-      }
-    }
-    import scala.concurrent.duration._
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(futures), 60.minutes)
-    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -48,9 +28,38 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Emit the oracle map BEFORE the dump: it depends on nothing below, and
+    // writing it first means a query failure/timeout can cost at most that
+    // query's rows, never the whole round's compare.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    // Queries are independent; run 4 at a time on the shared session
+    // (Spark schedules concurrent actions fine, and Materialized's memo is
+    // concurrency-safe) — roughly halves the dump wall-clock, dominated by
+    // many small sequential jobs otherwise. Daemon threads + try/finally so
+    // a per-query hang or setup failure can't keep the JVM alive or skip
+    // the pool teardown.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => { val t = new Thread(r, "verify-dump"); t.setDaemon(true); t })
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        scala.concurrent.Future {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+      }
+      import scala.concurrent.duration._
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures), 60.minutes)
+    } finally {
+      pool.shutdown()
+      spark.stop()
+    }
   }
 }

@@ -170,9 +170,11 @@ object Analytics {
       .orderBy("doc_id")
 
   /** RFM segmentation: per-user recency (last-activity ms), frequency
-    * (event count), monetary (integer cents), each scored into quintiles by
-    * ntile over a total order — one aggregation + three cheap windows over
-    * the (small) per-user relation, the standard customer-scoring shape.
+    * (event count), monetary (integer cents), each scored into quintiles.
+    * The per-user relation is corpus-scale at 100 TB, so the quintiles come
+    * from [[Ranking.withGlobalNtile]] (distributed exact global ntile —
+    * range partition + local rank + broadcast offsets), never from a
+    * single-task global window.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
@@ -180,13 +182,14 @@ object Analytics {
       .agg(max(Tables.epochMs).as("last_ms"),
         count(lit(1)).as("frequency"),
         sum(round(col("value") * 100).cast("long")).as("monetary_cents"))
-    def quintile(c: String) = ntile(5).over(
-      Window.orderBy(col(c), col("user_id"))).cast("long")
-    perUser.select(col("user_id"), col("last_ms"), col("frequency"),
-        col("monetary_cents"),
-        quintile("last_ms").as("r_score"),
-        quintile("frequency").as("f_score"),
-        quintile("monetary_cents").as("m_score"))
+    val r = Ranking.withGlobalNtile(perUser, 5, "r_score",
+      col("last_ms"), col("user_id"))
+    val f = Ranking.withGlobalNtile(r, 5, "f_score",
+      col("frequency"), col("user_id"))
+    val m = Ranking.withGlobalNtile(f, 5, "m_score",
+      col("monetary_cents"), col("user_id"))
+    m.select("user_id", "last_ms", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score")
       .orderBy("user_id")
   }
 
@@ -199,9 +202,9 @@ object Analytics {
     val perUser = ev.groupBy("user_id")
       .agg(sum(round(col("value") * 100).cast("long")).as("spend_cents"),
         count(lit(1)).as("n_events"))
-    val ranked = perUser.withColumn("rk", row_number().over(
-      Window.orderBy(col("spend_cents").desc, col("user_id"))))
-    val n = ranked.agg(count(lit(1))).head().getLong(0)
+    // distributed exact global rank (see Ranking) — also yields n for free
+    val (ranked, n) = Ranking.withGlobalRowNumber(perUser, "rk",
+      col("spend_cents").desc, col("user_id"))
     val cut = (n + 4) / 5
     ranked.agg(
         count(lit(1)).as("n_users"),

@@ -28,11 +28,19 @@ object Skew {
     * `big.join(small, key)` exactly; the hot key's probe work is spread
     * over `salt` tasks at the cost of a `salt`× build-side blowup — size
     * `salt` ≈ (hot-key share × parallelism).
+    *
+    * The salt is positional (`monotonically_increasing_id mod salt` —
+    * partition-ordinal row ids), not content-derived: hashing row content
+    * would send fully-identical rows of a hot key back to ONE task (the
+    * degenerate duplicate-heavy case this helper exists for) and fails
+    * analysis on non-hashable column types. Join output is identical for
+    * ANY salt assignment; on recompute Spark rolls back indeterminate map
+    * stages wholesale rather than mixing old and new salt assignments.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
     val b = big.withColumn(SaltCol,
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val s = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, Seq(key, SaltCol)).drop(SaltCol)

@@ -21,18 +21,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Materialized {
 
-  /** Per-session memo maps, keyed WEAKLY by the session object itself:
-    * a stopped/collected session's entries become unreachable and are
-    * GC-reclaimed (identityHashCode keys would leak forever and can even be
-    * reissued to a different session after GC, serving another session's
-    * plans). Access to the WeakHashMap is synchronized; the inner map is
-    * concurrent.
+  /** Per-session memo maps keyed by the session object. Weak keys alone
+    * cannot reclaim anything here: the cached DataFrames (values) hold their
+    * SparkSession (key) strongly through their query plans, so every entry
+    * pins its own key forever. Instead, stopped sessions are swept eagerly on
+    * each lookup — `sparkContext.isStopped` is the session's end-of-life
+    * signal, and dropping the inner map releases the plans (cached blocks
+    * died with the context). Access to the map is synchronized; the inner
+    * map is concurrent.
     */
   private val sessions =
-    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]()
+    new java.util.IdentityHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]()
 
   private def forSession(spark: SparkSession): ConcurrentHashMap[String, DataFrame] =
     sessions.synchronized {
+      val it = sessions.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
       var m = sessions.get(spark)
       if (m == null) { m = new ConcurrentHashMap[String, DataFrame](); sessions.put(spark, m) }
       m
