@@ -492,11 +492,27 @@ object SparkEntry {
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 3
          |ORDER BY 1, 2""".stripMargin,
 
+    // Replays dedupEmbedding's IVF index exactly: same centroid subset,
+    // same nprobe=4 multi-probe assignment (double-fold cosines, ties →
+    // min cent_id), same exact-cosine verification.
     "dedup_embedding" ->
       s"""WITH $vecCte,
-         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |        ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
-         |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+         |          WHERE vec_id % 50 = 0),
+         |probes AS (SELECT vec_id, cent_id FROM (
+         |             SELECT v.vec_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM v CROSS JOIN cents c) WHERE rn <= 4),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM probes a JOIN probes b
+         |           ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |p AS (SELECT c.vec_a, c.vec_b,
+         |        ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
+         |      FROM cand c
+         |      JOIN v va ON c.vec_a = va.vec_id
+         |      JOIN v vb ON c.vec_b = vb.vec_id)
          |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.40
          |ORDER BY 1, 2""".stripMargin,
 
@@ -1058,18 +1074,36 @@ object SparkEntry {
          |FROM wf LEFT JOIN p ON wf.id = p.id
          |ORDER BY wf.id""".stripMargin,
 
-    "q_sql_cosine_by_label" ->
+    // Replays sqlCosineByLabel's SRP-LSH banding exactly (same inlined
+    // hyperplane literals as q_lsh_cosine), restricted to equal labels.
+    "q_sql_cosine_by_label" -> {
+      val sigTerms = Analytics.hyperplaneSigns.zipWithIndex.map { case (row, b) =>
+        val lits = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"(CASE WHEN ${dotSql("e", lits)} > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
       s"""WITH $vecCte,
          |v2 AS (SELECT v.vec_id, e.label, v.e, v.nrm
          |       FROM v JOIN embeddings e ON v.vec_id = e.vec_id),
-         |p AS (SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |        ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
-         |      FROM v2 a JOIN v2 b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |sig AS (SELECT vec_id, label, e, nrm, CAST($sigTerms AS BIGINT) AS sig
+         |        FROM v2),
+         |bands AS (SELECT vec_id, label, sig, k, (sig >> (4 * k)) & 15 AS band_val
+         |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
+         |cand AS (SELECT DISTINCT a.label AS label, a.vec_id AS vec_a,
+         |                b.vec_id AS vec_b
+         |         FROM bands a JOIN bands b
+         |           ON a.label = b.label AND a.k = b.k
+         |          AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+         |p AS (SELECT c.label, c.vec_a, c.vec_b,
+         |        ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
+         |      FROM cand c
+         |      JOIN v va ON c.vec_a = va.vec_id
+         |      JOIN v vb ON c.vec_b = vb.vec_id),
          |r AS (SELECT label, vec_a, vec_b, cos,
          |        row_number() OVER (PARTITION BY label
          |                           ORDER BY cos DESC, vec_a, vec_b) AS rk
          |      FROM p)
          |SELECT label, vec_a, vec_b, cos FROM r WHERE rk = 1
-         |ORDER BY label""".stripMargin,
+         |ORDER BY label""".stripMargin
+    },
   )
 }

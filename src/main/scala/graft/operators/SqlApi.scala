@@ -71,10 +71,72 @@ object SqlApi {
         |ORDER BY returnflag, linestatus""".stripMargin)
   }
 
+  /** The 16 SRP sign expressions as SQL over `graft_dot`, inlining the same
+    * md5-derived ±1 hyperplane literals the DuckDB oracle inlines
+    * ([[Analytics.hyperplaneSigns]]) — signatures agree bit-for-bit.
+    */
+  private def sigSql: String =
+    Analytics.hyperplaneSigns.zipWithIndex.map { case (row, b) =>
+      val lits = row.map(v => if (v > 0) "1.0D" else "-1.0D")
+        .mkString("array(", ",", ")")
+      s"(CASE WHEN graft_dot(e, $lits) > 0D THEN ${1L << b}L ELSE 0L END)"
+    }.mkString(" + ")
+
   /** Top similar pair per label via `graft_dot` in SQL — the custom codegen
     * expression exposed through the SQL function registry.
+    *
+    * Candidates come from the 16-bit SRP-LSH banding (4 bands × 4 bits, the
+    * same signature family as [[Analytics.lshCosine]]) restricted to equal
+    * labels, then exact-cosine verified and ranked — so the join keys on
+    * (label, band, band_val) and the plan carries signatures, not an
+    * all-pairs blowup quadratic in label-group size. Like every ANN search,
+    * the CONTRACT is index-restricted top-1: the DuckDB oracle replays the
+    * identical banding (inlined hyperplane literals), so both sides agree
+    * bit-for-bit. [[sqlCosineByLabelExact]] keeps the all-pairs semantics
+    * as the test-scale baseline.
     */
   def sqlCosineByLabel(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    view(spark, dir, "embeddings")
+    spark.sql(
+      s"""WITH v AS (
+         |  SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS e,
+         |         sqrt(graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+         |                        CAST(embedding AS ARRAY<DOUBLE>))) AS nrm
+         |  FROM embeddings),
+         |sig AS (
+         |  SELECT vec_id, label, e, nrm, CAST($sigSql AS BIGINT) AS sig
+         |  FROM v),
+         |bands AS (
+         |  SELECT vec_id, label, sig, k,
+         |         shiftright(sig, 4 * k) & 15 AS band_val
+         |  FROM sig
+         |  LATERAL VIEW explode(sequence(0, 3)) ks AS k),
+         |cand AS (
+         |  SELECT DISTINCT a.label AS label, a.vec_id AS vec_a,
+         |         b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.label = b.label AND a.k = b.k
+         |   AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+         |p AS (
+         |  SELECT c.label, c.vec_a, c.vec_b,
+         |         graft_dot(va.e, vb.e) / (va.nrm * vb.nrm) AS cos
+         |  FROM cand c
+         |  JOIN v va ON c.vec_a = va.vec_id
+         |  JOIN v vb ON c.vec_b = vb.vec_id),
+         |r AS (
+         |  SELECT label, vec_a, vec_b, cos,
+         |         row_number() OVER (PARTITION BY label
+         |                            ORDER BY cos DESC, vec_a, vec_b) AS rk
+         |  FROM p)
+         |SELECT label, vec_a, vec_b, cos FROM r WHERE rk = 1
+         |ORDER BY label""".stripMargin)
+  }
+
+  /** All-pairs form of [[sqlCosineByLabel]] — executable spec, test scale
+    * only (quadratic in label-group size by construction).
+    */
+  def sqlCosineByLabelExact(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     view(spark, dir, "embeddings")
     spark.sql(

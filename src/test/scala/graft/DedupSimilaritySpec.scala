@@ -45,6 +45,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.1, s"IVF recall unreasonably low: $recall")
   }
 
+  test("ivf dedup_embedding: subset of exact all-pairs truth, full recall here") {
+    val exact = Dedup.dedupEmbeddingExact(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Dedup.dedupEmbedding(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(exact), s"false positives: ${ivf -- exact}")
+    // measured: nprobe=4 over the 10 deterministic centroids recovers every
+    // cos >= 0.40 pair of this 500-vector corpus (near-random vectors — the
+    // adversarial case; see Dedup.dedupEmbedding Scaladoc)
+    assert(ivf == exact, s"missed: ${exact -- ivf}")
+  }
+
+  test("banded sql cosine-by-label: per-label best is a true pair, bounded by exact") {
+    import graft.operators.SqlApi
+    val exact = SqlApi.sqlCosineByLabelExact(spark, sf001)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    val banded = SqlApi.sqlCosineByLabel(spark, sf001).collect()
+    assert(banded.nonEmpty)
+    banded.foreach { r =>
+      val (label, cos) = (r.getInt(0), r.getDouble(3))
+      // the banded top-1 is an exact-verified cosine of a real same-label
+      // pair, so it can never exceed the all-pairs top-1
+      assert(cos <= exact(label) + 1e-12, s"label $label: $cos > ${exact(label)}")
+    }
+  }
+
   test("media decode stub matches the declarative formula") {
     import spark.implicits._
     val sqlSide = Multimodal.mediaTable(spark, sf001)
