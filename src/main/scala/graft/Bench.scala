@@ -4,6 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional comma-separated query-name filter for targeted timing runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,14 +19,35 @@ object Bench {
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
+    // Session-memoized shared intermediates, timed as their own named lines
+    // so per-query numbers don't shift with run order (the cold build used
+    // to land on whichever family member ran first). These are real work and
+    // stay inside the reported total — the attribution is just explicit now.
+    val builds: Seq[(String, () => Unit)] = Seq(
+      "_build_links" -> (() => { operators.ChainLink.linksFor(spark, sfDir).count(); () }),
+      "_build_linked" -> (() => { operators.ChainLink.linkedFor(spark, sfDir).count(); () }),
+      "_build_shingle_index" -> (() => { operators.Dedup.shinglesHashedFor(spark, sfDir).count(); () }),
+      "_build_shingle_inter" -> (() => { operators.Dedup.interFor(spark, sfDir).count(); () }),
+      "_build_simhash" -> (() => { operators.Dedup.simhashesFor(spark, sfDir).count(); () }),
+      "_build_normed" -> (() => { operators.Dedup.normedFor(spark, sfDir).count(); () }),
+    )
+    val buildResults =
+      if (only.isDefined) Seq.empty
+      else builds.map { case (name, body) => name -> time(body()) }
+    val queryResults = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> time { fn(spark, sfDir).count(); () }
+      }
+    val results = buildResults ++ queryResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

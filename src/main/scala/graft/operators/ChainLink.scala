@@ -243,25 +243,39 @@ object ChainLink {
     var depth = init
     // Frontier-restricted relaxation: only nodes whose depth changed last
     // round can raise a child's depth this round, so the propagation join
-    // probes the (rapidly shrinking) frontier instead of all nodes. The
-    // full depth relation is still carried (checkpointed) each round.
+    // probes the (rapidly shrinking) frontier instead of all nodes. Each
+    // materialized round applies TWO relaxation steps (the plan references
+    // the checkpointed relations a bounded number of times — it doubles
+    // once, not per round), so the checkpoint+count cadence is ⌈depth/2⌉
+    // rounds, and roundLazy folds each round's materialization into its
+    // changed-count job — one action per round.
     var frontier = init // round 1: every node is a candidate source
     var freeCur = freeInit
     var changed = 1L
     while (changed > 0) {
-      val (next, freeNext) = Iterative.round(
-        depth.join(
-            strict.join(frontier, strict("parent_id") === frontier("node"))
-              .groupBy(col("child_id").as("node2"))
-              .agg((max(frontier("d")) + 1L).as("cand")),
-            depth("node") === col("node2"), "left")
-          .select(depth("node"), greatest(depth("d"), coalesce(col("cand"),
-            depth("d"))).as("d"), depth("d").as("prev")))
-      changed = next.where(col("d") =!= col("prev")).count()
+      val cand1 = strict.join(frontier, strict("parent_id") === frontier("node"))
+        .groupBy(col("child_id").as("node1"))
+        .agg((max(frontier("d")) + 1L).as("c1"))
+      val step1 = depth.join(cand1, depth("node") === col("node1"), "left")
+        .select(depth("node").as("node"), depth("d").as("d0"),
+          greatest(depth("d"), coalesce(col("c1"), depth("d"))).as("d1"))
+      val f1 = step1.where(col("d1") =!= col("d0"))
+        .select(col("node").as("fnode"), col("d1").as("fd"))
+      val cand2 = strict.join(f1, strict("parent_id") === col("fnode"))
+        .groupBy(col("child_id").as("node2"))
+        .agg((max(col("fd")) + 1L).as("c2"))
+      val (next, freeNext) = Iterative.roundLazy(
+        step1.join(cand2, col("node") === col("node2"), "left")
+          .select(col("node"), col("d1").as("mid"),
+            greatest(col("d1"), coalesce(col("c2"), col("d1"))).as("d")))
+      // Terminate on step-2 changes only: cand2 is exactly the propagation
+      // of step-1's changes, so if it moved nothing, no further relaxation
+      // is possible (step-1 raises are already folded into d).
+      changed = next.where(col("d") =!= col("mid")).count()
       freeCur()
       freeCur = freeNext
       depth = next.select("node", "d")
-      frontier = next.where(col("d") =!= col("prev")).select("node", "d")
+      frontier = next.where(col("d") =!= col("mid")).select("node", "d")
     }
     strict.unpersist()
     // `depth` stays a flat checkpointed relation (tiny: nodes-in-edges

@@ -130,14 +130,27 @@ object Curation {
     var freeCur = freeInit
     var changed = 1L
     while (changed > 0) {
-      val (next, freeNext) = Iterative.round(
-        labels.join(
-            edges.join(labels, edges("src") === labels("node"))
-              .groupBy(col("dst").as("node2")).agg(min("label").as("nbr_min")),
-            labels("node") === col("node2"), "left")
-          .select(col("node"), least(col("label"), coalesce(col("nbr_min"),
-            col("label"))).as("label"), col("label").as("prev")))
-      changed = next.where(col("label") =!= col("prev")).count()
+      // Two propagation steps per materialized round (bounded plan growth),
+      // with roundLazy folding the materialization into the changed-count
+      // job — ⌈diameter/2⌉ single-action rounds. Terminating on step-2
+      // changes is sound: step 2 propagates exactly step 1's changes, so a
+      // quiet step 2 means step 1's moves had no downstream effect.
+      val step1 = labels.join(
+          edges.join(labels, edges("src") === labels("node"))
+            .groupBy(col("dst").as("node1")).agg(min("label").as("m1")),
+          labels("node") === col("node1"), "left")
+        .select(labels("node").as("node"), labels("label").as("l0"),
+          least(labels("label"), coalesce(col("m1"), labels("label"))).as("l1"))
+      val f1 = step1.where(col("l1") =!= col("l0"))
+        .select(col("node").as("fnode"), col("l1").as("fl"))
+      val (next, freeNext) = Iterative.roundLazy(
+        step1.join(
+            edges.join(f1, edges("src") === col("fnode"))
+              .groupBy(col("dst").as("node2")).agg(min(col("fl")).as("m2")),
+            col("node") === col("node2"), "left")
+          .select(col("node"), col("l1").as("mid"),
+            least(col("l1"), coalesce(col("m2"), col("l1"))).as("label")))
+      changed = next.where(col("label") =!= col("mid")).count()
       freeCur()
       freeCur = freeNext
       labels = next.select("node", "label")

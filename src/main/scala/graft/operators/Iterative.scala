@@ -22,8 +22,17 @@ import org.apache.spark.sql.execution.LogicalRDD
 private[operators] object Iterative {
 
   /** Materialize one fixpoint round: (flattened DataFrame, block release). */
-  def round(df: DataFrame): (DataFrame, () => Unit) = {
-    val ck = df.localCheckpoint() // eager: computes and pins the round
+  def round(df: DataFrame): (DataFrame, () => Unit) = roundImpl(df, eager = true)
+
+  /** Lazy variant: the checkpoint is marked but not computed, so the
+    * caller's NEXT action over the returned frame (the loops' changed-count
+    * aggregate) materializes and pins the blocks in the same job — one job
+    * per round instead of materialize-then-count.
+    */
+  def roundLazy(df: DataFrame): (DataFrame, () => Unit) = roundImpl(df, eager = false)
+
+  private def roundImpl(df: DataFrame, eager: Boolean): (DataFrame, () => Unit) = {
+    val ck = df.localCheckpoint(eager)
     val free: () => Unit = ck.queryExecution.analyzed.collectFirst {
       case lr: LogicalRDD => () => { lr.rdd.unpersist(false); () }
     }.getOrElse(() => ())
