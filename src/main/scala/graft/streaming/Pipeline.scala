@@ -123,4 +123,26 @@ object Pipeline {
       .trigger(Trigger.ProcessingTime("10 seconds"))
       .start()
   }
+
+  /** File-based twin of [[runKafkaJob]]: JSON-lines files under `inDir`
+    * stream through the IDENTICAL topology — lenient wire parse → watermark
+    * → chained linking/aggregation → reference-shape output JSON — to
+    * JSON-lines under `outDir`. Every stage `runKafkaJob` executes runs
+    * here except the Kafka connector itself (a deploy-time jar, absent in
+    * this offline environment), so the wire path is e2e-tested and the
+    * connector remains the only unexercised seam. Also the practical entry
+    * point for users replaying captured topic dumps without a broker.
+    */
+  def runFileJob(spark: SparkSession, inDir: String, outDir: String,
+      checkpointLocation: String,
+      maxOutOfOrder: String = "30 seconds"): StreamingQuery = {
+    val msgs = jsonFileMsgs(spark, inDir, streaming = true)
+    val linked = StreamingChainLink.linked(msgs, maxOutOfOrder)
+    toLinkedJson(linked).writeStream
+      .format("text")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
+      .start()
+  }
 }

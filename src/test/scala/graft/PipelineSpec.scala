@@ -61,6 +61,38 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("kafka"))
   }
 
+  test("e2e wire path: file source -> parse -> watermark -> link -> aggregate -> JSON sink") {
+    // runKafkaJob's full topology through the streaming file source — every
+    // stage of the Kafka job runs except the connector jar itself. Input
+    // exercises the lenient parse on the wire (numeric string, float ms);
+    // output must be byte-identical to the reference's linked JSON shape
+    // (reference README.md:49-60).
+    val base = java.nio.file.Files.createTempDirectory("graft-e2e")
+    val inDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val outDir = base.resolve("out").toString
+    val ckDir = base.resolve("ck").toString
+    java.nio.file.Files.writeString(inDir.resolve("batch0.jsonl"),
+      """{"id":"id2","src_ip":"10.0.0.2","dst_ip":"10.0.0.3","start_at_ms":"1100.4","latency_msec":200,"end_at_ms":1300}
+        |{"id":"id1","src_ip":"10.0.0.1","dst_ip":"10.0.0.2","start_at_ms":1000,"latency_msec":500.0,"end_at_ms":1500}
+        |""".stripMargin)
+    val q = Pipeline.runFileJob(spark, inDir.toString, outDir, ckDir,
+      maxOutOfOrder = "0 seconds")
+    try {
+      q.processAllAvailable()
+      // second file advances the watermark past both ends (event-time flush)
+      java.nio.file.Files.writeString(inDir.resolve("batch1.jsonl"),
+        """{"id":"flush","src_ip":"10.9.9.9","dst_ip":"10.9.9.8","start_at_ms":1000000,"latency_msec":1.0,"end_at_ms":1000001}
+          |""".stripMargin)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.text(outDir).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq(
+      """{"id":"id1","src_ip":"10.0.0.1","dst_ip":"10.0.0.2","start_at_ms":1000,""" +
+        """"latency_msec":500.0,"end_at_ms":1500,"parents":[],"children":["id2"]}""",
+      """{"id":"id2","src_ip":"10.0.0.2","dst_ip":"10.0.0.3","start_at_ms":1100,""" +
+        """"latency_msec":200.0,"end_at_ms":1300,"parents":["id1"],"children":[]}"""))
+  }
+
   test("JSON-lines file source flows through the lenient wire parse") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
     java.nio.file.Files.writeString(dir.resolve("part0.jsonl"),
