@@ -84,6 +84,10 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
+    "q_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
+    "q_zipf_terms" -> ((s, d) => TextAnalysis.zipfTerms(s, d)),
+    "q_vector_quantize" -> ((s, d) => Similarity.vectorQuantize(s, d)),
+    "q_percent_rank" -> ((s, d) => Relational.qPercentRank(s, d)),
     // multimodal (frame_hashes array → CSV string for the driver compare;
     // Multimodal.mediaMeta keeps the typed ArrayType column)
     "media_meta" -> ((s, d) => {
@@ -680,6 +684,61 @@ object SparkEntry {
         |       width * 128 // greatest(width, height) AS thumb_w,
         |       height * 128 // greatest(width, height) AS thumb_h
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH dw AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS w
+        |            FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS n
+        |       FROM (SELECT doc_id, unnest(w) AS t FROM dw) GROUP BY 1, 2),
+        |tp AS (SELECT doc_id, max(n) AS top_n FROM tf GROUP BY 1),
+        |m AS (SELECT doc_id, len(w) AS n_words, nc - len(w) + 1 AS word_chars,
+        |             len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of'
+        |                                  OR x = 'and')) AS stopword_n
+        |      FROM dw),
+        |j AS (SELECT m.doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |             CAST((10 * word_chars) // n_words AS BIGINT) AS mwl10,
+        |             CAST((100 * top_n) // n_words AS BIGINT) AS top_pct,
+        |             CAST(stopword_n AS BIGINT) AS stopword_n
+        |      FROM m JOIN tp USING (doc_id)),
+        |r AS (SELECT *, CASE WHEN n_words < 20 THEN 'too_short'
+        |                     WHEN n_words > 90 THEN 'too_long'
+        |                     WHEN mwl10 < 30 OR mwl10 > 80 THEN 'word_len'
+        |                     WHEN top_pct > 15 THEN 'repetition'
+        |                     WHEN stopword_n = 0 THEN 'no_stopword'
+        |                     ELSE 'ok' END AS fail_reason
+        |      FROM j)
+        |SELECT doc_id, n_words, mwl10, top_pct, stopword_n, fail_reason,
+        |       CAST(fail_reason = 'ok' AS BIGINT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_zipf_terms" ->
+      """WITH f AS (SELECT t AS term, count(*) AS freq
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |           GROUP BY 1),
+        |r AS (SELECT term, freq,
+        |        CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+        |      FROM f)
+        |SELECT rank, term, freq, rank * freq AS rank_x_freq
+        |FROM r WHERE rank <= 30 ORDER BY rank""".stripMargin,
+
+    "q_vector_quantize" ->
+      s"""WITH $vecCte,
+         |p AS (SELECT vec_id, di.i - 1 AS dim, e[di.i] AS x
+         |      FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) di),
+         |s AS (SELECT dim, max(abs(x)) AS maxabs FROM p GROUP BY 1)
+         |SELECT vec_id, CAST(p.dim AS BIGINT) AS dim,
+         |       CAST(round(x * 127.0 / maxabs) AS BIGINT) AS q
+         |FROM p JOIN s ON p.dim = s.dim
+         |ORDER BY vec_id, dim""".stripMargin,
+
+    "q_percent_rank" ->
+      """SELECT p_brand, p_partkey, price_cents,
+        |       percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM (SELECT p_brand, p_partkey,
+        |             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+        |      FROM part)
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY price_cents, p_partkey)
+        |ORDER BY p_brand, price_cents, p_partkey""".stripMargin,
 
     "q_sql_segment_revenue" ->
       s"""SELECT c_mktsegment, $revenueE4 AS revenue_e4, count(*) AS n_items

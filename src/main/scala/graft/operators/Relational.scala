@@ -345,4 +345,22 @@ object Relational {
     Skew.saltedCountDistinct(Tables.load(spark, dir, "events"),
         "event_type", col("user_id"), salt = 8)
       .orderBy("event_type")
+
+  /** Distribution-position windows: percent_rank and cume_dist of each
+    * part's price within its brand. The window order is an integer total
+    * order (cents, tie-broken by key) so ranks are unambiguous, and both
+    * outputs are single IEEE divisions of those ranks — bit-identical
+    * cross-engine.
+    */
+  def qPercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_brand"), col("p_partkey"),
+        cents(col("p_retailprice")).as("price_cents"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("price_cents"), col("p_partkey"))
+    p.select(col("p_brand"), col("p_partkey"), col("price_cents"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("p_brand", "price_cents", "p_partkey")
+  }
 }

@@ -39,6 +39,25 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * standard 4× compression step before indexing/serving embeddings at
+    * scale. Per-dimension max-abs scales (one narrow aggregation over the
+    * posexploded relation, map-side combinable), then
+    * `q = round(127·x / maxabs_dim)` per element. Output is the full
+    * quantized relation (vec_id, dim, q) — integer-exact: the double
+    * division and half-away-from-zero rounding are bit-identical in
+    * DuckDB, so the oracle hash-matches every quantized value.
+    */
+  def vectorQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "x")))
+    val scales = v.groupBy("dim").agg(max(abs(col("x"))).as("maxabs"))
+    v.join(broadcast(scales), "dim")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("x") * 127.0 / col("maxabs")).cast("long").as("q"))
+      .orderBy("vec_id", "dim")
+  }
+
   /** IVF-bucketed ANN: nprobe=2 over deterministic coarse centroids. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)

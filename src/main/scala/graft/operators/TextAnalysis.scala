@@ -79,6 +79,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher/C4-style quality gating: per-document integer metrics (word
+    * count, mean word length ×10, top-word repetition share, stopword
+    * presence) checked against fixed bounds, emitting keep/drop plus the
+    * FIRST failing rule — the audit trail a curation pipeline needs (what
+    * was dropped and why, per document). One scan + one tf aggregation for
+    * the repetition gate; thresholds are integer-exact so the oracle
+    * hash-matches.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max(col("n")).as("top_n"))
+    val metrics = d
+      .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
+        split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        // words are single-space joined: total word chars = len − (n−1)
+        (col("nc") - size(col("w")).cast("long") + 1L).as("word_chars"),
+        size(filter(col("w"), x =>
+          x === "the" || x === "a" || x === "of" || x === "and"))
+          .cast("long").as("stopword_n"))
+      .withColumn("mwl10", expr("(10 * word_chars) div n_words"))
+      .join(tf, "doc_id")
+      .withColumn("top_pct", expr("(100 * top_n) div n_words"))
+    metrics.select(col("doc_id"), col("n_words"), col("mwl10"),
+        col("top_pct"), col("stopword_n"),
+        when(col("n_words") < 20, "too_short")
+          .when(col("n_words") > 90, "too_long")
+          .when(col("mwl10") < 30 || col("mwl10") > 80, "word_len")
+          .when(col("top_pct") > 15, "repetition")
+          .when(col("stopword_n") === 0, "no_stopword")
+          .otherwise("ok").as("fail_reason"))
+      .withColumn("keep", (col("fail_reason") === "ok").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Zipf rank–frequency table: corpus term frequencies ranked, with the
+    * rank×frequency product (≈ constant under Zipf's law — the standard
+    * corpus sanity check before training). One hash aggregation; the rank
+    * window runs over the aggregated term relation (vocabulary-sized, tiny
+    * by construction at any corpus scale).
+    */
+  def zipfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term"))
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank_x_freq", col("rank") * col("freq"))
+      .where(col("rank") <= 30)
+      .select("rank", "term", "freq", "rank_x_freq")
+      .orderBy("rank")
+  }
+
   /** Document fingerprints: min rolling (5-gram) content hash — the
     * winnowing-style representative — plus the 63-bit simhash and a prefix
     * hash. Join any two of these to bucket candidate duplicates at scale.
