@@ -97,6 +97,7 @@ object SparkEntry {
           concat_ws(",", transform(col("frame_hashes"), _.cast("string"))))
     }),
     "media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
+    "media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d)),
     // SQL personality
     "q_sql_segment_revenue" -> ((s, d) => SqlApi.revenueBySegment(s, d)),
     "q_sql_cosine_by_label" -> ((s, d) => SqlApi.sqlCosineByLabel(s, d)),
@@ -684,6 +685,26 @@ object SparkEntry {
         |       width * 128 // greatest(width, height) AS thumb_w,
         |       height * 128 // greatest(width, height) AS thumb_h
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Replays mediaDedup's chunking exactly: 100-char chunks at the same
+    // sample positions as media_frames, portable 60-bit hash.
+    "media_dedup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, length(text) AS blen, text FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(0, CAST(least(blen // 100, 3) AS BIGINT)))
+         |           AS j
+         |  FROM m),
+         |h AS (
+         |  SELECT f.doc_id,
+         |         ${Tables.portableHashSql("substr(m.text, CAST(f.j * 100 + 1 AS BIGINT), 100)")}
+         |           AS frame_hash
+         |  FROM f JOIN m ON f.doc_id = m.doc_id)
+         |SELECT frame_hash, count(DISTINCT doc_id) AS n_docs,
+         |       min(doc_id) AS keep_doc, count(*) AS n_frames
+         |FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY frame_hash""".stripMargin,
 
     "q_quality_filter" ->
       """WITH dw AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS w

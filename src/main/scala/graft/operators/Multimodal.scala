@@ -120,4 +120,30 @@ object Multimodal {
         expr("height * 128 div greatest(width, height)").as("thumb_h"))
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** Cross-document media-chunk dedup: each payload's sampled frames are
+    * its 100-byte chunks (same sample positions as [[mediaFrames]]), hashed
+    * and grouped — chunks shared by ≥ 2 documents flag duplicated media
+    * content even when the containing documents differ elsewhere (the
+    * chunk-level exact-dedup stage of an asset pipeline; near-identical
+    * payloads collide on their unchanged chunks). One hash-shuffle keyed by
+    * the 60-bit chunk hash — the [[Dedup.dedupExact]] shape.
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val chunks = d
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("blen"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), expr("least(blen div 100, 3)"))).as("j"))
+      .select(col("doc_id"),
+        Tables.portableHash(
+          expr("substring(text, cast(j * 100 + 1 as int), 100)")).as("frame_hash"))
+    chunks.groupBy("frame_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_doc"),
+        count(lit(1)).as("n_frames"))
+      .where(col("n_docs") >= 2)
+      .orderBy("frame_hash")
+  }
 }
