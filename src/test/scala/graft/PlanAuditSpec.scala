@@ -62,6 +62,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_dot"), "codegen dot product must be in the plan")
   }
 
+  test("ivf dedup_embedding plan: no cartesian, candidates join on centroid keys") {
+    val p = plan(Dedup.dedupEmbedding(spark, sf001))
+    assert(!p.contains("CartesianProduct"),
+      s"embedding dedup degenerated to all-pairs:\n$p")
+    // the only nested-loop allowed is the centroid broadcast (a crossJoin
+    // against the tiny broadcast centroid relation during assignment)
+    assert(p.contains("graft_dot"), "codegen dot product must be in the plan")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "candidate join must be an equi-join")
+  }
+
+  test("banded sql cosine-by-label plan: no cartesian, equi-join on band keys") {
+    val p = plan(operators.SqlApi.sqlCosineByLabel(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"label cosine degenerated to all-pairs:\n$p")
+    assert(p.contains("graft_dot"))
+  }
+
+  test("vector quantization broadcasts the per-dim scales") {
+    val p = plan(Similarity.vectorQuantize(spark, sf001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"scales should broadcast:\n$p")
+  }
+
   test("events scan for tumbling agg prunes props (the wide column)") {
     val p = plan(Relational.qEventsTumbling(spark, sf001))
     val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
