@@ -86,6 +86,8 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "q_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "q_zipf_terms" -> ((s, d) => TextAnalysis.zipfTerms(s, d)),
+    "q_bigram_pmi" -> ((s, d) => TextAnalysis.bigramPmi(s, d)),
+    "q_heavy_hitters" -> ((s, d) => Relational.qHeavyHitters(s, d)),
     "q_vector_quantize" -> ((s, d) => Similarity.vectorQuantize(s, d)),
     "q_percent_rank" -> ((s, d) => Relational.qPercentRank(s, d)),
     // multimodal (frame_hashes array → CSV string for the driver compare;
@@ -731,6 +733,32 @@ object SparkEntry {
         |SELECT doc_id, n_words, mwl10, top_pct, stopword_n, fail_reason,
         |       CAST(fail_reason = 'ok' AS BIGINT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_pmi" ->
+      """WITH dw AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT w[i] AS a, w[i + 1] AS b
+        |       FROM dw CROSS JOIN LATERAL
+        |         (SELECT unnest(generate_series(1, len(w) - 1)) AS i) gs),
+        |bc AS (SELECT a, b, count(*) AS n_ab FROM bi GROUP BY 1, 2),
+        |uni AS (SELECT t, count(*) AS n
+        |        FROM (SELECT unnest(w) AS t FROM dw) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM uni)
+        |SELECT a || ' ' || b AS bigram, n_ab, ua.n AS n_a, ub.n AS n_b,
+        |       CAST(n_ab * (SELECT n_total FROM tot) * 100
+        |            // (ua.n * ub.n) AS BIGINT) AS score
+        |FROM bc JOIN uni ua ON bc.a = ua.t JOIN uni ub ON bc.b = ub.t
+        |ORDER BY score DESC, bigram LIMIT 20""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total,
+        |             count(*) AS n_users FROM u)
+        |SELECT user_id, n_events,
+        |       CAST(n_events * 1000 // (SELECT total FROM t) AS BIGINT)
+        |         AS permille
+        |FROM u
+        |WHERE n_events * (SELECT n_users FROM t) * 10 > (SELECT total FROM t) * 12
+        |ORDER BY user_id""".stripMargin,
 
     "q_zipf_terms" ->
       """WITH f AS (SELECT t AS term, count(*) AS freq

@@ -346,6 +346,24 @@ object Relational {
         "event_type", col("user_id"), salt = 8)
       .orderBy("event_type")
 
+  /** Exact iceberg / heavy-hitter query: users whose event count exceeds
+    * 1.2× the per-user average (a scale-invariant threshold). Two hash
+    * aggregations — per-user counts, then one global row broadcast back —
+    * never a sort of the full relation; the output is only the tip of the
+    * iceberg. Integer cross-multiplication avoids division.
+    */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val totals = perUser.agg(sum(col("n_events")).as("total"),
+      count(lit(1)).as("n_users"))
+    perUser.crossJoin(broadcast(totals))
+      .where(col("n_events") * col("n_users") * 10 > col("total") * 12)
+      .select(col("user_id"), col("n_events"),
+        expr("n_events * 1000 div total").as("permille"))
+      .orderBy("user_id")
+  }
+
   /** Distribution-position windows: percent_rank and cume_dist of each
     * part's price within its brand. The window order is an integer total
     * order (cents, tie-broken by key) so ranks are unambiguous, and both

@@ -136,6 +136,38 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Collocation mining: top word bigrams by an integer PMI proxy
+    * `n_ab · N · 100 ÷ (n_a · n_b)` — monotone in pointwise mutual
+    * information with no cross-engine float log. Two hash aggregations
+    * (bigram and unigram counts) + joins on word keys; the top-k is a
+    * TakeOrdered over the vocabulary²-bounded bigram relation, not a full
+    * sort. (Integer range: safe while n_ab·N·100 < 2⁶³, i.e. corpora under
+    * ~10⁹ tokens per partition-disjoint count — beyond that, scale the
+    * constant down.)
+    */
+  def bigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val w = split(col("text"), " ")
+    val bigrams = d.select(explode(when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("bi"))
+      .select(col("bi.a").as("a"), col("bi.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val unigrams = d.select(explode(w).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val total = unigrams.agg(sum(col("n")).as("n_total"))
+    bigrams
+      .join(unigrams.select(col("t").as("a"), col("n").as("n_a")), "a")
+      .join(unigrams.select(col("t").as("b"), col("n").as("n_b")), "b")
+      .crossJoin(broadcast(total))
+      .select(concat_ws(" ", col("a"), col("b")).as("bigram"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * n_total * 100 div (n_a * n_b)").as("score"))
+      .orderBy(col("score").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** Document fingerprints: min rolling (5-gram) content hash — the
     * winnowing-style representative — plus the 63-bit simhash and a prefix
     * hash. Join any two of these to bucket candidate duplicates at scale.
