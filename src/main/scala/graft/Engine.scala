@@ -55,10 +55,22 @@ object Engine {
       : Dataset[LinkedMsg] =
     StreamingChainLink.linked(msgs, maxOutOfOrder)
 
+  /** Idle-flush personality (reference 60 s processing-time flush): bounded
+    * replays emit their full tail; see [[streaming.ProcTimeChainLink]].
+    */
+  def chainLinkStreamIdleFlush(msgs: Dataset[Msg], maxOutOfOrderMs: Long = 30000L,
+      idleFlushMs: Long = 60000L): Dataset[LinkedMsg] =
+    streaming.ProcTimeChainLink.linked(msgs, maxOutOfOrderMs, idleFlushMs)
+
   /** The full Kafka→link→Kafka job (reference `simpy_kafka_reader.main`). */
   def runKafkaJob(spark: SparkSession, bootstrapServers: String,
       checkpointLocation: String): StreamingQuery =
     Pipeline.runKafkaJob(spark, bootstrapServers, checkpointLocation)
+
+  /** The same topology over JSON-lines files (no broker needed). */
+  def runFileJob(spark: SparkSession, inDir: String, outDir: String,
+      checkpointLocation: String): StreamingQuery =
+    Pipeline.runFileJob(spark, inDir, outDir, checkpointLocation)
 
   /** Lenient wire-format parse (reference `parse_message` semantics). */
   def parseMsgs(raw: Dataset[String]): Dataset[Msg] = Pipeline.parseMsgs(raw)
@@ -80,6 +92,18 @@ object Engine {
   /** IVF-bucketed approximate nearest neighbors (the scale path). */
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.annIvf(spark, dir)
+
+  /** Embedding near-dup pairs through the IVF index (cos ≥ 0.40). */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupEmbedding(spark, dir)
+
+  /** Symmetric int8 scalar quantization of the embedding column. */
+  def vectorQuantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.vectorQuantize(spark, dir)
+
+  /** Gopher/C4-style quality gates with per-doc first-failing-rule audit. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFilter(spark, dir)
 
   /** Per-document stats, quality score, language id, fingerprints. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
