@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    "q_ann_recall" -> ((s, d) => Dedup.annRecall(s, d)),
     // similarity search
     "ann_topk" -> ((s, d) => Similarity.annTopk(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -522,6 +523,39 @@ object SparkEntry {
          |      JOIN v vb ON c.vec_b = vb.vec_id)
          |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.40
          |ORDER BY 1, 2""".stripMargin,
+
+    // Recall audit: exact all-pairs vs the IVF-restricted pair set, counted
+    // both ways plus the permille recall — the index quality as a checked
+    // number (replays both mechanisms).
+    "q_ann_recall" ->
+      s"""WITH $vecCte,
+         |ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |       FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |       WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
+         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+         |          WHERE vec_id % 50 = 0),
+         |probes AS (SELECT vec_id, cent_id FROM (
+         |             SELECT v.vec_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM v CROSS JOIN cents c) WHERE rn <= 4),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM probes a JOIN probes b
+         |           ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |iv AS (SELECT c.vec_a, c.vec_b FROM cand c
+         |       JOIN v va ON c.vec_a = va.vec_id
+         |       JOIN v vb ON c.vec_b = vb.vec_id
+         |       WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
+         |n AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
+         |             (SELECT count(*) FROM iv) AS n_ivf,
+         |             (SELECT count(*) FROM ex JOIN iv USING (vec_a, vec_b))
+         |               AS n_common)
+         |SELECT n_exact, n_ivf, n_common,
+         |       CAST(CASE WHEN n_exact = 0 THEN 1000
+         |            ELSE n_common * 1000 // n_exact END AS BIGINT)
+         |         AS recall_permille
+         |FROM n""".stripMargin,
 
     "ann_topk" ->
       s"""WITH $vecCte,
