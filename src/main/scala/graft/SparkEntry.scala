@@ -125,6 +125,7 @@ object SparkEntry {
     "q_markov_transitions" -> ((s, d) => Analytics.markovTransitions(s, d)),
     "q_rfm_segments" -> ((s, d) => Analytics.rfmSegments(s, d)),
     "q_pareto_share" -> ((s, d) => Analytics.paretoShare(s, d)),
+    "q_gini_spend" -> ((s, d) => Analytics.giniSpend(s, d)),
     // training-data curation
     "q_split_assign" -> ((s, d) => Curation.splitAssign(s, d)),
     "q_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
@@ -970,6 +971,25 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN rk <= ((SELECT n FROM n) + 4) // 5
         |                THEN spend_cents ELSE 0 END) * 1000
         |            // sum(spend_cents) AS BIGINT) AS spend_share_permille
+        |FROM r""".stripMargin,
+
+    "q_gini_spend" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS spend_cents
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT spend_cents,
+        |        CAST(row_number() OVER (ORDER BY spend_cents, user_id) AS BIGINT)
+        |          AS rk
+        |      FROM u),
+        |n AS (SELECT count(*) AS n FROM u)
+        |SELECT (SELECT n FROM n) AS n_users,
+        |       CAST(sum(spend_cents) AS BIGINT) AS total_cents,
+        |       CAST((2 * sum(rk * spend_cents)
+        |             - ((SELECT n FROM n) + 1) * sum(spend_cents)) * 1000
+        |            // ((SELECT n FROM n) * sum(spend_cents)) AS BIGINT)
+        |         AS gini_permille
         |FROM r""".stripMargin,
 
     "q_markov_transitions" ->

@@ -219,6 +219,25 @@ object Analytics {
         expr("top20_cents * 1000 div total_cents").as("spend_share_permille"))
   }
 
+  /** Gini coefficient of per-user spend (inequality of the spend
+    * distribution, permille): `G = (2·Σ rk·x − (n+1)·Σx) · 1000 ÷ (n·Σx)`
+    * over spend ranked ascending. The rank comes from
+    * [[Ranking.withGlobalRowNumber]] (distributed exact global rank — no
+    * single-task window), everything else is one integer aggregation.
+    */
+  def giniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100).cast("long")).as("spend_cents"))
+    val (ranked, n) = Ranking.withGlobalRowNumber(perUser, "rk",
+      col("spend_cents"), col("user_id"))
+    ranked.agg(sum(col("spend_cents")).as("total_cents"),
+        sum(col("rk") * col("spend_cents")).as("rank_weighted"))
+      .select(lit(n).as("n_users"), col("total_cents"),
+        expr(s"(2 * rank_weighted - ${n + 1} * total_cents) * 1000" +
+          s" div (${n} * total_cents)").as("gini_permille"))
+  }
+
   /** Event-sequence transition counts (the Markov-chain bigram table):
     * for each user's time-ordered event stream, count (from_type → to_type)
     * transitions corpus-wide. One lag window + one hash aggregation — the

@@ -79,6 +79,63 @@ class ProcTimeFlushSpec extends SparkSpec {
     spec.foreach { case (id, pc) => assert(got(id) == pc, s"mismatch for $id") }
   }
 
+  test("proc-time personality: state + idle timers survive checkpoint restart") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-pt-ckpt").toString
+    val (inDir, ckptDir, outDir) = (s"$root/in", s"$root/ckpt", s"$root/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    sp.createDataset(tailMsgs).coalesce(1).write.mode("overwrite")
+      .json(s"$inDir/batch_0")
+
+    def start() = {
+      val src = sp.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Msg]].schema)
+        .json(s"$inDir/*")
+        .as[Msg]
+      ProcTimeChainLink.linked(src, maxOutOfOrderMs = 30000L, idleFlushMs = 3000L)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+    }
+
+    // phase 1: ingest the input, then "fail" before the 3 s idle horizon
+    // (if a slow machine lets the flush fire first, the exactly-once
+    // assertion below still must hold — emission is then in phase 1)
+    val q1 = start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def ingested: Long =
+        q1.recentProgress.map(p => p.numInputRows).sum
+      while (ingested < tailMsgs.size && // source rows (pre-fan-out)
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q1.stop()
+
+    // phase 2: restart from the checkpoint; recovered state + re-armed
+    // timers must flush every message exactly once
+    val q2 = start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      def emitted: Long =
+        try sp.read.parquet(outDir).count() catch { case _: Throwable => 0L }
+      while (emitted < tailMsgs.size &&
+        System.currentTimeMillis() < deadline) Thread.sleep(300)
+    } finally q2.stop()
+
+    val got = sp.read.parquet(outDir).as[graft.core.LinkedMsg].collect()
+    assert(got.map(_.id).length == got.map(_.id).distinct.length,
+      "duplicated emissions across restart")
+    val byId = got.map(l => l.id -> (l.parents.sorted, l.children.sorted)).toMap
+    val spec = Linking.linkAllPairs(tailMsgs)
+      .map(l => l.id -> (l.parents.sorted, l.children.sorted)).toMap
+    assert(byId.keySet == spec.keySet,
+      s"missing: ${spec.keySet -- byId.keySet}; extra: ${byId.keySet -- spec.keySet}")
+    spec.foreach { case (id, pc) => assert(byId(id) == pc, s"mismatch for $id") }
+  }
+
   test("proc-time personality matches the spec on a random bounded replay") {
     val rnd = new scala.util.Random(11)
     val ips = (0 until 6).map(i => s"10.3.0.$i")
