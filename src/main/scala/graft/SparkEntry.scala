@@ -42,6 +42,8 @@ object SparkEntry {
     "q_grandparents" -> ((s, d) => ChainLink.grandparents(s, d)),
     "q_trace_depth" -> ((s, d) => ChainLink.traceDepth(s, d)),
     "q_sessions" -> ((s, d) => ChainLink.sessionize(s, d)),
+    "q_session_stats" -> ((s, d) => ChainLink.sessionStats(s, d)),
+    "q_cohort_matrix" -> ((s, d) => Analytics.cohortMatrix(s, d)),
     // HLL sketch with a *checkable* accuracy contract: the estimate itself is
     // engine-specific, so the emitted columns are the exact distinct count
     // plus a deterministic `within_2pct` flag (|estimate − exact|·50 ≤ exact).
@@ -147,6 +149,25 @@ object SparkEntry {
   )
 
   private val msgsCte = Tables.msgsCte
+
+  /** Gap-sessionization CTE chain (30-min break) shared by `q_sessions`
+    * and `q_session_stats`; final relation `s(user_id, em, session_id,
+    * event_id)`.
+    */
+  private val sessionsCtes: String =
+    """e AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS em FROM events),
+      |g AS (
+      |  SELECT event_id, user_id, em,
+      |         CASE WHEN em - lag(em, 1) OVER w > 1800000 THEN 1 ELSE 0 END
+      |           AS gap_break
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id)),
+      |s AS (
+      |  SELECT user_id, em, event_id,
+      |         CAST(sum(gap_break) OVER (PARTITION BY user_id ORDER BY em, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS session_id
+      |  FROM g)""".stripMargin
 
   /** Mirrors `ChainLink.links` exactly, including its exclusion of inverted
     * (corrupt) intervals from both sides of the containment join.
@@ -416,22 +437,21 @@ object SparkEntry {
          |ORDER BY m.id""".stripMargin,
 
     "q_sessions" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, epoch_ms(ts) AS em FROM events),
-        |g AS (
-        |  SELECT event_id, user_id, em,
-        |         CASE WHEN em - lag(em, 1) OVER w > 1800000 THEN 1 ELSE 0 END
-        |           AS gap_break
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id)),
-        |s AS (
-        |  SELECT user_id, em,
-        |         CAST(sum(gap_break) OVER (PARTITION BY user_id ORDER BY em, event_id
-        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |           AS session_id
-        |  FROM g)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |       min(em) AS session_start_ms, max(em) AS session_end_ms
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH $sessionsCtes
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |       min(em) AS session_start_ms, max(em) AS session_end_ms
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Session-length distribution: one more aggregation over the same
+    // session relation (operator composition check).
+    "q_session_stats" ->
+      s"""WITH $sessionsCtes,
+         |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+         |                max(em) - min(em) AS span_ms
+         |         FROM s GROUP BY 1, 2)
+         |SELECT n_events, count(*) AS n_sessions,
+         |       CAST(sum(span_ms) AS BIGINT) AS total_span_ms
+         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rollup_revenue" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
@@ -1000,6 +1020,15 @@ object SparkEntry {
         |  FROM events)
         |SELECT from_type, to_type, count(*) AS n
         |FROM t WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_cohort_matrix" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |           FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |       count(*) AS n_active
+        |FROM a JOIN c ON a.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_day_retention" ->

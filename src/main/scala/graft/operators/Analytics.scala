@@ -255,6 +255,23 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Full cohort retention matrix: users grouped by first-activity day
+    * (the cohort), counted per day offset since that first day — the grid
+    * behind every retention curve. Two hash aggregations + one equi-join on
+    * user_id; the distinct (user, day) relation bounds all work at
+    * O(users × active-days).
+    */
+  def cohortMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.load(spark, dir, "events")
+      .select(col("user_id"), Tables.epochMsBucket(86400000L).as("day"))
+      .distinct()
+    val cohorts = active.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active")) // active is (user, day)-distinct
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Next-day cohort retention: per activity day, how many distinct users
     * were also active the following day. Two hash aggregations + one
     * equi-join on (user, day+1) — the O(users×days) shape; no per-cohort

@@ -306,6 +306,18 @@ object ChainLink {
       .orderBy("user_id", "session_id")
   }
 
+  /** Session-length distribution — one more aggregation over the
+    * [[sessionize]] relation (operator composition): events-per-session →
+    * (number of such sessions, total in-session time span).
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionize(spark, dir)
+      .select(col("n_events"),
+        (col("session_end_ms") - col("session_start_ms")).as("span_ms"))
+      .groupBy("n_events")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("span_ms")).as("total_span_ms"))
+      .orderBy("n_events")
+
   /** P1 — lenient message parse (reference: `simpy_kafka_reader.py:42-77`):
     * missing/malformed numeric fields default to 0 via `int(float(x))`
     * coercion. Demonstrated on `events.props` JSON: extract `k` with

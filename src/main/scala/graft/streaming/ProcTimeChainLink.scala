@@ -209,7 +209,11 @@ final class ProcTimeAggregationProcessor(idleFlushMs: Long)
   * data), so the query self-triggers continuously — use a throttled
   * `Trigger.ProcessingTime(...)` in production, and poll the sink rather
   * than `processAllAvailable()` in tests (the latter waits for a
-  * quiescence that never comes).
+  * quiescence that never comes). One asymmetry survives restarts: a query
+  * resumed from a checkpoint with no new data and no replayable batch does
+  * not execute a batch at all (the self-trigger only primes after a first
+  * execution), so recovered overdue timers fire once any record arrives —
+  * pinned by the restart test in ProcTimeFlushSpec.
   */
 object ProcTimeChainLink {
 

@@ -114,18 +114,26 @@ class ProcTimeFlushSpec extends SparkSpec {
         System.currentTimeMillis() < deadline) Thread.sleep(200)
     } finally q1.stop()
 
-    // phase 2: restart from the checkpoint; recovered state + re-armed
-    // timers must flush every message exactly once
+    // phase 2: restart from the checkpoint; recovered state + timers must
+    // flush every message exactly once. A restarted query with NO new data
+    // and no replayable batch never executes a batch (the PT self-trigger
+    // only primes after a first execution), so nudge it with one unrelated
+    // record — the batch it triggers fires all recovered overdue timers.
     val q2 = start()
     try {
+      sp.createDataset(Seq(m("nudge", "10.9.9.1", "10.9.9.2", 500, 600)))
+        .coalesce(1).write.mode("overwrite").json(s"$inDir/batch_1")
       val deadline = System.currentTimeMillis() + 120000
       def emitted: Long =
-        try sp.read.parquet(outDir).count() catch { case _: Throwable => 0L }
+        try sp.read.parquet(outDir)
+          .where(org.apache.spark.sql.functions.col("id").startsWith("t")).count()
+        catch { case _: Throwable => 0L }
       while (emitted < tailMsgs.size &&
         System.currentTimeMillis() < deadline) Thread.sleep(300)
     } finally q2.stop()
 
     val got = sp.read.parquet(outDir).as[graft.core.LinkedMsg].collect()
+      .filter(_.id.startsWith("t"))
     assert(got.map(_.id).length == got.map(_.id).distinct.length,
       "duplicated emissions across restart")
     val byId = got.map(l => l.id -> (l.parents.sorted, l.children.sorted)).toMap
