@@ -133,6 +133,8 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "q_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "q_dedup_clusters" -> ((s, d) => Curation.dedupClusters(s, d)),
+    "q_dup_rate_by_source" -> ((s, d) => Curation.dupRateBySource(s, d)),
+    "q_approx_quantile" -> ((s, d) => Analytics.approxQuantile(s, d)),
     // third-wave relational staples
     "q_cube_revenue" -> ((s, d) => Relational.qCubeRevenue(s, d)),
     "q_ntile_quartile" -> ((s, d) => Relational.qNtileQuartile(s, d)),
@@ -1100,6 +1102,45 @@ object SparkEntry {
          |            THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dup_rate_by_source" ->
+      s"""WITH $docShCtes, $interCte,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE inter * 3 >= sa.n_sh + sb.n_sh),
+         |dd AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+         |dg AS (SELECT h FROM dd GROUP BY h HAVING count(*) > 1),
+         |ex AS (SELECT DISTINCT dd.doc_id FROM dd JOIN dg USING (h)),
+         |nd AS (SELECT DISTINCT doc_id FROM (
+         |         SELECT doc_a AS doc_id FROM pairs
+         |         UNION ALL SELECT doc_b FROM pairs))
+         |SELECT dd.source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_exact_dup,
+         |       CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_near_dup
+         |FROM dd
+         |LEFT JOIN ex ON dd.doc_id = ex.doc_id
+         |LEFT JOIN nd ON dd.doc_id = nd.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The quantile sketch's accuracy as a checked contract (the
+    // q_approx_distinct pattern): oracle computes the exact median and pins
+    // within_1pct to 1; Spark computes the flag from the real t-digest.
+    "q_approx_quantile" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events),
+        |rk AS (SELECT event_type, v,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+        |       FROM e),
+        |n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1)
+        |SELECT event_type, min(n.n) AS n,
+        |       min(CASE WHEN rn = (n.n + 1) // 2 THEN v END) AS p50_exact,
+        |       CAST(1 AS BIGINT) AS within_1pct
+        |FROM rk JOIN n USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Transitive closure over the symmetric near-dup edge list (recursive
     // CTE) vs Spark's min-label-propagation fixpoint — two genuinely

@@ -219,6 +219,34 @@ object Analytics {
         expr("top20_cents * 1000 div total_cents").as("spend_share_permille"))
   }
 
+  /** Approximate-quantile sketch with a CHECKED accuracy contract (the
+    * `q_approx_distinct` pattern for the percentile family): per event
+    * type, the exact integer-cents median plus a flag asserting Spark's
+    * t-digest `approx_percentile` landed within 1% of it. The estimate
+    * itself is engine-specific and never emitted; the oracle pins the flag,
+    * so sketch accuracy is part of the hash-checked contract.
+    */
+  def approxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+    // exact median via rank ⌈(n+1)/2⌉ against a joined per-group count
+    // (same engine-portable construction as quantityPercentiles)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ranked = ev.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), "event_type")
+    val exact2 = ranked.groupBy("event_type")
+      .agg(min(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("p50_exact"),
+        min(col("n")).as("n"))
+    val approx = ev.groupBy("event_type")
+      .agg(expr("approx_percentile(v, 0.5, 10000)").as("p50_approx"))
+    exact2.join(approx, "event_type")
+      .select(col("event_type"), col("n"), col("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) * 100 <= col("p50_exact"))
+          .cast("long").as("within_1pct"))
+      .orderBy("event_type")
+  }
+
   /** Gini coefficient of per-user spend (inequality of the spend
     * distribution, permille): `G = (2·Σ rk·x − (n+1)·Σx) · 1000 ÷ (n·Σx)`
     * over spend ranked ascending. The rank comes from

@@ -18,6 +18,33 @@ import graft.sources.Tables
   */
 object Curation {
 
+  /** Per-source dedup report — the pipeline-health summary a curation run
+    * publishes: document count, exact-duplicate docs (md5 group size > 1),
+    * and near-duplicate docs (appearing in any Jaccard ≥ 0.5 pair) per
+    * source. Composes [[Dedup]]'s memoized machinery; every count is one
+    * hash aggregation over already-bounded relations.
+    */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val dupGroups = d.groupBy("h").agg(count(lit(1)).as("copies"))
+      .where(col("copies") > 1).select("h")
+    val exactDup = d.join(dupGroups, "h").select("doc_id").distinct()
+      .withColumn("is_exact", lit(1L))
+    val pairs = Dedup.dedupNgram(spark, dir)
+    val nearDup = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b")))
+      .distinct().withColumn("is_near", lit(1L))
+    d.select("doc_id", "source")
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_dup"),
+        sum(coalesce(col("is_near"), lit(0L))).as("n_near_dup"))
+      .orderBy("source")
+  }
+
   /** Deterministic train/val/test assignment: bucket = portableHash
     * ("split:" ++ doc_id) mod 100 → <80 train, <90 val, else test.
     *
