@@ -253,24 +253,27 @@ object ChainLink {
     var freeCur = freeInit
     var changed = 1L
     while (changed > 0) {
-      val cand1 = strict.join(frontier, strict("parent_id") === frontier("node"))
-        .groupBy(col("child_id").as("node1"))
-        .agg((max(frontier("d")) + 1L).as("c1"))
-      val step1 = depth.join(cand1, depth("node") === col("node1"), "left")
-        .select(depth("node").as("node"), depth("d").as("d0"),
-          greatest(depth("d"), coalesce(col("c1"), depth("d"))).as("d1"))
-      val f1 = step1.where(col("d1") =!= col("d0"))
-        .select(col("node").as("fnode"), col("d1").as("fd"))
-      val cand2 = strict.join(f1, strict("parent_id") === col("fnode"))
-        .groupBy(col("child_id").as("node2"))
-        .agg((max(col("fd")) + 1L).as("c2"))
+      // one relaxation step: raise children of the given frontier
+      def step(rel: DataFrame, fr: DataFrame, tag: Int): DataFrame = {
+        val cand = strict.join(fr, strict("parent_id") === col("fnode"))
+          .groupBy(col("child_id").as(s"node$tag"))
+          .agg((max(col("fd")) + 1L).as(s"c$tag"))
+        rel.join(cand, rel("node") === col(s"node$tag"), "left")
+          .select(rel("node").as("node"), rel("d").as("dprev"),
+            greatest(rel("d"), coalesce(col(s"c$tag"), rel("d"))).as("d"))
+      }
+      def fr(rel: DataFrame): DataFrame = rel.where(col("d") =!= col("dprev"))
+        .select(col("node").as("fnode"), col("d").as("fd"))
+      val s1 = step(depth.select(col("node"), col("d")),
+        frontier.select(col("node").as("fnode"), col("d").as("fd")), 1)
+      // two steps per round measured optimal: a third step's plan overhead
+      // (codegen + AQE stages) outweighs the round it saves
+      val s2 = step(s1.select(col("node"), col("d")), fr(s1), 2)
       val (next, freeNext) = Iterative.roundLazy(
-        step1.join(cand2, col("node") === col("node2"), "left")
-          .select(col("node"), col("d1").as("mid"),
-            greatest(col("d1"), coalesce(col("c2"), col("d1"))).as("d")))
-      // Terminate on step-2 changes only: cand2 is exactly the propagation
-      // of step-1's changes, so if it moved nothing, no further relaxation
-      // is possible (step-1 raises are already folded into d).
+        s2.select(col("node"), col("dprev").as("mid"), col("d")))
+      // Terminate on LAST-step changes only: each step propagates exactly
+      // the previous step's changes, so a quiet final step means no further
+      // relaxation is possible (earlier raises are already folded into d).
       changed = next.where(col("d") =!= col("mid")).count()
       freeCur()
       freeCur = freeNext
