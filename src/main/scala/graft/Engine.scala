@@ -137,6 +137,26 @@ object Engine {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     operators.Curation.dedupClusters(spark, dir)
 
+  /** Two unrolled integer-PageRank iterations over the trace graph. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(spark, dir)
+
+  /** Triangle participation per part over the order co-occurrence graph. */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    Graph.triangles(spark, dir)
+
+  /** Bloom-prefiltered exact semi-join (runtime-filter pattern). */
+  def bloomSemiRevenue(spark: SparkSession, dir: String): DataFrame =
+    RuntimeFilter.bloomSemiRevenue(spark, dir)
+
+  /** Per-user longest consecutive-day activity streaks. */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame =
+    Analytics.activityStreaks(spark, dir)
+
+  /** Gopher-style duplicate n-gram / duplicate word repetition signals. */
+  def dupNgramFraction(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupNgramFraction(spark, dir)
+
   /** Write a bucketed+sorted table: pay the shuffle once at ingest, then
     * every join/agg on the bucket key is Exchange-free.
     */

@@ -148,6 +148,14 @@ object SparkEntry {
     "q_full_outer_daily" -> ((s, d) => Relational.qFullOuterDaily(s, d)),
     "q_intersect_users" -> ((s, d) => Relational.qIntersectUsers(s, d)),
     "q_dense_rank_brand" -> ((s, d) => Relational.qDenseRankBrand(s, d)),
+    // fourth-wave: graph analytics, runtime filters, curation signals
+    "q_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    "q_triangles" -> ((s, d) => Graph.triangles(s, d)),
+    "q_streaks" -> ((s, d) => Analytics.activityStreaks(s, d)),
+    "q_skyline" -> ((s, d) => Relational.qSkylineParts(s, d)),
+    "q_props_k" -> ((s, d) => Relational.qPropsK(s, d)),
+    "q_bloom_semi" -> ((s, d) => RuntimeFilter.bloomSemiRevenue(s, d)),
+    "q_dup_ngrams" -> ((s, d) => TextAnalysis.dupNgramFraction(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1337,5 +1345,102 @@ object SparkEntry {
          |SELECT label, vec_a, vec_b, cos FROM r WHERE rk = 1
          |ORDER BY label""".stripMargin
     },
+
+    // Two unrolled integer-PageRank iterations; every step is `div`-exact
+    // so both engines produce identical longs (DuckDB sum→HUGEINT is
+    // normalized by the outer CASTs).
+    "q_pagerank" ->
+      s"""WITH $msgsCte, $linksCte,
+         |outdeg AS (SELECT parent_id, count(*) AS outdeg FROM links GROUP BY 1),
+         |r0 AS (SELECT id, CAST(1000 AS BIGINT) AS pr FROM msgs),
+         |c1 AS (SELECT l.child_id AS id, sum(850 * (r.pr // o.outdeg)) AS c
+         |       FROM links l JOIN outdeg o ON l.parent_id = o.parent_id
+         |                    JOIN r0 r ON l.parent_id = r.id
+         |       GROUP BY 1),
+         |r1 AS (SELECT m.id, CAST(150 + coalesce(c.c, 0) // 1000 AS BIGINT) AS pr
+         |       FROM msgs m LEFT JOIN c1 c ON m.id = c.id),
+         |c2 AS (SELECT l.child_id AS id, sum(850 * (r.pr // o.outdeg)) AS c
+         |       FROM links l JOIN outdeg o ON l.parent_id = o.parent_id
+         |                    JOIN r1 r ON l.parent_id = r.id
+         |       GROUP BY 1),
+         |r2 AS (SELECT m.id, CAST(150 + coalesce(c.c, 0) // 1000 AS BIGINT) AS pr
+         |       FROM msgs m LEFT JOIN c2 c ON m.id = c.id)
+         |SELECT r2.id, r1.pr AS pr_prev, r2.pr AS pr
+         |FROM r2 JOIN r1 ON r2.id = r1.id
+         |ORDER BY r2.id""".stripMargin,
+
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |                  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+        |pn AS (SELECT pk, count(*) AS n_triangles
+        |       FROM (SELECT a AS pk FROM tri
+        |             UNION ALL SELECT b FROM tri
+        |             UNION ALL SELECT c FROM tri)
+        |       GROUP BY 1)
+        |SELECT pk, n_triangles FROM pn
+        |ORDER BY n_triangles DESC, pk LIMIT 20""".stripMargin,
+
+    "q_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |              FROM events),
+        |runs AS (SELECT user_id,
+        |           day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |         FROM days),
+        |s AS (SELECT user_id, grp, count(*) AS len FROM runs GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+        |       count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak
+        |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |             CAST(p_size AS BIGINT) AS sz FROM part),
+        |m AS (SELECT p_partkey, price_c, sz,
+        |        max(sz) OVER (ORDER BY price_c
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax,
+        |        max(sz) OVER (PARTITION BY price_c) AS pmax
+        |      FROM p)
+        |SELECT p_partkey, price_c, sz FROM m
+        |WHERE coalesce(prevmax, -1) < sz AND pmax = sz
+        |ORDER BY price_c, p_partkey""".stripMargin,
+
+    "q_props_k" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(min(k) AS BIGINT) AS min_k,
+        |       CAST(max(k) AS BIGINT) AS max_k,
+        |       CAST(sum(k) // count(*) AS BIGINT) AS avg_k
+        |FROM (SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The bloom prefilter is internal-only (false positives re-checked by
+    // the exact semi-join), so the oracle is the plain EXISTS form.
+    "q_bloom_semi" ->
+      s"""SELECT l_returnflag, $revenueE4 AS revenue_e4, count(*) AS n_items
+         |FROM lineitem l
+         |WHERE EXISTS (SELECT 1 FROM orders o
+         |              WHERE o.o_orderkey = l.l_orderkey
+         |                AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dup_ngrams" ->
+      """WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        CAST(len(w) AS BIGINT) AS n_words,
+        |        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+        |        CAST(len(w) - 2 AS BIGINT) AS n_grams,
+        |        CAST(len(w) - 2 - len(list_distinct(
+        |          list_transform(generate_series(1, len(w) - 2),
+        |                         i -> array_to_string(w[i:i+2], ' '))))
+        |          AS BIGINT) AS n_dup_grams
+        |      FROM dw WHERE len(w) >= 3)
+        |SELECT doc_id, n_words, n_distinct_words, n_grams, n_dup_grams,
+        |       (100 * (n_words - n_distinct_words)) // n_words AS dup_word_pct,
+        |       (100 * n_dup_grams) // n_grams AS dup_gram_pct
+        |FROM g ORDER BY doc_id""".stripMargin,
   )
 }

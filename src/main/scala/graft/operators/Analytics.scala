@@ -450,4 +450,29 @@ object Analytics {
       .select(col("id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .orderBy("id")
   }
+
+  /** Gaps-and-islands: per-user longest consecutive-day activity streak.
+    *
+    * Classic formulation — distinct (user, day), then `day − row_number()`
+    * is constant exactly within a run of consecutive days, so one windowed
+    * subtraction turns runs into group keys. Shuffle story: everything
+    * partitions by user_id (the window and both groupBys share the
+    * partitioning, so Catalyst plans ONE exchange); per-user day lists are
+    * bounded by the calendar, never by corpus size.
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.load(spark, dir, "events")
+      .select(col("user_id"), Tables.epochMsBucket(86400000L).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val runs = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy("user_id")
+      .agg(sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+      .orderBy("user_id")
+  }
 }

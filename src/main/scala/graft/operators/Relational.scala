@@ -381,4 +381,54 @@ object Relational {
         cume_dist().over(w).as("cd"))
       .orderBy("p_brand", "price_cents", "p_partkey")
   }
+
+  /** 2-D skyline (pareto front): parts no other part beats on BOTH cheaper
+    * price and larger size (strict dominance). A part survives iff no
+    * strictly-cheaper part has size ≥ its own AND no equal-price part has a
+    * strictly larger size.
+    *
+    * The prefix-max over the global price order is computed DISTRIBUTED:
+    * coarse price buckets get a per-bucket running max (window partitioned
+    * by bucket), and cross-bucket carry-in is a cumulative max over the
+    * bucket aggregates — a relation bounded by the price-range/bucket-width
+    * ratio, not by row count (same two-level scan as
+    * [[graft.operators.Ranking]]; no global single-task window).
+    */
+  def qSkylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("price_c"),
+        col("p_size").cast("long").as("sz"))
+      .withColumn("b", expr("price_c div 10000"))
+    // within-bucket strict-prefix max over price (RANGE .. 1 PRECEDING)
+    val wLocal = Window.partitionBy("b").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    // cross-bucket carry-in: cumulative max over earlier buckets (tiny)
+    val bAgg = p.groupBy("b").agg(max(col("sz")).as("bmax"))
+    val wB = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bAgg.withColumn("cmax", max(col("bmax")).over(wB)).drop("bmax")
+    val wSame = Window.partitionBy("price_c")
+    p.join(carry, Seq("b"), "left")
+      .withColumn("prevmax",
+        greatest(coalesce(max(col("sz")).over(wLocal), lit(-1L)),
+          coalesce(col("cmax"), lit(-1L))))
+      .withColumn("pmax", max(col("sz")).over(wSame))
+      .where(col("prevmax") < col("sz") && col("pmax") === col("sz"))
+      .select(col("p_partkey"), col("price_c"), col("sz"))
+      .orderBy("price_c", "p_partkey")
+  }
+
+  /** JSON property extraction: per-event-type stats of the numeric `k`
+    * field inside the `props` JSON column — the get_json_object scalar
+    * surface. Pure map + partial agg; the JSON parse is codegen'd and never
+    * leaves the scan stage.
+    */
+  def qPropsK(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .withColumn("avg_k", expr("sum_k div n"))
+      .orderBy("event_type")
 }

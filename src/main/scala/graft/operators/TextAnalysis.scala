@@ -191,4 +191,30 @@ object TextAnalysis {
       .select("doc_id", "min_gram_hash", "simhash", "prefix_hash")
       .orderBy("doc_id")
   }
+
+  /** Gopher-style repetition signal: per-document duplicate 3-gram
+    * fraction (plus duplicate-word fraction). Entirely map-side array
+    * expressions — zero shuffle before the final order — so at 100 TB this
+    * is pure scan throughput like the other text gates.
+    */
+  def dupNgramFraction(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val w = split(col("text"), " ")
+    val grams = transform(sequence(lit(1), size(col("w")) - 2),
+      i => concat_ws(" ", slice(col("w"), i, lit(3))))
+    d.select(col("doc_id"), w.as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
+        grams.as("g"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        size(col("g")).cast("long").as("n_grams"),
+        (size(col("g")) - size(array_distinct(col("g")))).cast("long")
+          .as("n_dup_grams"))
+      .withColumn("dup_word_pct",
+        expr("(100 * (n_words - n_distinct_words)) div n_words"))
+      .withColumn("dup_gram_pct", expr("(100 * n_dup_grams) div n_grams"))
+      .orderBy("doc_id")
+  }
 }
