@@ -157,6 +157,14 @@ object Engine {
   def dupNgramFraction(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.dupNgramFraction(spark, dir)
 
+  /** MinHash sketch-accuracy report (estimate vs exact Jaccard per pair). */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashAccuracy(spark, dir)
+
+  /** IVF index health: per-centroid bucket sizes and corpus share. */
+  def ivfStats(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfStats(spark, dir)
+
   /** Write a bucketed+sorted table: pay the shuffle once at ingest, then
     * every join/agg on the bucket key is Exchange-free.
     */

@@ -156,6 +156,9 @@ object SparkEntry {
     "q_props_k" -> ((s, d) => Relational.qPropsK(s, d)),
     "q_bloom_semi" -> ((s, d) => RuntimeFilter.bloomSemiRevenue(s, d)),
     "q_dup_ngrams" -> ((s, d) => TextAnalysis.dupNgramFraction(s, d)),
+    "q_minhash_acc" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
+    "q_ivf_stats" -> ((s, d) => Similarity.ivfStats(s, d)),
+    "q_unpivot_daily" -> ((s, d) => Relational.qUnpivotDaily(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1426,6 +1429,71 @@ object SparkEntry {
          |              WHERE o.o_orderkey = l.l_orderkey
          |                AND o.o_orderpriority = '1-URGENT')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Sketch-accuracy contract for the minhash estimator: per LSH candidate
+    // pair, estimate vs exact Jaccard permille and |error| — replays the
+    // same 16 affine permutations and 4×4 banding as dedup_minhash.
+    "q_minhash_acc" ->
+      s"""WITH $docShCtes, $interCte,
+         |hashed AS (SELECT doc_id,
+         |             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000000007 AS h
+         |           FROM sh),
+         |mh AS (SELECT doc_id, j,
+         |         min(((j * 4097 + 1) * h + j * 12289 + 7) % 1000000007) AS mh
+         |       FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+         |       GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |            array_to_string(list_sort(list(printf('%02d@%d', j, mh))), ':') AS sig
+         |          FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |m AS (SELECT c.doc_a, c.doc_b,
+         |        sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS matches
+         |      FROM cand c
+         |      JOIN mh a ON a.doc_id = c.doc_a
+         |      JOIN mh b ON b.doc_id = c.doc_b AND a.j = b.j
+         |      GROUP BY 1, 2),
+         |x AS (SELECT m.doc_a, m.doc_b,
+         |        CAST(m.matches * 1000 // 16 AS BIGINT) AS est_permille,
+         |        CAST(coalesce(i.inter, 0) * 1000
+         |             // (sa.n_sh + sb.n_sh - coalesce(i.inter, 0)) AS BIGINT)
+         |          AS exact_permille
+         |      FROM m
+         |      LEFT JOIN inter i ON m.doc_a = i.doc_a AND m.doc_b = i.doc_b
+         |      JOIN sizes sa ON m.doc_a = sa.doc_id
+         |      JOIN sizes sb ON m.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, est_permille, exact_permille,
+         |       abs(est_permille - exact_permille) AS abs_err
+         |FROM x ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Replays the ann_ivf nprobe=1 assignment; per-centroid bucket sizes.
+    "q_ivf_stats" ->
+      s"""WITH $vecCte,
+         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+         |          WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |          SELECT v.vec_id, c.cent_id,
+         |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                   ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                   c.cent_id) AS rn
+         |          FROM v CROSS JOIN cents c) WHERE rn = 1)
+         |SELECT cent_id, count(*) AS n_vecs,
+         |       CAST(count(*) * 1000 // (SELECT count(*) FROM asg) AS BIGINT)
+         |         AS share_permille
+         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_unpivot_daily" ->
+      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n_events,
+        |             count(DISTINCT user_id) AS n_users,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |               AS value_cents
+        |           FROM events GROUP BY 1)
+        |SELECT day, metric, val FROM (
+        |  SELECT day, 'n_events' AS metric, n_events AS val FROM d
+        |  UNION ALL SELECT day, 'n_users', n_users FROM d
+        |  UNION ALL SELECT day, 'value_cents', value_cents FROM d)
+        |ORDER BY day, metric""".stripMargin,
 
     "q_dup_ngrams" ->
       """WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -417,6 +417,23 @@ object Relational {
       .orderBy("price_c", "p_partkey")
   }
 
+  /** Unpivot (melt): daily wide metrics — event count, distinct users,
+    * value cents — folded to long form with `stack`, the inverse of
+    * `q_pivot_events`. Unpivot is a zero-shuffle projection (each input
+    * row fans out map-side), so the plan is the aggregation's plus a
+    * generate node.
+    */
+  def qUnpivotDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(Tables.epochMsBucket(86400000L).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .selectExpr("day",
+        "stack(3, 'n_events', n_events, 'n_users', n_users, " +
+          "'value_cents', value_cents) AS (metric, val)")
+      .orderBy("day", "metric")
+
   /** JSON property extraction: per-event-type stats of the numeric `k`
     * field inside the `props` JSON column — the get_json_object scalar
     * surface. Pure map + partial agg; the JSON parse is codegen'd and never

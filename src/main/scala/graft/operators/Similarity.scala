@@ -58,20 +58,29 @@ object Similarity {
       .orderBy("vec_id", "dim")
   }
 
-  /** IVF-bucketed ANN: nprobe=2 over deterministic coarse centroids. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val v = Dedup.normedFor(spark, dir)
-    val cents = v.where(col("vec_id") % 50 === 0)
+  /** Deterministic coarse centroid relation (every 50th vector). */
+  private[graft] def centroidsFor(v: DataFrame): DataFrame =
+    v.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
 
-    // index build: every vector → its nearest centroid (ties → min cent_id)
+  /** IVF index build: every vector → its nearest centroid (ties → min
+    * cent_id). One broadcast of the centroid table + a map-side argmax.
+    */
+  private[graft] def ivfAssign(v: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
-    val assign = v.crossJoin(broadcast(cents))
+    v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         Dedup.cosine(col("e"), col("ce"), col("nrm"), col("cn")).as("ccos"))
       .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
       .select(col("vec_id"), col("cent_id"))
+  }
+
+  /** IVF-bucketed ANN: nprobe=2 over deterministic coarse centroids. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    val cents = centroidsFor(v)
+    val assign = ivfAssign(v, cents)
 
     // query: probe the 2 nearest centroid lists
     val q = v.where(col("vec_id") % 20 === 0)
@@ -97,5 +106,21 @@ object Similarity {
         Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
       .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
       .orderBy("q_id", "rk")
+  }
+
+  /** IVF index health report: per-centroid bucket size and permille share
+    * of the corpus. The number an ANN operator watches in production —
+    * bucket imbalance is what turns nprobe into a latency lottery. One
+    * groupBy over the assignment; the totals row is a broadcast scalar.
+    */
+  def ivfStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    val counts = ivfAssign(v, centroidsFor(v))
+      .groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+    val total = counts.agg(sum(col("n_vecs")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cent_id"), col("n_vecs"),
+        expr("n_vecs * 1000 div n_total").as("share_permille"))
+      .orderBy("cent_id")
   }
 }

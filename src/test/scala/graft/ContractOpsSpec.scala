@@ -1,0 +1,97 @@
+package graft
+
+import java.security.MessageDigest
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Relational, Similarity}
+import graft.sources.Tables
+
+/** Independent Scala models for the sketch-contract queries: minhash
+  * accuracy recomputed from raw text (own md5 hashing, own permutations,
+  * own banding), IVF stats from a brute-force cosine argmax over raw
+  * embeddings, unpivot from a direct collect.
+  */
+class ContractOpsSpec extends SparkSpec {
+
+  private def md5Hash60(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("minhash accuracy == independent Scala sketch model") {
+    val P = 1000000007L
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shingles = docs.view.mapValues { t =>
+      val w = t.split(" ", -1)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }.toMap
+    val mh = shingles.view.mapValues { sh =>
+      val hs = sh.map(s => md5Hash60(s) % P)
+      (0 to 15).map(j => hs.map(h => (h * (j * 4097L + 1L) + j * 12289L + 7L) % P).min)
+    }.toMap
+    val ids = docs.keys.toSeq.sorted
+    val cand = for {
+      i <- ids; j <- ids if i < j
+      if (0 to 3).exists(b => (4 * b to 4 * b + 3).forall(k => mh(i)(k) == mh(j)(k)))
+    } yield (i, j)
+    val model = cand.map { case (a, b) =>
+      val m = (0 to 15).count(k => mh(a)(k) == mh(b)(k)).toLong
+      val inter = (shingles(a) & shingles(b)).size.toLong
+      val union = shingles(a).size + shingles(b).size - inter
+      val est = m * 1000 / 16
+      val exact = inter * 1000 / union
+      (a, b) -> ((est, exact, (est - exact).abs))
+    }.toMap
+    val got = Dedup.minhashAccuracy(spark, sf0001).collect()
+    assert(got.length == model.size)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(model.contains(k), s"unexpected pair $k")
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == model(k), s"pair $k")
+    }
+  }
+
+  test("IVF stats == brute-force cosine argmax over raw embeddings") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def nrm(e: Array[Double]) = math.sqrt(e.foldLeft(0.0)((a, x) => a + x * x))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val cents = vecs.keys.filter(_ % 50 == 0).toSeq.sorted
+    val assign = vecs.keys.map { id =>
+      val best = cents.map(c =>
+        (-dot(vecs(id), vecs(c)) / (nrm(vecs(id)) * nrm(vecs(c))), c)).min
+      id -> best._2
+    }
+    val buckets = assign.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val total = vecs.size.toLong
+    val got = Similarity.ivfStats(spark, sf0001).collect()
+    assert(got.length == buckets.size)
+    got.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getLong(1) == buckets(c), s"bucket $c size")
+      assert(r.getLong(2) == buckets(c) * 1000 / total, s"bucket $c share")
+    }
+    assert(got.map(_.getLong(1)).sum == total)
+  }
+
+  test("unpivot == direct collect model") {
+    val rows = Tables.load(spark, sf0001, "events")
+      .select((expr("(ts div 1000000)") / lit(86400000L)).cast("long").as("day"),
+        col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDay = rows.groupBy(_._1)
+    val exp = byDay.flatMap { case (d, rs) =>
+      Seq((d, "n_events", rs.size.toLong),
+        (d, "n_users", rs.map(_._2).distinct.size.toLong),
+        (d, "value_cents", rs.map(_._3).sum))
+    }.toSet
+    val got = Relational.qUnpivotDaily(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == exp)
+  }
+}
