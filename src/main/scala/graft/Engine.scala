@@ -165,6 +165,14 @@ object Engine {
   def ivfStats(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfStats(spark, dir)
 
+  /** Temperature-scaled training-mixture resampling per source. */
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame =
+    operators.Curation.sourceMixture(spark, dir)
+
+  /** Corpus packing: documents kept up to a total token budget. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    operators.Curation.tokenBudget(spark, dir)
+
   /** Write a bucketed+sorted table: pay the shuffle once at ingest, then
     * every join/agg on the bucket key is Exchange-free.
     */

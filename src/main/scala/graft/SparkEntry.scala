@@ -159,6 +159,8 @@ object SparkEntry {
     "q_minhash_acc" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
     "q_ivf_stats" -> ((s, d) => Similarity.ivfStats(s, d)),
     "q_unpivot_daily" -> ((s, d) => Relational.qUnpivotDaily(s, d)),
+    "q_source_mixture" -> ((s, d) => Curation.sourceMixture(s, d)),
+    "q_token_budget" -> ((s, d) => Curation.tokenBudget(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1494,6 +1496,48 @@ object SparkEntry {
         |  UNION ALL SELECT day, 'n_users', n_users FROM d
         |  UNION ALL SELECT day, 'value_cents', value_cents FROM d)
         |ORDER BY day, metric""".stripMargin,
+
+    // Temperature-0.5 source mixture: ⌊√n⌋ weights (IEEE sqrt of exact
+    // integers is correctly rounded in both engines), half-corpus budget,
+    // hash-threshold sampling.
+    "q_source_mixture" ->
+      s"""WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         |             CAST(sum(CAST(floor(sqrt(n_docs)) AS BIGINT)) AS BIGINT)
+         |               AS w_total
+         |      FROM s),
+         |r AS (SELECT s.source, s.n_docs,
+         |        CAST(floor(sqrt(s.n_docs)) AS BIGINT) AS weight,
+         |        CAST((t.n_total // 2) * CAST(floor(sqrt(s.n_docs)) AS BIGINT)
+         |             // t.w_total AS BIGINT) AS alloc,
+         |        t.n_total, t.w_total
+         |      FROM s CROSS JOIN t),
+         |r2 AS (SELECT source, n_docs, weight, alloc,
+         |         least(1000, alloc * 1000 // n_docs) AS rate_permille
+         |       FROM r),
+         |smp AS (SELECT d.source, count(*) AS n_sampled
+         |        FROM documents d JOIN r2 ON d.source = r2.source
+         |        WHERE ${Tables.portableHashSql("'mix:' || d.doc_id")} % 1000
+         |              < r2.rate_permille
+         |        GROUP BY 1)
+         |SELECT r2.source, r2.n_docs, r2.weight, r2.alloc,
+         |       CAST(r2.rate_permille AS BIGINT) AS rate_permille,
+         |       coalesce(smp.n_sampled, 0) AS n_sampled
+         |FROM r2 LEFT JOIN smp ON r2.source = smp.source
+         |ORDER BY r2.source""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |b AS (SELECT CAST(sum(n_tokens) * 6 // 10 AS BIGINT) AS budget FROM d),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum_tokens
+        |      FROM d)
+        |SELECT doc_id, n_tokens, cum_tokens FROM c CROSS JOIN b
+        |WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin,
 
     "q_dup_ngrams" ->
       """WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

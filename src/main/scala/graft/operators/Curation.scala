@@ -192,4 +192,69 @@ object Curation {
       .select("doc_id", "cluster_id", "cluster_size")
       .orderBy("doc_id")
   }
+
+  /** Temperature-scaled source mixture (the training-mixture resampling
+    * step): per-source weights `⌊√n_s⌋` (τ = 0.5 — integer-exact: IEEE
+    * sqrt of an exact integer is correctly rounded in every engine), a
+    * half-corpus document budget allocated ∝ weight, converted to a
+    * per-source permille keep-rate, and applied as the same deterministic
+    * hash-threshold sampling as [[stratifiedSample]].
+    *
+    * Scale shape: the mixture math runs on the per-source aggregate (one
+    * tiny relation), the rates broadcast back, and the sample itself is a
+    * pure map — identical cost to stratifiedSample no matter how skewed
+    * the source distribution.
+    */
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val bySource = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val total = bySource.agg(sum(col("n_docs")).as("n_total"),
+      sum(floor(sqrt(col("n_docs"))).cast("long")).as("w_total"))
+    val rates = bySource.crossJoin(broadcast(total))
+      .withColumn("weight", floor(sqrt(col("n_docs"))).cast("long"))
+      .withColumn("alloc", expr("(n_total div 2) * weight div w_total"))
+      .withColumn("rate_permille",
+        least(lit(1000L), expr("alloc * 1000 div n_docs")))
+    val sampled = d.select(col("doc_id"), col("source"),
+        (Tables.portableHash(concat(lit("mix:"), col("doc_id").cast("string")))
+          % 1000).as("bucket"))
+      .join(broadcast(rates.select("source", "rate_permille")), "source")
+      .where(col("bucket") < col("rate_permille"))
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+    rates.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("weight"), col("alloc"),
+        col("rate_permille"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("source")
+  }
+
+  /** Corpus packing to a token budget (60% of total tokens): documents are
+    * taken in doc_id order until the cumulative token count crosses the
+    * budget — the "cut a training corpus at N tokens" operation.
+    *
+    * The running sum is NOT a global single-task window: doc_ids are
+    * range-bucketed, each bucket computes its local prefix sums, and the
+    * cross-bucket carry is a cumulative sum over the per-bucket totals (a
+    * relation bounded by bucket count). Same two-level scan as the skyline
+    * and the Ranking helpers.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("b", expr("doc_id div 100"))
+    val budget = d.agg(expr("sum(n_tokens) * 6 div 10").as("budget"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bAgg = d.groupBy("b").agg(sum(col("n_tokens")).as("btot"))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val carry = bAgg.withColumn("carry",
+      coalesce(sum(col("btot")).over(wB), lit(0L))).drop("btot")
+    d.join(carry, Seq("b"), "left")
+      .withColumn("cum_tokens", col("carry") + sum(col("n_tokens")).over(wLocal))
+      .crossJoin(broadcast(budget))
+      .where(col("cum_tokens") <= col("budget"))
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
 }

@@ -79,6 +79,46 @@ class ContractOpsSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).sum == total)
   }
 
+  test("source mixture == Scala mixture model (weights, allocs, sample counts)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nTotal = docs.length.toLong
+    val weight = bySource.view.mapValues(n => math.sqrt(n.toDouble).floor.toLong).toMap
+    val wTotal = weight.values.sum
+    val model = bySource.map { case (s, n) =>
+      val alloc = (nTotal / 2) * weight(s) / wTotal
+      val rate = math.min(1000L, alloc * 1000 / n)
+      val sampled = docs.count { case (id, src) =>
+        src == s && md5Hash60(s"mix:$id") % 1000 < rate
+      }.toLong
+      s -> ((n, weight(s), alloc, rate, sampled))
+    }
+    val got = graft.operators.Curation.sourceMixture(spark, sf0001).collect()
+    assert(got.length == model.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        == model(r.getString(0)), s"source ${r.getString(0)}")
+    }
+  }
+
+  test("token budget == sequential prefix-sum model") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy(_._1)
+    val budget = docs.map(_._2).sum * 6 / 10
+    var cum = 0L
+    val exp = docs.flatMap { case (id, n) =>
+      cum += n
+      if (cum <= budget) Some((id, n, cum)) else None
+    }
+    val got = graft.operators.Curation.tokenBudget(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
   test("unpivot == direct collect model") {
     val rows = Tables.load(spark, sf0001, "events")
       .select((expr("(ts div 1000000)") / lit(86400000L)).cast("long").as("day"),
