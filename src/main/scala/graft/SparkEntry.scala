@@ -1374,10 +1374,15 @@ object SparkEntry {
          |FROM r2 JOIN r1 ON r2.id = r1.id
          |ORDER BY r2.id""".stripMargin,
 
+    // Support ≥ 2 (co-occurrence in at least two orders) is the edge
+    // semantics: single co-occurrences are linear-growing noise.
     "q_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT u, v FROM (
+        |        SELECT a.pk AS u, b.pk AS v, count(*) AS c
+        |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |        GROUP BY 1, 2)
+        |      WHERE c >= 2),
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |        FROM e e1 JOIN e e2 ON e1.v = e2.u
         |                  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),

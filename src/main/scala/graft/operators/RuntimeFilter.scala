@@ -38,26 +38,40 @@ object RuntimeFilter {
       .select(array((0 until Slots).map(j => col(s"b$j")): _*).as("bits"))
   }
 
+  /** Membership predicate for `keyCol` (a SQL column name) against a
+    * driver-materialized bitmap, as a scan-stage SQL expression.
+    */
+  private def mightContainSql(bits: Seq[Long], keyCol: String, seed: Int): Column = {
+    val arr = bits.mkString("array(", "L, ", "L)")
+    val p = s"pmod(xxhash64($keyCol, $seed), $Bits)"
+    expr(s"(shiftright(element_at($arr, CAST($p div 64 AS INT) + 1), " +
+      s"CAST($p % 64 AS INT)) & 1) = 1")
+  }
+
   /** Revenue by return flag for lineitems of URGENT orders, probe side
     * pre-filtered by the bloom sketch. Oracle: the plain `EXISTS` semi-join
     * — identical output by construction.
+    *
+    * The sketch is materialized on the driver (16 longs — one tiny action,
+    * the broadcast-variable pattern Spark's own InjectRuntimeFilter uses
+    * for its bloom subqueries) and applied as a scan-stage literal
+    * predicate. Keeping it a join against a 1-row relation instead lets
+    * Catalyst reorder the exact semi-join below the membership filter
+    * (observed at small SF, where the semi side is broadcastable), which
+    * silently turns the bloom into dead post-join work; a literal predicate
+    * is pinned to the scan at every scale.
     */
   def bloomSemiRevenue(spark: SparkSession, dir: String): DataFrame = {
     val urgent = Tables.load(spark, dir, "orders")
       .where(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val bloom = build(urgent)
+    val bits: Seq[Long] = build(urgent).head().getSeq[Long](0)
 
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
         col("l_returnflag"))
-    val hit = expr("(element_at(bits, CAST(p div 64 AS INT) + 1) " +
-      ">> CAST(p % 64 AS INT)) & 1 = 1")
-    val probed = positions(col("l_orderkey")).foldLeft(
-        li.crossJoin(broadcast(bloom))) { (df, pos) =>
-        df.withColumn("p", pos).where(hit)
-      }
-      .drop("bits", "p")
+    val probed = li.where(mightContainSql(bits, "l_orderkey", 1) &&
+      mightContainSql(bits, "l_orderkey", 2))
 
     val cents = (c: Column) => round(c * 100).cast("long")
     probed.join(urgent, probed("l_orderkey") === urgent("o_orderkey"), "left_semi")

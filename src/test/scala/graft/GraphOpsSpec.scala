@@ -42,7 +42,7 @@ class GraphOpsSpec extends SparkSpec {
     val edges = li.groupBy(_._1).values.flatMap { g =>
       val ps = g.map(_._2).distinct.sorted
       for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
-    }.toSet
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
     for ((u, v) <- edges; w <- adj.getOrElse(v, Set.empty) if edges((u, w))) {

@@ -216,4 +216,40 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_orders")
     }
   }
+
+  test("bloom semi-join: membership filter runs before the semi-join") {
+    val p = plan(operators.RuntimeFilter.bloomSemiRevenue(spark, sf001))
+    // the element_at bit-test must appear as a Filter below the semi join —
+    // i.e. probe rows are dropped pre-shuffle
+    val lines = p.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("element_at"))
+    val joinIdx = lines.indexWhere(l => l.contains("LeftSemi"))
+    assert(filterIdx >= 0, s"no bloom membership filter in plan:\n$p")
+    assert(joinIdx >= 0 && joinIdx < filterIdx,
+      "membership filter must be a child of (below) the semi join")
+  }
+
+  test("pageRank: no cartesian; contributions partially aggregated") {
+    val p = plan(operators.Graph.pageRank(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "contribution sums need map-side combine")
+  }
+
+  test("skyline/token budget: windows are bucket-partitioned, not global") {
+    Seq(plan(Relational.qSkylineParts(spark, sf001)),
+      plan(operators.Curation.tokenBudget(spark, sf001))).foreach { p =>
+      val globals = p.linesIterator.filter(l =>
+        l.trim.startsWith("Window") && !l.contains("windowspecdefinition(b")
+          && !l.contains("partitionby")).toSeq
+      // every Window over the full relation must carry a partition spec;
+      // the only permitted global window is over the per-bucket aggregate,
+      // whose input is the tiny `b`-keyed relation
+      globals.foreach { w =>
+        assert(w.contains("windowspecdefinition(b,") || w.contains("price_c,"),
+          s"unexpected global window: $w\n$p")
+      }
+    }
+  }
 }
