@@ -453,26 +453,32 @@ object Analytics {
 
   /** Gaps-and-islands: per-user longest consecutive-day activity streak.
     *
-    * Classic formulation — distinct (user, day), then `day − row_number()`
-    * is constant exactly within a run of consecutive days, so one windowed
-    * subtraction turns runs into group keys. Shuffle story: everything
-    * partitions by user_id (the window and both groupBys share the
-    * partitioning, so Catalyst plans ONE exchange); per-user day lists are
-    * bounded by the calendar, never by corpus size.
+    * ONE exchange: `collect_set(day)` dedupes and gathers each user's days
+    * (map-side combined; bounded by the calendar, never by event volume),
+    * and the runs statistics fall out of a single left fold over the
+    * sorted array — no windows, no second shuffle. The windowed
+    * `day − row_number()` formulation needs a (user, day)-keyed distinct
+    * exchange before its user-keyed window; this shape replaces both with
+    * the aggregation it already had to do.
     */
-  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
-    val days = Tables.load(spark, dir, "events")
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
       .select(col("user_id"), Tables.epochMsBucket(86400000L).as("day"))
-      .distinct()
-    val w = Window.partitionBy("user_id").orderBy("day")
-    val runs = days
-      .withColumn("grp", col("day") - row_number().over(w))
-      .groupBy("user_id", "grp")
-      .agg(count(lit(1)).as("len"))
-    runs.groupBy("user_id")
-      .agg(sum(col("len")).as("active_days"),
-        count(lit(1)).as("n_streaks"),
-        max(col("len")).as("max_streak"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("day"))).as("ds"))
+      .select(col("user_id"),
+        size(col("ds")).cast("long").as("active_days"),
+        // fold: (prev day, current run length, longest run, run count)
+        aggregate(col("ds"),
+          struct(lit(Long.MinValue).as("prev"), lit(0L).as("cur"),
+            lit(0L).as("mx"), lit(0L).as("n")),
+          (acc, d) => {
+            val cur = when(d === acc("prev") + 1L, acc("cur") + 1L).otherwise(1L)
+            struct(d.as("prev"), cur.as("cur"),
+              greatest(acc("mx"), cur).as("mx"),
+              (acc("n") + when(d === acc("prev") + 1L, 0L).otherwise(1L)).as("n"))
+          }).as("st"))
+      .select(col("user_id"), col("active_days"),
+        col("st.n").as("n_streaks"), col("st.mx").as("max_streak"))
       .orderBy("user_id")
-  }
 }

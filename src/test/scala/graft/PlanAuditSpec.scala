@@ -230,6 +230,13 @@ class PlanAuditSpec extends SparkSpec {
       "membership filter must be a child of (below) the semi join")
   }
 
+  test("activity streaks: one hash exchange, no window operator") {
+    val p = plan(operators.Analytics.activityStreaks(spark, sf001))
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected a single hash exchange:\n$p")
+    assert(!p.contains("Window"), "streaks must not need a window")
+  }
+
   test("pageRank: no cartesian; contributions partially aggregated") {
     val p = plan(operators.Graph.pageRank(spark, sf001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
