@@ -173,6 +173,14 @@ object Engine {
   def tokenBudget(spark: SparkSession, dir: String): DataFrame =
     operators.Curation.tokenBudget(spark, dir)
 
+  /** Streaming MinHash-LSH near-dup dedup: keep/drop verdicts for a
+    * document stream (two-stage chained stateful topology; deterministic
+    * (ts, doc_id)-order contract, checkpoint-recoverable).
+    */
+  def minhashDedupStream(docs: DataFrame, maxOutOfOrder: String = "30 seconds")
+      : Dataset[graft.streaming.DedupVerdict] =
+    graft.streaming.StreamingDedup.minhashDedupStream(docs, maxOutOfOrder)
+
   /** Write a bucketed+sorted table: pay the shuffle once at ingest, then
     * every join/agg on the bucket key is Exchange-free.
     */
