@@ -161,6 +161,8 @@ object SparkEntry {
     "q_unpivot_daily" -> ((s, d) => Relational.qUnpivotDaily(s, d)),
     "q_source_mixture" -> ((s, d) => Curation.sourceMixture(s, d)),
     "q_token_budget" -> ((s, d) => Curation.tokenBudget(s, d)),
+    "q_mad_outliers" -> ((s, d) => Analytics.madOutliers(s, d)),
+    "q_ab_lift" -> ((s, d) => Analytics.abLift(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1501,6 +1503,54 @@ object SparkEntry {
         |  UNION ALL SELECT day, 'n_users', n_users FROM d
         |  UNION ALL SELECT day, 'value_cents', value_cents FROM d)
         |ORDER BY day, metric""".stripMargin,
+
+    // Exact integer median / MAD via rank-at-position (ties-safe: the value
+    // at rank k is order-independent among duplicates).
+    "q_mad_outliers" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events),
+        |c AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+        |r AS (SELECT event_type, v,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+        |      FROM e),
+        |med AS (SELECT r.event_type,
+        |          min(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+        |        FROM r JOIN c ON r.event_type = c.event_type GROUP BY 1),
+        |d AS (SELECT e.event_type, e.v, abs(e.v - med.med) AS dv, med.med
+        |      FROM e JOIN med ON e.event_type = med.event_type),
+        |r2 AS (SELECT event_type, dv,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY dv) AS rn2
+        |       FROM d),
+        |mad AS (SELECT r2.event_type,
+        |          min(CASE WHEN rn2 = (n + 1) // 2 THEN dv END) AS mad
+        |        FROM r2 JOIN c ON r2.event_type = c.event_type GROUP BY 1)
+        |SELECT d.event_type, CAST(min(d.med) AS BIGINT) AS med,
+        |       CAST(min(mad.mad) AS BIGINT) AS mad, count(*) AS n,
+        |       CAST(sum(CASE WHEN d.dv > 3 * mad.mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM d JOIN mad ON d.event_type = mad.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ab_lift" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |a AS (SELECT user_id,
+         |        CASE WHEN ${Tables.portableHashSql("'ab:' || user_id")} % 2 = 0
+         |             THEN 'control' ELSE 'treatment' END AS grp
+         |      FROM u),
+         |conv AS (SELECT user_id, CAST(1 AS BIGINT) AS converted
+         |         FROM events WHERE event_type = 'purchase'
+         |         GROUP BY user_id HAVING count(*) > 13),
+         |per AS (SELECT grp, count(*) AS n_users,
+         |          CAST(sum(coalesce(converted, 0)) AS BIGINT) AS n_converted
+         |        FROM a LEFT JOIN conv ON a.user_id = conv.user_id
+         |        GROUP BY 1),
+         |p2 AS (SELECT grp, n_users, n_converted,
+         |         CAST(n_converted * 1000 // n_users AS BIGINT) AS conv_permille
+         |       FROM per)
+         |SELECT grp, n_users, n_converted, conv_permille,
+         |       conv_permille - (SELECT conv_permille FROM p2
+         |                        WHERE grp = 'control') AS lift_permille
+         |FROM p2 ORDER BY grp""".stripMargin,
 
     // Temperature-0.5 source mixture: ⌊√n⌋ weights (IEEE sqrt of exact
     // integers is correctly rounded in both engines), half-corpus budget,

@@ -349,6 +349,67 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Robust outlier detection by median absolute deviation: per event
+    * type, the exact integer median (rank ⌈n/2⌉ via the same
+    * rank-at-position technique as [[iqrOutliers]]), the MAD, and the
+    * count of points beyond 3·MAD. Two rank phases, each one windowed scan
+    * partitioned by group; medians broadcast back. All integer cents —
+    * hash-exact cross-engine.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    def medianOf(df: DataFrame, c: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(c))
+      df.withColumn("rn", row_number().over(w))
+        .join(broadcast(counts), "event_type")
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === expr("(n + 1) div 2"), col(c))).as(s"med_$c"))
+    }
+    val med = medianOf(ev, "v")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dv", abs(col("v") - col("med_v")))
+    val mad = medianOf(dev.select(col("event_type"), col("dv")), "dv")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(min(col("med_v")).as("med"), min(col("med_dv")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("dv") > col("med_dv") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** A/B experiment readout: users deterministically hash-split into
+    * control/treatment (the [[Curation.splitAssign]] mechanism), conversion
+    * = more than 13 purchase events, rates in permille, lift vs control.
+    * The assignment is a pure map; the readout aggregates to two rows
+    * before the lift join, so the comparison never touches fact-scale data.
+    */
+  def abLift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val assign = ev.select(col("user_id")).distinct()
+      .withColumn("grp",
+        when(Tables.portableHash(concat(lit("ab:"), col("user_id").cast("string")))
+          % 2 === 0, "control").otherwise("treatment"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_purch"))
+      .where(col("n_purch") > 13)
+      .select(col("user_id"), lit(1L).as("converted"))
+    val per = assign.join(conv, Seq("user_id"), "left")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("converted"), lit(0L))).as("n_converted"))
+      .withColumn("conv_permille", expr("n_converted * 1000 div n_users"))
+    val ctl = per.where(col("grp") === "control")
+      .select(col("conv_permille").as("ctl_pm"))
+    per.crossJoin(broadcast(ctl))
+      .select(col("grp"), col("n_users"), col("n_converted"),
+        col("conv_permille"),
+        (col("conv_permille") - col("ctl_pm")).as("lift_permille"))
+      .orderBy("grp")
+  }
+
   /** Corpus-level n-gram frequency: top-20 word 3-grams by document
     * frequency. Reuses the memoized distinct-shingle relation; one hash agg
     * + a 20-row top-k (ties broken by shingle text → total order).

@@ -119,6 +119,48 @@ class ContractOpsSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("MAD outliers == per-group Scala model") {
+    val rows = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def medianAtCeilHalf(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val model = rows.groupBy(_._1).map { case (t, vs) =>
+      val v = vs.map(_._2).toSeq
+      val med = medianAtCeilHalf(v)
+      val dv = v.map(x => (x - med).abs)
+      val mad = medianAtCeilHalf(dv)
+      t -> ((med, mad, v.size.toLong, dv.count(_ > 3 * mad).toLong))
+    }
+    val got = graft.operators.Analytics.madOutliers(spark, sf0001).collect()
+    assert(got.length == model.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        == model(r.getString(0)), s"type ${r.getString(0)}")
+    }
+  }
+
+  test("A/B lift == Scala split + conversion model") {
+    val rows = Tables.load(spark, sf0001, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = rows.map(_._1).distinct
+    def grp(u: Long) = if (md5Hash60(s"ab:$u") % 2 == 0) "control" else "treatment"
+    val purch = rows.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.length).toMap
+    val per = users.groupBy(grp).map { case (g, us) =>
+      val conv = us.count(u => purch.getOrElse(u, 0) > 13).toLong
+      g -> ((us.length.toLong, conv, conv * 1000 / us.length))
+    }
+    val ctl = per("control")._3
+    val got = graft.operators.Analytics.abLift(spark, sf0001).collect()
+    assert(got.length == per.size)
+    got.foreach { r =>
+      val exp = per(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        == ((exp._1, exp._2, exp._3, exp._3 - ctl)), s"grp ${r.getString(0)}")
+    }
+  }
+
   test("unpivot == direct collect model") {
     val rows = Tables.load(spark, sf0001, "events")
       .select((expr("(ts div 1000000)") / lit(86400000L)).cast("long").as("day"),
