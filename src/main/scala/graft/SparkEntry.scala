@@ -163,6 +163,7 @@ object SparkEntry {
     "q_token_budget" -> ((s, d) => Curation.tokenBudget(s, d)),
     "q_mad_outliers" -> ((s, d) => Analytics.madOutliers(s, d)),
     "q_ab_lift" -> ((s, d) => Analytics.abLift(s, d)),
+    "q_latency_log2" -> ((s, d) => Analytics.latencyLog2(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1503,6 +1504,17 @@ object SparkEntry {
         |  UNION ALL SELECT day, 'n_users', n_users FROM d
         |  UNION ALL SELECT day, 'value_cents', value_cents FROM d)
         |ORDER BY day, metric""".stripMargin,
+
+    // Integer-exact log2 bucket via binary-string length (float log2 would
+    // risk ulp disagreement at exact powers of two).
+    "q_latency_log2" ->
+      s"""WITH $msgsCte,
+         |v AS (SELECT end_at_ms - start_at_ms + 1 AS v FROM msgs
+         |      WHERE end_at_ms >= start_at_ms)
+         |SELECT CAST(length(printf('%b', v)) AS BIGINT) AS bucket,
+         |       count(*) AS n, CAST(min(v) AS BIGINT) AS min_ms,
+         |       CAST(max(v) AS BIGINT) AS max_ms
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Exact integer median / MAD via rank-at-position (ties-safe: the value
     // at rank k is order-independent among duplicates).

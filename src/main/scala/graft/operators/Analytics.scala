@@ -410,6 +410,24 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** Log₂-bucketed latency histogram over the message relation — the ops
+    * staple for long-tailed durations. The bucket is the bit length of
+    * `duration+1` (`length(bin(v))` / `length(printf('%b', v))`), which is
+    * ⌊log₂⌋+1 computed integer-exactly in both engines — float `log2`
+    * would risk ulp disagreement at exact powers of two. Pure map + one
+    * partial-aggregated groupBy; corrupt (inverted) intervals are excluded
+    * like everywhere else.
+    */
+  def latencyLog2(spark: SparkSession, dir: String): DataFrame =
+    Tables.msgs(spark, dir)
+      .where(col("end_at_ms") >= col("start_at_ms"))
+      .select((col("end_at_ms") - col("start_at_ms") + 1L).as("v"))
+      .select(expr("length(bin(v))").cast("long").as("bucket"), col("v"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("min_ms"),
+        max(col("v")).as("max_ms"))
+      .orderBy("bucket")
+
   /** Corpus-level n-gram frequency: top-20 word 3-grams by document
     * frequency. Reuses the memoized distinct-shingle relation; one hash agg
     * + a 20-row top-k (ties broken by shingle text → total order).

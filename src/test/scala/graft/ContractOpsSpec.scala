@@ -161,6 +161,22 @@ class ContractOpsSpec extends SparkSpec {
     }
   }
 
+  test("log2 latency histogram == Scala bit-length model") {
+    val vs = Tables.msgs(spark, sf0001)
+      .select("start_at_ms", "end_at_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (s, e) => e >= s }
+      .map { case (s, e) => e - s + 1 }
+    val model = vs.groupBy(v => 64 - java.lang.Long.numberOfLeadingZeros(v))
+      .map { case (b, xs) => b.toLong -> ((xs.length.toLong, xs.min, xs.max)) }
+    val got = graft.operators.Analytics.latencyLog2(spark, sf0001).collect()
+    assert(got.length == model.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == model(r.getLong(0)),
+        s"bucket ${r.getLong(0)}")
+    }
+  }
+
   test("unpivot == direct collect model") {
     val rows = Tables.load(spark, sf0001, "events")
       .select((expr("(ts div 1000000)") / lit(86400000L)).cast("long").as("day"),
