@@ -27,12 +27,14 @@ object RuntimeFilter {
     Seq(1, 2).map(seed => pmod(xxhash64(key, lit(seed)), lit(Bits)))
 
   /** One row with `bits: array<long>` (Slots longs) covering `keys`. */
-  private[operators] def build(keys: DataFrame): DataFrame = {
+  private[graft] def build(keys: DataFrame): DataFrame = {
     val pos = keys.select(explode(array(positions(col(keys.columns.head)): _*)).as("p"))
+    // coalesce: bit_or over an EMPTY build side is NULL per slot; an
+    // all-zero bitmap (rejects everything) is the correct empty-set filter
     val slotCols = (0 until Slots).map { j =>
-      bit_or(when(expr(s"p div 64") === j,
+      coalesce(bit_or(when(expr(s"p div 64") === j,
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"))
-        .otherwise(lit(0L))).as(s"b$j")
+        .otherwise(lit(0L))), lit(0L)).as(s"b$j")
     }
     pos.agg(slotCols.head, slotCols.tail: _*)
       .select(array((0 until Slots).map(j => col(s"b$j")): _*).as("bits"))

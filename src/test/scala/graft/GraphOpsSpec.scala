@@ -70,6 +70,14 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.toSeq == plain.toSeq)
   }
 
+  test("bloom build on an empty key set yields the all-reject bitmap") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("k")
+    val bits = RuntimeFilter.build(empty).head().getSeq[Long](0)
+    assert(bits.length == 16 && bits.forall(_ == 0L),
+      "empty build side must produce an all-zero (reject-everything) bitmap, not NULLs")
+  }
+
   test("skyline == O(n²) strict-dominance model") {
     val parts = Tables.load(spark, sf0001, "part")
       .select(col("p_partkey"), round(col("p_retailprice") * 100).cast("long"),
