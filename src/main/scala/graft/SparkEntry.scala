@@ -164,6 +164,8 @@ object SparkEntry {
     "q_mad_outliers" -> ((s, d) => Analytics.madOutliers(s, d)),
     "q_ab_lift" -> ((s, d) => Analytics.abLift(s, d)),
     "q_latency_log2" -> ((s, d) => Analytics.latencyLog2(s, d)),
+    "q_type_jaccard" -> ((s, d) => Analytics.typeUserJaccard(s, d)),
+    "q_dau_wau" -> ((s, d) => Analytics.dauWau(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1504,6 +1506,34 @@ object SparkEntry {
         |  UNION ALL SELECT day, 'n_users', n_users FROM d
         |  UNION ALL SELECT day, 'value_cents', value_cents FROM d)
         |ORDER BY day, metric""".stripMargin,
+
+    "q_type_jaccard" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |s AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        count(*) AS inter
+        |      FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |                         AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b, i.inter,
+        |       CAST(sa.n + sb.n - i.inter AS BIGINT) AS union_n,
+        |       CAST(i.inter * 1000 // (sa.n + sb.n - i.inter) AS BIGINT)
+        |         AS jaccard_permille
+        |FROM i JOIN s sa ON i.type_a = sa.event_type
+        |       JOIN s sb ON i.type_b = sb.event_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |            FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |w AS (SELECT DISTINCT user_id, day + o AS day
+        |      FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) os),
+        |wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |       CAST(dau.dau * 1000 // wau.wau AS BIGINT) AS stickiness_permille
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY 1""".stripMargin,
 
     // Integer-exact log2 bucket via binary-string length (float log2 would
     // risk ulp disagreement at exact powers of two).

@@ -428,6 +428,51 @@ object Analytics {
         max(col("v")).as("max_ms"))
       .orderBy("bucket")
 
+  /** Audience overlap: Jaccard similarity (permille) between the user
+    * sets of every event-type pair. The per-type distinct relation is
+    * computed once; pair intersection is a self-join on user_id (shuffle
+    * keyed by user, never all-pairs of users); union sizes come from the
+    * inclusion–exclusion identity. Types are a tiny domain, so the final
+    * relation is ≤ C(types, 2) rows.
+    */
+  def typeUserJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("na"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("nb"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("union_n"))
+      .withColumn("jaccard_permille", expr("inter * 1000 div union_n"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** DAU / trailing-7-day WAU / stickiness per day. WAU is exact: the
+    * per-day distinct-user relation fans out to the 7 windows it belongs
+    * to (a ×7 map-side explode of the already-deduped day relation — tiny)
+    * and distinct users are counted per target day. No approximate
+    * sketches, no quadratic self-join.
+    */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.load(spark, dir, "events")
+      .select(col("user_id"), Tables.epochMsBucket(86400000L).as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6L)).as("w"))
+      .distinct()
+      .groupBy(col("w").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness_permille", expr("dau * 1000 div wau"))
+      .orderBy("day")
+  }
+
   /** Corpus-level n-gram frequency: top-20 word 3-grams by document
     * frequency. Reuses the memoized distinct-shingle relation; one hash agg
     * + a 20-row top-k (ties broken by shingle text → total order).

@@ -14,6 +14,17 @@ object SqlApi {
   private def view(spark: SparkSession, dir: String, name: String): Unit =
     Tables.load(spark, dir, name).createOrReplaceTempView(name)
 
+  /** Register every table (plus the derived `msgs` trace view) as temp
+    * views, making the whole surface addressable from `spark.sql` — the
+    * full SQL personality for users coming from the reference.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(view(spark, dir, _))
+    Tables.msgs(spark, dir).createOrReplaceTempView("msgs")
+  }
+
   /** Revenue by market segment, pure SQL text (same integer-cents policy). */
   def revenueBySegment(spark: SparkSession, dir: String): DataFrame = {
     Seq("lineitem", "orders", "customer").foreach(view(spark, dir, _))

@@ -177,6 +177,44 @@ class ContractOpsSpec extends SparkSpec {
     }
   }
 
+  test("type-pair Jaccard == Scala set model") {
+    val rows = Tables.load(spark, sf0001, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    val model = (for {
+      a <- types; b <- types if a < b
+      inter = (byType(a) & byType(b)).size.toLong
+      union = (byType(a) | byType(b)).size.toLong
+    } yield (a, b) -> ((inter, union, inter * 1000 / union))).toMap
+    val got = graft.operators.Analytics.typeUserJaccard(spark, sf0001).collect()
+    assert(got.length == model.count(_._2._1 > 0) ||
+      got.length == model.size) // pairs with zero intersection drop from the join
+    got.foreach { r =>
+      assert((r.getLong(2), r.getLong(3), r.getLong(4))
+        == model((r.getString(0), r.getString(1))))
+    }
+  }
+
+  test("DAU/WAU == Scala sliding-window model") {
+    val rows = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), (expr("(ts div 1000000)") / lit(86400000L))
+        .cast("long").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val days = byDay.keys.toSeq.sorted
+    val got = graft.operators.Analytics.dauWau(spark, sf0001).collect()
+    assert(got.length == days.length)
+    got.foreach { r =>
+      val d = r.getLong(0)
+      val dau = byDay(d).size.toLong
+      val wau = (d - 6 to d).flatMap(byDay.get).flatten.distinct.size.toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3))
+        == ((dau, wau, dau * 1000 / wau)), s"day $d")
+    }
+  }
+
   test("unpivot == direct collect model") {
     val rows = Tables.load(spark, sf0001, "events")
       .select((expr("(ts div 1000000)") / lit(86400000L)).cast("long").as("day"),

@@ -16,6 +16,16 @@ class EngineSpec extends SparkSpec {
     assert(Engine.queries.size >= 35)
   }
 
+  test("registerAll makes the full surface addressable from spark.sql") {
+    graft.operators.SqlApi.registerAll(spark, sf0001)
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM msgs m
+        |JOIN events e ON m.id = concat('msg_', e.event_id)""".stripMargin)
+      .head().getLong(0)
+    assert(n == 1000L)
+    assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
+  }
+
   test("graft_dot is registered by the facade session path") {
     graft.functions.GraftFunctions.register(spark)
     assert(spark.sql("SELECT graft_dot(array(1.0D), array(2.0D))").head().getDouble(0) == 2.0)
