@@ -526,7 +526,7 @@ object Analytics {
     */
   def lshCosine(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
-    val signLits = hyperplaneSigns.map(row => array(row.map(lit(_)): _*))
+    val signLits = hyperplaneSigns.map(row => array(row.toIndexedSeq.map(lit(_)): _*))
     val sigCol = (0 until 16).map { b =>
       when(VectorOps.dot(col("e"), signLits(b)) > 0d, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -170,7 +170,7 @@ object ChainLink {
     val m = Tables.msgs(spark, dir)
     val wm = m.agg((max(col("start_at_ms")) - 30000L).as("wm"))
     m.crossJoin(broadcast(wm)).where(col("end_at_ms") <= col("wm"))
-      .select(m.columns.map(col): _*).orderBy("id")
+      .select(m.columns.toIndexedSeq.map(col): _*).orderBy("id")
   }
 
   /** J3 — eviction complement: messages still buffered at the final
@@ -181,7 +181,7 @@ object ChainLink {
     val m = Tables.msgs(spark, dir)
     val wm = m.agg((max(col("start_at_ms")) - 30000L).as("wm"))
     m.crossJoin(broadcast(wm)).where(col("end_at_ms") > col("wm"))
-      .select(m.columns.map(col): _*).orderBy("id")
+      .select(m.columns.toIndexedSeq.map(col): _*).orderBy("id")
   }
 
   /** A1 (summary form) — per-id parent/child degree, rolled up into a

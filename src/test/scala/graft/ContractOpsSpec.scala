@@ -186,11 +186,11 @@ class ContractOpsSpec extends SparkSpec {
     val model = (for {
       a <- types; b <- types if a < b
       inter = (byType(a) & byType(b)).size.toLong
+      if inter > 0 // zero-intersection pairs drop from the join by design
       union = (byType(a) | byType(b)).size.toLong
     } yield (a, b) -> ((inter, union, inter * 1000 / union))).toMap
     val got = graft.operators.Analytics.typeUserJaccard(spark, sf0001).collect()
-    assert(got.length == model.count(_._2._1 > 0) ||
-      got.length == model.size) // pairs with zero intersection drop from the join
+    assert(got.length == model.size)
     got.foreach { r =>
       assert((r.getLong(2), r.getLong(3), r.getLong(4))
         == model((r.getString(0), r.getString(1))))
