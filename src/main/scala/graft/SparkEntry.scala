@@ -166,6 +166,7 @@ object SparkEntry {
     "q_latency_log2" -> ((s, d) => Analytics.latencyLog2(s, d)),
     "q_type_jaccard" -> ((s, d) => Analytics.typeUserJaccard(s, d)),
     "q_dau_wau" -> ((s, d) => Analytics.dauWau(s, d)),
+    "q_doc_fluency" -> ((s, d) => TextAnalysis.docFluency(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1506,6 +1507,28 @@ object SparkEntry {
         |  UNION ALL SELECT day, 'n_users', n_users FROM d
         |  UNION ALL SELECT day, 'value_cents', value_cents FROM d)
         |ORDER BY day, metric""".stripMargin,
+
+    // Mean integer bigram-PMI per doc — the corpus-grounded fluency gate.
+    "q_doc_fluency" ->
+      """WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |db AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b
+        |       FROM dw, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |       WHERE len(w) >= 2),
+        |bg AS (SELECT a, b, count(*) AS n_ab FROM db GROUP BY 1, 2),
+        |ug AS (SELECT unnest(w) AS t FROM dw),
+        |uc AS (SELECT t, count(*) AS n FROM ug GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM uc),
+        |sc AS (SELECT db.doc_id,
+        |         CAST(bg.n_ab * tot.n_total * 100
+        |              // (ua.n * ub.n) AS BIGINT) AS s
+        |       FROM db JOIN bg ON db.a = bg.a AND db.b = bg.b
+        |            JOIN uc ua ON db.a = ua.t
+        |            JOIN uc ub ON db.b = ub.t
+        |            CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(s) AS BIGINT) AS sum_score,
+        |       CAST(sum(s) // count(*) AS BIGINT) AS mean_score
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_type_jaccard" ->
       """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),

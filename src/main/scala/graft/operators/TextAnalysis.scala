@@ -192,6 +192,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document fluency proxy from corpus bigram statistics: the mean
+    * integer PMI score of the document's word bigrams (`n_ab·N·100 ÷
+    * (n_a·n_b)` — the [[bigramPmi]] collocation score) — a tiny
+    * corpus-grounded language model standing in for the LM-perplexity
+    * quality gate of an LLM curation pipeline (low mean score = improbable
+    * word transitions). Shuffle story: corpus unigram/bigram tables are
+    * the same two aggregations bigramPmi builds; the per-doc score is one
+    * join keyed by bigram + one groupBy(doc). Everything integer — the
+    * oracle hash-matches.
+    */
+  def docFluency(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val w = split(col("text"), " ")
+    val docBigrams = d.select(col("doc_id"),
+        explode(when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("bi"))
+      .select(col("doc_id"), col("bi.a").as("a"), col("bi.b").as("b"))
+    val bigrams = docBigrams.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val unigrams = d.select(explode(w).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val total = unigrams.agg(sum(col("n")).as("n_total"))
+    val scored = docBigrams
+      .join(bigrams, Seq("a", "b"))
+      .join(unigrams.select(col("t").as("a"), col("n").as("n_a")), "a")
+      .join(unigrams.select(col("t").as("b"), col("n").as("n_b")), "b")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), expr("n_ab * n_total * 100 div (n_a * n_b)").as("s"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_score"))
+      .withColumn("mean_score", expr("sum_score div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition signal: per-document duplicate 3-gram
     * fraction (plus duplicate-word fraction). Entirely map-side array
     * expressions — zero shuffle before the final order — so at 100 TB this

@@ -215,6 +215,28 @@ class ContractOpsSpec extends SparkSpec {
     }
   }
 
+  test("doc fluency == Scala corpus-LM model") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val uni = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = docs.values.map(_.size).sum.toLong
+    val allBigrams = docs.values.toSeq.flatMap(w => w.zip(w.tail))
+    val big = allBigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val model = docs.collect { case (id, w) if w.length >= 2 =>
+      val scores = w.zip(w.tail).map { case (a, b) =>
+        big((a, b)) * nTotal * 100 / (uni(a) * uni(b))
+      }
+      id -> ((scores.length.toLong, scores.sum, scores.sum / scores.length))
+    }
+    val got = graft.operators.TextAnalysis.docFluency(spark, sf0001).collect()
+    assert(got.length == model.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == model(r.getLong(0)),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("unpivot == direct collect model") {
     val rows = Tables.load(spark, sf0001, "events")
       .select((expr("(ts div 1000000)") / lit(86400000L)).cast("long").as("day"),
