@@ -167,6 +167,7 @@ object SparkEntry {
     "q_type_jaccard" -> ((s, d) => Analytics.typeUserJaccard(s, d)),
     "q_dau_wau" -> ((s, d) => Analytics.dauWau(s, d)),
     "q_doc_fluency" -> ((s, d) => TextAnalysis.docFluency(s, d)),
+    "q_time_to_convert" -> ((s, d) => Analytics.timeToConvert(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1507,6 +1508,26 @@ object SparkEntry {
         |  UNION ALL SELECT day, 'n_users', n_users FROM d
         |  UNION ALL SELECT day, 'value_cents', value_cents FROM d)
         |ORDER BY day, metric""".stripMargin,
+
+    "q_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS em FROM events
+        |            WHERE event_type IN ('view', 'purchase')),
+        |fv AS (SELECT user_id, min(em) AS view_ms FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |d AS (SELECT ev.user_id, min(ev.em - fv.view_ms) AS delta_ms
+        |      FROM ev JOIN fv ON ev.user_id = fv.user_id
+        |      WHERE ev.event_type = 'purchase' AND ev.em >= fv.view_ms
+        |      GROUP BY 1),
+        |d2 AS (SELECT user_id % 8 AS cohort, delta_ms FROM d),
+        |c AS (SELECT cohort, count(*) AS n FROM d2 GROUP BY 1),
+        |r AS (SELECT cohort, delta_ms,
+        |        row_number() OVER (PARTITION BY cohort ORDER BY delta_ms) AS rn
+        |      FROM d2)
+        |SELECT r.cohort, CAST(min(c.n) AS BIGINT) AS n_converted,
+        |       CAST(min(CASE WHEN rn = (n + 1) // 2 THEN delta_ms END) AS BIGINT)
+        |         AS median_delta_ms
+        |FROM r JOIN c ON r.cohort = c.cohort
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Mean integer bigram-PMI per doc — the corpus-grounded fluency gate.
     "q_doc_fluency" ->

@@ -410,6 +410,35 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** Time-to-convert: per user-cohort (user_id mod 8), the exact median
+    * milliseconds from a user's FIRST view to their first purchase at or
+    * after it. First-touch extraction is one groupBy(user); the median
+    * uses the same rank-at-position technique as [[madOutliers]],
+    * partitioned by cohort — no global single-task window.
+    */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), Tables.epochMs.as("em"))
+    val firstView = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("em")).as("view_ms"))
+    val delta = ev.where(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .where(col("em") >= col("view_ms"))
+      .groupBy("user_id")
+      .agg(min(expr("em - view_ms")).as("delta_ms"))
+      .withColumn("cohort", col("user_id") % 8)
+    val counts = delta.groupBy("cohort").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("delta_ms"))
+    delta.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), "cohort")
+      .groupBy("cohort")
+      .agg(min(col("n")).as("n_converted"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("delta_ms")))
+          .as("median_delta_ms"))
+      .orderBy("cohort")
+  }
+
   /** Log₂-bucketed latency histogram over the message relation — the ops
     * staple for long-tailed durations. The bucket is the bit length of
     * `duration+1` (`length(bin(v))` / `length(printf('%b', v))`), which is

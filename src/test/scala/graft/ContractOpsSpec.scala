@@ -237,6 +237,33 @@ class ContractOpsSpec extends SparkSpec {
     }
   }
 
+  test("time-to-convert == Scala first-touch model") {
+    val rows = Tables.load(spark, sf0001, "events")
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), expr("(ts div 1000000)").as("em"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = rows.groupBy(_._1)
+    val deltas = byUser.flatMap { case (u, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val fv = views.min
+        val p = es.filter(e => e._2 == "purchase" && e._3 >= fv).map(_._3 - fv)
+        if (p.isEmpty) None else Some(u -> p.min)
+      }
+    }
+    val model = deltas.groupBy(_._1 % 8).map { case (c, ds) =>
+      val sorted = ds.map(_._2).toSeq.sorted
+      c -> ((sorted.size.toLong, sorted((sorted.size + 1) / 2 - 1)))
+    }
+    val got = graft.operators.Analytics.timeToConvert(spark, sf0001).collect()
+    assert(got.length == model.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == model(r.getLong(0)),
+        s"cohort ${r.getLong(0)}")
+    }
+  }
+
   test("unpivot == direct collect model") {
     val rows = Tables.load(spark, sf0001, "events")
       .select((expr("(ts div 1000000)") / lit(86400000L)).cast("long").as("day"),
