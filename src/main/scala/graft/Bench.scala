@@ -35,6 +35,8 @@ object Bench {
       "_build_shingle_inter" -> (() => { operators.Dedup.interFor(spark, sfDir).count(); () }),
       "_build_simhash" -> (() => { operators.Dedup.simhashesFor(spark, sfDir).count(); () }),
       "_build_normed" -> (() => { operators.Dedup.normedFor(spark, sfDir).count(); () }),
+      "_build_doc_bigrams" -> (() => { operators.TextAnalysis.docBigramsFor(spark, sfDir).count(); () }),
+      "_build_unigrams" -> (() => { operators.TextAnalysis.unigramCountsFor(spark, sfDir).count(); () }),
     )
     val buildResults =
       if (only.isDefined) Seq.empty

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{Materialized, Tables}
 
 /** Text-quality operators over `documents.parquet`: stats, quality scoring,
   * language-ID, tokenization, fingerprinting. All single-pass map + narrow
@@ -13,6 +13,30 @@ import graft.sources.Tables
   * against DuckDB.
   */
 object TextAnalysis {
+
+  /** Memoized per-document word bigram relation (doc_id, a, b) — the
+    * shared intermediate behind the PMI collocations and the fluency gate
+    * (the 100 TB deployment materializes this once per corpus snapshot).
+    */
+  private[graft] def docBigramsFor(spark: SparkSession, dir: String): DataFrame =
+    Materialized.of(spark, s"doc_bigrams:$dir") {
+      val w = split(col("text"), " ")
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(when(size(w) >= 2,
+            transform(sequence(lit(1), size(w) - 1),
+              i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("bi"))
+        .select(col("doc_id"), col("bi.a").as("a"), col("bi.b").as("b"))
+    }
+
+  /** Memoized corpus unigram counts (t, n) — shared by Zipf, PMI, fluency. */
+  private[graft] def unigramCountsFor(spark: SparkSession, dir: String): DataFrame =
+    Materialized.of(spark, s"unigram_counts:$dir") {
+      Tables.load(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+    }
 
   /** Per-document statistics + quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
@@ -126,9 +150,8 @@ object TextAnalysis {
   def zipfTerms(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("freq").desc, col("term"))
-    Tables.load(spark, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("freq"))
+    unigramCountsFor(spark, dir)
+      .select(col("t").as("term"), col("n").as("freq"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("rank_x_freq", col("rank") * col("freq"))
       .where(col("rank") <= 30)
@@ -146,16 +169,9 @@ object TextAnalysis {
     * constant down.)
     */
   def bigramPmi(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
-    val w = split(col("text"), " ")
-    val bigrams = d.select(explode(when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))))
-        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("bi"))
-      .select(col("bi.a").as("a"), col("bi.b").as("b"))
+    val bigrams = docBigramsFor(spark, dir)
       .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-    val unigrams = d.select(explode(w).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("n"))
+    val unigrams = unigramCountsFor(spark, dir)
     val total = unigrams.agg(sum(col("n")).as("n_total"))
     bigrams
       .join(unigrams.select(col("t").as("a"), col("n").as("n_a")), "a")
@@ -203,17 +219,9 @@ object TextAnalysis {
     * oracle hash-matches.
     */
   def docFluency(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
-    val w = split(col("text"), " ")
-    val docBigrams = d.select(col("doc_id"),
-        explode(when(size(w) >= 2,
-          transform(sequence(lit(1), size(w) - 1),
-            i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("bi"))
-      .select(col("doc_id"), col("bi.a").as("a"), col("bi.b").as("b"))
+    val docBigrams = docBigramsFor(spark, dir)
     val bigrams = docBigrams.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-    val unigrams = d.select(explode(w).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("n"))
+    val unigrams = unigramCountsFor(spark, dir)
     val total = unigrams.agg(sum(col("n")).as("n_total"))
     val scored = docBigrams
       .join(bigrams, Seq("a", "b"))

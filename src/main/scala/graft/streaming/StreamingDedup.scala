@@ -153,6 +153,13 @@ final class DocVerdictProcessor
   * introduced by an earlier document, "earlier" being the (ts, doc_id)
   * total order, which makes the streaming result deterministic and equal
   * to a batch greedy first-wins pass in that order (StreamingDedupSpec).
+  *
+  * Tail semantics: like every event-time operator, verdicts for documents
+  * the final watermark never passes stay pending on a bounded replay —
+  * the same W4 situation as the chain-link pipeline, and the same fix
+  * applies: a `TimeMode.ProcessingTime` personality with the watermark
+  * maintained in state ([[ProcTimeChainLink]] is the worked example; the
+  * tests here use a far-future flush sentinel instead).
   */
 object StreamingDedup {
 
