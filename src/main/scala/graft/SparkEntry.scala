@@ -168,6 +168,8 @@ object SparkEntry {
     "q_dau_wau" -> ((s, d) => Analytics.dauWau(s, d)),
     "q_doc_fluency" -> ((s, d) => TextAnalysis.docFluency(s, d)),
     "q_time_to_convert" -> ((s, d) => Analytics.timeToConvert(s, d)),
+    "q_hot_keys" -> ((s, d) => Skew.hotKeys(s, d)),
+    "q_exemplars" -> ((s, d) => Curation.exemplars(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1508,6 +1510,23 @@ object SparkEntry {
         |  UNION ALL SELECT day, 'n_users', n_users FROM d
         |  UNION ALL SELECT day, 'value_cents', value_cents FROM d)
         |ORDER BY day, metric""".stripMargin,
+
+    "q_hot_keys" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM c)
+        |SELECT l_orderkey, n_rows,
+        |       CAST(n_rows * 1000 // t.n_total AS BIGINT) AS share_permille
+        |FROM c CROSS JOIN t
+        |ORDER BY n_rows DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "q_exemplars" ->
+      s"""SELECT source, rk, doc_id, n_chars FROM (
+         |  SELECT source, doc_id, n_chars,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY ${Tables.portableHashSql("'ex:' || doc_id")} % 10000,
+         |                    doc_id) AS BIGINT) AS rk
+         |  FROM documents)
+         |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
 
     "q_time_to_convert" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS em FROM events

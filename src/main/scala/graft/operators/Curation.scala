@@ -193,6 +193,26 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic per-group exemplars: the 3 documents per source with
+    * the smallest sampling hash — the "show me a few examples from each
+    * slice" operation (dataset cards, eyeball QA) as a stable query:
+    * append-only corpora keep their exemplars. One user-keyed window over
+    * the hash order; at scale the window input prunes to (source, hash,
+    * doc_id) only.
+    */
+  def exemplars(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h", "doc_id")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (Tables.portableHash(concat(lit("ex:"), col("doc_id").cast("string")))
+          % 10000).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select("source", "rk", "doc_id", "n_chars")
+      .orderBy("source", "rk")
+  }
+
   /** Temperature-scaled source mixture (the training-mixture resampling
     * step): per-source weights `⌊√n_s⌋` (τ = 0.5 — integer-exact: IEEE
     * sqrt of an exact integer is correctly rounded in every engine), a

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** Explicit skew mitigation for heavy-hitter keys.
   *
@@ -20,6 +21,24 @@ import org.apache.spark.sql.functions._
   * safe — `rand()` is not, it breaks on task retry).
   */
 object Skew {
+
+  /** Hot-key detection — the diagnostics side of skew handling (the salted
+    * operators below are the mitigation): top-20 join keys by row count
+    * with their permille share of the relation. One partial-aggregated
+    * groupBy + a 20-row TakeOrdered; the total rides a broadcast scalar.
+    * At 100 TB this is the query an operator runs BEFORE choosing a salt
+    * factor or an AQE skew threshold.
+    */
+  def hotKeys(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").select(col("l_orderkey"))
+    val counts = li.groupBy("l_orderkey").agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("l_orderkey"), col("n_rows"),
+        expr("n_rows * 1000 div n_total").as("share_permille"))
+      .orderBy(col("n_rows").desc, col("l_orderkey"))
+      .limit(20)
+  }
 
   private val SaltCol = "__graft_salt"
 
