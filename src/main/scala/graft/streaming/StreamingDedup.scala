@@ -111,6 +111,69 @@ final class SigIndexProcessor
   }
 }
 
+/** Stage-1 idle-flush personality (the W4 pattern of
+  * [[ProcTimeChainLink]] applied to the dedup index): processing-time
+  * mode, one rolling idle timer per signature — `idleFlushMs` after a
+  * signature key quiesces, every pending record's verdict emits against
+  * the owner known at that point. A bounded replay (batch-file dedup
+  * through the streaming API) therefore emits ALL verdicts with no flush
+  * sentinel. Divergence, documented: a record arriving AFTER its
+  * signature flushed is judged against the then-current owner and cannot
+  * retract earlier verdicts — the same orphan-discard semantics class as
+  * the reference's late-update handling.
+  */
+final class ProcTimeSigIndexProcessor(idleFlushMs: Long)
+    extends StatefulProcessor[String, SigRecord, BandVerdict] {
+
+  @transient private var owner: org.apache.spark.sql.streaming.ValueState[SigOwner] = _
+  @transient private var pending: org.apache.spark.sql.streaming.ListState[PendingSig] = _
+  @transient private var idleAt: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    owner = getHandle.getValueState[SigOwner]("owner",
+      Encoders.product[SigOwner], TTLConfig.NONE)
+    pending = getHandle.getListState[PendingSig]("pending",
+      Encoders.product[PendingSig], TTLConfig.NONE)
+    idleAt = getHandle.getValueState[Long]("idle_at",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def rearmIdle(timers: TimerValues): Unit = {
+    val fireAt = timers.getCurrentProcessingTimeInMs() + idleFlushMs
+    if (idleAt.exists()) getHandle.deleteTimer(idleAt.get())
+    getHandle.registerTimer(fireAt)
+    idleAt.update(fireAt)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[SigRecord],
+      timers: TimerValues): Iterator[BandVerdict] = {
+    var cur = if (owner.exists()) owner.get() else null
+    rows.foreach { r =>
+      if (cur == null || r.ts_ms < cur.ts_ms ||
+        (r.ts_ms == cur.ts_ms && r.doc_id < cur.doc_id))
+        cur = SigOwner(r.ts_ms, r.doc_id)
+      pending.appendValue(PendingSig(r.doc_id, r.band, r.ts_ms))
+    }
+    if (cur != null) owner.update(cur)
+    rearmIdle(timers)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: String, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[BandVerdict] = {
+    val own = owner.get()
+    val now = new Timestamp(timers.getCurrentProcessingTimeInMs())
+    val out = pending.get().map { p =>
+      val beaten = own.ts_ms < p.ts_ms ||
+        (own.ts_ms == p.ts_ms && own.doc_id < p.doc_id)
+      BandVerdict(p.doc_id, p.band, beaten, now)
+    }.toSeq
+    pending.clear()
+    idleAt.clear()
+    out.iterator
+  }
+}
+
 /** Stage 2 — keyed by doc_id: gather the four band verdicts, emit the doc's
   * keep/drop decision once all four are in, clear. State is at most four
   * booleans per in-flight doc.
@@ -204,6 +267,22 @@ object StreamingDedup {
       .as[SigRecord]
       .groupByKey(r => s"${r.band}:${r.sig}")
       .transformWithState(new SigIndexProcessor, "event_time", OutputMode.Append)
+      .groupByKey(_.doc_id)
+      .transformWithState(new DocVerdictProcessor, TimeMode.None, OutputMode.Append)
+  }
+
+  /** Idle-flush personality: verdicts emit `idleFlush` after each
+    * signature quiesces — bounded replays need no flush sentinel.
+    */
+  def minhashDedupStreamProcTime(docs: DataFrame, idleFlushMs: Long = 60000L)
+      : Dataset[DedupVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandSignatures(docs)
+      .as[SigRecord]
+      .groupByKey(r => s"${r.band}:${r.sig}")
+      .transformWithState(new ProcTimeSigIndexProcessor(idleFlushMs),
+        TimeMode.ProcessingTime, OutputMode.Append)
       .groupByKey(_.doc_id)
       .transformWithState(new DocVerdictProcessor, TimeMode.None, OutputMode.Append)
   }

@@ -81,6 +81,47 @@ class StreamingDedupSpec extends SparkSpec {
     info(s"streamed ${docs.length} docs, $dupCount near-dup drops")
   }
 
+  test("proc-time personality flushes all verdicts with no sentinel") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => DocRow(r.getLong(0), r.getString(1), 1000L + r.getLong(0)))
+      .take(150)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.sortBy(d => (d.ts_ms, d.doc_id)).map { d =>
+      val sigs = bandSigs(d.text)
+      val beaten = sigs.count(seen)
+      seen ++= sigs
+      d.doc_id -> ((beaten == 0, beaten.toLong))
+    }.toMap
+
+    val input = MemoryStream[DocRow]
+    val out = graft.streaming.StreamingDedup.minhashDedupStreamProcTime(
+      input.toDS().toDF(), idleFlushMs = 1500L)
+    val name = s"dedup_pt_${System.nanoTime()}"
+    // ProcessingTime mode self-triggers micro-batches, so
+    // processAllAvailable() would hang — poll the sink instead
+    // (ProcTimeFlushSpec pattern).
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      input.addData(docs.toSeq)
+      val deadline = System.currentTimeMillis() + 120000
+      while (sp.table(name).count() < docs.length &&
+        System.currentTimeMillis() < deadline) Thread.sleep(300)
+      val got = sp.table(name).as[DedupVerdict].collect()
+        .map(v => v.doc_id -> ((v.kept, v.n_bands_beaten))).toMap
+      assert(got.size == docs.length,
+        s"expected ${docs.length} flushed verdicts, got ${got.size}")
+      got.foreach { case (id, v) => assert(v == expected(id), s"doc $id") }
+    } finally q.stop()
+  }
+
   test("dedup pipeline restarts from checkpoint: no loss, no duplication") {
     val sp = spark
     import sp.implicits._
