@@ -181,6 +181,27 @@ object Engine {
       : Dataset[graft.streaming.DedupVerdict] =
     graft.streaming.StreamingDedup.minhashDedupStream(docs, maxOutOfOrder)
 
+  /** Idle-flush variant: bounded replays emit every verdict, no sentinel. */
+  def minhashDedupStreamProcTime(docs: DataFrame, idleFlushMs: Long = 60000L)
+      : Dataset[graft.streaming.DedupVerdict] =
+    graft.streaming.StreamingDedup.minhashDedupStreamProcTime(docs, idleFlushMs)
+
+  /** Corpus-grounded per-document fluency gate (mean bigram PMI). */
+  def docFluency(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.docFluency(spark, dir)
+
+  /** Hot-key diagnostics: top join keys with permille share. */
+  def hotKeys(spark: SparkSession, dir: String): DataFrame =
+    Skew.hotKeys(spark, dir)
+
+  /** Stable per-source exemplar documents (dataset-card sampling). */
+  def exemplars(spark: SparkSession, dir: String): DataFrame =
+    operators.Curation.exemplars(spark, dir)
+
+  /** Register all tables + the msgs view for arbitrary spark.sql. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    SqlApi.registerAll(spark, dir)
+
   /** Write a bucketed+sorted table: pay the shuffle once at ingest, then
     * every join/agg on the bucket key is Exchange-free.
     */

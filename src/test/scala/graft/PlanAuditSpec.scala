@@ -237,6 +237,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), "streaks must not need a window")
   }
 
+  test("doc fluency: bigram joins are hash joins; only the 1-row total broadcasts nested-loop") {
+    val p = plan(operators.TextAnalysis.docFluency(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join permitted is against the single-row total
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"unexpected nested-loop joins:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "corpus counts need map-side combine")
+  }
+
+  test("DAU/WAU is aggregation-only: no windows, no cartesian") {
+    val p = plan(operators.Analytics.dauWau(spark, sf001))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("hot keys: pruned single-column scans, partial agg") {
+    val p = plan(operators.Skew.hotKeys(spark, sf001))
+    // two scans (counts + total) is deliberate: a global window over the
+    // per-key counts would funnel the key relation through one task
+    p.linesIterator.filter(_.contains("FileScan")).foreach { scan =>
+      assert(scan.contains("ReadSchema: struct<l_orderkey:bigint>"),
+        s"unpruned scan: $scan")
+    }
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "key counts need map-side combine")
+  }
+
   test("pageRank: no cartesian; contributions partially aggregated") {
     val p = plan(operators.Graph.pageRank(spark, sf001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -122,6 +122,51 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("random small-vocab corpora: stream == greedy model across seeds") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // tiny vocabulary + short docs → many exact/near dups → dense band
+    // collisions, the adversarial regime for first-wins ordering
+    val vocab = Vector("a", "b", "c", "d")
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 60).map { i =>
+        val len = 3 + rnd.nextInt(4)
+        DocRow(i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          1000L + i)
+      }
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = docs.sortBy(d => (d.ts_ms, d.doc_id)).map { d =>
+        val sigs = bandSigs(d.text)
+        val beaten = sigs.count(seen)
+        seen ++= sigs
+        d.doc_id -> ((beaten == 0, beaten.toLong))
+      }.toMap
+      val flush = DocRow(999999L, "zz zz zz flush zz", 100000000L)
+      val arrival = rnd.shuffle(docs)
+
+      val input = MemoryStream[DocRow]
+      val out = StreamingDedup.minhashDedupStream(input.toDS().toDF(), "30 seconds")
+      val name = s"dedup_rand_${seed}_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        arrival.grouped(25).foreach { b => input.addData(b); q.processAllAvailable() }
+        input.addData(Seq(flush)); q.processAllAvailable()
+      } finally q.stop()
+      val got = sp.table(name).as[DedupVerdict].collect()
+        .map(v => v.doc_id -> ((v.kept, v.n_bands_beaten))).toMap
+      assert(got.size == docs.length, s"seed $seed: missing verdicts")
+      got.foreach { case (id, v) =>
+        assert(v == expected(id), s"seed $seed doc $id")
+      }
+      val drops = got.count(!_._2._1)
+      assert(drops > 0, s"seed $seed produced no dups — vocabulary not adversarial")
+    }
+  }
+
   test("dedup pipeline restarts from checkpoint: no loss, no duplication") {
     val sp = spark
     import sp.implicits._
