@@ -170,6 +170,7 @@ object SparkEntry {
     "q_time_to_convert" -> ((s, d) => Analytics.timeToConvert(s, d)),
     "q_hot_keys" -> ((s, d) => Skew.hotKeys(s, d)),
     "q_exemplars" -> ((s, d) => Curation.exemplars(s, d)),
+    "q_rich_idle" -> ((s, d) => Relational.qRichIdleCustomers(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1510,6 +1511,21 @@ object SparkEntry {
         |  UNION ALL SELECT day, 'n_users', n_users FROM d
         |  UNION ALL SELECT day, 'value_cents', value_cents FROM d)
         |ORDER BY day, metric""".stripMargin,
+
+    "q_rich_idle" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |           FROM customer),
+        |a AS (SELECT CAST(sum(bal_c) // count(*) AS BIGINT) AS avg_bal_c
+        |      FROM c WHERE bal_c > 0)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |       CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+        |FROM c CROSS JOIN a
+        |WHERE bal_c > avg_bal_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_hot_keys" ->
       """WITH c AS (SELECT l_orderkey, count(*) AS n_rows FROM lineitem GROUP BY 1),

@@ -70,22 +70,23 @@ object Graph {
     * (3.6k at sf0.1) — without it, any downstream graph algorithm is
     * O(noise), with it the graph fits wherever it lands.
     */
-  private[operators] def coEdges(spark: SparkSession, dir: String): DataFrame = {
-    // one shuffle: collect_set dedupes parts per order; pairs are generated
-    // map-side from the sorted per-order array (u < v by construction)
-    // instead of a second shuffle for a self-join
-    val byOrder = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
-    byOrder
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + 2, size(col("ps"))),
-          y => struct(x.as("u"), y.as("v")))))).as("p"))
-      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= 2)
-      .select("u", "v")
-  }
+  private[operators] def coEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"co_edges:$dir") {
+      // one shuffle: collect_set dedupes parts per order; pairs are
+      // generated map-side from the sorted per-order array (u < v by
+      // construction) instead of a second shuffle for a self-join
+      val byOrder = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      byOrder
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("u"), y.as("v")))))).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+        .select("u", "v")
+    }
 
   /** Triangle participation per part over the co-occurrence graph: top 20
     * parts by triangle count.
@@ -101,7 +102,7 @@ object Graph {
     * 100 TB. Wedges close against the canonical (u<v) edge set.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = coEdges(spark, dir).cache()
+    val e = coEdges(spark, dir)
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
     val eo = e

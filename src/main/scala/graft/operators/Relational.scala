@@ -434,6 +434,29 @@ object Relational {
           "'value_cents', value_cents) AS (metric, val)")
       .orderBy("day", "metric")
 
+  /** TPC-H Q22-flavored: well-funded customers (balance above the global
+    * positive-balance average — a scalar subquery) with no URGENT order
+    * (filtered anti join), counted per market segment. Combines the two
+    * decorrelation patterns in one plan: the scalar aggregate broadcasts
+    * as a 1-row relation, the NOT EXISTS stays a BroadcastHashJoin
+    * LeftAnti at this scale and a shuffled anti join at 100 TB.
+    */
+  def qRichIdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val avgBal = c.where(col("bal_c") > 0)
+      .agg(expr("sum(bal_c) div count(1)").as("avg_bal_c"))
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .where(col("bal_c") > col("avg_bal_c"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), sum(col("bal_c")).as("total_bal_c"))
+      .orderBy("c_mktsegment")
+  }
+
   /** JSON property extraction: per-event-type stats of the numeric `k`
     * field inside the `props` JSON column — the get_json_object scalar
     * surface. Pure map + partial agg; the JSON parse is codegen'd and never
