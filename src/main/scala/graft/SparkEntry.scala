@@ -103,6 +103,7 @@ object SparkEntry {
     }),
     "media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
     "media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d)),
+    "media_type_stats" -> ((s, d) => Multimodal.mediaTypeStats(s, d)),
     // SQL personality
     "q_sql_segment_revenue" -> ((s, d) => SqlApi.revenueBySegment(s, d)),
     "q_sql_cosine_by_label" -> ((s, d) => SqlApi.sqlCosineByLabel(s, d)),
@@ -742,6 +743,38 @@ object SparkEntry {
         |                   AS VARCHAR)), ',')
         |         AS frame_hashes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "media_type_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN source = 'src0' THEN 'image'
+        |              WHEN source = 'src1' THEN 'audio'
+        |              WHEN source = 'src2' THEN 'video'
+        |              ELSE 'text' END AS media_type,
+        |         octet_length(encode(text)) AS blen, text,
+        |         CAST(64 + CAST('0x' || substr(md5('w' || doc_id), 1, 15) AS BIGINT) % 1920
+        |              AS BIGINT) AS wi,
+        |         CAST(64 + CAST('0x' || substr(md5('h' || doc_id), 1, 15) AS BIGINT) % 1080
+        |              AS BIGINT) AS he
+        |  FROM documents),
+        |base AS (
+        |  SELECT media_type, count(*) AS n_docs,
+        |         CAST(sum(blen) AS BIGINT) AS total_bytes,
+        |         CAST(sum(blen // 100 + 1) AS BIGINT) AS total_frames,
+        |         CAST(sum(wi) // count(*) AS BIGINT) AS avg_w,
+        |         CAST(sum(he) // count(*) AS BIGINT) AS avg_h
+        |  FROM m GROUP BY 1),
+        |fh AS (
+        |  SELECT media_type,
+        |         CAST('0x' || substr(md5(text || '#' || j), 1, 15) AS BIGINT) AS fh
+        |  FROM m, unnest(generate_series(0, CAST(least(blen // 100, 3) AS BIGINT)))
+        |         AS t(j)),
+        |dh AS (SELECT media_type, count(DISTINCT fh) AS n_distinct_frames
+        |       FROM fh GROUP BY 1)
+        |SELECT base.media_type, base.n_docs, base.total_bytes, base.total_frames,
+        |       base.avg_w, base.avg_h, dh.n_distinct_frames
+        |FROM base JOIN dh ON base.media_type = dh.media_type
+        |ORDER BY base.media_type""".stripMargin,
 
     "media_frames" ->
       """WITH m AS (

@@ -146,4 +146,26 @@ object Multimodal {
       .where(col("n_docs") >= 2)
       .orderBy("frame_hash")
   }
+
+  /** Per-media-type corpus report over the decoded relation: document and
+    * byte volumes, frame totals, integer mean dimensions, and distinct
+    * sampled-frame hashes (the asset-pipeline inventory numbers). Rides
+    * the same batch-decode; the distinct-hash side is one explode +
+    * countDistinct keyed by the tiny media_type domain.
+    */
+  def mediaTypeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val meta = decode(mediaTable(spark, dir).as[MediaIn]).toDF()
+    val base = meta.groupBy("media_type")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("byte_len")).as("total_bytes"),
+        sum(col("n_frames")).as("total_frames"),
+        expr("sum(width) div count(1)").as("avg_w"),
+        expr("sum(height) div count(1)").as("avg_h"))
+    val dh = meta
+      .select(col("media_type"), explode(col("frame_hashes")).as("fh"))
+      .groupBy("media_type")
+      .agg(countDistinct(col("fh")).as("n_distinct_frames"))
+    base.join(dh, "media_type").orderBy("media_type")
+  }
 }
