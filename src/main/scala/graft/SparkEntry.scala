@@ -172,6 +172,8 @@ object SparkEntry {
     "q_hot_keys" -> ((s, d) => Skew.hotKeys(s, d)),
     "q_exemplars" -> ((s, d) => Curation.exemplars(s, d)),
     "q_rich_idle" -> ((s, d) => Relational.qRichIdleCustomers(s, d)),
+    "q_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
+    "q_ivf_purity" -> ((s, d) => Similarity.ivfLabelPurity(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -209,6 +211,26 @@ object SparkEntry {
       |  WHERE p.end_at_ms >= p.start_at_ms
       |    AND c.end_at_ms >= c.start_at_ms
       |)""".stripMargin
+
+  /** Marker-vote lang-id CTE chain; final relation `pr(doc_id, lang,
+    * pred_lang)`. Shared by `lang_id` and `q_lang_confusion`.
+    */
+  private val langIdCtes: String =
+    """dw2 AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |sc AS (SELECT doc_id, lang,
+      |         CAST(len(list_filter(w, x -> x = 'the' OR x = 'order' OR x = 'table' OR x = 'window')) AS BIGINT) AS s_en,
+      |         CAST(len(list_filter(w, x -> x = 'slow' OR x = 'agg' OR x = 'merge' OR x = 'vector')) AS BIGINT) AS s_es,
+      |         CAST(len(list_filter(w, x -> x = 'scan' OR x = 'data' OR x = 'query' OR x = 'small')) AS BIGINT) AS s_fr,
+      |         CAST(len(list_filter(w, x -> x = 'customer' OR x = 'hash' OR x = 'join' OR x = 'row')) AS BIGINT) AS s_de,
+      |         CAST(len(list_filter(w, x -> x = 'join' OR x = 'small' OR x = 'customer' OR x = 'column')) AS BIGINT) AS s_zh
+      |       FROM dw2),
+      |pr AS (SELECT doc_id, lang,
+      |         CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+      |              WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+      |              WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+      |              WHEN s_de >= s_zh THEN 'de'
+      |              ELSE 'zh' END AS pred_lang
+      |       FROM sc)""".stripMargin
 
   /** Word-array + distinct-3-gram-shingle CTEs over documents. */
   private val docShCtes: String =
@@ -678,24 +700,21 @@ object SparkEntry {
         |FROM dw ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
-      """WITH dw AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-        |sc AS (SELECT doc_id, lang,
-        |         CAST(len(list_filter(w, x -> x = 'the' OR x = 'order' OR x = 'table' OR x = 'window')) AS BIGINT) AS s_en,
-        |         CAST(len(list_filter(w, x -> x = 'slow' OR x = 'agg' OR x = 'merge' OR x = 'vector')) AS BIGINT) AS s_es,
-        |         CAST(len(list_filter(w, x -> x = 'scan' OR x = 'data' OR x = 'query' OR x = 'small')) AS BIGINT) AS s_fr,
-        |         CAST(len(list_filter(w, x -> x = 'customer' OR x = 'hash' OR x = 'join' OR x = 'row')) AS BIGINT) AS s_de,
-        |         CAST(len(list_filter(w, x -> x = 'join' OR x = 'small' OR x = 'customer' OR x = 'column')) AS BIGINT) AS s_zh
-        |       FROM dw),
-        |pr AS (SELECT doc_id, lang,
-        |         CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
-        |              WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
-        |              WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
-        |              WHEN s_de >= s_zh THEN 'de'
-        |              ELSE 'zh' END AS pred_lang
-        |       FROM sc)
-        |SELECT doc_id, lang, pred_lang,
-        |       CAST(pred_lang = lang AS BIGINT) AS is_match
-        |FROM pr ORDER BY doc_id""".stripMargin,
+      s"""WITH $langIdCtes
+         |SELECT doc_id, lang, pred_lang,
+         |       CAST(pred_lang = lang AS BIGINT) AS is_match
+         |FROM pr ORDER BY doc_id""".stripMargin,
+
+    // Per-class confusion matrix of the lang-id heuristic (replays the
+    // same marker-vote CTEs) with permille class shares.
+    "q_lang_confusion" ->
+      s"""WITH $langIdCtes,
+         |cm AS (SELECT lang, pred_lang, count(*) AS n FROM pr GROUP BY 1, 2),
+         |tot AS (SELECT lang, count(*) AS n_lang FROM pr GROUP BY 1)
+         |SELECT cm.lang, cm.pred_lang, cm.n,
+         |       CAST(cm.n * 1000 // tot.n_lang AS BIGINT) AS share_permille
+         |FROM cm JOIN tot ON cm.lang = tot.lang
+         |ORDER BY cm.lang, cm.pred_lang""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,
@@ -1516,6 +1535,32 @@ object SparkEntry {
          |SELECT doc_a, doc_b, est_permille, exact_permille,
          |       abs(est_permille - exact_permille) AS abs_err
          |FROM x ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Replays the nprobe=1 assignment; per-bucket majority label + purity.
+    "q_ivf_purity" ->
+      s"""WITH $vecCte,
+         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+         |          WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |          SELECT v.vec_id, c.cent_id,
+         |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                   ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                   c.cent_id) AS rn
+         |          FROM v CROSS JOIN cents c) WHERE rn = 1),
+         |cl AS (SELECT a.cent_id, CAST(e.label AS BIGINT) AS label,
+         |         count(*) AS n_lab
+         |       FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT cent_id, label, n_lab,
+         |        row_number() OVER (PARTITION BY cent_id
+         |                           ORDER BY n_lab DESC, label) AS rk,
+         |        CAST(sum(n_lab) OVER (PARTITION BY cent_id) AS BIGINT)
+         |          AS n_total
+         |      FROM cl)
+         |SELECT cent_id, label AS majority_label,
+         |       CAST(n_lab AS BIGINT) AS n_majority, n_total,
+         |       CAST(n_lab * 1000 // n_total AS BIGINT) AS purity_permille
+         |FROM r WHERE rk = 1 ORDER BY cent_id""".stripMargin,
 
     // Replays the ann_ivf nprobe=1 assignment; per-centroid bucket sizes.
     "q_ivf_stats" ->

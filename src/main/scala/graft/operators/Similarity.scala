@@ -108,6 +108,31 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Cluster-vs-label agreement: per IVF bucket, the majority embedding
+    * label and its permille purity — how well the unsupervised coarse
+    * quantizer aligns with the labeled structure (the standard external
+    * cluster-quality readout). One join + one aggregation + a window over
+    * the per-bucket label counts (bounded by labels × centroids).
+    */
+  def ivfLabelPurity(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    val asg = ivfAssign(v, centroidsFor(v))
+    val lab = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val cl = asg.join(lab, "vec_id")
+      .groupBy("cent_id", "label").agg(count(lit(1)).as("n_lab"))
+    val wTop = Window.partitionBy(col("cent_id"))
+      .orderBy(col("n_lab").desc, col("label"))
+    val wAll = Window.partitionBy(col("cent_id"))
+    cl.withColumn("rk", row_number().over(wTop))
+      .withColumn("n_total", sum(col("n_lab")).over(wAll))
+      .where(col("rk") === 1)
+      .select(col("cent_id"), col("label").as("majority_label"),
+        col("n_lab").as("n_majority"), col("n_total"),
+        expr("n_lab * 1000 div n_total").as("purity_permille"))
+      .orderBy("cent_id")
+  }
+
   /** IVF index health report: per-centroid bucket size and permille share
     * of the corpus. The number an ANN operator watches in production —
     * bucket imbalance is what turns nprobe into a latency lottery. One

@@ -88,6 +88,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Confusion matrix of the lang-id heuristic: per (true, predicted)
+    * class counts with permille class shares — the evaluation readout a
+    * classifier gate ships with. One aggregation over the prediction
+    * relation; class totals broadcast.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pr = langId(spark, dir).select("lang", "pred_lang")
+    val cm = pr.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val tot = pr.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    cm.join(broadcast(tot), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        expr("n * 1000 div n_lang").as("share_permille"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Token counting: whitespace tokens vs a BPE-ish regex token stream
     * (`[a-z0-9]+` runs and single non-space symbols).
     */
