@@ -217,6 +217,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("blanket invariant: no query plan contains a CartesianProduct") {
+    // crossJoin(broadcast(1-row)) compiles to BroadcastNestedLoopJoin and
+    // is allowed; an actual CartesianProduct (both sides partitioned) is
+    // the scale-killer class and must never appear in ANY driver query.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = try plan(fn(spark, sf0001)) catch { case e: Throwable =>
+          fail(s"$name failed to plan: ${e.getMessage}") }
+        if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+
   test("bloom semi-join: membership filter runs before the semi-join") {
     val p = plan(operators.RuntimeFilter.bloomSemiRevenue(spark, sf001))
     // the element_at bit-test must appear as a Filter below the semi join —
