@@ -174,6 +174,7 @@ object SparkEntry {
     "q_rich_idle" -> ((s, d) => Relational.qRichIdleCustomers(s, d)),
     "q_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
     "q_ivf_purity" -> ((s, d) => Similarity.ivfLabelPurity(s, d)),
+    "q_top_paths" -> ((s, d) => Analytics.topPaths(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1621,6 +1622,21 @@ object SparkEntry {
          |                    doc_id) AS BIGINT) AS rk
          |  FROM documents)
          |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "q_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS em
+        |           FROM events),
+        |tri AS (SELECT event_type || '>' || t2 || '>' || t3 AS path FROM (
+        |          SELECT event_type,
+        |                 lead(event_type, 1) OVER w AS t2,
+        |                 lead(event_type, 2) OVER w AS t3
+        |          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id))
+        |        WHERE t2 IS NOT NULL AND t3 IS NOT NULL),
+        |c AS (SELECT path, count(*) AS n FROM tri GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+        |SELECT path, n, CAST(n * 1000 // t.n_total AS BIGINT) AS share_permille
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, path LIMIT 25""".stripMargin,
 
     "q_time_to_convert" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS em FROM events

@@ -410,6 +410,30 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** Sequence mining one step beyond [[markovTransitions]]: the top-25
+    * event-type trigram paths across user journeys (two lag windows over
+    * the same user-keyed sort — Catalyst plans ONE exchange for both),
+    * with each path's permille share of all trigrams.
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("em"), col("event_id"))
+    val tri = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.epochMs.as("em"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+    val counts = tri.groupBy("path").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("path"), col("n"),
+        expr("n * 1000 div n_total").as("share_permille"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(25)
+  }
+
   /** Time-to-convert: per user-cohort (user_id mod 8), the exact median
     * milliseconds from a user's FIRST view to their first purchase at or
     * after it. First-touch extraction is one groupBy(user); the median

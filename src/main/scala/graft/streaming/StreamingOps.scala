@@ -86,4 +86,12 @@ object StreamingOps {
         size(col("w")).cast("long").as("n_words"),
         size(array_distinct(col("w"))).cast("long").as("n_distinct_words"))
       .withColumn("quality_pct", expr("(100 * n_distinct_words) div n_words"))
+
+  /** Stream-static enrichment: join a stream against a static dimension
+    * with an explicit broadcast — Structured Streaming re-reads the static
+    * side per micro-batch, so a slowly-refreshed dimension table (the
+    * feature/lookup join) stays current without restarting the query.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

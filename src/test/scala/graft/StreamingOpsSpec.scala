@@ -31,6 +31,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 4L), s"got $ids")
   }
 
+  test("stream-static enrichment joins the broadcast dimension per batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val dim = Seq(("click", 10L), ("view", 1L)).toDF("event_type", "weight")
+    val in = MemoryStream[(String, Long)]
+    val out = StreamingOps.enrichStream(
+      in.toDF().toDF("event_type", "user_id"), dim, "event_type")
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq(("click", 7L), ("view", 8L), ("purchase", 9L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("enrich_out")
+      .select("event_type", "user_id", "weight").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set(("click", 7L, 10L), ("view", 8L, 1L), ("purchase", 9L, -1L)))
+  }
+
   test("streaming tumbling counts equal the batch shape after watermark passes") {
     val sp = spark
     import sp.implicits._
