@@ -175,6 +175,7 @@ object SparkEntry {
     "q_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
     "q_ivf_purity" -> ((s, d) => Similarity.ivfLabelPurity(s, d)),
     "q_top_paths" -> ((s, d) => Analytics.topPaths(s, d)),
+    "q_profile_events" -> ((s, d) => Relational.qProfileEvents(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1622,6 +1623,25 @@ object SparkEntry {
          |                    doc_id) AS BIGINT) AS rk
          |  FROM documents)
          |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "q_profile_events" ->
+      """SELECT count(*) AS n_rows,
+        |       count(DISTINCT event_id) AS n_distinct_ids,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT event_type) AS n_types,
+        |       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_null_props,
+        |       CAST(sum(CASE WHEN length(props) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_empty_props,
+        |       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_negative_values,
+        |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS min_value_cents,
+        |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS max_value_cents,
+        |       CAST(min(epoch_ms(ts)) AS BIGINT) AS min_ts_ms,
+        |       CAST(max(epoch_ms(ts)) AS BIGINT) AS max_ts_ms
+        |FROM events""".stripMargin,
 
     "q_top_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS em

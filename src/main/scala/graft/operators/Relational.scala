@@ -457,6 +457,25 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Single-pass data-quality profile of the events table — the
+    * ingest-gate report: row/distinct/null/empty counts, value bounds in
+    * cents, timestamp bounds in epoch-ms. One scan, one global aggregate
+    * (map-side combined); every number integer-exact.
+    */
+  def qProfileEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_distinct_ids"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("props").isNull.cast("long")).as("n_null_props"),
+        sum((length(col("props")) === 0).cast("long")).as("n_empty_props"),
+        sum((col("value") < 0).cast("long")).as("n_negative_values"),
+        min(cents(col("value"))).as("min_value_cents"),
+        max(cents(col("value"))).as("max_value_cents"),
+        min(Tables.epochMs).as("min_ts_ms"),
+        max(Tables.epochMs).as("max_ts_ms"))
+
   /** JSON property extraction: per-event-type stats of the numeric `k`
     * field inside the `props` JSON column — the get_json_object scalar
     * surface. Pure map + partial agg; the JSON parse is codegen'd and never
