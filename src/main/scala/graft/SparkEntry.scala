@@ -176,6 +176,7 @@ object SparkEntry {
     "q_ivf_purity" -> ((s, d) => Similarity.ivfLabelPurity(s, d)),
     "q_top_paths" -> ((s, d) => Analytics.topPaths(s, d)),
     "q_profile_events" -> ((s, d) => Relational.qProfileEvents(s, d)),
+    "q_curation_funnel" -> ((s, d) => Curation.curationFunnel(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1623,6 +1624,51 @@ object SparkEntry {
          |                    doc_id) AS BIGINT) AS rk
          |  FROM documents)
          |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    // The four gates composed (quality → exact-dedup canon → decontaminate
+    // → split), replaying each gate's individually-checked semantics.
+    "q_curation_funnel" ->
+      s"""WITH $docShCtes,
+         |qdw AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS w
+         |        FROM documents),
+         |qtf AS (SELECT doc_id, t, count(*) AS n
+         |        FROM (SELECT doc_id, unnest(w) AS t FROM qdw) GROUP BY 1, 2),
+         |qtp AS (SELECT doc_id, max(n) AS top_n FROM qtf GROUP BY 1),
+         |qm AS (SELECT doc_id, len(w) AS n_words, nc - len(w) + 1 AS word_chars,
+         |         len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of'
+         |                              OR x = 'and')) AS stopword_n
+         |       FROM qdw),
+         |qr AS (SELECT qm.doc_id,
+         |         CASE WHEN n_words < 20 THEN 0
+         |              WHEN n_words > 90 THEN 0
+         |              WHEN (10 * word_chars) // n_words < 30
+         |                OR (10 * word_chars) // n_words > 80 THEN 0
+         |              WHEN (100 * top_n) // n_words > 15 THEN 0
+         |              WHEN stopword_n = 0 THEN 0 ELSE 1 END AS keep
+         |       FROM qm JOIN qtp ON qm.doc_id = qtp.doc_id),
+         |d AS (SELECT doc_id, md5(text) AS cmd5 FROM documents),
+         |qd AS (SELECT d.doc_id, d.cmd5 FROM d
+         |       JOIN qr ON d.doc_id = qr.doc_id WHERE qr.keep = 1),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY cmd5),
+         |bh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+         |cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bh USING (shingle)
+         |         WHERE s.doc_id % 37 <> 0),
+         |flags AS (SELECT qr.keep,
+         |            CASE WHEN c2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_canon,
+         |            CASE WHEN d.doc_id % 37 <> 0 AND ct.doc_id IS NULL
+         |                 THEN 1 ELSE 0 END AS clean,
+         |            CASE WHEN ${Tables.portableHashSql("'split:' || d.doc_id")}
+         |                   % 100 < 80 THEN 1 ELSE 0 END AS train
+         |          FROM d
+         |          JOIN qr ON d.doc_id = qr.doc_id
+         |          LEFT JOIN canon c2 ON d.doc_id = c2.doc_id
+         |          LEFT JOIN cont ct ON d.doc_id = ct.doc_id)
+         |SELECT count(*) AS n_total,
+         |       CAST(sum(keep) AS BIGINT) AS n_quality,
+         |       CAST(sum(keep * is_canon) AS BIGINT) AS n_unique,
+         |       CAST(sum(keep * is_canon * clean) AS BIGINT) AS n_clean,
+         |       CAST(sum(keep * is_canon * clean * train) AS BIGINT) AS n_train
+         |FROM flags""".stripMargin,
 
     "q_profile_events" ->
       """SELECT count(*) AS n_rows,

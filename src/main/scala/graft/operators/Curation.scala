@@ -193,6 +193,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The full curation funnel as ONE report — the composition proof that
+    * the gates chain: quality filter → keep-first exact dedup (among
+    * quality survivors) → decontamination → train split, with surviving
+    * counts after each stage. Every stage reuses the exact operator
+    * semantics the individually-checked queries pin (qualityFilter's
+    * rules, dedupExact's min-id canonicalization, decontaminate's
+    * fingerprint semi-join, splitAssign's hash threshold); the plan is
+    * their joins plus one global aggregate.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysis.qualityFilter(spark, dir)
+      .select(col("doc_id"), col("keep"))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("cmd5"))
+    val qd = docs.join(quality.where(col("keep") === 1L).select("doc_id"), "doc_id")
+    val canon = qd.groupBy("cmd5").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_canon"))
+    val dec = decontaminate(spark, dir).select(col("doc_id"), col("kept").as("clean"))
+    docs.join(quality, "doc_id")
+      .join(canon, Seq("doc_id"), "left")
+      .join(dec, "doc_id")
+      .select(col("keep"), coalesce(col("is_canon"), lit(0L)).as("is_canon"),
+        col("clean"),
+        (Tables.portableHash(concat(lit("split:"), col("doc_id").cast("string")))
+          % 100 < 80).cast("long").as("train"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep")).as("n_quality"),
+        sum(col("keep") * col("is_canon")).as("n_unique"),
+        sum(col("keep") * col("is_canon") * col("clean")).as("n_clean"),
+        sum(col("keep") * col("is_canon") * col("clean") * col("train"))
+          .as("n_train"))
+  }
+
   /** Deterministic per-group exemplars: the 3 documents per source with
     * the smallest sampling hash — the "show me a few examples from each
     * slice" operation (dataset cards, eyeball QA) as a stable query:
