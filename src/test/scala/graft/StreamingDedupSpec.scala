@@ -167,6 +167,38 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("late-beyond-watermark docs are dropped whole: no verdict, never a wrong one") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val docs = Seq(
+      DocRow(1L, "alpha beta gamma delta epsilon", 1000L),
+      DocRow(2L, "zeta eta theta iota kappa", 2000L))
+    val pastWm = DocRow(3L, "far future words here now", 500000L) // advances wm
+    val late = DocRow(4L, "alpha beta gamma delta epsilon", 1000L) // < wm - 30s
+    val flush = DocRow(999999L, "zz zz zz flush zz", 100000000L)
+
+    val input = MemoryStream[DocRow]
+    val out = StreamingDedup.minhashDedupStream(input.toDS().toDF(), "30 seconds")
+    val name = s"dedup_late_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(docs); q.processAllAvailable()
+      input.addData(Seq(pastWm)); q.processAllAvailable()
+      input.addData(Seq(late)); q.processAllAvailable() // dropped by watermark
+      input.addData(Seq(flush)); q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table(name).as[DedupVerdict].collect()
+      .map(v => v.doc_id -> v.kept).toMap
+    // on-time docs all verdict; the late duplicate gets NO verdict (its
+    // signature rows were dropped at the watermark) — it can never appear
+    // as a spurious "kept"
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) && got(2L) && got(3L))
+  }
+
   test("dedup pipeline restarts from checkpoint: no loss, no duplication") {
     val sp = spark
     import sp.implicits._
