@@ -177,6 +177,8 @@ object SparkEntry {
     "q_top_paths" -> ((s, d) => Analytics.topPaths(s, d)),
     "q_profile_events" -> ((s, d) => Relational.qProfileEvents(s, d)),
     "q_curation_funnel" -> ((s, d) => Curation.curationFunnel(s, d)),
+    "q_len_percentiles" -> ((s, d) => TextAnalysis.lengthPercentiles(s, d)),
+    "q_hourly_seasonality" -> ((s, d) => Relational.qHourlySeasonality(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1624,6 +1626,31 @@ object SparkEntry {
          |                    doc_id) AS BIGINT) AS rk
          |  FROM documents)
          |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "q_len_percentiles" ->
+      """WITH d AS (SELECT source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |           FROM documents),
+        |c AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+        |r AS (SELECT source, n_words,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_words) AS rn
+        |      FROM d)
+        |SELECT r.source, CAST(min(c.n) AS BIGINT) AS n_docs,
+        |       CAST(min(CASE WHEN rn = (n + 1) // 2 THEN n_words END) AS BIGINT)
+        |         AS p50_words,
+        |       CAST(min(CASE WHEN rn = (9 * n + 9) // 10 THEN n_words END)
+        |            AS BIGINT) AS p90_words,
+        |       CAST(sum(n_words) AS BIGINT) AS total_words
+        |FROM r JOIN c ON r.source = c.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hourly_seasonality" ->
+      """SELECT (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |       count(*) AS n_events,
+        |       count(DISTINCT event_type) AS n_types,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The four gates composed (quality → exact-dedup canon → decontaminate
     // → split), replaying each gate's individually-checked semantics.

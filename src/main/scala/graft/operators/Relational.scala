@@ -457,6 +457,20 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Hour-of-day seasonality: event and value volumes per UTC hour — the
+    * capacity-planning readout. Integer hour from epoch-ms; one partial
+    * agg, 24-row output.
+    */
+  def qHourlySeasonality(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(expr("((ts div 1000000) div 3600000) % 24").as("hour"),
+        col("event_type"), cents(col("value")).as("vc"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("vc")).as("value_cents"))
+      .orderBy("hour")
+
   /** Single-pass data-quality profile of the events table — the
     * ingest-gate report: row/distinct/null/empty counts, value bounds in
     * cents, timestamp bounds in epoch-ms. One scan, one global aggregate

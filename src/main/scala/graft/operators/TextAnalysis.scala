@@ -250,6 +250,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source document-length percentiles (p50/p90 word counts) via the
+    * exact rank-at-position technique — the corpus length report a
+    * dataset card ships. One window partitioned by source.
+    */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_words"))
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_words"))
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
+    d.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), "source")
+      .groupBy("source")
+      .agg(min(col("n")).as("n_docs"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("n_words"))).as("p50_words"),
+        min(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_words"))).as("p90_words"),
+        sum(col("n_words")).as("total_words"))
+      .orderBy("source")
+  }
+
   /** Gopher-style repetition signal: per-document duplicate 3-gram
     * fraction (plus duplicate-word fraction). Entirely map-side array
     * expressions — zero shuffle before the final order — so at 100 TB this
