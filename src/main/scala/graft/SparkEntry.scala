@@ -179,6 +179,7 @@ object SparkEntry {
     "q_curation_funnel" -> ((s, d) => Curation.curationFunnel(s, d)),
     "q_len_percentiles" -> ((s, d) => TextAnalysis.lengthPercentiles(s, d)),
     "q_hourly_seasonality" -> ((s, d) => Relational.qHourlySeasonality(s, d)),
+    "q_native_sessions" -> ((s, d) => ChainLink.nativeSessions(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1626,6 +1627,16 @@ object SparkEntry {
          |                    doc_id) AS BIGINT) AS rk
          |  FROM documents)
          |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    // Native session_window checked against the INDEPENDENT windowed-lag
+    // sessionization mechanism (native end = last event + gap).
+    "q_native_sessions" ->
+      s"""WITH $sessionsCtes
+         |SELECT user_id, CAST(min(em) AS BIGINT) AS start_ms,
+         |       CAST(max(em) + 1800000 AS BIGINT) AS end_ms,
+         |       count(*) AS n_events
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, start_ms""".stripMargin,
 
     "q_len_percentiles" ->
       """WITH d AS (SELECT source,

@@ -309,6 +309,27 @@ object ChainLink {
       .orderBy("user_id", "session_id")
   }
 
+  /** Gap sessionization via Spark's NATIVE `session_window` — the same
+    * 30-min-gap semantics as [[sessionize]] through a genuinely different
+    * mechanism (the engine's merging session windows instead of a
+    * lag+cumsum window), checked against the same windowed-lag oracle:
+    * native end = last event + gap, so the two agree bit-for-bit. In
+    * streaming this operator is the stateful session assembler; in batch
+    * it is one aggregation.
+    */
+  def nativeSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        timestamp_millis(Tables.epochMs).as("ets"))
+    ev.groupBy(col("user_id"), session_window(col("ets"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("start_ms"),
+        unix_millis(col("sw.end")).as("end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "start_ms")
+  }
+
   /** Session-length distribution — one more aggregation over the
     * [[sessionize]] relation (operator composition): events-per-session →
     * (number of such sessions, total in-session time span).
