@@ -180,6 +180,7 @@ object SparkEntry {
     "q_len_percentiles" -> ((s, d) => TextAnalysis.lengthPercentiles(s, d)),
     "q_hourly_seasonality" -> ((s, d) => Relational.qHourlySeasonality(s, d)),
     "q_native_sessions" -> ((s, d) => ChainLink.nativeSessions(s, d)),
+    "q_band_stats" -> ((s, d) => ChainLink.bandStats(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1627,6 +1628,32 @@ object SparkEntry {
          |                    doc_id) AS BIGINT) AS rk
          |  FROM documents)
          |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    // Banded-join health under the pinned 20 s deploy width.
+    "q_band_stats" ->
+      s"""WITH $msgsCte,
+         |wf AS (SELECT * FROM msgs WHERE end_at_ms >= start_at_ms),
+         |pk AS (SELECT dst_ip AS ip, b AS bucket, count(*) AS np
+         |       FROM wf, unnest(generate_series(start_at_ms // 20000,
+         |                                       end_at_ms // 20000)) AS t(b)
+         |       GROUP BY 1, 2),
+         |ck AS (SELECT src_ip AS ip, start_at_ms // 20000 AS bucket,
+         |              count(*) AS nc
+         |       FROM wf GROUP BY 1, 2),
+         |keys AS (SELECT coalesce(np, 0) AS np, coalesce(nc, 0) AS nc
+         |         FROM pk FULL OUTER JOIN ck USING (ip, bucket)),
+         |tot AS (SELECT count(*) AS n_msgs,
+         |          CAST(sum(end_at_ms // 20000 - start_at_ms // 20000 + 1)
+         |               AS BIGINT) AS parent_replicas
+         |        FROM wf)
+         |SELECT count(*) AS n_keys,
+         |       CAST(sum(np * nc) AS BIGINT) AS total_candidates,
+         |       CAST(max(np * nc) AS BIGINT) AS max_candidates,
+         |       CAST(min(tot.parent_replicas) AS BIGINT) AS parent_replicas,
+         |       CAST(min(tot.n_msgs) AS BIGINT) AS n_msgs,
+         |       CAST(min(tot.parent_replicas) * 1000 // min(tot.n_msgs)
+         |            AS BIGINT) AS replication_permille
+         |FROM keys CROSS JOIN tot""".stripMargin,
 
     // Native session_window checked against the INDEPENDENT windowed-lag
     // sessionization mechanism (native end = last event + gap).

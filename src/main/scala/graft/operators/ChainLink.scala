@@ -86,6 +86,43 @@ object ChainLink {
       .select("parent_id", "child_id")
   }
 
+  /** What-if health report for the banded interval join under a CANDIDATE
+    * pinned width (20 s — the reference SLA's nominal max call latency):
+    * keyed (ip, bucket) candidate-density stats and the parent
+    * replication factor — the numbers that predict the join's cost at
+    * 100 TB (max candidates per key bounds the hottest task, replication
+    * permille bounds shuffle amplification). On this workload it reports
+    * ~151× replication — i.e. the synthetic intervals are minutes-long
+    * and the quantile-adaptive [[bandWidth]] is the right choice, which
+    * is exactly the decision this report exists to inform before pinning
+    * a width in config. Width-pinned so the DuckDB oracle replays it
+    * exactly (the adaptive width uses engine-specific approx_percentile).
+    */
+  def bandStats(spark: SparkSession, dir: String): DataFrame = {
+    val W = 20000L
+    val msgs = Tables.msgs(spark, dir)
+      .where(col("end_at_ms") >= col("start_at_ms"))
+    val pk = msgs.select(col("dst_ip").as("ip"),
+        explode(sequence(expr(s"start_at_ms div $W"), expr(s"end_at_ms div $W")))
+          .as("bucket"))
+      .groupBy("ip", "bucket").agg(count(lit(1)).as("np"))
+    val ck = msgs.select(col("src_ip").as("ip"),
+        expr(s"start_at_ms div $W").as("bucket"))
+      .groupBy("ip", "bucket").agg(count(lit(1)).as("nc"))
+    val keys = pk.join(ck, Seq("ip", "bucket"), "full_outer")
+      .select(coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val nMsgs = msgs.agg(count(lit(1)).as("n_msgs"),
+      sum(expr(s"end_at_ms div $W - start_at_ms div $W + 1")).as("parent_replicas"))
+    keys.agg(count(lit(1)).as("n_keys"),
+        sum(col("np") * col("nc")).as("total_candidates"),
+        max(col("np") * col("nc")).as("max_candidates"))
+      .crossJoin(broadcast(nMsgs))
+      .select(col("n_keys"), col("total_candidates"), col("max_candidates"),
+        col("parent_replicas"), col("n_msgs"),
+        expr("parent_replicas * 1000 div n_msgs").as("replication_permille"))
+  }
+
   /** The links relation for a testdata dir, memoized per session: five
     * driver queries are views over it (see [[graft.sources.Materialized]]).
     */
