@@ -1629,24 +1629,35 @@ object SparkEntry {
          |  FROM documents)
          |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
 
-    // Banded-join health under the pinned 20 s deploy width.
+    // Banded-join what-if under a pinned 20 s width, via the sweep-line
+    // form (±1 boundary prefix sums; O(msgs) at any width).
     "q_band_stats" ->
       s"""WITH $msgsCte,
          |wf AS (SELECT * FROM msgs WHERE end_at_ms >= start_at_ms),
-         |pk AS (SELECT dst_ip AS ip, b AS bucket, count(*) AS np
-         |       FROM wf, unnest(generate_series(start_at_ms // 20000,
-         |                                       end_at_ms // 20000)) AS t(b)
-         |       GROUP BY 1, 2),
-         |ck AS (SELECT src_ip AS ip, start_at_ms // 20000 AS bucket,
-         |              count(*) AS nc
+         |bounds AS (SELECT ip, bucket, 0 AS tag,
+         |             CAST(sum(delta) AS BIGINT) AS delta,
+         |             CAST(NULL AS BIGINT) AS nc
+         |           FROM (SELECT dst_ip AS ip, start_at_ms // 20000 AS bucket,
+         |                        1 AS delta FROM wf
+         |                 UNION ALL
+         |                 SELECT dst_ip, end_at_ms // 20000 + 1, -1 FROM wf)
+         |           GROUP BY 1, 2),
+         |ck AS (SELECT src_ip AS ip, start_at_ms // 20000 AS bucket, 1 AS tag,
+         |              CAST(NULL AS BIGINT) AS delta, count(*) AS nc
          |       FROM wf GROUP BY 1, 2),
-         |keys AS (SELECT coalesce(np, 0) AS np, coalesce(nc, 0) AS nc
-         |         FROM pk FULL OUTER JOIN ck USING (ip, bucket)),
+         |merged AS (SELECT * FROM bounds UNION ALL SELECT * FROM ck),
+         |swept AS (SELECT tag, nc,
+         |            CAST(sum(coalesce(delta, 0)) OVER (PARTITION BY ip
+         |              ORDER BY bucket, tag
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS BIGINT) AS np
+         |          FROM merged),
+         |keys AS (SELECT np, nc FROM swept WHERE tag = 1),
          |tot AS (SELECT count(*) AS n_msgs,
          |          CAST(sum(end_at_ms // 20000 - start_at_ms // 20000 + 1)
          |               AS BIGINT) AS parent_replicas
          |        FROM wf)
-         |SELECT count(*) AS n_keys,
+         |SELECT count(*) AS n_child_keys,
          |       CAST(sum(np * nc) AS BIGINT) AS total_candidates,
          |       CAST(max(np * nc) AS BIGINT) AS max_candidates,
          |       CAST(min(tot.parent_replicas) AS BIGINT) AS parent_replicas,

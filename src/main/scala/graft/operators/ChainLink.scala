@@ -102,23 +102,37 @@ object ChainLink {
     val W = 20000L
     val msgs = Tables.msgs(spark, dir)
       .where(col("end_at_ms") >= col("start_at_ms"))
-    val pk = msgs.select(col("dst_ip").as("ip"),
-        explode(sequence(expr(s"start_at_ms div $W"), expr(s"end_at_ms div $W")))
-          .as("bucket"))
-      .groupBy("ip", "bucket").agg(count(lit(1)).as("np"))
-    val ck = msgs.select(col("src_ip").as("ip"),
+    // Sweep-line instead of bucket explode: per-bucket parent coverage is
+    // a ±1 boundary prefix sum (2 rows per message, O(msgs) at ANY width),
+    // carried to the child-occupied buckets with the union+window as-of
+    // trick — materializing the replication the report warns about would
+    // make the report itself O(replication).
+    val wIp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ip")).orderBy(col("bucket"), col("tag"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bounds = msgs.select(col("dst_ip").as("ip"),
+        expr(s"start_at_ms div $W").as("bucket"), lit(1L).as("delta"))
+      .unionAll(msgs.select(col("dst_ip").as("ip"),
+        expr(s"end_at_ms div $W + 1").as("bucket"), lit(-1L).as("delta")))
+      .groupBy("ip", "bucket").agg(sum(col("delta")).as("delta"))
+      .select(col("ip"), col("bucket"), lit(0).as("tag"),
+        col("delta"), lit(null).cast("long").as("nc"))
+    val childKeys = msgs.select(col("src_ip").as("ip"),
         expr(s"start_at_ms div $W").as("bucket"))
       .groupBy("ip", "bucket").agg(count(lit(1)).as("nc"))
-    val keys = pk.join(ck, Seq("ip", "bucket"), "full_outer")
-      .select(coalesce(col("np"), lit(0L)).as("np"),
-        coalesce(col("nc"), lit(0L)).as("nc"))
+      .select(col("ip"), col("bucket"), lit(1).as("tag"),
+        lit(null).cast("long").as("delta"), col("nc"))
+    val keys = bounds.unionAll(childKeys)
+      .withColumn("np", sum(coalesce(col("delta"), lit(0L))).over(wIp))
+      .where(col("tag") === 1)
+      .select(col("np"), col("nc"))
     val nMsgs = msgs.agg(count(lit(1)).as("n_msgs"),
       sum(expr(s"end_at_ms div $W - start_at_ms div $W + 1")).as("parent_replicas"))
-    keys.agg(count(lit(1)).as("n_keys"),
+    keys.agg(count(lit(1)).as("n_child_keys"),
         sum(col("np") * col("nc")).as("total_candidates"),
         max(col("np") * col("nc")).as("max_candidates"))
       .crossJoin(broadcast(nMsgs))
-      .select(col("n_keys"), col("total_candidates"), col("max_candidates"),
+      .select(col("n_child_keys"), col("total_candidates"), col("max_candidates"),
         col("parent_replicas"), col("n_msgs"),
         expr("parent_replicas * 1000 div n_msgs").as("replication_permille"))
   }
