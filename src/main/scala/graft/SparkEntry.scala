@@ -181,6 +181,7 @@ object SparkEntry {
     "q_hourly_seasonality" -> ((s, d) => Relational.qHourlySeasonality(s, d)),
     "q_native_sessions" -> ((s, d) => ChainLink.nativeSessions(s, d)),
     "q_band_stats" -> ((s, d) => ChainLink.bandStats(s, d)),
+    "q_peak_concurrency" -> ((s, d) => ChainLink.peakConcurrency(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1628,6 +1629,24 @@ object SparkEntry {
          |                    doc_id) AS BIGINT) AS rk
          |  FROM documents)
          |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "q_peak_concurrency" ->
+      s"""WITH $msgsCte,
+         |wf AS (SELECT * FROM msgs WHERE end_at_ms >= start_at_ms),
+         |b AS (SELECT ip, t, CAST(sum(delta) AS BIGINT) AS delta FROM (
+         |        SELECT dst_ip AS ip, start_at_ms AS t, 1 AS delta FROM wf
+         |        UNION ALL
+         |        SELECT dst_ip, end_at_ms + 1, -1 FROM wf)
+         |      GROUP BY 1, 2),
+         |c AS (SELECT ip, CAST(max(cur) AS BIGINT) AS peak_concurrent FROM (
+         |        SELECT ip, sum(delta) OVER (PARTITION BY ip ORDER BY t
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+         |        FROM b)
+         |      GROUP BY 1),
+         |n AS (SELECT dst_ip AS ip, count(*) AS n_calls FROM wf GROUP BY 1)
+         |SELECT c.ip, c.peak_concurrent, n.n_calls
+         |FROM c JOIN n ON c.ip = n.ip
+         |ORDER BY c.peak_concurrent DESC, c.ip LIMIT 20""".stripMargin,
 
     // Banded-join what-if under a pinned 20 s width, via the sweep-line
     // form (±1 boundary prefix sums; O(msgs) at any width).

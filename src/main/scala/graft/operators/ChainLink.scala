@@ -137,6 +137,32 @@ object ChainLink {
         expr("parent_replicas * 1000 div n_msgs").as("replication_permille"))
   }
 
+  /** Peak concurrent calls per destination IP — the capacity metric a
+    * trace pipeline feeds autoscaling with. Same sweep-line shape as
+    * [[bandStats]]: ±1 boundary events, per-IP prefix sum, max — two rows
+    * per message, one user-keyed window, O(msgs) at any interval length.
+    * Top-20 IPs by peak (ties → ip).
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val msgs = Tables.msgs(spark, dir)
+      .where(col("end_at_ms") >= col("start_at_ms"))
+    val wIp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ip")).orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val peaks = msgs.select(col("dst_ip").as("ip"),
+        col("start_at_ms").as("t"), lit(1L).as("delta"))
+      .unionAll(msgs.select(col("dst_ip").as("ip"),
+        (col("end_at_ms") + 1L).as("t"), lit(-1L).as("delta")))
+      .groupBy("ip", "t").agg(sum(col("delta")).as("delta"))
+      .withColumn("cur", sum(col("delta")).over(wIp))
+      .groupBy("ip").agg(max(col("cur")).as("peak_concurrent"))
+    val calls = msgs.groupBy(col("dst_ip").as("ip"))
+      .agg(count(lit(1)).as("n_calls"))
+    peaks.join(calls, "ip")
+      .orderBy(col("peak_concurrent").desc, col("ip"))
+      .limit(20)
+  }
+
   /** The links relation for a testdata dir, memoized per session: five
     * driver queries are views over it (see [[graft.sources.Materialized]]).
     */
