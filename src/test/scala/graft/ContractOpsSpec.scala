@@ -264,6 +264,24 @@ class ContractOpsSpec extends SparkSpec {
     }
   }
 
+  test("peak concurrency == brute-force interval sweep model") {
+    val msgs = Tables.msgs(spark, sf0001)
+      .select("dst_ip", "start_at_ms", "end_at_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter { case (_, s, e) => e >= s }
+    val model = msgs.groupBy(_._1).map { case (ip, iv) =>
+      val events = iv.flatMap { case (_, s, e) => Seq((s, 1L), (e + 1, -1L)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      var cur = 0L; var peak = 0L
+      events.foreach { case (_, d) => cur += d; if (cur > peak) peak = cur }
+      ip -> ((peak, iv.length.toLong))
+    }
+    val expTop = model.toSeq.sortBy { case (ip, (p, _)) => (-p, ip) }.take(20)
+    val got = graft.operators.ChainLink.peakConcurrency(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+    assert(got.toSeq == expTop)
+  }
+
   test("unpivot == direct collect model") {
     val rows = Tables.load(spark, sf0001, "events")
       .select((expr("(ts div 1000000)") / lit(86400000L)).cast("long").as("day"),
