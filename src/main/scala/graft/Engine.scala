@@ -202,6 +202,30 @@ object Engine {
   def registerAll(spark: SparkSession, dir: String): Unit =
     SqlApi.registerAll(spark, dir)
 
+  /** Gap sessionization via the native merging session_window. */
+  def nativeSessions(spark: SparkSession, dir: String): DataFrame =
+    ChainLink.nativeSessions(spark, dir)
+
+  /** What-if candidate-density report for a pinned band width. */
+  def bandStats(spark: SparkSession, dir: String): DataFrame =
+    ChainLink.bandStats(spark, dir)
+
+  /** Peak concurrent calls per destination IP (sweep-line). */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame =
+    ChainLink.peakConcurrency(spark, dir)
+
+  /** The four curation gates composed into one survivors-per-stage report. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame =
+    operators.Curation.curationFunnel(spark, dir)
+
+  /** Robust MAD outlier report per event type. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    Analytics.madOutliers(spark, dir)
+
+  /** Cluster-vs-label purity per IVF bucket. */
+  def ivfLabelPurity(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfLabelPurity(spark, dir)
+
   /** Write a bucketed+sorted table: pay the shuffle once at ingest, then
     * every join/agg on the bucket key is Exchange-free.
     */
