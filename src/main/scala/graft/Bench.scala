@@ -50,7 +50,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // One JSON line; the headline metric/value go LAST so a tail-truncated
+    // capture of this (long) line still shows the total.
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","n_queries":${queryResults.size},"value":$total}""")
     spark.stop()
   }
 }

@@ -1081,7 +1081,8 @@ object SparkEntry {
     "q_gini_spend" ->
       """WITH u AS (
         |  SELECT user_id,
-        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         CAST(greatest(sum(CAST(round(value * 100) AS BIGINT)), 0)
+        |              AS BIGINT)
         |           AS spend_cents
         |  FROM events GROUP BY 1),
         |r AS (SELECT spend_cents,

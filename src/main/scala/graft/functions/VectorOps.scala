@@ -56,9 +56,63 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Whole-stage-codegen'd squared Euclidean distance over two
+  * `ARRAY<DOUBLE>` columns — the metric of the product-quantization path
+  * (PQ codebooks and ADC tables are built on L2²; the square root is
+  * monotone, so top-k never needs it). Same strict left-to-right fold as
+  * [[DotProduct]], bit-identical to the oracle's `list_reduce` left fold.
+  */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Squared =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   /** Dot product of two ARRAY<DOUBLE> columns (codegen'd). */
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Squared L2 distance of two ARRAY<DOUBLE> columns (codegen'd). */
+  def l2sq(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L2Squared(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

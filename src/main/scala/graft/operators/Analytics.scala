@@ -225,6 +225,13 @@ object Analytics {
     * t-digest `approx_percentile` landed within 1% of it. The estimate
     * itself is engine-specific and never emitted; the oracle pins the flag,
     * so sketch accuracy is part of the hash-checked contract.
+    *
+    * The band is `|approx − exact| · 100 ≤ |exact|` — the absolute value on
+    * the right keeps the band's width positive when the exact median is
+    * negative (events.value can be negative). An exact median of 0 makes the
+    * relative band zero-width, so a 1-cent absolute tolerance backstops it:
+    * the sketch's rank error at accuracy 10000 is a couple of ranks, i.e. a
+    * cent or two around a zero median.
     */
   def approxQuantile(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
@@ -242,7 +249,8 @@ object Analytics {
       .agg(expr("approx_percentile(v, 0.5, 10000)").as("p50_approx"))
     exact2.join(approx, "event_type")
       .select(col("event_type"), col("n"), col("p50_exact"),
-        (abs(col("p50_approx") - col("p50_exact")) * 100 <= col("p50_exact"))
+        ((abs(col("p50_approx") - col("p50_exact")) * 100 <= abs(col("p50_exact")))
+          || abs(col("p50_approx") - col("p50_exact")) <= 1)
           .cast("long").as("within_1pct"))
       .orderBy("event_type")
   }
@@ -252,11 +260,18 @@ object Analytics {
     * over spend ranked ascending. The rank comes from
     * [[Ranking.withGlobalRowNumber]] (distributed exact global rank — no
     * single-task window), everything else is one integer aggregation.
+    *
+    * Per-user spend is clamped to ≥ 0 (events.value can be negative): the
+    * Gini formula assumes a non-negative distribution, and the clamp also
+    * guarantees both `div` operands are non-negative — DuckDB's `//` floors
+    * while Spark's `div` truncates toward zero, so a negative quotient would
+    * round differently in the two engines.
     */
   def giniSpend(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.load(spark, dir, "events")
       .groupBy("user_id")
-      .agg(sum(round(col("value") * 100).cast("long")).as("spend_cents"))
+      .agg(greatest(sum(round(col("value") * 100).cast("long")), lit(0L))
+        .as("spend_cents"))
     val (ranked, n) = Ranking.withGlobalRowNumber(perUser, "rk",
       col("spend_cents"), col("user_id"))
     ranked.agg(sum(col("spend_cents")).as("total_cents"),

@@ -64,10 +64,14 @@ object Ranking {
     val (ranked, n) = withGlobalRowNumber(df, rn, sortCols: _*)
     val q = n / k
     val r = n % k
+    // Long `div` (truncating integer division; all operands non-negative
+    // here, so it equals floor) — `/` would route through doubles and lose
+    // exactness past 2^53 rows.
     val tile =
       if (q == 0) col(rn) // n < k: tiles are single rows
-      else when(col(rn) <= r * (q + 1), (col(rn) - 1) / (q + 1) + 1)
-        .otherwise(lit(r) + (col(rn) - r * (q + 1) - 1) / q + 1)
+      else when(col(rn) <= r * (q + 1),
+          expr(s"(`$rn` - 1) div ${q + 1} + 1"))
+        .otherwise(lit(r) + expr(s"(`$rn` - ${r * (q + 1)} - 1) div $q + 1"))
     ranked.withColumn(out, tile.cast("long")).drop(rn)
   }
 }

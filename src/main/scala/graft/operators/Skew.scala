@@ -48,18 +48,34 @@ object Skew {
     * over `salt` tasks at the cost of a `salt`× build-side blowup — size
     * `salt` ≈ (hot-key share × parallelism).
     *
-    * The salt is positional (`monotonically_increasing_id mod salt` —
-    * partition-ordinal row ids), not content-derived: hashing row content
-    * would send fully-identical rows of a hot key back to ONE task (the
-    * degenerate duplicate-heavy case this helper exists for) and fails
-    * analysis on non-hashable column types. Join output is identical for
-    * ANY salt assignment; on recompute Spark rolls back indeterminate map
-    * stages wholesale rather than mixing old and new salt assignments.
+    * Prefer the `saltOn` overload: pass any stable row-identifying columns
+    * (a primary key, a line number) and the salt is
+    * `xxhash64(key, saltOn…) mod salt` — a pure function of row CONTENT, so
+    * a task retry recomputes the identical assignment. The no-`saltOn` form
+    * falls back to positional `monotonically_increasing_id mod salt`
+    * (content hashing without an id column would send fully-identical rows
+    * of a hot key back to ONE task — the degenerate duplicate-heavy case
+    * this helper exists for). CAVEAT on the positional fallback: the id is
+    * row-order-dependent, so a shuffle-fetch failure that partially
+    * recomputes the map stage can re-salt rows differently from what
+    * already-committed reducers fetched — rows duplicated or lost. Use it
+    * only when no stable id exists, and prefer rerunning the job over
+    * trusting a retried one.
     */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame =
+    saltedJoin(big, small, key, salt, Nil)
+
+  /** Retry-safe variant: salt = `xxhash64(key, saltOn…) mod salt`. `saltOn`
+    * should identify rows within a key (unique id, sequence number) so
+    * duplicates of the hot key spread across tasks deterministically.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
+      saltOn: Seq[Column]): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
-    val b = big.withColumn(SaltCol,
-      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+    val saltExpr =
+      if (saltOn.nonEmpty) pmod(xxhash64((col(key) +: saltOn): _*), lit(salt.toLong))
+      else pmod(monotonically_increasing_id(), lit(salt.toLong))
+    val b = big.withColumn(SaltCol, saltExpr.cast("int"))
     val s = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, Seq(key, SaltCol)).drop(SaltCol)

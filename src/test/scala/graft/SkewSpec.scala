@@ -39,6 +39,24 @@ class SkewSpec extends SparkSpec {
     assert(p.contains("__graft_salt"), "salt not in the plan")
   }
 
+  test("saltedJoin with content-derived salt == plain join, and spreads the hot key") {
+    val plain = skewed.join(dim, "k")
+      .select("k", "n", "v", "label")
+      .collect().map(_.toSeq).toSet
+    Seq(1, 4, 16).foreach { s =>
+      val salted = Skew.saltedJoin(skewed, dim, "k", s, Seq(col("n")))
+        .select("k", "n", "v", "label")
+        .collect().map(_.toSeq).toSet
+      assert(salted == plain, s"salt=$s diverged")
+    }
+    // the hash salt actually fans the hot key out across sub-keys
+    val spread = skewed
+      .withColumn("salt", pmod(xxhash64(col("k"), col("n")), lit(8L)).cast("int"))
+      .where(col("k") === "hot")
+      .select("salt").distinct().count()
+    assert(spread > 1, s"hot key not spread (got $spread sub-keys)")
+  }
+
   test("saltedCollectSet == direct sorted collect_set") {
     val direct = skewed.groupBy("k")
       .agg(array_sort(collect_set(col("v"))).as("values"))
