@@ -583,13 +583,15 @@ object SparkEntry {
     "dedup_embedding" ->
       s"""WITH $vecCte,
          |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
-         |          WHERE vec_id % 50 = 0),
+         |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |                        AS BIGINT), vec_id
+         |          LIMIT 64),
          |probes AS (SELECT vec_id, cent_id FROM (
          |             SELECT v.vec_id, c.cent_id,
          |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
          |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
          |                      c.cent_id) AS rn
-         |             FROM v CROSS JOIN cents c) WHERE rn <= 4),
+         |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |         FROM probes a JOIN probes b
          |           ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
@@ -610,13 +612,15 @@ object SparkEntry {
          |       FROM v a JOIN v b ON a.vec_id < b.vec_id
          |       WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
          |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
-         |          WHERE vec_id % 50 = 0),
+         |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |                        AS BIGINT), vec_id
+         |          LIMIT 64),
          |probes AS (SELECT vec_id, cent_id FROM (
          |             SELECT v.vec_id, c.cent_id,
          |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
          |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
          |                      c.cent_id) AS rn
-         |             FROM v CROSS JOIN cents c) WHERE rn <= 4),
+         |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |         FROM probes a JOIN probes b
          |           ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
@@ -649,7 +653,9 @@ object SparkEntry {
     "ann_ivf" ->
       s"""WITH $vecCte,
          |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
-         |          WHERE vec_id % 50 = 0),
+         |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |                        AS BIGINT), vec_id
+         |          LIMIT 64),
          |asg AS (SELECT vec_id, cent_id FROM (
          |          SELECT v.vec_id, c.cent_id,
          |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -678,7 +684,9 @@ object SparkEntry {
     "q_kmeans_step" ->
       s"""WITH $vecCte,
          |cents AS (SELECT vec_id AS cluster_id, e AS ce, nrm AS cn FROM v
-         |          WHERE vec_id % 50 = 0),
+         |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |                        AS BIGINT), vec_id
+         |          LIMIT 64),
          |asg AS (SELECT vec_id, cluster_id, e FROM (
          |          SELECT v.vec_id, c.cluster_id, v.e,
          |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1549,7 +1557,9 @@ object SparkEntry {
     "q_ivf_purity" ->
       s"""WITH $vecCte,
          |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
-         |          WHERE vec_id % 50 = 0),
+         |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |                        AS BIGINT), vec_id
+         |          LIMIT 64),
          |asg AS (SELECT vec_id, cent_id FROM (
          |          SELECT v.vec_id, c.cent_id,
          |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1575,7 +1585,9 @@ object SparkEntry {
     "q_ivf_stats" ->
       s"""WITH $vecCte,
          |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
-         |          WHERE vec_id % 50 = 0),
+         |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |                        AS BIGINT), vec_id
+         |          LIMIT 64),
          |asg AS (SELECT vec_id, cent_id FROM (
          |          SELECT v.vec_id, c.cent_id,
          |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY

@@ -16,6 +16,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Optional comma-separated query filter (dev loop): restricts both the
+    // dump and the emitted oracle map so check.py compares just the subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -31,7 +35,7 @@ object Verify {
     // Emit the oracle map BEFORE the dump: it depends on nothing below, and
     // writing it first means a query failure/timeout can cost at most that
     // query's rows, never the whole round's compare.
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Queries are independent; run 4 at a time on the shared session
@@ -45,7 +49,8 @@ object Verify {
     try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val futures = SparkEntry.queries.toSeq.filter(kv => keep(kv._1))
+        .map { case (name, fn) =>
         scala.concurrent.Future {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")

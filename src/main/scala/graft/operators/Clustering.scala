@@ -22,14 +22,15 @@ import graft.sources.Tables
   */
 object Clustering {
 
-  /** One Lloyd step from the deterministic seed set (`vec_id % 50 == 0`).
-    * Output: (cluster_id, dim, centroid_q, n_members) — the updated
-    * centroid in micro-units, long-format by dimension.
+  /** One Lloyd step from the deterministic seed set (the fixed-K hash-min
+    * sample of [[Similarity.centroidsFor]] — the same seeds the IVF index
+    * starts from). Output: (cluster_id, dim, centroid_q, n_members) — the
+    * updated centroid in micro-units, long-format by dimension.
     */
   def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
-    val v = Dedup.normed(Tables.load(spark, dir, "embeddings"))
-    val cents = v.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cluster_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val v = Dedup.normedFor(spark, dir)
+    val cents = Similarity.centroidsFor(v)
+      .select(col("cent_id").as("cluster_id"), col("ce"), col("cn"))
 
     // assignment: nearest centroid by cosine (ties → smallest cluster_id)
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cluster_id"))

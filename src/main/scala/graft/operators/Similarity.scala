@@ -14,10 +14,13 @@ import graft.sources.Tables
   *   - [[annIvf]] — IVF-style two-level search (the scale path): vectors are
   *     assigned to their nearest coarse centroid (one shuffle keyed by
   *     centroid), queries probe the `nprobe` nearest centroid lists only.
-  *     Work drops from O(Q·N) to O(Q·N·nprobe/C). Centroids here are a
-  *     deterministic subset (`vec_id % 50 == 0`) so the DuckDB oracle can
-  *     replay the index build exactly; a production build would k-means them,
-  *     which changes only the centroid table.
+  *     Work drops from O(Q·N) to O(Q·N·nprobe/C). Centroids are a FIXED-K
+  *     hash-min sample (the K vectors with the smallest portable hash of
+  *     their id) so C stays constant as the corpus grows: assignment is
+  *     O(N·K) with a constant-size broadcast, never O(N²/step) as a
+  *     modulus subset would be. The selection is deterministic, so the
+  *     DuckDB oracle replays the index build exactly; [[annIvfKmeans]]
+  *     refines the same seeds with Lloyd iterations.
   *
   * All cosines are double-precision left folds (bit-identical to the oracle).
   * Queries are the deterministic sample `vec_id % 20 == 0`.
@@ -58,10 +61,27 @@ object Similarity {
       .orderBy("vec_id", "dim")
   }
 
-  /** Deterministic coarse centroid relation (every 50th vector). */
+  /** Number of coarse centroids — a CONSTANT, independent of corpus size.
+    * That constancy is the scale property: the centroid broadcast is K rows
+    * at any corpus size and assignment is O(N·K) cosines. (The old
+    * `vec_id % 50` subset grew C ∝ N, making assignment O(N²/50) and the
+    * broadcast unbounded.) Production tunes K ≈ √N up to a few 10⁴; 64 is
+    * sized to the test corpora.
+    */
+  private[graft] val CentroidK = 64
+
+  /** Fixed-K deterministic coarse centroid relation: the [[CentroidK]]
+    * vectors with the smallest portable 60-bit hash of their id (ties →
+    * min vec_id) — a uniform hash-min sample the DuckDB oracle replays
+    * with the same `ORDER BY hash LIMIT K`. Spark plans this as a
+    * distributed TakeOrdered (per-partition top-K, K-row driver merge),
+    * never a global sort.
+    */
   private[graft] def centroidsFor(v: DataFrame): DataFrame =
-    v.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
+    v.select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"),
+        Tables.portableHash(col("vec_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("cent_id")).limit(CentroidK)
+      .select("cent_id", "ce", "cn")
 
   /** IVF index build: every vector → its nearest centroid (ties → min
     * cent_id). One broadcast of the centroid table + a map-side argmax.
@@ -76,11 +96,21 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"))
   }
 
+  /** Memoized IVF assignment for a dir — the index build, shared by
+    * `ann_ivf`, `q_ivf_stats` and `q_ivf_purity` (one build per session,
+    * the Materialized analog of a persisted ANN index at scale).
+    */
+  private[graft] def ivfAssignFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"ivfasg:$dir") {
+      val v = Dedup.normedFor(spark, dir)
+      ivfAssign(v, centroidsFor(v))
+    }
+
   /** IVF-bucketed ANN: nprobe=2 over deterministic coarse centroids. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
     val cents = centroidsFor(v)
-    val assign = ivfAssign(v, cents)
+    val assign = ivfAssignFor(spark, dir)
 
     // query: probe the 2 nearest centroid lists
     val q = v.where(col("vec_id") % 20 === 0)
@@ -115,8 +145,7 @@ object Similarity {
     * the per-bucket label counts (bounded by labels × centroids).
     */
   def ivfLabelPurity(spark: SparkSession, dir: String): DataFrame = {
-    val v = Dedup.normedFor(spark, dir)
-    val asg = ivfAssign(v, centroidsFor(v))
+    val asg = ivfAssignFor(spark, dir)
     val lab = graft.sources.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"))
     val cl = asg.join(lab, "vec_id")
@@ -139,8 +168,7 @@ object Similarity {
     * groupBy over the assignment; the totals row is a broadcast scalar.
     */
   def ivfStats(spark: SparkSession, dir: String): DataFrame = {
-    val v = Dedup.normedFor(spark, dir)
-    val counts = ivfAssign(v, centroidsFor(v))
+    val counts = ivfAssignFor(spark, dir)
       .groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
     val total = counts.agg(sum(col("n_vecs")).as("n_total"))
     counts.crossJoin(broadcast(total))

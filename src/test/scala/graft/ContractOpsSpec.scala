@@ -61,7 +61,9 @@ class ContractOpsSpec extends SparkSpec {
     def nrm(e: Array[Double]) = math.sqrt(e.foldLeft(0.0)((a, x) => a + x * x))
     def dot(a: Array[Double], b: Array[Double]) =
       a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
-    val cents = vecs.keys.filter(_ % 50 == 0).toSeq.sorted
+    // fixed-K hash-min centroid model: 64 smallest portable id hashes
+    val cents = vecs.keys.toSeq
+      .sortBy(id => (md5Hash60(id.toString), id)).take(64).sorted
     val assign = vecs.keys.map { id =>
       val best = cents.map(c =>
         (-dot(vecs(id), vecs(c)) / (nrm(vecs(id)) * nrm(vecs(c))), c)).min

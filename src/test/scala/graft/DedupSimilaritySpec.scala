@@ -45,16 +45,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.1, s"IVF recall unreasonably low: $recall")
   }
 
-  test("ivf dedup_embedding: subset of exact all-pairs truth, full recall here") {
+  test("ivf dedup_embedding: subset of exact all-pairs truth, high recall") {
     val exact = Dedup.dedupEmbeddingExact(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Dedup.dedupEmbedding(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.subsetOf(exact), s"false positives: ${ivf -- exact}")
-    // measured: nprobe=4 over the 10 deterministic centroids recovers every
-    // cos >= 0.40 pair of this 500-vector corpus (near-random vectors — the
-    // adversarial case; see Dedup.dedupEmbedding Scaladoc)
-    assert(ivf == exact, s"missed: ${exact -- ivf}")
+    // measured: nprobe=8 over the fixed-64 hash-min centroids recovers
+    // 57/59 cos >= 0.40 pairs of this 500-vector corpus (near-random
+    // vectors — the adversarial case; see Dedup.dedupEmbedding Scaladoc).
+    // The exact permille is the driver-checked q_ann_recall contract;
+    // here we pin "high recall, zero false positives".
+    assert(ivf.size * 10 >= exact.size * 9, s"recall too low: ${ivf.size}/${exact.size}")
   }
 
   test("banded sql cosine-by-label: per-label best is a true pair, bounded by exact") {
