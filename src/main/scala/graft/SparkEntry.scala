@@ -79,9 +79,11 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "q_ann_recall" -> ((s, d) => Dedup.annRecall(s, d)),
+    "q_ann_recall_kmeans" -> ((s, d) => Dedup.annRecallKmeans(s, d)),
     // similarity search
     "ann_topk" -> ((s, d) => Similarity.annTopk(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    "ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(s, d)),
     // text analysis
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -284,6 +286,39 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), s -> s[1] * s[2]), (x, y) -> x + y)"
+
+  /** CTE chain replaying [[graft.operators.Clustering.kmeansCentroids]]
+    * with 2 Lloyd iterations: hash-min seeds → integer-exact micro-unit
+    * mean update → rebuilt centroid lists + left-fold norms, twice. Ends
+    * in `kcents(cent_id, ce, cn)`. Every step (round, trunc-div, double
+    * division, fold) is the bit-identical arithmetic the Spark loop runs.
+    */
+  private lazy val kmeansCtes: String = {
+    def assign(cents: String, out: String) =
+      s"""$out AS (SELECT cent_id, e FROM (
+         |       SELECT v.vec_id, c.cent_id, v.e,
+         |              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                c.cent_id) AS rn
+         |       FROM v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def update(asg: String, out: String) =
+      s"""${out}q AS (SELECT cent_id, di.i - 1 AS dim,
+         |            CAST(trunc(CAST(sum(CAST(round(e[di.i] * 1000000.0) AS BIGINT))
+         |                             AS DOUBLE) / count(*)) AS BIGINT) AS cq
+         |     FROM $asg CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) di
+         |     GROUP BY 1, 2),
+         |${out}l AS (SELECT cent_id, list(cq / 1000000.0 ORDER BY dim) AS ce
+         |     FROM ${out}q GROUP BY 1),
+         |$out AS (SELECT cent_id, ce, sqrt(${dotSql("ce", "ce")}) AS cn FROM ${out}l)""".stripMargin
+    s"""seeds AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+       |                        AS BIGINT), vec_id
+       |          LIMIT 64),
+       |${assign("seeds", "ka1")},
+       |${update("ka1", "kc1")},
+       |${assign("kc1", "ka2")},
+       |${update("ka2", "kcents")}""".stripMargin
+  }
 
   private val revenueE4 =
     """CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -680,6 +715,84 @@ object SparkEntry {
          |           ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) DESC, v.vec_id) AS rk
          |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN v ON cand.vec_id = v.vec_id)
          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // ann_ivf with the k-means-refined centroid table: identical search
+    // mechanics, centroids from the replayed 2-iteration Lloyd loop.
+    "ann_ivf_kmeans" ->
+      s"""WITH $vecCte,
+         |$kmeansCtes,
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |          SELECT v.vec_id, c.cent_id,
+         |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                   ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                   c.cent_id) AS rn
+         |          FROM v CROSS JOIN kcents c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v
+         |      WHERE vec_id % 20 = 0),
+         |probes AS (SELECT q_id, cent_id FROM (
+         |             SELECT q.q_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |                      ${dotSql("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM q CROSS JOIN kcents c) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id FROM probes p
+         |         JOIN asg a ON p.cent_id = a.cent_id
+         |         WHERE a.vec_id <> p.q_id)
+         |SELECT q_id, n_id, cos, rk FROM (
+         |  SELECT cand.q_id, v.vec_id AS n_id,
+         |         ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) AS cos,
+         |         row_number() OVER (PARTITION BY cand.q_id ORDER BY
+         |           ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) DESC, v.vec_id) AS rk
+         |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN v ON cand.vec_id = v.vec_id)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // Side-by-side recall of the hash-min vs k-means-refined IVF indexes
+    // against the exact all-pairs truth (both pair mechanisms replayed).
+    "q_ann_recall_kmeans" ->
+      s"""WITH $vecCte,
+         |$kmeansCtes,
+         |ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |       FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |       WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
+         |hprobes AS (SELECT vec_id, cent_id FROM (
+         |             SELECT v.vec_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM v CROSS JOIN seeds c) WHERE rn <= 8),
+         |hcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM hprobes a JOIN hprobes b
+         |            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |hm AS (SELECT c.vec_a, c.vec_b FROM hcand c
+         |       JOIN v va ON c.vec_a = va.vec_id
+         |       JOIN v vb ON c.vec_b = vb.vec_id
+         |       WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
+         |kprobes AS (SELECT vec_id, cent_id FROM (
+         |             SELECT v.vec_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM v CROSS JOIN kcents c) WHERE rn <= 8),
+         |kcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM kprobes a JOIN kprobes b
+         |            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |km AS (SELECT c.vec_a, c.vec_b FROM kcand c
+         |       JOIN v va ON c.vec_a = va.vec_id
+         |       JOIN v vb ON c.vec_b = vb.vec_id
+         |       WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
+         |n AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
+         |             (SELECT count(*) FROM ex JOIN hm USING (vec_a, vec_b))
+         |               AS n_hashmin,
+         |             (SELECT count(*) FROM ex JOIN km USING (vec_a, vec_b))
+         |               AS n_kmeans)
+         |SELECT n_exact, n_hashmin, n_kmeans,
+         |       CAST(CASE WHEN n_exact = 0 THEN 1000
+         |            ELSE n_hashmin * 1000 // n_exact END AS BIGINT)
+         |         AS recall_hashmin_permille,
+         |       CAST(CASE WHEN n_exact = 0 THEN 1000
+         |            ELSE n_kmeans * 1000 // n_exact END AS BIGINT)
+         |         AS recall_kmeans_permille
+         |FROM n""".stripMargin,
 
     "q_kmeans_step" ->
       s"""WITH $vecCte,

@@ -27,6 +27,46 @@ object Clustering {
     * starts from). Output: (cluster_id, dim, centroid_q, n_members) — the
     * updated centroid in micro-units, long-format by dimension.
     */
+  /** `iters` Lloyd iterations from the hash-min seed set, returning the
+    * refined centroid relation (cent_id, ce: array<double>, cn) — the
+    * centroid table the k-means IVF index variant searches against.
+    *
+    * Each iteration is the [[kmeansStep]] update (cosine argmax assignment,
+    * exact integer micro-unit means) followed by an array rebuild: the
+    * long-format (cluster, dim, centroid_q) rows regroup into a sorted
+    * double array with `centroid_q / 1e6` per coordinate. Every arithmetic
+    * step (round, truncating div, double division, left-fold norm) is
+    * bit-identical in DuckDB, so the oracle replays the whole loop.
+    * Clusters that lose all members drop out (deterministically, in both
+    * engines). Cost per iteration: one N×K broadcast argmax + one
+    * map-side-combined shuffle of (cluster, dim, q) — O(N·d); K stays
+    * constant so the loop scales linearly with the corpus.
+    */
+  def kmeansCentroids(spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    var cents = Similarity.centroidsFor(v)
+    for (_ <- 1 to iters) {
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+      val assign = v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"), col("e"),
+          Dedup.cosine(col("e"), col("ce"), col("nrm"), col("cn")).as("ccos"))
+        .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+        .select(col("cent_id"), col("e"))
+      val upd = assign
+        .select(col("cent_id"), posexplode(col("e")).as(Seq("dim", "x")))
+        .select(col("cent_id"), col("dim"),
+          round(col("x") * 1000000.0).cast("long").as("q"))
+        .groupBy("cent_id", "dim")
+        .agg(expr("sum(q) div count(1)").as("cq"))
+      val ce = transform(
+        array_sort(collect_list(struct(col("dim"), col("cq")))),
+        s => s.getField("cq") / lit(1000000.0))
+      cents = upd.groupBy("cent_id").agg(ce.as("ce"))
+        .withColumn("cn", sqrt(graft.functions.VectorOps.dot(col("ce"), col("ce"))))
+    }
+    cents
+  }
+
   def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
     val cents = Similarity.centroidsFor(v)

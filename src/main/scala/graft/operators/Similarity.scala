@@ -138,6 +138,43 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** IVF-bucketed ANN over the k-means-REFINED centroid table (2 Lloyd
+    * iterations from the same hash-min seeds; see
+    * [[Clustering.kmeansCentroids]]) — the production index build the
+    * hash-min variant approximates. Search mechanics are identical to
+    * [[annIvf]]; only the centroid table differs, which is exactly the
+    * property that makes the IVF design swappable. Measured side by side
+    * in `q_ann_recall_kmeans`.
+    */
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    val cents = Clustering.kmeansCentroids(spark, dir, iters = 2)
+    val assign = ivfAssign(v, cents)
+
+    val q = v.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("cent_id"))
+    val probes = broadcast(q).crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cent_id"),
+        Dedup.cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("qcos"))
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= 2)
+      .select(col("q_id"), col("cent_id"))
+
+    val candidates = probes
+      .join(assign, "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    candidates
+      .join(broadcast(q), "q_id")
+      .join(v, "vec_id")
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
+      .orderBy("q_id", "rk")
+  }
+
   /** Cluster-vs-label agreement: per IVF bucket, the majority embedding
     * label and its permille purity — how well the unsupervised coarse
     * quantizer aligns with the labeled structure (the standard external
