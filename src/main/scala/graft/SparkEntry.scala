@@ -84,6 +84,7 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => Similarity.annTopk(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(s, d)),
+    "q_pq_search" -> ((s, d) => Similarity.pqSearch(s, d)),
     // text analysis
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -286,6 +287,9 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), s -> s[1] * s[2]), (x, y) -> x + y)"
+
+  private def l2sqSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)"
 
   /** CTE chain replaying [[graft.operators.Clustering.kmeansCentroids]]
     * with 2 Lloyd iterations: hash-min seeds → integer-exact micro-unit
@@ -714,6 +718,40 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY cand.q_id ORDER BY
          |           ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) DESC, v.vec_id) AS rk
          |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN v ON cand.vec_id = v.vec_id)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // Replays the PQ pipeline: 16 hash-min codebook vectors, 8×8-dim
+    // subspaces, L2² left-fold encode argmin, micro-unit integer ADC sums.
+    "q_pq_search" ->
+      s"""WITH $vecCte,
+         |cb AS (SELECT vec_id AS code, e AS cbe FROM v
+         |       ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |                     AS BIGINT), vec_id
+         |       LIMIT 16),
+         |mi AS (SELECT unnest(generate_series(0, 7)) AS m),
+         |cbs AS (SELECT code, m, cbe[m * 8 + 1 : m * 8 + 8] AS cw
+         |        FROM cb CROSS JOIN mi),
+         |vs AS (SELECT vec_id, m, e[m * 8 + 1 : m * 8 + 8] AS sv
+         |       FROM v CROSS JOIN mi),
+         |codes AS (SELECT vec_id, m, code FROM (
+         |            SELECT vs.vec_id, vs.m, cbs.code,
+         |                   row_number() OVER (PARTITION BY vs.vec_id, vs.m
+         |                     ORDER BY ${l2sqSql("vs.sv", "cbs.cw")}, cbs.code) AS rn
+         |            FROM vs JOIN cbs ON vs.m = cbs.m) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 20 = 0),
+         |qs AS (SELECT q_id, m, qe[m * 8 + 1 : m * 8 + 8] AS qsub
+         |       FROM q CROSS JOIN mi),
+         |dtab AS (SELECT q_id, qs.m, cbs.code,
+         |                CAST(round(${l2sqSql("qs.qsub", "cbs.cw")} * 1000000.0)
+         |                     AS BIGINT) AS dq
+         |         FROM qs JOIN cbs ON qs.m = cbs.m),
+         |adc AS (SELECT d.q_id, c.vec_id AS n_id, CAST(sum(d.dq) AS BIGINT) AS adc_q
+         |        FROM codes c JOIN dtab d ON c.m = d.m AND c.code = d.code
+         |        WHERE c.vec_id <> d.q_id GROUP BY 1, 2)
+         |SELECT q_id, n_id, adc_q, rk FROM (
+         |  SELECT q_id, n_id, adc_q,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adc_q, n_id) AS rk
+         |  FROM adc)
          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     // ann_ivf with the k-means-refined centroid table: identical search

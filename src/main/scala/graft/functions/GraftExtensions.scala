@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
+      (exprs: Seq[Expression]) => L2Squared(exprs(0), exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("graft_phash"),
       new ExpressionInfo(classOf[PortableHash60].getName, "graft_phash"),
       (exprs: Seq[Expression]) => PortableHash60(exprs(0))))
@@ -33,6 +37,8 @@ object GraftFunctions {
       .sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_l2sq", exprs => L2Squared(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_phash", exprs => PortableHash60(exprs(0)), "built-in")
   }

@@ -175,6 +175,68 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Product-quantization ADC search — the memory-bound scale path for
+    * embedding retrieval: vectors are stored as M=8 one-byte codes (one
+    * per 8-dim subspace) instead of 64 doubles, and query distances are
+    * asymmetric-distance-computation (ADC) sums of per-subspace L2²
+    * lookups against a 16-entry codebook per subspace.
+    *
+    * Codebook: the subvectors of the 16 hash-min sample vectors (fixed
+    * size, deterministic, oracle-replayable — a production build would
+    * k-means each subspace, which changes only the codebook table).
+    * Encoding is a per-(vector, subspace) argmin over 16 codewords using
+    * the codegen'd [[graft.functions.L2Squared]]; the ADC table is the
+    * same L2² against the query's subvectors, quantized to integer
+    * micro-units so the 8-way sum is order-independent (bit-identical in
+    * any engine, any shuffle order — a double sum would depend on
+    * aggregation order).
+    *
+    * Scale shape: the codes relation is the index (8 small ints per
+    * vector — the 64× compression that lets a 100 TB corpus's index fit
+    * in cluster memory); the codebook and per-query ADC tables are
+    * constant-size broadcasts; scoring is one map-side join + one
+    * map-side-combined integer aggregation, no shuffle of the vectors
+    * themselves. Production composes this with the IVF probe filter so
+    * each query scores one bucket, not the corpus.
+    */
+  def pqSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.l2sq
+    val v = Dedup.normedFor(spark, dir)
+    val cb = v.select(col("vec_id").as("code"), col("e").as("cbe"),
+        Tables.portableHash(col("vec_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("code")).limit(16).select("code", "cbe")
+    // long-format subvectors: (id, m, 8-dim slice), m = 0..7
+    def subs(df: DataFrame, id: String, arr: String, out: String) =
+      df.select(col(id), explode(array((0 to 7).map(m =>
+          struct(lit(m).as("m"), slice(col(arr), m * 8 + 1, 8).as(out))): _*)).as("s"))
+        .select(col(id), col("s.m").as("m"), col(s"s.$out").as(out))
+    val cbSub = subs(cb, "code", "cbe", "cw")
+    val vSub = subs(v.select("vec_id", "e"), "vec_id", "e", "sv")
+    // encode: nearest codeword per (vector, subspace), ties -> min code
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d"), col("code"))
+    val codes = vSub.join(broadcast(cbSub), "m")
+      .select(col("vec_id"), col("m"), col("code"),
+        l2sq(col("sv"), col("cw")).as("d"))
+      .withColumn("rn", row_number().over(wEnc)).where(col("rn") === 1)
+      .select("vec_id", "m", "code")
+    // per-query ADC tables in integer micro-units
+    val q = v.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val qSub = subs(q, "q_id", "qe", "qs")
+    val dtab = qSub.join(broadcast(cbSub), "m")
+      .select(col("q_id"), col("m"), col("code"),
+        round(l2sq(col("qs"), col("cw")) * 1000000.0).cast("long").as("dq"))
+    // score: sum of the 8 table lookups, top-5 ascending per query
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_q"), col("n_id"))
+    codes.join(broadcast(dtab), Seq("m", "code"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("dq")).as("adc_q"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
+      .orderBy("q_id", "rk")
+  }
+
   /** Cluster-vs-label agreement: per IVF bucket, the majority embedding
     * label and its permille purity — how well the unsupervised coarse
     * quantizer aligns with the labeled structure (the standard external

@@ -42,6 +42,38 @@ class FunctionsSpec extends SparkSpec {
     assert(df.head().getDouble(0) > 0.0)
   }
 
+  test("graft_l2sq matches the interpreted HOF fold bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (Seq(1.5, -2.25, 3.0), Seq(0.5, 4.0, -1.25)),
+      (Seq(0.1, 0.2), Seq(0.3, 0.4)),
+      (Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+    val rows = df.select(
+      VectorOps.l2sq(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v).as("slow")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_l2sq is SQL-callable after registration and codegen'd") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_l2sq(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 27.0)
+    val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .select(col("embedding").cast("array<double>").as("e"))
+    val df = emb.select(VectorOps.l2sq(col("e"), col("e")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_l2sq")).get.trim
+    assert(line.startsWith("*"), s"graft_l2sq not codegen'd:\n$plan")
+    assert(df.head().getDouble(0) == 0.0)
+  }
+
   test("graft_phash == conv(substring(md5,1,15),16,10) on random strings") {
     val sp = spark
     import sp.implicits._
