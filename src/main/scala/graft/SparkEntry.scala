@@ -253,13 +253,16 @@ object SparkEntry {
       |                     i -> array_to_string(w[i:i+2], ' '))
       |    ELSE [] END)) AS shingle
       |  FROM dw),
-      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)""".stripMargin
+      |shdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+      |shc AS (SELECT s.doc_id, s.shingle FROM sh s
+      |        JOIN shdf d ON s.shingle = d.shingle WHERE d.df <= 64),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1)""".stripMargin
 
   /** Pairwise shingle-intersection CTE (needs docShCtes). */
   private val interCte: String =
     """inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
   /** 63-bit simhash CTE chain over documents (needs dw from docShCtes). */
@@ -585,7 +588,7 @@ object SparkEntry {
       s"""WITH $docShCtes, $interCte,
          |hashed AS (SELECT doc_id,
          |             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000000007 AS h
-         |           FROM sh),
+         |           FROM shc),
          |mh AS (SELECT doc_id, j,
          |         min(((j * 4097 + 1) * h + j * 12289 + 7) % 1000000007) AS mh
          |       FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
@@ -1333,8 +1336,8 @@ object SparkEntry {
 
     "q_decontaminate" ->
       s"""WITH $docShCtes,
-         |bh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
-         |cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bh USING (shingle)
+         |bh AS (SELECT DISTINCT shingle FROM shc WHERE doc_id % 37 = 0),
+         |cont AS (SELECT DISTINCT s.doc_id FROM shc s JOIN bh USING (shingle)
          |         WHERE s.doc_id % 37 <> 0)
          |SELECT d.doc_id,
          |       CAST(CASE WHEN d.doc_id % 37 = 0 THEN 1 ELSE 0 END AS BIGINT)
@@ -1674,7 +1677,7 @@ object SparkEntry {
       s"""WITH $docShCtes, $interCte,
          |hashed AS (SELECT doc_id,
          |             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1000000007 AS h
-         |           FROM sh),
+         |           FROM shc),
          |mh AS (SELECT doc_id, j,
          |         min(((j * 4097 + 1) * h + j * 12289 + 7) % 1000000007) AS mh
          |       FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
@@ -1909,8 +1912,8 @@ object SparkEntry {
          |qd AS (SELECT d.doc_id, d.cmd5 FROM d
          |       JOIN qr ON d.doc_id = qr.doc_id WHERE qr.keep = 1),
          |canon AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY cmd5),
-         |bh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
-         |cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bh USING (shingle)
+         |bh AS (SELECT DISTINCT shingle FROM shc WHERE doc_id % 37 = 0),
+         |cont AS (SELECT DISTINCT s.doc_id FROM shc s JOIN bh USING (shingle)
          |         WHERE s.doc_id % 37 <> 0),
          |flags AS (SELECT qr.keep,
          |            CASE WHEN c2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_canon,

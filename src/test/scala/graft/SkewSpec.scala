@@ -23,6 +23,30 @@ class SkewSpec extends SparkSpec {
       .toDF("k", "label")
   }
 
+  test("shingle df cap bounds boilerplate posting lists") {
+    val sp = spark
+    import sp.implicits._
+    // 200 docs, each carrying the same boilerplate shingle (hash 1) plus
+    // one unique shingle — the license-header corpus shape that makes an
+    // uncapped inverted index quadratic
+    val shh = (1 to 200).flatMap(i =>
+      Seq((i.toLong, 1L), (i.toLong, 1000L + i))).toDF("doc_id", "h")
+    def candidatePairs(idx: org.apache.spark.sql.DataFrame): Long =
+      idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")).count()
+    // uncapped: the boilerplate key alone yields 200*199/2 candidates
+    assert(candidatePairs(shh) == 19900L)
+    val capped = graft.operators.Dedup.dfCapped(shh, 64)
+    // the boilerplate posting list is dropped, discriminative ones kept
+    assert(capped.where(col("h") === 1L).count() == 0L)
+    assert(capped.count() == 200L)
+    assert(candidatePairs(capped) == 0L)
+    // a posting list AT the cap survives untouched
+    val atCap = (1 to 64).flatMap(i =>
+      Seq((i.toLong, 1L), (i.toLong, 1000L + i))).toDF("doc_id", "h")
+    assert(graft.operators.Dedup.dfCapped(atCap, 64).count() == 128L)
+  }
+
   test("saltedJoin == plain join on skewed data (any salt)") {
     val plain = skewed.join(dim, "k")
       .select("k", "n", "v", "label")
