@@ -173,6 +173,7 @@ object SparkEntry {
     "q_doc_fluency" -> ((s, d) => TextAnalysis.docFluency(s, d)),
     "q_time_to_convert" -> ((s, d) => Analytics.timeToConvert(s, d)),
     "q_hot_keys" -> ((s, d) => Skew.hotKeys(s, d)),
+    "q_salted_join" -> ((s, d) => Skew.saltedJoinPriority(s, d)),
     "q_exemplars" -> ((s, d) => Curation.exemplars(s, d)),
     "q_rich_idle" -> ((s, d) => Relational.qRichIdleCustomers(s, d)),
     "q_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
@@ -1787,6 +1788,14 @@ object SparkEntry {
         |       CAST(n_rows * 1000 // t.n_total AS BIGINT) AS share_permille
         |FROM c CROSS JOIN t
         |ORDER BY n_rows DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    // Oracle is the PLAIN join + aggregation — the salted join must be
+    // result-identical, differing only in physical work distribution.
+    "q_salted_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_exemplars" ->
       s"""SELECT source, rk, doc_id, n_chars FROM (

@@ -81,6 +81,27 @@ object Skew {
     b.join(s, Seq(key, SaltCol)).drop(SaltCol)
   }
 
+  /** Driver-surface salted-join query: items and total quantity per order
+    * priority through [[saltedJoin]] on the lineitem⋈orders key, salt
+    * derived from the stable (l_orderkey, l_linenumber) row identity —
+    * the retry-safe overload. The oracle is the PLAIN join + aggregation:
+    * salting must be invisible in the result, visible only in the
+    * physical plan (the `__graft_salt` column in the join keys, asserted
+    * by PlanAuditSpec). Salt 8 spreads a hot order key over 8 tasks at
+    * the cost of an 8× replication of the (orderkey, priority) dim rows.
+    */
+  def saltedJoinPriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    saltedJoin(li, ord, "l_orderkey", 8, Seq(col("l_linenumber")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Two-phase `collect_set` under a hot group key: per-(key, salt) partial
     * sets, then a flatten+distinct merge — the distinct state for a hot key
     * is built across `salt` tasks instead of one. Returns

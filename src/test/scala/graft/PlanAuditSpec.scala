@@ -217,6 +217,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_salted_join: the salt column is part of the physical join") {
+    val p = plan(operators.Skew.saltedJoinPriority(spark, sf0001))
+    assert(p.contains("__graft_salt"), s"salt column absent from plan:\n$p")
+    // the salt must feed the join itself, not just a projection: the
+    // small side explodes a salt sequence before joining
+    assert(p.contains("explode") || p.contains("Expand") || p.contains("Generate"),
+      s"salt replication of the dim side missing:\n$p")
+  }
+
   test("blanket invariant: no query plan contains a CartesianProduct") {
     // crossJoin(broadcast(1-row)) compiles to BroadcastNestedLoopJoin and
     // is allowed; an actual CartesianProduct (both sides partitioned) is
