@@ -6,6 +6,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Optional comma-separated query-name filter for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Median-of-n mode: time each query n times and report the median plus
+    // the max-min spread, so a single contended run can't distort the
+    // round-over-round comparison. Builds stay single-shot (they memoize;
+    // a second run would time the cache, not the work).
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt)
+      .filter(_ >= 1).getOrElse(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,24 +41,37 @@ object Bench {
       "_build_shingle_inter" -> (() => { operators.Dedup.interFor(spark, sfDir).count(); () }),
       "_build_simhash" -> (() => { operators.Dedup.simhashesFor(spark, sfDir).count(); () }),
       "_build_normed" -> (() => { operators.Dedup.normedFor(spark, sfDir).count(); () }),
+      "_build_ivf_assign" -> (() => { operators.Similarity.ivfAssignFor(spark, sfDir).count(); () }),
       "_build_doc_bigrams" -> (() => { operators.TextAnalysis.docBigramsFor(spark, sfDir).count(); () }),
       "_build_unigrams" -> (() => { operators.TextAnalysis.unigramCountsFor(spark, sfDir).count(); () }),
     )
     val buildResults =
       if (only.isDefined) Seq.empty
       else builds.map { case (name, body) => name -> time(body()) }
-    val queryResults = SparkEntry.queries.toSeq
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val queryTimes = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        name -> time { fn(spark, sfDir).count(); () }
+        name -> (1 to repeat).map(_ => time { fn(spark, sfDir).count(); () })
       }
+    val queryResults = queryTimes.map { case (n, ts) => n -> median(ts) }
     val results = buildResults ++ queryResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread =
+      if (repeat == 1) ""
+      else queryTimes.map { case (k, ts) => s"\"" + k + "\":" + (ts.max - ts.min) }
+        .mkString(""""spread":{""", ",", "},")
     val total = results.map(_._2).sum
     // One JSON line; the headline metric/value go LAST so a tail-truncated
-    // capture of this (long) line still shows the total.
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","n_queries":${queryResults.size},"value":$total}""")
+    // capture of this (long) line still shows the total. n_queries counts
+    // the query entries only; n_builds the _build_* lines — together they
+    // reconcile exactly against the queries map and the summed total.
+    println(s"""{"queries":$qs,$spread"sf":"$sfDir","metric":"total","unit":"sec","repeat":$repeat,"n_queries":${queryResults.size},"n_builds":${buildResults.size},"value":$total}""")
     spark.stop()
   }
 }
