@@ -94,4 +94,40 @@ object StreamingOps {
     */
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming IVF bucket assignment — the embedding-ingest path of the
+    * ANN index: every arriving vector is routed to its nearest coarse
+    * centroid from the STATIC fixed-K centroid table (the same relation
+    * the batch index builds against, re-read per micro-batch like
+    * [[enrichStream]]'s dimension).
+    *
+    * Completely stateless: the centroid table collapses to ONE broadcast
+    * row holding the sorted (cent_id, ce, cn) struct array, and the
+    * argmax is a fold over that array per input row — no shuffle, no
+    * streaming state, unbounded throughput. Semantics are identical to
+    * the batch `ivfAssign` (cosine desc, ties → min cent_id): the fold
+    * visits centroids in cent_id order and only a strictly greater
+    * cosine displaces the incumbent, so ties keep the smallest id, and
+    * the cosines are the same codegen'd left-fold doubles.
+    *
+    * Input columns: (vec_id, e: array<double>). Output: (vec_id, cent_id).
+    */
+  def ivfAssignStream(stream: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.VectorOps
+    val centArr = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("ce"), col("cn"))))
+        .as("cents"))
+    stream.withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        aggregate(col("cents"),
+          struct(lit(-1L).as("cent_id"), lit(Double.NegativeInfinity).as("best")),
+          (acc, c) => {
+            val cos = VectorOps.dot(col("e"), c.getField("ce")) /
+              (col("nrm") * c.getField("cn"))
+            when(cos > acc.getField("best"),
+              struct(c.getField("cent_id").as("cent_id"), cos.as("best")))
+              .otherwise(acc)
+          }).getField("cent_id").as("cent_id"))
+  }
 }

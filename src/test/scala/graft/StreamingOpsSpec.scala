@@ -53,6 +53,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Set(("click", 7L, 10L), ("view", 8L, 1L), ("purchase", 9L, -1L)))
   }
 
+  test("streaming IVF assignment == batch ivfAssign on the same vectors") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val v = graft.operators.Dedup.normedFor(sp, sf0001)
+    val cents = graft.operators.Similarity.centroidsFor(v)
+    val batch = graft.operators.Similarity.ivfAssign(v, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = v.select(col("vec_id"), col("e")).as[(Long, Seq[Double])]
+      .collect().toSeq
+    val in = MemoryStream[(Long, Seq[Double])]
+    val out = graft.streaming.StreamingOps.ivfAssignStream(
+      in.toDF().toDF("vec_id", "e"), cents)
+    val q = out.writeStream.format("memory").queryName("ivf_assign_out")
+      .outputMode("append").start()
+    try {
+      // two micro-batches to prove per-batch re-broadcast of the statics
+      val (first, second) = rows.splitAt(rows.size / 2)
+      in.addData(first)
+      q.processAllAvailable()
+      in.addData(second)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("ivf_assign_out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == batch.size)
+    assert(got == batch, {
+      val diff = batch.keys.filter(k => got.get(k) != batch.get(k)).take(5)
+      s"first diverging vec_ids: ${diff.map(k => (k, got.get(k), batch.get(k)))}"
+    })
+  }
+
   test("streaming tumbling counts equal the batch shape after watermark passes") {
     val sp = spark
     import sp.implicits._
