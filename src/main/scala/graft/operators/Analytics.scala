@@ -228,10 +228,12 @@ object Analytics {
     *
     * The band is `|approx − exact| · 100 ≤ |exact|` — the absolute value on
     * the right keeps the band's width positive when the exact median is
-    * negative (events.value can be negative). An exact median of 0 makes the
-    * relative band zero-width, so a 1-cent absolute tolerance backstops it:
-    * the sketch's rank error at accuracy 10000 is a couple of ranks, i.e. a
-    * cent or two around a zero median.
+    * negative (events.value can be negative). An exact median of 0 makes
+    * the relative band zero-width, so that case — and ONLY that case —
+    * falls back to a 1-cent absolute tolerance (the sketch's rank error at
+    * accuracy 10000 is a couple of ranks, i.e. a cent or two around a zero
+    * median). Gating the fallback on zero keeps `within_1pct` meaning
+    * exactly that for every nonzero median, however small.
     */
   def approxQuantile(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
@@ -249,8 +251,13 @@ object Analytics {
       .agg(expr("approx_percentile(v, 0.5, 10000)").as("p50_approx"))
     exact2.join(approx, "event_type")
       .select(col("event_type"), col("n"), col("p50_exact"),
-        ((abs(col("p50_approx") - col("p50_exact")) * 100 <= abs(col("p50_exact")))
-          || abs(col("p50_approx") - col("p50_exact")) <= 1)
+        // the 1-cent absolute tolerance applies ONLY at an exact-zero
+        // median (where the relative band is zero-width); everywhere
+        // else the flag means what its name says: within 1% relative
+        when(col("p50_exact") === 0,
+          abs(col("p50_approx") - col("p50_exact")) <= 1)
+          .otherwise(
+            abs(col("p50_approx") - col("p50_exact")) * 100 <= abs(col("p50_exact")))
           .cast("long").as("within_1pct"))
       .orderBy("event_type")
   }
