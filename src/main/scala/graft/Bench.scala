@@ -8,10 +8,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Median-of-n mode: time each query n times and report the median plus
     // the max-min spread, so a single contended run can't distort the
-    // round-over-round comparison. Builds stay single-shot (they memoize;
-    // a second run would time the cache, not the work).
+    // round-over-round comparison. Defaults to 3 — sandbox load has
+    // historically swung single-shot numbers by 2-7× on untouched queries.
+    // Builds stay single-shot (they memoize; a second run would time the
+    // cache, not the work).
     val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt)
-      .filter(_ >= 1).getOrElse(1)
+      .filter(_ >= 1).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -226,6 +226,28 @@ object Engine {
   def ivfLabelPurity(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfLabelPurity(spark, dir)
 
+  /** IVF ANN over the k-means-refined centroid table (2 Lloyd steps). */
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annIvfKmeans(spark, dir)
+
+  /** Product-quantization ADC top-k search (8×8-dim codebooks). */
+  def pqSearch(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqSearch(spark, dir)
+
+  /** Side-by-side recall: hash-min vs k-means IVF vs exact truth. */
+  def annRecallKmeans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.annRecallKmeans(spark, dir)
+
+  /** Hot-key join with exact plain-join semantics, salted `salt` ways. */
+  def saltedJoinPriority(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoinPriority(spark, dir)
+
+  /** Streaming IVF bucket assignment against the static centroid table
+    * (stateless per-row argmax; identical semantics to the batch build).
+    */
+  def ivfAssignStream(stream: DataFrame, cents: DataFrame): DataFrame =
+    graft.streaming.StreamingOps.ivfAssignStream(stream, cents)
+
   /** Write a bucketed+sorted table: pay the shuffle once at ingest, then
     * every join/agg on the bucket key is Exchange-free.
     */
