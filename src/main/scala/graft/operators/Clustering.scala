@@ -46,11 +46,8 @@ object Clustering {
     val v = Dedup.normedFor(spark, dir)
     var cents = Similarity.centroidsFor(v)
     for (_ <- 1 to iters) {
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
-      val assign = v.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"), col("e"),
-          Dedup.cosine(col("e"), col("ce"), col("nrm"), col("cn")).as("ccos"))
-        .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+      // map-only argmax assignment (Similarity.multiProbe, nprobe=1)
+      val assign = Similarity.multiProbe(v, cents, 1, keep = Seq("e"))
         .select(col("cent_id"), col("e"))
       val upd = assign
         .select(col("cent_id"), posexplode(col("e")).as(Seq("dim", "x")))
@@ -69,16 +66,12 @@ object Clustering {
 
   def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
-    val cents = Similarity.centroidsFor(v)
-      .select(col("cent_id").as("cluster_id"), col("ce"), col("cn"))
 
-    // assignment: nearest centroid by cosine (ties → smallest cluster_id)
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cluster_id"))
-    val assign = v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cluster_id"), col("e"),
-        Dedup.cosine(col("e"), col("ce"), col("nrm"), col("cn")).as("ccos"))
-      .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
-      .select(col("vec_id"), col("cluster_id"), col("e"))
+    // assignment: nearest centroid by cosine (ties → smallest cluster_id),
+    // map-only via Similarity.multiProbe (nprobe=1)
+    val assign = Similarity.multiProbe(v, Similarity.centroidsFor(v), 1,
+        keep = Seq("e"))
+      .select(col("vec_id"), col("cent_id").as("cluster_id"), col("e"))
 
     // update: exact integer sums of micro-quantized coordinates
     assign

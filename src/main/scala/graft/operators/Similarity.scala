@@ -83,18 +83,37 @@ object Similarity {
       .orderBy(col("hk"), col("cent_id")).limit(CentroidK)
       .select("cent_id", "ce", "cn")
 
-  /** IVF index build: every vector → its nearest centroid (ties → min
-    * cent_id). One broadcast of the centroid table + a map-side argmax.
+  /** Top-`nprobe` centroids per vector — MAP-ONLY. The centroid table
+    * collapses to ONE broadcast row holding the (cent_id, ce, cn) struct
+    * array; each vector row then computes all K cosines in a `transform`,
+    * orders them with `array_sort` on (−cos, cent_id) — exactly the
+    * window's (cos DESC, cent_id ASC), −x being a bare IEEE sign flip —
+    * and keeps `nprobe`. No exchange and no window anywhere: at K=4096
+    * this is N map rows, where the old crossJoin + row_number shape
+    * shuffled N×K rows through a window exchange (the dominant cost of
+    * the index build at corpus scale). Extra input columns listed in
+    * `keep` ride along (e.g. the vector itself for a k-means update).
     */
-  private[graft] def ivfAssign(v: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        Dedup.cosine(col("e"), col("ce"), col("nrm"), col("cn")).as("ccos"))
-      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"))
+  private[graft] def multiProbe(v: DataFrame, cents: DataFrame, nprobe: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    import graft.functions.VectorOps
+    val arr = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("ce"), col("cn"))))
+        .as("cents"))
+    val probe = slice(array_sort(transform(col("cents"), c =>
+      struct((-(VectorOps.dot(col("e"), c.getField("ce")) /
+        (col("nrm") * c.getField("cn")))).as("negcos"),
+        c.getField("cent_id").as("cent_id")))), 1, nprobe)
+    v.crossJoin(broadcast(arr))
+      .select(col("vec_id") +: keep.map(col) :+ explode(probe).as("p"): _*)
+      .select(col("vec_id") +: keep.map(col) :+ col("p.cent_id").as("cent_id"): _*)
   }
+
+  /** IVF index build: every vector → its nearest centroid (ties → min
+    * cent_id). Map-only via [[multiProbe]].
+    */
+  private[graft] def ivfAssign(v: DataFrame, cents: DataFrame): DataFrame =
+    multiProbe(v, cents, nprobe = 1)
 
   /** Memoized IVF assignment for a dir — the index build, shared by
     * `ann_ivf`, `q_ivf_stats` and `q_ivf_purity` (one build per session,
@@ -112,16 +131,11 @@ object Similarity {
     val cents = centroidsFor(v)
     val assign = ivfAssignFor(spark, dir)
 
-    // query: probe the 2 nearest centroid lists
+    // query sample + its 2 nearest centroid lists (map-only probe)
     val q = v.where(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("qcos").desc, col("cent_id"))
-    val probes = broadcast(q).crossJoin(broadcast(cents))
-      .select(col("q_id"), col("cent_id"),
-        Dedup.cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("qcos"))
-      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= 2)
-      .select(col("q_id"), col("cent_id"))
+    val probes = multiProbe(v.where(col("vec_id") % 20 === 0), cents, nprobe = 2)
+      .withColumnRenamed("vec_id", "q_id")
 
     // search only the probed buckets
     val candidates = probes
@@ -153,13 +167,8 @@ object Similarity {
 
     val q = v.where(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("qcos").desc, col("cent_id"))
-    val probes = broadcast(q).crossJoin(broadcast(cents))
-      .select(col("q_id"), col("cent_id"),
-        Dedup.cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("qcos"))
-      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= 2)
-      .select(col("q_id"), col("cent_id"))
+    val probes = multiProbe(v.where(col("vec_id") % 20 === 0), cents, nprobe = 2)
+      .withColumnRenamed("vec_id", "q_id")
 
     val candidates = probes
       .join(assign, "cent_id")
@@ -212,14 +221,20 @@ object Similarity {
         .select(col(id), col("s.m").as("m"), col(s"s.$out").as(out))
     val cbSub = subs(cb, "code", "cbe", "cw")
     val vSub = subs(v.select("vec_id", "e"), "vec_id", "e", "sv")
-    // encode: nearest codeword per (vector, subspace), ties -> min code
-    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d"), col("code"))
-    val codes = vSub.join(broadcast(cbSub), "m")
-      .select(col("vec_id"), col("m"), col("code"),
-        l2sq(col("sv"), col("cw")).as("d"))
-      .withColumn("rn", row_number().over(wEnc)).where(col("rn") === 1)
-      .select("vec_id", "m", "code")
+    // encode: nearest codeword per (vector, subspace), ties -> min code —
+    // map-only: the 128-entry codebook collapses to one broadcast row and
+    // the argmin is a per-row fold (same shape as Similarity.multiProbe;
+    // no N×8×16 shuffle through a window)
+    val cbArr = cbSub.agg(
+      array_sort(collect_list(struct(col("m"), col("code"), col("cw"))))
+        .as("cbs"))
+    val best = slice(array_sort(transform(
+      filter(col("cbs"), c => c.getField("m") === col("m")),
+      c => struct(l2sq(col("sv"), c.getField("cw")).as("d"),
+        c.getField("code").as("code")))), 1, 1)
+    val codes = vSub.crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), col("m"),
+        element_at(best, 1).getField("code").as("code"))
     // per-query ADC tables in integer micro-units
     val q = v.where(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
