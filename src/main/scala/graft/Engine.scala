@@ -254,6 +254,22 @@ object Engine {
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     sources.Bucketing.writeBucketed(df, table, key, buckets)
 
+  /** Per-source boilerplate (cross-document repeated n-gram) contamination. */
+  def boilerplateGrams(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.boilerplateGrams(spark, dir)
+
+  /** Pairwise cross-source n-gram containment (shared-upstream detection). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.sourceOverlap(spark, dir)
+
+  /** Per-source length-distribution drift vs the corpus (permille L1). */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.sourceDrift(spark, dir)
+
+  /** LPT-striped packing into token-balanced training shards. */
+  def packBins(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.packBins(spark, dir)
+
   /** All named queries (the driver contract). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

@@ -186,6 +186,10 @@ object SparkEntry {
     "q_native_sessions" -> ((s, d) => ChainLink.nativeSessions(s, d)),
     "q_band_stats" -> ((s, d) => ChainLink.bandStats(s, d)),
     "q_peak_concurrency" -> ((s, d) => ChainLink.peakConcurrency(s, d)),
+    "q_boilerplate_grams" -> ((s, d) => Corpus.boilerplateGrams(s, d)),
+    "q_source_overlap" -> ((s, d) => Corpus.sourceOverlap(s, d)),
+    "q_source_drift" -> ((s, d) => Corpus.sourceDrift(s, d)),
+    "q_pack_bins" -> ((s, d) => Corpus.packBins(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -2161,5 +2165,75 @@ object SparkEntry {
         |       (100 * (n_words - n_distinct_words)) // n_words AS dup_word_pct,
         |       (100 * n_dup_grams) // n_grams AS dup_gram_pct
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate_grams" ->
+      s"""WITH $docShCtes,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |cm AS (SELECT s.doc_id, count(*) AS n_common FROM sh s
+         |       JOIN (SELECT shingle FROM shdf WHERE df >= 3) c
+         |         ON s.shingle = c.shingle
+         |       GROUP BY 1),
+         |pd AS (SELECT sz.doc_id, sz.n_sh, coalesce(cm.n_common, 0) AS n_common
+         |       FROM sz LEFT JOIN cm ON sz.doc_id = cm.doc_id)
+         |SELECT d.source,
+         |       count(*) AS n_docs,
+         |       CAST(sum(pd.n_sh) AS BIGINT) AS n_grams,
+         |       CAST(sum(pd.n_common) AS BIGINT) AS n_common,
+         |       CAST(sum(pd.n_common) AS BIGINT) * 1000
+         |         // CAST(sum(pd.n_sh) AS BIGINT) AS bp_permille,
+         |       CAST(sum(CASE WHEN pd.n_common * 2 >= pd.n_sh THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_flagged
+         |FROM pd JOIN documents d ON pd.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""WITH $docShCtes,
+         |ss AS (SELECT DISTINCT d.source, s.shingle
+         |       FROM shc s JOIN documents d ON s.doc_id = d.doc_id),
+         |sn AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |              count(*) AS shared
+         |       FROM ss a JOIN ss b
+         |         ON a.shingle = b.shingle AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT pr.src_a, pr.src_b, na.n AS n_a, nb.n AS n_b, pr.shared,
+         |       1000 * pr.shared // (na.n + nb.n - pr.shared)
+         |         AS jaccard_permille
+         |FROM pr JOIN sn na ON pr.src_a = na.source
+         |        JOIN sn nb ON pr.src_b = nb.source
+         |ORDER BY pr.shared DESC, pr.src_a, pr.src_b LIMIT 20""".stripMargin,
+
+    "q_source_drift" ->
+      """WITH d AS (SELECT source,
+        |             least(len(string_split(text, ' ')) // 8, 15) AS bucket
+        |           FROM documents),
+        |bs AS (SELECT source, bucket, count(*) AS c_sb FROM d GROUP BY 1, 2),
+        |st AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+        |ba AS (SELECT bucket, count(*) AS c_b FROM d GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM d),
+        |grid AS (SELECT st.source, st.n_s, ba.bucket, ba.c_b, n.n
+        |         FROM st CROSS JOIN ba CROSS JOIN n)
+        |SELECT g.source, g.n_s AS n_docs,
+        |       CAST(sum(abs(1000 * coalesce(bs.c_sb, 0) // g.n_s
+        |                    - 1000 * g.c_b // g.n)) AS BIGINT)
+        |         AS drift_permille
+        |FROM grid g LEFT JOIN bs
+        |  ON g.source = bs.source AND g.bucket = bs.bucket
+        |GROUP BY g.source, g.n_s ORDER BY g.source""".stripMargin,
+
+    "q_pack_bins" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |        row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+        |      FROM d),
+        |b AS (SELECT (rn - 1) % 16 AS shard, count(*) AS n_docs,
+        |        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        |      FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(shard_tokens) AS BIGINT) AS total FROM b)
+        |SELECT shard, n_docs, shard_tokens,
+        |       16 * 1000 * shard_tokens // total AS share_permille16
+        |FROM b CROSS JOIN t ORDER BY shard""".stripMargin,
   )
 }

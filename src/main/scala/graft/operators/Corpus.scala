@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{Materialized, Tables}
+
+/** Corpus-hygiene reports — the cross-document curation passes a
+  * training-data pipeline runs AFTER per-doc quality scoring
+  * ([[TextAnalysis]]) and near-dup detection ([[Dedup]]):
+  *
+  *  - [[boilerplateGrams]]: template/boilerplate contamination per source
+  *    (C4/CCNet-style "drop text repeated across many pages", measured at
+  *    the n-gram level because this corpus has no line structure),
+  *  - [[sourceOverlap]]: pairwise cross-source n-gram containment (which
+  *    sources are scraping the same upstream),
+  *  - [[sourceDrift]]: per-source length-distribution shift vs the corpus
+  *    (the "did this crawl batch change shape" check),
+  *  - [[packBins]]: LPT-striped packing of documents into training shards
+  *    balanced by token count.
+  *
+  * All arithmetic is integer (permille fixed-point) so the DuckDB oracle
+  * hash-matches bit-for-bit. Every report is a constant number of
+  * hash-shuffles on narrow keys — no all-pairs joins, no single-task
+  * windows — so each survives a 100× corpus unchanged.
+  */
+object Corpus {
+
+  /** Distinct shingle hashes per doc, UNCAPPED — unlike
+    * [[Dedup.shinglesHashedFor]] this keeps the high-df tail, because
+    * boilerplate detection needs exactly the shingles the near-dup index
+    * drops. Memoized per session; 8-byte key, one explode + one project.
+    */
+  private[operators] def allShingleHashesFor(spark: SparkSession, dir: String): DataFrame =
+    Materialized.of(spark, s"shhall:$dir")(
+      Dedup.shinglesFor(spark, dir)
+        .select(col("doc_id"), Tables.portableHash(col("shingle")).as("h")))
+
+  /** A shingle is "boilerplate" when it appears in at least this many
+    * documents. Fixed (not corpus-relative) so the flag means the same
+    * thing on every batch of an incremental ingest; production recalibrates
+    * per corpus (C4 used "any three-sentence span seen more than once").
+    */
+  private[graft] val BoilerplateDf = 3
+
+  /** Per-source boilerplate contamination: for each document, the fraction
+    * of its distinct 3-gram shingles that occur in ≥ [[BoilerplateDf]]
+    * documents corpus-wide; rolled up per source.
+    *
+    * Output: source, n_docs, n_grams (Σ distinct shingles), n_common
+    * (Σ boilerplate shingles), bp_permille = 1000·n_common div n_grams,
+    * n_flagged = docs whose shingles are ≥ half boilerplate.
+    *
+    * Scale shape: the df relation is one map-side-combined groupBy on the
+    * 8-byte hash (linear — the quadratic danger in [[Dedup]] is only the
+    * *self-join*, never the count); flagging is a semi-join back on the
+    * same key, then two narrow aggregations. The high-df posting lists
+    * that would blow up a pairwise join are exactly what this report
+    * counts, and counting is O(corpus).
+    */
+  def boilerplateGrams(spark: SparkSession, dir: String): DataFrame = {
+    val shh = allShingleHashesFor(spark, dir)
+    val common = shh.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= BoilerplateDf).select("h")
+    val perDoc = shh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .join(shh.join(common, Seq("h"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_common")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_common"))
+    val src = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    perDoc.join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_grams"),
+        sum(col("n_common")).as("n_common"),
+        sum(when(col("n_common") * 2 >= col("n_sh"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("bp_permille", expr("1000 * n_common div n_grams"))
+      .select("source", "n_docs", "n_grams", "n_common", "bp_permille",
+        "n_flagged")
+      .orderBy("source")
+  }
+
+  /** Pairwise cross-source contamination: for every source pair, the
+    * number of distinct shingle hashes they share and the integer Jaccard
+    * of their shingle sets (permille). Top 20 pairs by shared count.
+    *
+    * Uses the df-capped index ([[Dedup.shinglesHashedFor]]) deliberately:
+    * corpus-wide boilerplate (df > cap) would say every pair overlaps
+    * with every other — the capped index keeps only discriminative grams,
+    * so a high count here means two sources really carry the same
+    * content. Per-hash source lists are bounded by the source count
+    * (a corpus constant ≪ doc count), so the self-join on `h` is linear
+    * in distinct (source, gram) — the same reason the banding joins in
+    * [[Dedup]] scale.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    val sh = Dedup.shinglesHashedFor(spark, dir)
+      .join(src, "doc_id").select("source", "h").distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .withColumn("jaccard_permille",
+        expr("1000 * shared div (n_a + n_b - shared)"))
+      .select("src_a", "src_b", "n_a", "n_b", "shared", "jaccard_permille")
+      .orderBy(col("shared").desc, col("src_a"), col("src_b"))
+      .limit(20)
+  }
+
+  /** Per-source length-distribution drift vs the whole corpus: token
+    * counts are bucketed (width 8, clamped to 16 buckets), each source's
+    * bucket histogram is normalized to permille, and the report is the L1
+    * distance Σ_b |share_source(b) − share_corpus(b)| — 0 ⇒ identical
+    * shape, 2000 ⇒ disjoint. The "did this crawl batch change shape"
+    * check run on every ingest increment.
+    *
+    * The bucket grid is the corpus's observed bucket set (20 sources ×
+    * ≤16 buckets — a broadcast-size grid), so sources missing a bucket
+    * are charged the full corpus share there. Everything is counts and
+    * integer division: two narrow groupBys + one broadcast join.
+    */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        least(expr("size(split(text, ' ')) div 8"), lit(15)).cast("long").as("bucket"))
+    val bySrc = d.groupBy("source", "bucket").agg(count(lit(1)).as("c_sb"))
+    val srcTot = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val byAll = d.groupBy("bucket").agg(count(lit(1)).as("c_b"))
+    val n = d.agg(count(lit(1)).as("n")).select("n")
+    val grid = srcTot.select("source", "n_s")
+      .crossJoin(broadcast(byAll.crossJoin(broadcast(n))))
+    grid.join(bySrc, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("c_sb"))
+      .withColumn("dev",
+        abs(expr("1000 * c_sb div n_s") - expr("1000 * c_b div n")))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_docs"), sum(col("dev")).as("drift_permille"))
+      .orderBy("source")
+  }
+
+  /** Number of training shards [[packBins]] stripes into. */
+  private[graft] val PackShards = 16
+
+  /** LPT-striped packing of the corpus into [[PackShards]] token-balanced
+    * training shards: documents are ranked by token count (desc, doc_id
+    * tiebreak) and dealt round-robin — rank i → shard (i−1) mod K. This is
+    * the classic longest-processing-time heuristic's striping form:
+    * deterministic, one pass, and within a few permille of perfect balance
+    * whenever doc sizes ≪ shard size (always true for a corpus).
+    *
+    * Output per shard: doc count, token load, and share_permille16 =
+    * 16000·tokens div total (1000 ⇒ perfectly even).
+    *
+    * The global rank uses [[Ranking.withGlobalRowNumber]] — range-partition
+    * + local row_number + broadcast offsets — NOT a single-task window, so
+    * the stripe assignment distributes like any sort at 100 TB.
+    */
+  def packBins(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val (ranked, _) = Ranking.withGlobalRowNumber(
+      d, "rn", col("n_tokens").desc, col("doc_id"))
+    val bins = ranked
+      .withColumn("shard", expr(s"(rn - 1) % $PackShards"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+    val total = bins.agg(sum(col("shard_tokens")).as("total"))
+    bins.crossJoin(broadcast(total))
+      .withColumn("share_permille16",
+        expr(s"$PackShards * 1000 * shard_tokens div total"))
+      .select("shard", "n_docs", "shard_tokens", "share_permille16")
+      .orderBy("shard")
+  }
+}
