@@ -43,6 +43,9 @@ object Bench {
       "_build_shingle_inter" -> (() => { operators.Dedup.interFor(spark, sfDir).count(); () }),
       "_build_simhash" -> (() => { operators.Dedup.simhashesFor(spark, sfDir).count(); () }),
       "_build_normed" -> (() => { operators.Dedup.normedFor(spark, sfDir).count(); () }),
+      "_build_exact_pairs" -> (() => { operators.Dedup.exactPairsFor(spark, sfDir).count(); () }),
+      "_build_ivf_pairs" -> (() => { operators.Dedup.ivfHashminPairsFor(spark, sfDir).count(); () }),
+      "_build_kmeans_cents" -> (() => { operators.Clustering.kmeansCentroidsFor(spark, sfDir).count(); () }),
       "_build_ivf_assign" -> (() => { operators.Similarity.ivfAssignFor(spark, sfDir).count(); () }),
       "_build_doc_bigrams" -> (() => { operators.TextAnalysis.docBigramsFor(spark, sfDir).count(); () }),
       "_build_unigrams" -> (() => { operators.TextAnalysis.unigramCountsFor(spark, sfDir).count(); () }),

@@ -42,6 +42,14 @@ object Clustering {
     * map-side-combined shuffle of (cluster, dim, q) — O(N·d); K stays
     * constant so the loop scales linearly with the corpus.
     */
+  /** The 2-iteration refined centroid table, memoized per session — shared
+    * by `ann_ivf_kmeans` and `q_ann_recall_kmeans` (64 rows; the Lloyd
+    * loop runs once, not once per consumer query).
+    */
+  private[graft] def kmeansCentroidsFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"kmcents:$dir")(
+      kmeansCentroids(spark, dir, iters = 2))
+
   def kmeansCentroids(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
     var cents = Similarity.centroidsFor(v)
@@ -62,6 +70,28 @@ object Clustering {
         .withColumn("cn", sqrt(graft.functions.VectorOps.dot(col("ce"), col("ce"))))
     }
     cents
+  }
+
+  /** Seed-vs-refined centroid drift: for every centroid that survives the
+    * 2-iteration Lloyd refinement, the cosine (permille, floored) between
+    * its hash-min seed vector and its refined position — the one-line
+    * answer to "did k-means actually move the index, and which cells
+    * changed". Centroids whose cells emptied out drop from the refined
+    * table and so from this report (deterministically, both engines).
+    *
+    * Both relations are K rows (broadcast-size); the report is a K-row
+    * join — free at any corpus size, because the corpus-sized work
+    * (assignment) already happened inside the memoized centroid builds.
+    */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = Similarity.centroidsFor(Dedup.normedFor(spark, dir))
+      .select(col("cent_id"), col("ce").as("se"), col("cn").as("sn"))
+    val kc = kmeansCentroidsFor(spark, dir)
+    seeds.join(kc, "cent_id")
+      .select(col("cent_id"),
+        floor(lit(1000.0) * graft.functions.VectorOps.dot(col("se"), col("ce")) /
+          (col("sn") * col("cn"))).cast("long").as("cos_permille"))
+      .orderBy("cent_id")
   }
 
   def kmeansStep(spark: SparkSession, dir: String): DataFrame = {

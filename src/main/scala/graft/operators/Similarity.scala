@@ -162,7 +162,7 @@ object Similarity {
     */
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
-    val cents = Clustering.kmeansCentroids(spark, dir, iters = 2)
+    val cents = Clustering.kmeansCentroidsFor(spark, dir)
     val assign = ivfAssign(v, cents)
 
     val q = v.where(col("vec_id") % 20 === 0)

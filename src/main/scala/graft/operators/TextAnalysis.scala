@@ -96,7 +96,9 @@ object TextAnalysis {
   def langConfusion(spark: SparkSession, dir: String): DataFrame = {
     val pr = langId(spark, dir).select("lang", "pred_lang")
     val cm = pr.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
-    val tot = pr.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    // class totals fold over the (classes²-row) matrix, NOT a second scan
+    // of the prediction relation — one pass over the corpus, not two
+    val tot = cm.groupBy("lang").agg(sum(col("n")).as("n_lang"))
     cm.join(broadcast(tot), "lang")
       .select(col("lang"), col("pred_lang"), col("n"),
         expr("n * 1000 div n_lang").as("share_permille"))
