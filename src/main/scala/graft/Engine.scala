@@ -270,6 +270,18 @@ object Engine {
   def packBins(spark: SparkSession, dir: String): DataFrame =
     operators.Corpus.packBins(spark, dir)
 
+  /** Per-document n-gram novelty in corpus order. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.ngramNovelty(spark, dir)
+
+  /** Truncation-duplicate pairs (full-text prefix containment). */
+  def prefixDups(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.prefixDups(spark, dir)
+
+  /** Seed-vs-Lloyd-refined centroid drift (cosine permille per cell). */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame =
+    operators.Clustering.centroidDrift(spark, dir)
+
   /** All named queries (the driver contract). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

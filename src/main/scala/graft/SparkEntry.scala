@@ -190,6 +190,9 @@ object SparkEntry {
     "q_source_overlap" -> ((s, d) => Corpus.sourceOverlap(s, d)),
     "q_source_drift" -> ((s, d) => Corpus.sourceDrift(s, d)),
     "q_pack_bins" -> ((s, d) => Corpus.packBins(s, d)),
+    "q_ngram_novelty" -> ((s, d) => Corpus.ngramNovelty(s, d)),
+    "q_prefix_dups" -> ((s, d) => Corpus.prefixDups(s, d)),
+    "q_centroid_drift" -> ((s, d) => Clustering.centroidDrift(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -2235,5 +2238,36 @@ object SparkEntry {
         |SELECT shard, n_docs, shard_tokens,
         |       16 * 1000 * shard_tokens // total AS share_permille16
         |FROM b CROSS JOIN t ORDER BY shard""".stripMargin,
+
+    "q_ngram_novelty" ->
+      s"""WITH $docShCtes,
+         |fo AS (SELECT min(doc_id) AS doc_id FROM sh GROUP BY shingle),
+         |nv AS (SELECT doc_id, count(*) AS n_novel FROM fo GROUP BY 1),
+         |sz AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY 1)
+         |SELECT sz.doc_id, sz.n_grams, coalesce(nv.n_novel, 0) AS n_novel,
+         |       1000 * coalesce(nv.n_novel, 0) // sz.n_grams
+         |         AS novelty_permille
+         |FROM sz LEFT JOIN nv ON sz.doc_id = nv.doc_id
+         |ORDER BY sz.doc_id""".stripMargin,
+
+    "q_prefix_dups" ->
+      """WITH d AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS l
+        |           FROM documents WHERE len(text) >= 60)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       a.l AS len_a, b.l AS len_b
+        |FROM d a JOIN d b
+        |  ON substr(a.text, 1, 60) = substr(b.text, 1, 60)
+        | AND (a.l < b.l OR (a.l = b.l AND a.doc_id < b.doc_id))
+        |WHERE substr(b.text, 1, CAST(a.l AS INT)) = a.text
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_centroid_drift" ->
+      s"""WITH $vecCte,
+         |$kmeansCtes
+         |SELECT s.cent_id,
+         |       CAST(floor(1000.0 * ${dotSql("s.ce", "k.ce")}
+         |                  / (s.cn * k.cn)) AS BIGINT) AS cos_permille
+         |FROM seeds s JOIN kcents k ON s.cent_id = k.cent_id
+         |ORDER BY s.cent_id""".stripMargin,
   )
 }

@@ -143,6 +143,62 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** Per-document n-gram novelty in corpus (doc_id) order: the fraction of
+    * a document's distinct 3-gram shingles whose FIRST corpus occurrence is
+    * this document. Early documents score high, later near-duplicates and
+    * template pages score low — the curve data engineers read to decide
+    * where a crawl stops adding information.
+    *
+    * Scale shape: first-occurrence is `min(doc_id)` per shingle hash — one
+    * map-side-combined groupBy on the 8-byte key; the novel count per doc
+    * is a second groupBy of that (already shingle-distinct) relation. Two
+    * linear shuffles, no joins against the corpus text.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val shh = allShingleHashesFor(spark, dir)
+    val novel = shh.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    shh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .withColumn("novelty_permille", expr("1000 * n_novel div n_grams"))
+      .select("doc_id", "n_grams", "n_novel", "novelty_permille")
+      .orderBy("doc_id")
+  }
+
+  /** Minimum prefix length (chars) for [[prefixDups]] candidate keying. */
+  private[graft] val PrefixKeyLen = 60
+
+  /** Truncation-duplicate pairs: (a, b) where document a's full text is a
+    * prefix of document b's (the same page fetched with different
+    * truncation — a dup class n-gram Jaccard often misses when the longer
+    * page continues with fresh content). Equal-length pairs (exact dups)
+    * are oriented by doc_id.
+    *
+    * Candidates join on the 60-bit hash of the first [[PrefixKeyLen]]
+    * chars — an 8-byte shuffle key; only same-prefix groups ever meet, and
+    * group sizes are bounded by the true truncation-dup mass. A corpus
+    * whose pages share boilerplate PREFIXES (e.g. a common header) would
+    * df-cap this key exactly like [[Dedup.ShingleDfCap]] caps shingles;
+    * the verification `substring(b, 1, len(a)) = a` then confirms full
+    * prefix containment, so the hash key is only ever a candidate filter.
+    */
+  def prefixDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("l"))
+      .where(col("l") >= PrefixKeyLen)
+      .withColumn("pk",
+        Tables.portableHash(substring(col("text"), 1, PrefixKeyLen)))
+    d.as("a").join(d.as("b"),
+        col("a.pk") === col("b.pk") &&
+          (col("a.l") < col("b.l") ||
+            (col("a.l") === col("b.l") && col("a.doc_id") < col("b.doc_id"))))
+      .where(expr("substring(b.text, 1, cast(a.l AS INT)) = a.text"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.l").as("len_a"), col("b.l").as("len_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Number of training shards [[packBins]] stripes into. */
   private[graft] val PackShards = 16
 

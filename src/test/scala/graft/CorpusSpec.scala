@@ -90,6 +90,44 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("ngram novelty == first-occurrence Scala model; monotone start") {
+    val docs = docsRaw
+    val perDoc = docs.map { case (id, (_, t)) => id -> grams(t) }
+      .filter(_._2.nonEmpty)
+    val firstDoc = perDoc.toSeq.flatMap { case (id, g) => g.map(_ -> id) }
+      .groupBy(_._1).map { case (g, o) => g -> o.map(_._2).min }
+    val model = perDoc.map { case (id, g) =>
+      val novel = g.count(s => firstDoc(s) == id).toLong
+      id -> ((g.size.toLong, novel, 1000 * novel / g.size))
+    }
+    val got = Corpus.ngramNovelty(spark, sf001).collect()
+    assert(got.length == model.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == model(r.getLong(0)),
+        s"doc ${r.getLong(0)}")
+    }
+    // the smallest doc_id is all-novel by construction
+    val first = got.minBy(_.getLong(0))
+    assert(first.getLong(3) == 1000L)
+  }
+
+  test("prefix dups == brute-force containment scan; finds planted pairs") {
+    val docs = docsRaw
+    val model = (for {
+      (ia, (_, ta)) <- docs.toSeq; (ib, (_, tb)) <- docs.toSeq
+      if ta.length >= Corpus.PrefixKeyLen
+      if tb.length >= Corpus.PrefixKeyLen
+      if ta.length < tb.length || (ta.length == tb.length && ia < ib)
+      if tb.startsWith(ta)
+    } yield (ia, ib, ta.length.toLong, tb.length.toLong))
+      .sortBy(p => (p._1, p._2))
+    val got = Corpus.prefixDups(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == model, s"got ${got.toSeq}")
+    // the generator plants truncation dups — the operator must find some
+    assert(model.nonEmpty)
+  }
+
   test("pack bins: exact LPT striping and near-even token balance") {
     val docs = docsRaw
     val toks = docs.toSeq.map { case (id, (_, t)) =>
