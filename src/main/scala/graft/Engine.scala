@@ -242,6 +242,12 @@ object Engine {
   def saltedJoinPriority(spark: SparkSession, dir: String): DataFrame =
     Skew.saltedJoinPriority(spark, dir)
 
+  /** Streaming per-window source length-drift monitor vs a fixed
+    * 16-bucket permille baseline (continuous form of `q_source_drift`).
+    */
+  def sourceDriftStream(docs: DataFrame, baseline: Seq[Long]): DataFrame =
+    graft.streaming.StreamingOps.sourceDriftStream(docs, baseline)
+
   /** Streaming IVF bucket assignment against the static centroid table
     * (stateless per-row argmax; identical semantics to the batch build).
     */

@@ -130,4 +130,35 @@ object StreamingOps {
               .otherwise(acc)
           }).getField("cent_id").as("cent_id"))
   }
+
+  /** Streaming length-distribution drift monitor — the continuous form of
+    * the batch `q_source_drift` report: per tumbling window and source,
+    * the permille L1 distance between the window's token-length histogram
+    * and a fixed 16-bucket reference distribution (permille shares,
+    * computed offline by the batch report over a trusted corpus).
+    *
+    * The whole histogram lives INSIDE one windowed aggregation row as 16
+    * conditional sums, so there is exactly one streaming aggregation (no
+    * chained stateful operators) and the L1 fold is a stateless map over
+    * the emitted row — the alert arrives as soon as the watermark closes
+    * the window. State per (window, source) is 17 longs.
+    *
+    * Input columns: (source, text, event_time). Output: (window_start,
+    * source, n_docs, drift_permille).
+    */
+  def sourceDriftStream(docs: DataFrame, baseline: Seq[Long],
+      windowLen: String = "5 minutes", watermark: String = "10 minutes"): DataFrame = {
+    require(baseline.length == 16, "baseline must carry 16 bucket shares")
+    val bucketed = docs.select(col("source"), col("event_time"),
+      least(expr("size(split(text, ' ')) div 8"), lit(15)).cast("long").as("bucket"))
+    val hist = (0 until 16).map(b =>
+      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"c_$b"))
+    val counts = bucketed.withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("source"))
+      .agg(count(lit(1)).as("n_docs"), hist: _*)
+    val drift = (0 until 16).map(b =>
+      abs(expr(s"1000 * c_$b div n_docs") - lit(baseline(b)))).reduce(_ + _)
+    counts.select(col("window.start").as("window_start"), col("source"),
+      col("n_docs"), drift.as("drift_permille"))
+  }
 }

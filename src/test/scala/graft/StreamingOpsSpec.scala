@@ -190,4 +190,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_words") == 4 && r.getAs[Long]("n_distinct_words") == 3)
     assert(r.getAs[Long]("quality_pct") == 75)
   }
+
+  test("streaming source drift == hand-computed L1 against the baseline") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(String, String, Timestamp)]
+    // reference: all mass in bucket 1 (8-15 words)
+    val baseline = Seq.tabulate(16)(b => if (b == 1) 1000L else 0L)
+    val out = StreamingOps.sourceDriftStream(
+      in.toDF().toDF("source", "text", "event_time"), baseline,
+      windowLen = "1 minute", watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    try {
+      val w8 = "w " * 7 + "w"   // 8 words -> bucket 1
+      val w20 = "w " * 19 + "w" // 20 words -> bucket 2
+      in.addData(Seq(
+        ("srcA", w8, ts(1000)), ("srcA", w8, ts(2000)),   // srcA matches baseline
+        ("srcB", w8, ts(3000)), ("srcB", w20, ts(4000)))) // srcB: half drifted
+      q.processAllAvailable()
+      in.addData(Seq(("srcA", w8, ts(200000)))) // close window 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = sp.table("drift_out")
+      .select("source", "n_docs", "drift_permille")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // srcA: |1000-1000| = 0; srcB: |500-1000| + |500-0| = 1000
+    assert(rows == Set(("srcA", 2L, 0L), ("srcB", 2L, 1000L)), s"got $rows")
+  }
 }
