@@ -288,6 +288,10 @@ object Engine {
   def centroidDrift(spark: SparkSession, dir: String): DataFrame =
     operators.Clustering.centroidDrift(spark, dir)
 
+  /** Size-biased priority sample (weighted bottom-k) per source. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    operators.Curation.weightedSample(spark, dir)
+
   /** All named queries (the driver contract). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

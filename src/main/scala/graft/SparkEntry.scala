@@ -193,6 +193,7 @@ object SparkEntry {
     "q_ngram_novelty" -> ((s, d) => Corpus.ngramNovelty(s, d)),
     "q_prefix_dups" -> ((s, d) => Corpus.prefixDups(s, d)),
     "q_centroid_drift" -> ((s, d) => Clustering.centroidDrift(s, d)),
+    "q_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -2269,5 +2270,19 @@ object SparkEntry {
          |                  / (s.cn * k.cn)) AS BIGINT) AS cos_permille
          |FROM seeds s JOIN kcents k ON s.cent_id = k.cent_id
          |ORDER BY s.cent_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, source, n_chars,
+         |         ${Tables.portableHashSql("'wsmp:' || CAST(doc_id AS VARCHAR)")}
+         |           // greatest(n_chars, 1) AS priority
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, n_chars, priority,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY priority, doc_id) AS BIGINT) AS rk
+         |  FROM p)
+         |SELECT source, rk, doc_id, n_chars, priority
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
   )
 }

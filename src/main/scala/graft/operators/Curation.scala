@@ -246,6 +246,35 @@ object Curation {
       .orderBy("source", "rk")
   }
 
+  /** Size-biased priority sample: the 5 documents per source with the
+    * smallest `hash div weight` priority, weight = n_chars — the
+    * distributed form of weighted bottom-k / priority sampling (Duffield–
+    * Lund–Thorup): a document's chance of drawing a small priority grows
+    * with its weight, so the sample leans to the long documents a curation
+    * reviewer most wants to eyeball, while staying deterministic and
+    * replayable from the doc_id alone ([[exemplars]] is the uniform
+    * counterpart).
+    *
+    * Scale shape: the priority is a pure map; the per-source top-5 plans
+    * as a rank-limit window, which Spark executes with WindowGroupLimit —
+    * per-partition partial top-k BEFORE the exchange — so the shuffle
+    * carries ≤ 5·partitions rows per source, not the corpus.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("priority", "doc_id")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        Tables.portableHash(concat(lit("wsmp:"), col("doc_id").cast("string")))
+          .as("ph"))
+      .withColumn("priority", expr("ph div greatest(n_chars, 1)"))
+      .drop("ph")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 5)
+      .select("source", "rk", "doc_id", "n_chars", "priority")
+      .orderBy("source", "rk")
+  }
+
   /** Temperature-scaled source mixture (the training-mixture resampling
     * step): per-source weights `⌊√n_s⌋` (τ = 0.5 — integer-exact: IEEE
     * sqrt of an exact integer is correctly rounded in every engine), a

@@ -119,4 +119,29 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(salted == plain)
   }
+
+  test("weighted sample: size-biased, deterministic, group-limited plan") {
+    val got = Curation.weightedSample(spark, sf0001).collect()
+    val bySrc = got.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.length <= 5, src)
+      assert(rows.map(_.getLong(1)).sorted.sameElements(
+        (1L to rows.length)), s"$src ranks")
+      // priorities are the group minima in rank order
+      val pr = rows.sortBy(_.getLong(1)).map(_.getLong(4))
+      assert(pr.sameElements(pr.sorted), s"$src priorities")
+    }
+    // size bias: sampled docs skew long — their mean length beats the
+    // corpus mean (deterministic corpus, deterministic sample)
+    val corpusMean = Tables.load(spark, sf0001, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val sampleMean = got.map(_.getLong(3)).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean vs corpus $corpusMean")
+    // the rank-limit window must plan as WindowGroupLimit (partial top-k
+    // before the exchange), not a full per-group sort of the corpus
+    val plan = Curation.weightedSample(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
 }
