@@ -131,6 +131,23 @@ object StreamingOps {
           }).getField("cent_id").as("cent_id"))
   }
 
+  /** Streaming truncation dedup — the continuous companion of the batch
+    * `q_prefix_dups` report: arriving documents are keyed by the 60-bit
+    * hash of their first [[graft.operators.Corpus.PrefixKeyLen]] chars and
+    * deduplicated within the watermark, so re-fetches of the same page at
+    * different truncation lengths collapse to the first arrival. Exact
+    * containment of later, longer variants is a batch concern (the report
+    * names pairs); the stream's job is to stop the duplicate mass at
+    * ingest with one bounded-state key per prefix.
+    * Columns in: (doc_id, text, event_time).
+    */
+  def prefixDedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("prefix_h",
+        graft.sources.Tables.portableHash(
+          substring(col("text"), 1, graft.operators.Corpus.PrefixKeyLen)))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("prefix_h")
+
   /** Streaming length-distribution drift monitor — the continuous form of
     * the batch `q_source_drift` report: per tumbling window and source,
     * the permille L1 distance between the window's token-length histogram

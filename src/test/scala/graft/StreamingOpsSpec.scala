@@ -191,6 +191,29 @@ class StreamingOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("quality_pct") == 75)
   }
 
+  test("streaming prefix dedup collapses truncation variants, first wins") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingOps.prefixDedupStream(
+      in.toDF().toDF("doc_id", "text", "event_time"), watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("pfx_out")
+      .outputMode("append").start()
+    try {
+      val base = ("tok " * 30).trim // > 60 chars
+      in.addData(Seq(
+        (1L, base, ts(1000)),                  // first fetch
+        (2L, base + " extra continued", ts(2000)), // longer re-fetch: same prefix
+        (3L, "completely different document text padded to sixty characters plus", ts(3000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = sp.table("pfx_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L), s"got $ids")
+  }
+
   test("streaming source drift == hand-computed L1 against the baseline") {
     val sp = spark
     import sp.implicits._
