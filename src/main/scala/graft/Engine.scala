@@ -292,6 +292,34 @@ object Engine {
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     operators.Curation.weightedSample(spark, dir)
 
+  /** Sub-document (asymmetric containment) duplicate pairs. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.containmentPairs(spark, dir)
+
+  /** SCD-2 validity intervals from the event changelog. */
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    operators.Relational.qScd2(spark, dir)
+
+  /** Zone-map (data-skipping) statistics and pruning audit. */
+  def zonemapPrune(spark: SparkSession, dir: String): DataFrame =
+    operators.Relational.qZonemapPrune(spark, dir)
+
+  /** Fixed-window training chunks with overlap, per document. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.chunkDocs(spark, dir)
+
+  /** Adjacent byte-pair frequencies (the BPE round-0 statistic). */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.bpePairs(spark, dir)
+
+  /** Recall@5 of the PQ/ADC search vs the exact top-5 baseline. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.pqRecall(spark, dir)
+
+  /** Streaming quality gate (batch verdict at ingest; stateless). */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    streaming.StreamingOps.qualityGateStream(docs)
+
   /** All named queries (the driver contract). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

@@ -194,6 +194,14 @@ object SparkEntry {
     "q_prefix_dups" -> ((s, d) => Corpus.prefixDups(s, d)),
     "q_centroid_drift" -> ((s, d) => Clustering.centroidDrift(s, d)),
     "q_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
+    // sixth wave: containment dedup, SCD2, chunking, BPE stats, zone maps,
+    // PQ recall
+    "q_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "q_scd2" -> ((s, d) => Relational.qScd2(s, d)),
+    "q_zonemap_prune" -> ((s, d) => Relational.qZonemapPrune(s, d)),
+    "q_chunk_docs" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
+    "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
+    "q_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -335,6 +343,37 @@ object SparkEntry {
        |${assign("kc1", "ka2")},
        |${update("ka2", "kcents")}""".stripMargin
   }
+
+  /** PQ/ADC CTE chain (needs vecCte): 16 hash-min codebook vectors, 8×8-dim
+    * subspaces, L2² left-fold encode argmin, micro-unit integer ADC sums.
+    * Ends in `adc(q_id, n_id, adc_q)`; shared by `q_pq_search` and the
+    * `q_pq_recall` audit.
+    */
+  private lazy val pqCtes: String =
+    s"""cb AS (SELECT vec_id AS code, e AS cbe FROM v
+       |       ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+       |                     AS BIGINT), vec_id
+       |       LIMIT 16),
+       |mi AS (SELECT unnest(generate_series(0, 7)) AS m),
+       |cbs AS (SELECT code, m, cbe[m * 8 + 1 : m * 8 + 8] AS cw
+       |        FROM cb CROSS JOIN mi),
+       |vs AS (SELECT vec_id, m, e[m * 8 + 1 : m * 8 + 8] AS sv
+       |       FROM v CROSS JOIN mi),
+       |codes AS (SELECT vec_id, m, code FROM (
+       |            SELECT vs.vec_id, vs.m, cbs.code,
+       |                   row_number() OVER (PARTITION BY vs.vec_id, vs.m
+       |                     ORDER BY ${l2sqSql("vs.sv", "cbs.cw")}, cbs.code) AS rn
+       |            FROM vs JOIN cbs ON vs.m = cbs.m) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 20 = 0),
+       |qs AS (SELECT q_id, m, qe[m * 8 + 1 : m * 8 + 8] AS qsub
+       |       FROM q CROSS JOIN mi),
+       |dtab AS (SELECT q_id, qs.m, cbs.code,
+       |                CAST(round(${l2sqSql("qs.qsub", "cbs.cw")} * 1000000.0)
+       |                     AS BIGINT) AS dq
+       |         FROM qs JOIN cbs ON qs.m = cbs.m),
+       |adc AS (SELECT d.q_id, c.vec_id AS n_id, CAST(sum(d.dq) AS BIGINT) AS adc_q
+       |        FROM codes c JOIN dtab d ON c.m = d.m AND c.code = d.code
+       |        WHERE c.vec_id <> d.q_id GROUP BY 1, 2)""".stripMargin
 
   private val revenueE4 =
     """CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -736,30 +775,7 @@ object SparkEntry {
     // subspaces, L2² left-fold encode argmin, micro-unit integer ADC sums.
     "q_pq_search" ->
       s"""WITH $vecCte,
-         |cb AS (SELECT vec_id AS code, e AS cbe FROM v
-         |       ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-         |                     AS BIGINT), vec_id
-         |       LIMIT 16),
-         |mi AS (SELECT unnest(generate_series(0, 7)) AS m),
-         |cbs AS (SELECT code, m, cbe[m * 8 + 1 : m * 8 + 8] AS cw
-         |        FROM cb CROSS JOIN mi),
-         |vs AS (SELECT vec_id, m, e[m * 8 + 1 : m * 8 + 8] AS sv
-         |       FROM v CROSS JOIN mi),
-         |codes AS (SELECT vec_id, m, code FROM (
-         |            SELECT vs.vec_id, vs.m, cbs.code,
-         |                   row_number() OVER (PARTITION BY vs.vec_id, vs.m
-         |                     ORDER BY ${l2sqSql("vs.sv", "cbs.cw")}, cbs.code) AS rn
-         |            FROM vs JOIN cbs ON vs.m = cbs.m) WHERE rn = 1),
-         |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 20 = 0),
-         |qs AS (SELECT q_id, m, qe[m * 8 + 1 : m * 8 + 8] AS qsub
-         |       FROM q CROSS JOIN mi),
-         |dtab AS (SELECT q_id, qs.m, cbs.code,
-         |                CAST(round(${l2sqSql("qs.qsub", "cbs.cw")} * 1000000.0)
-         |                     AS BIGINT) AS dq
-         |         FROM qs JOIN cbs ON qs.m = cbs.m),
-         |adc AS (SELECT d.q_id, c.vec_id AS n_id, CAST(sum(d.dq) AS BIGINT) AS adc_q
-         |        FROM codes c JOIN dtab d ON c.m = d.m AND c.code = d.code
-         |        WHERE c.vec_id <> d.q_id GROUP BY 1, 2)
+         |$pqCtes
          |SELECT q_id, n_id, adc_q, rk FROM (
          |  SELECT q_id, n_id, adc_q,
          |         row_number() OVER (PARTITION BY q_id ORDER BY adc_q, n_id) AS rk
@@ -2284,5 +2300,88 @@ object SparkEntry {
          |  FROM p)
          |SELECT source, rk, doc_id, n_chars, priority
          |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH $docShCtes, $interCte
+         |SELECT doc_a, doc_b, inter,
+         |       least(sa.n_sh, sb.n_sh) AS n_small,
+         |       inter * 1000 // least(sa.n_sh, sb.n_sh) AS contain_permille
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE inter * 10 >= least(sa.n_sh, sb.n_sh) * 9
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, em, event_id FROM (
+        |    SELECT user_id, event_type, event_id, epoch_ms(ts) AS em,
+        |           lag(event_type, 1) OVER w AS prev_type
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, em AS valid_from_ms,
+        |       coalesce(lead(em, 1) OVER w2, -1) AS valid_to_ms,
+        |       CAST(CASE WHEN lead(em, 1) OVER w2 IS NULL
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM ch
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY em, event_id)
+        |ORDER BY user_id, valid_from_ms""".stripMargin,
+
+    "q_zonemap_prune" ->
+      """WITH z AS (SELECT event_id // 512 AS zone_id, epoch_ms(ts) AS em
+        |           FROM events),
+        |t AS (SELECT min(em) + 20 * 86400000 AS cut FROM z)
+        |SELECT zone_id, count(*) AS n_rows, min(em) AS min_em, max(em) AS max_em,
+        |       CAST(sum(CASE WHEN em >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |       CASE WHEN max(em) < max(cut) THEN 'skip'
+        |            WHEN min(em) >= max(cut) THEN 'full'
+        |            ELSE 'partial' END AS verdict
+        |FROM z CROSS JOIN t
+        |GROUP BY zone_id ORDER BY zone_id""".stripMargin,
+
+    "q_chunk_docs" ->
+      s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |st AS (SELECT doc_id, w,
+         |              unnest(generate_series(1, greatest(len(w) - 10, 1), 30)) AS s
+         |       FROM dw)
+         |SELECT doc_id, CAST((s - 1) // 30 AS BIGINT) AS chunk_idx,
+         |       CAST(s AS BIGINT) AS start_word,
+         |       CAST(len(w[s : s + 39]) AS BIGINT) AS n_words,
+         |       ${Tables.portableHashSql("array_to_string(w[s : s + 39], ' ')")}
+         |         AS chunk_hash
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH wrd AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |pr AS (SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+        |                                    i -> substr(word, i, 2))) AS pair
+        |       FROM wrd WHERE length(word) >= 2)
+        |SELECT pair, count(*) AS n_pairs FROM pr
+        |GROUP BY 1 ORDER BY n_pairs DESC, pair LIMIT 30""".stripMargin,
+
+    "q_pq_recall" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |pqt AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY adc_q, n_id) AS rk
+         |          FROM adc) WHERE rk <= 5),
+         |ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+         |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
+         |       WHERE q.vec_id % 20 = 0),
+         |ext AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY cos DESC, n_id) AS rk
+         |          FROM ep) WHERE rk <= 5),
+         |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
+         |             (SELECT count(*) FROM ext JOIN pqt USING (q_id, n_id))
+         |               AS n_hits)
+         |SELECT n_queries, n_hits,
+         |       n_hits * 1000 // (n_queries * 5) AS recall_permille
+         |FROM n""".stripMargin,
   )
 }

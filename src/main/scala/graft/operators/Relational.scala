@@ -276,6 +276,70 @@ object Relational {
       .orderBy("user_id", "event_type")
   }
 
+  /** SCD-2 interval build from the event changelog: per user, collapse
+    * consecutive events with an unchanged attribute (event_type) and emit
+    * validity intervals `[valid_from_ms, valid_to_ms)` with −1 marking the
+    * open (current) interval — the standard changelog→slowly-changing-
+    * dimension compaction every warehouse runs over CDC feeds.
+    *
+    * Two window passes, BOTH partitioned by user_id — Catalyst plans one
+    * exchange and reuses the sort, so the whole build is a single shuffle
+    * + linear per-user scans regardless of history depth. The change
+    * filter runs before the interval window, so the second pass scans the
+    * compacted relation (bounded by true attribute changes, not raw event
+    * volume).
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("em"), col("event_id"))
+    val changed = ev
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        Tables.epochMs.as("em"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changed
+      .withColumn("valid_to_ms",
+        coalesce(lead(col("em"), 1).over(wOrd), lit(-1L)))
+      .select(col("user_id"), col("event_type"),
+        col("em").as("valid_from_ms"), col("valid_to_ms"),
+        (col("valid_to_ms") === -1L).cast("long").as("is_current"))
+      .orderBy("user_id", "valid_from_ms")
+  }
+
+  /** Zone-map (data-skipping) audit over the events table: per 512-row
+    * zone of event ids, the min/max event-time bounds, row count, and the
+    * pruning verdict for a fixed predicate `em ≥ t0 + 20 days` — `skip`
+    * (zone's max below the cut: the scan never opens it), `full` (min at
+    * or above: no per-row filtering needed), `partial` (rows must be
+    * tested), plus the actual matching rows as the verdict's ground truth.
+    *
+    * This is the file/row-group statistics mechanism that makes 100 TB
+    * scans affordable (parquet row-group min/max, Iceberg/Delta file
+    * stats): the audit quantifies what fraction of zones a time predicate
+    * prunes when ingest order correlates with event time. One map to
+    * assign zones + one partial-aggregated groupBy; the t0 anchor is a
+    * broadcast scalar.
+    */
+  def qZonemapPrune(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(expr("event_id div 512").as("zone_id"), Tables.epochMs.as("em"))
+    val t0 = ev.agg(min(col("em")).as("t0"))
+    ev.crossJoin(broadcast(t0))
+      .withColumn("cut", col("t0") + lit(20L * 86400000L))
+      .groupBy("zone_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("em")).as("min_em"), max(col("em")).as("max_em"),
+        sum(when(col("em") >= col("cut"), 1L).otherwise(0L)).as("n_match"),
+        max(col("cut")).as("cut"))
+      .select(col("zone_id"), col("n_rows"), col("min_em"), col("max_em"),
+        col("n_match"),
+        when(col("max_em") < col("cut"), "skip")
+          .when(col("min_em") >= col("cut"), "full")
+          .otherwise("partial").as("verdict"))
+      .orderBy("zone_id")
+  }
+
   /** Hopping (sliding) window counts via Spark's native `window()` with a
     * 10-minute width and 5-minute slide — each event lands in exactly two
     * windows. The generator explodes to width/slide rows per event BEFORE

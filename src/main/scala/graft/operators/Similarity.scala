@@ -252,6 +252,26 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Recall@5 audit of the PQ/ADC search against the exact brute-force
+    * top-5 ([[annTopk]]) on the same query sample — the compression-loss
+    * number that decides whether 64× smaller vectors still retrieve what
+    * the exact index would (the `q_ann_recall` pattern applied to the PQ
+    * family). One row: query count, overlapping top-5 hits, permille
+    * recall. The comparison is a semi-join of two top-5 relations (≤ 5·Q
+    * rows each), so the audit costs nothing beyond the two searches it
+    * grades; at 100 TB it runs on a query sample exactly like this one.
+    */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopk(spark, dir).select(col("q_id"), col("n_id"))
+    val pq = pqSearch(spark, dir).select(col("q_id"), col("n_id"))
+    val nQ = exact.select("q_id").distinct().agg(count(lit(1)).as("n_queries"))
+    val nHit = exact.join(pq, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    nQ.crossJoin(nHit)
+      .select(col("n_queries"), col("n_hits"),
+        expr("n_hits * 1000 div (n_queries * 5)").as("recall_permille"))
+  }
+
   /** Cluster-vs-label agreement: per IVF bucket, the majority embedding
     * label and its permille purity — how well the unsupervised coarse
     * quantizer aligns with the labeled structure (the standard external

@@ -147,16 +147,84 @@ object TextAnalysis {
       .join(tf, "doc_id")
       .withColumn("top_pct", expr("(100 * top_n) div n_words"))
     metrics.select(col("doc_id"), col("n_words"), col("mwl10"),
-        col("top_pct"), col("stopword_n"),
-        when(col("n_words") < 20, "too_short")
-          .when(col("n_words") > 90, "too_long")
-          .when(col("mwl10") < 30 || col("mwl10") > 80, "word_len")
-          .when(col("top_pct") > 15, "repetition")
-          .when(col("stopword_n") === 0, "no_stopword")
-          .otherwise("ok").as("fail_reason"))
+        col("top_pct"), col("stopword_n"), qualityVerdict.as("fail_reason"))
       .withColumn("keep", (col("fail_reason") === "ok").cast("long"))
       .orderBy("doc_id")
   }
+
+  /** First-failing-rule verdict over the metric columns (n_words, mwl10,
+    * top_pct, stopword_n) — the single home of the gate thresholds, shared
+    * by the batch filter and the streaming ingest gate so the two
+    * personalities cannot drift.
+    */
+  private[graft] def qualityVerdict: org.apache.spark.sql.Column =
+    when(col("n_words") < 20, "too_short")
+      .when(col("n_words") > 90, "too_long")
+      .when(col("mwl10") < 30 || col("mwl10") > 80, "word_len")
+      .when(col("top_pct") > 15, "repetition")
+      .when(col("stopword_n") === 0, "no_stopword")
+      .otherwise("ok")
+
+  /** Word count per chunk window. */
+  private[graft] val ChunkLen = 40
+  /** Words between consecutive chunk starts (overlap = ChunkLen − stride). */
+  private[graft] val ChunkStride = 30
+
+  /** Fixed-window document chunking with overlap — the map from curated
+    * documents to training sequences: each document yields windows of
+    * [[ChunkLen]] words starting every [[ChunkStride]] (10-word overlap so
+    * no sentence is only ever seen split), the final window truncated at
+    * the document end. Emits one row per chunk with its word offsets and
+    * the portable hash of the chunk text (the key chunk-level exact dedup
+    * and shard assignment run on downstream).
+    *
+    * Pure map-side generate — sequence + slice inside one projection, no
+    * shuffle anywhere; at 100 TB this is scan-bandwidth work that pipelines
+    * into the shard writer. Chunk indices are `(start−1)/stride`, so the
+    * relation is deterministic and append-stable (re-chunking a grown
+    * corpus never renumbers old chunks).
+    */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        // starts run to len − (chunk − stride): the last window may be
+        // truncated but always reaches the final word (stop at len − 39
+        // would orphan up to stride−1 tail words whenever
+        // (len − 1) mod stride lands past the bound)
+        explode(sequence(lit(1),
+          greatest(size(col("w")) - lit(ChunkLen - ChunkStride), lit(1)),
+          lit(ChunkStride))).as("s"))
+      .select(col("doc_id"),
+        ((col("s") - 1) / ChunkStride).cast("long").as("chunk_idx"),
+        col("s").cast("long").as("start_word"),
+        slice(col("w"), col("s"), lit(ChunkLen)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_word"),
+        size(col("cw")).cast("long").as("n_words"),
+        Tables.portableHash(concat_ws(" ", col("cw"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Adjacent byte-pair frequencies — the statistic the first BPE merge
+    * step maximizes: over every corpus word, count all 2-char windows and
+    * rank the top 30. The tokenizer-training primitive (each BPE round
+    * recounts pairs over the current symbol sequence; this is round 0 over
+    * characters, the dominant-cost round at corpus scale).
+    *
+    * One explode + one map-side-combined aggregation; the pair space is
+    * bounded by charset² (≤ a few thousand keys), so the shuffle carries
+    * per-partition partial counts of a tiny key set regardless of corpus
+    * size, and top-k plans as TakeOrdered, never a global sort.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("pair")).limit(30)
 
   /** Zipf rank–frequency table: corpus term frequencies ranked, with the
     * rank×frequency product (≈ constant under Zipf's law — the standard

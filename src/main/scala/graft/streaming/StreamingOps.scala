@@ -148,6 +148,39 @@ object StreamingOps {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("prefix_h")
 
+  /** Streaming quality gate — the batch `q_quality_filter` verdict applied
+    * at ingest: every arriving document gets the same integer metrics and
+    * the same first-failing-rule verdict (the thresholds live in ONE place,
+    * [[graft.operators.TextAnalysis.qualityVerdict]], so the personalities
+    * cannot drift). A curation pipeline routes `keep=0` rows to a
+    * quarantine sink instead of re-scanning the corpus later.
+    *
+    * Completely stateless: the batch form computes the top-term count with
+    * a per-doc aggregation, the stream computes it as an array fold inside
+    * the row (documents are bounded; the fold is O(distinct·words) per doc)
+    * — no shuffle, no state, unbounded throughput.
+    * Columns in: (doc_id, text, event_time).
+    */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("event_time"),
+        length(col("text")).cast("long").as("nc"),
+        split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("event_time"),
+        size(col("w")).cast("long").as("n_words"),
+        (col("nc") - size(col("w")).cast("long") + 1L).as("word_chars"),
+        size(filter(col("w"), x =>
+          x === "the" || x === "a" || x === "of" || x === "and"))
+          .cast("long").as("stopword_n"),
+        array_max(transform(array_distinct(col("w")),
+          x => size(filter(col("w"), y => y === x))))
+          .cast("long").as("top_n"))
+      .withColumn("mwl10", expr("(10 * word_chars) div n_words"))
+      .withColumn("top_pct", expr("(100 * top_n) div n_words"))
+      .select(col("doc_id"), col("event_time"), col("n_words"),
+        col("mwl10"), col("top_pct"), col("stopword_n"),
+        graft.operators.TextAnalysis.qualityVerdict.as("fail_reason"))
+      .withColumn("keep", (col("fail_reason") === "ok").cast("long"))
+
   /** Streaming length-distribution drift monitor — the continuous form of
     * the batch `q_source_drift` report: per tumbling window and source,
     * the permille L1 distance between the window's token-length histogram

@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Brute-force Scala models for the sixth-wave operators: asymmetric
+  * containment over the df-capped shingle index, SCD-2 interval compaction,
+  * zone-map pruning stats, fixed-window chunking, and BPE pair counts — each
+  * recomputed independently from the raw tables and compared row-for-row.
+  */
+class SixthWaveSpec extends SparkSpec {
+
+  private def docsText: Map[Long, String] =
+    Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def events: Seq[(Long, Long, String, Long)] =
+    Tables.load(spark, sf001, "events")
+      .selectExpr("event_id", "user_id", "event_type", "ts div 1000000")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+  test("containment pairs == inverted-index Scala model (df cap, 90% of smaller set)") {
+    val docs = docsText
+    val perDoc = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> (if (w.length < 3) Set.empty[String]
+             else w.sliding(3).map(_.mkString(" ")).toSet)
+    }
+    // df-capped universe, as Dedup.dfCapped applies it
+    val df = perDoc.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val kept = df.filter(_._2 <= Dedup.ShingleDfCap).keySet
+    val capped = perDoc.map { case (id, s) => id -> s.intersect(kept) }
+    val model = (for {
+      (a, sa) <- capped.toSeq; (b, sb) <- capped.toSeq
+      if a < b
+      inter = sa.intersect(sb).size.toLong
+      if inter > 0
+      nSmall = math.min(sa.size, sb.size).toLong
+      if inter * 10 >= nSmall * 9
+    } yield (a, b) -> ((inter, nSmall, inter * 1000 / nSmall))).toMap
+    val got = Dedup.containmentPairs(spark, sf001).collect()
+    assert(got.length == model.size, s"${got.length} vs ${model.size}")
+    got.foreach { r =>
+      val exp = model((r.getLong(0), r.getLong(1)))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == exp,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("scd2 == per-user changelog compaction model") {
+    val byUser = events.groupBy(_._2)
+    val model = byUser.toSeq.flatMap { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._4, e._1))
+      val changes = ordered.zip(("" +: ordered.map(_._3)).zip(LazyList.from(0)))
+        .collect { case (e, (prev, i)) if i == 0 || prev != e._3 => e }
+      changes.zipAll(changes.drop(1).map(c => Some(c._4)), null, None)
+        .collect { case (c, next) if c != null =>
+          (uid, c._3, c._4, next.getOrElse(-1L),
+            if (next.isEmpty) 1L else 0L) }
+    }.toSet
+    val got = Relational.qScd2(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == model, s"sizes got=${got.size} model=${model.size}")
+  }
+
+  test("zone-map stats: totals reconcile and verdicts match their counts") {
+    val evs = events
+    val t0 = evs.map(_._4).min
+    val cut = t0 + 20L * 86400000L
+    val got = Relational.qZonemapPrune(spark, sf001).collect()
+    assert(got.map(_.getLong(1)).sum == evs.size)
+    assert(got.map(_.getLong(4)).sum == evs.count(_._4 >= cut))
+    got.foreach { r =>
+      val (n, nMatch, verdict) = (r.getLong(1), r.getLong(4), r.getString(5))
+      verdict match {
+        case "skip"    => assert(nMatch == 0, s"zone ${r.getLong(0)}")
+        case "full"    => assert(nMatch == n, s"zone ${r.getLong(0)}")
+        case "partial" => assert(nMatch > 0 && nMatch < n, s"zone ${r.getLong(0)}")
+      }
+    }
+    // the audit must demonstrate pruning: at least one non-partial zone
+    assert(got.exists(r => r.getString(5) != "partial"))
+  }
+
+  test("chunking covers every word exactly and hashes are per-chunk-unique") {
+    val docs = docsText
+    val got = TextAnalysis.chunkDocs(spark, sf001).collect()
+      .groupBy(_.getLong(0))
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, t) =>
+      val w = t.split(" ", -1)
+      val chunks = got(id).sortBy(_.getLong(1))
+      // starts follow the stride; first chunk starts at word 1
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(1) == i)
+        assert(c.getLong(2) == 1 + i * TextAnalysis.ChunkStride)
+        assert(c.getLong(3) ==
+          math.min(TextAnalysis.ChunkLen, w.length - (c.getLong(2) - 1)))
+      }
+      // full coverage: last chunk reaches the document end
+      val last = chunks.last
+      assert(last.getLong(2) - 1 + last.getLong(3) == w.length)
+      // overlap windows genuinely overlap when more than one chunk exists
+      if (chunks.length > 1)
+        assert(TextAnalysis.ChunkStride < TextAnalysis.ChunkLen)
+    }
+  }
+
+  test("bpe pairs == Scala sliding-window model (top 30)") {
+    val model = docsText.values
+      .flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(30)
+    val got = TextAnalysis.bpePairs(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == model)
+  }
+
+  test("pq recall is internally consistent and nontrivial") {
+    val r = Similarity.pqRecall(spark, sf001).collect().head
+    val (nq, nh, rec) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nq > 0 && nh >= 0 && nh <= nq * 5)
+    assert(rec == nh * 1000 / (nq * 5))
+    // 64×-compressed codes must retrieve far more than chance: random
+    // guessing scores ~5/(N−1) ≈ 10 permille; observed 160 at sf0.01 on
+    // near-random vectors (the adversarial case — real corpora cluster,
+    // and production raises the 16-entry codebook to 256/subspace)
+    assert(rec >= 100, s"recall_permille $rec")
+  }
+}

@@ -243,4 +243,37 @@ class StreamingOpsSpec extends SparkSpec {
     // srcA: |1000-1000| = 0; srcB: |500-1000| + |500-0| = 1000
     assert(rows == Set(("srcA", 2L, 0L), ("srcB", 2L, 1000L)), s"got $rows")
   }
+
+  test("streaming quality gate == batch quality filter on the same documents") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val docs = graft.sources.Tables.load(sp, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), ts(r.getLong(0))))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingOps.qualityGateStream(
+      in.toDF().toDF("doc_id", "text", "event_time"))
+    val q = out.writeStream.format("memory").queryName("qgate_out")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row, off: Int) =
+      (r.getLong(0), r.getLong(off), r.getLong(off + 1), r.getLong(off + 2),
+        r.getLong(off + 3), r.getString(off + 4), r.getLong(off + 5))
+    // batch: (doc_id, n_words, mwl10, top_pct, stopword_n, fail_reason, keep)
+    val batch = graft.operators.TextAnalysis.qualityFilter(sp, sf0001)
+      .collect().map(key(_, 1)).toSet
+    val stream = sp.table("qgate_out")
+      .select("doc_id", "n_words", "mwl10", "top_pct", "stopword_n",
+        "fail_reason", "keep")
+      .collect().map(key(_, 1)).toSet
+    assert(stream == batch)
+    // the gate discriminates on this corpus: both verdicts occur
+    assert(batch.exists(_._7 == 1L) && batch.exists(_._7 == 0L))
+  }
 }
