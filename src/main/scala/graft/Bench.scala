@@ -49,6 +49,8 @@ object Bench {
       "_build_ivf_assign" -> (() => { operators.Similarity.ivfAssignFor(spark, sfDir).count(); () }),
       "_build_doc_bigrams" -> (() => { operators.TextAnalysis.docBigramsFor(spark, sfDir).count(); () }),
       "_build_unigrams" -> (() => { operators.TextAnalysis.unigramCountsFor(spark, sfDir).count(); () }),
+      "_build_ann_topk" -> (() => { operators.Similarity.annTopkFor(spark, sfDir).count(); () }),
+      "_build_pq_top" -> (() => { operators.Similarity.pqTopFor(spark, sfDir).count(); () }),
     )
     val buildResults =
       if (only.isDefined) Seq.empty

@@ -29,18 +29,25 @@ object Similarity {
 
   private val K = 5
 
+  /** Memoized exact top-5 relation — the O(Q·N) baseline scan is paid once
+    * per session and served to both the `ann_topk` query and the PQ recall
+    * audit (the cache holds only 5·Q rows).
+    */
+  private[graft] def annTopkFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"anntopk:$dir") {
+      val v = Dedup.normedFor(spark, dir)
+      val q = v.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val pairs = broadcast(q).join(v, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      pairs.withColumn("rk", row_number().over(w)).where(col("rk") <= K)
+    }
+
   /** Exact brute-force top-5 cosine neighbors per sampled query vector. */
-  def annTopk(spark: SparkSession, dir: String): DataFrame = {
-    val v = Dedup.normedFor(spark, dir)
-    val q = v.where(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val pairs = broadcast(q).join(v, col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    pairs.withColumn("rk", row_number().over(w)).where(col("rk") <= K)
-      .orderBy("q_id", "rk")
-  }
+  def annTopk(spark: SparkSession, dir: String): DataFrame =
+    annTopkFor(spark, dir).orderBy("q_id", "rk")
 
   /** Symmetric int8 scalar quantization of the embedding column — the
     * standard 4× compression step before indexing/serving embeddings at
@@ -208,7 +215,16 @@ object Similarity {
     * themselves. Production composes this with the IVF probe filter so
     * each query scores one bucket, not the corpus.
     */
-  def pqSearch(spark: SparkSession, dir: String): DataFrame = {
+  def pqSearch(spark: SparkSession, dir: String): DataFrame =
+    pqTopFor(spark, dir).orderBy("q_id", "rk")
+
+  /** Memoized PQ top-5 relation (5·Q rows) — encode + ADC scoring runs once
+    * per session, shared by `q_pq_search` and the recall audit.
+    */
+  private[graft] def pqTopFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"pqtop:$dir")(pqTop(spark, dir))
+
+  private def pqTop(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps.l2sq
     val v = Dedup.normedFor(spark, dir)
     val cb = v.select(col("vec_id").as("code"), col("e").as("cbe"),
@@ -249,7 +265,6 @@ object Similarity {
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
       .agg(sum(col("dq")).as("adc_q"))
       .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
-      .orderBy("q_id", "rk")
   }
 
   /** Recall@5 audit of the PQ/ADC search against the exact brute-force
@@ -262,8 +277,8 @@ object Similarity {
     * grades; at 100 TB it runs on a query sample exactly like this one.
     */
   def pqRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = annTopk(spark, dir).select(col("q_id"), col("n_id"))
-    val pq = pqSearch(spark, dir).select(col("q_id"), col("n_id"))
+    val exact = annTopkFor(spark, dir).select(col("q_id"), col("n_id"))
+    val pq = pqTopFor(spark, dir).select(col("q_id"), col("n_id"))
     val nQ = exact.select("q_id").distinct().agg(count(lit(1)).as("n_queries"))
     val nHit = exact.join(pq, Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
