@@ -47,10 +47,16 @@ object Bench {
       "_build_ivf_pairs" -> (() => { operators.Dedup.ivfHashminPairsFor(spark, sfDir).count(); () }),
       "_build_kmeans_cents" -> (() => { operators.Clustering.kmeansCentroidsFor(spark, sfDir).count(); () }),
       "_build_ivf_assign" -> (() => { operators.Similarity.ivfAssignFor(spark, sfDir).count(); () }),
+      "_build_km_pairs" -> (() => { operators.Dedup.ivfKmeansPairsFor(spark, sfDir).count(); () }),
+      "_build_km_assign" -> (() => { operators.Similarity.kmAssignFor(spark, sfDir).count(); () }),
       "_build_doc_bigrams" -> (() => { operators.TextAnalysis.docBigramsFor(spark, sfDir).count(); () }),
       "_build_unigrams" -> (() => { operators.TextAnalysis.unigramCountsFor(spark, sfDir).count(); () }),
       "_build_ann_topk" -> (() => { operators.Similarity.annTopkFor(spark, sfDir).count(); () }),
+      "_build_pq_codes" -> (() => { operators.Similarity.pqCodesFor(spark, sfDir).count(); () }),
+      "_build_pq_dtab" -> (() => { operators.Similarity.pqDtabFor(spark, sfDir).count(); () }),
       "_build_pq_top" -> (() => { operators.Similarity.pqTopFor(spark, sfDir).count(); () }),
+      "_build_pq_ivf_top" -> (() => { operators.Similarity.pqIvfTopFor(spark, sfDir).count(); () }),
+      "_build_strict_links" -> (() => { operators.ChainLink.strictLinksFor(spark, sfDir).count(); () }),
     )
     val buildResults =
       if (only.isDefined) Seq.empty
@@ -74,11 +80,14 @@ object Bench {
       else queryTimes.map { case (k, ts) => s"\"" + k + "\":" + (ts.max - ts.min) }
         .mkString(""""spread":{""", ",", "},")
     val total = results.map(_._2).sum
-    // One JSON line; the headline metric/value go LAST so a tail-truncated
-    // capture of this (long) line still shows the total. n_queries counts
-    // the query entries only; n_builds the _build_* lines — together they
-    // reconcile exactly against the queries map and the summed total.
-    println(s"""{"queries":$qs,$spread"sf":"$sfDir","metric":"total","unit":"sec","repeat":$repeat,"n_queries":${queryResults.size},"n_builds":${buildResults.size},"value":$total}""")
+    // One JSON line, ordered spread → medians → footer: tail-truncated
+    // captures keep the END of a long line, so the per-query medians and
+    // the headline total must come after the (equally long) spread map —
+    // round 5's artifact kept only the spread and lost every median.
+    // n_queries counts the query entries only; n_builds the _build_* lines
+    // — together they reconcile exactly against the queries map and the
+    // summed total.
+    println(s"""{$spread"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","repeat":$repeat,"n_queries":${queryResults.size},"n_builds":${buildResults.size},"value":$total}""")
     spark.stop()
   }
 }

@@ -202,6 +202,7 @@ object SparkEntry {
     "q_chunk_docs" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "q_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
+    "q_pq_ivf_search" -> ((s, d) => Similarity.pqIvfSearch(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -375,6 +376,40 @@ object SparkEntry {
        |        FROM codes c JOIN dtab d ON c.m = d.m AND c.code = d.code
        |        WHERE c.vec_id <> d.q_id GROUP BY 1, 2)""".stripMargin
 
+  /** IVF probe-restriction CTE chain for the PQ∘IVF search (needs vecCte +
+    * pqCtes): hash-min centroids, nearest-centroid assignment, nprobe=2
+    * query probes, candidate (q_id, vec_id) pairs, and `adci` — the ADC
+    * scoring of [[pqCtes]] restricted to each query's probed buckets.
+    * Replays [[graft.operators.Similarity.pqIvfTopBuild]] exactly.
+    */
+  private lazy val pqIvfCtes: String =
+    s"""icents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+       |           ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+       |                         AS BIGINT), vec_id
+       |           LIMIT 64),
+       |iasg AS (SELECT vec_id, cent_id FROM (
+       |           SELECT v.vec_id, c.cent_id,
+       |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |                    ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |                    c.cent_id) AS rn
+       |           FROM v CROSS JOIN icents c) WHERE rn = 1),
+       |iprobes AS (SELECT q_id, cent_id FROM (
+       |              SELECT v.vec_id AS q_id, c.cent_id,
+       |                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |                       ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |                       c.cent_id) AS rn
+       |              FROM v CROSS JOIN icents c WHERE v.vec_id % 20 = 0)
+       |            WHERE rn <= 2),
+       |icand AS (SELECT p.q_id, a.vec_id FROM iprobes p
+       |          JOIN iasg a ON p.cent_id = a.cent_id
+       |          WHERE a.vec_id <> p.q_id),
+       |adci AS (SELECT x.q_id, c.vec_id AS n_id,
+       |                CAST(sum(d.dq) AS BIGINT) AS adc_q
+       |         FROM icand x
+       |         JOIN codes c ON x.vec_id = c.vec_id
+       |         JOIN dtab d ON d.q_id = x.q_id AND d.m = c.m AND d.code = c.code
+       |         GROUP BY 1, 2)""".stripMargin
+
   private val revenueE4 =
     """CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
       |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)""".stripMargin
@@ -401,7 +436,7 @@ object SparkEntry {
        |  FROM cand c
        |  JOIN v va ON c.vec_a = va.vec_id
        |  JOIN v vb ON c.vec_b = vb.vec_id)
-       |WHERE cos >= 0.6 ORDER BY vec_a, vec_b""".stripMargin
+       |WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -780,6 +815,18 @@ object SparkEntry {
          |  SELECT q_id, n_id, adc_q,
          |         row_number() OVER (PARTITION BY q_id ORDER BY adc_q, n_id) AS rk
          |  FROM adc)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // Replays the PQ∘IVF composition: identical codebook/encode/ADC tables,
+    // scoring restricted to each query's nprobe=2 probed hash-min buckets.
+    "q_pq_ivf_search" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |$pqIvfCtes
+         |SELECT q_id, n_id, adc_q, rk FROM (
+         |  SELECT q_id, n_id, adc_q,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adc_q, n_id) AS rk
+         |  FROM adci)
          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     // ann_ivf with the k-means-refined centroid table: identical search
@@ -1480,9 +1527,11 @@ object SparkEntry {
 
     "q_except_users" ->
       """SELECT user_id FROM (
-        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND value >= 90
         |  EXCEPT
-        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'click' AND value >= 90)
         |ORDER BY user_id""".stripMargin,
 
     "q_sql_small_qty" ->
@@ -2363,11 +2412,17 @@ object SparkEntry {
     "q_pq_recall" ->
       s"""WITH $vecCte,
          |$pqCtes,
+         |$pqIvfCtes,
          |pqt AS (SELECT q_id, n_id FROM (
          |          SELECT q_id, n_id,
          |                 row_number() OVER (PARTITION BY q_id
          |                   ORDER BY adc_q, n_id) AS rk
          |          FROM adc) WHERE rk <= 5),
+         |pqit AS (SELECT q_id, n_id FROM (
+         |           SELECT q_id, n_id,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                    ORDER BY adc_q, n_id) AS rk
+         |           FROM adci) WHERE rk <= 5),
          |ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
          |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
          |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
@@ -2379,9 +2434,12 @@ object SparkEntry {
          |          FROM ep) WHERE rk <= 5),
          |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
          |             (SELECT count(*) FROM ext JOIN pqt USING (q_id, n_id))
-         |               AS n_hits)
-         |SELECT n_queries, n_hits,
-         |       n_hits * 1000 // (n_queries * 5) AS recall_permille
+         |               AS n_hits,
+         |             (SELECT count(*) FROM ext JOIN pqit USING (q_id, n_id))
+         |               AS n_hits_ivf)
+         |SELECT n_queries, n_hits, n_hits_ivf,
+         |       n_hits * 1000 // (n_queries * 5) AS recall_permille,
+         |       n_hits_ivf * 1000 // (n_queries * 5) AS recall_ivf_permille
          |FROM n""".stripMargin,
   )
 }

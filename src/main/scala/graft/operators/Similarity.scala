@@ -34,16 +34,21 @@ object Similarity {
     * audit (the cache holds only 5·Q rows).
     */
   private[graft] def annTopkFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"anntopk:$dir") {
-      val v = Dedup.normedFor(spark, dir)
-      val q = v.where(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-      val pairs = broadcast(q).join(v, col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      pairs.withColumn("rk", row_number().over(w)).where(col("rk") <= K)
-    }
+    graft.sources.Materialized.of(spark, s"anntopk:$dir")(annTopkBuild(spark, dir))
+
+  /** Un-memoized exact top-5 builder — the operator structure the plan
+    * audit inspects (the memoized relation is a parquet scan by design).
+    */
+  private[graft] def annTopkBuild(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    val q = v.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val pairs = broadcast(q).join(v, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rk", row_number().over(w)).where(col("rk") <= K)
+  }
 
   /** Exact brute-force top-5 cosine neighbors per sampled query vector. */
   def annTopk(spark: SparkSession, dir: String): DataFrame =
@@ -132,6 +137,17 @@ object Similarity {
       ivfAssign(v, centroidsFor(v))
     }
 
+  /** Memoized IVF assignment over the k-means-refined centroid table — the
+    * `kmasg` twin of [[ivfAssignFor]], shared by `ann_ivf_kmeans` (the
+    * round-5 gap: the k-means index was rebuilt per consumer query while
+    * the hash-min assignment rode the session memo).
+    */
+  private[graft] def kmAssignFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"kmasg:$dir") {
+      val v = Dedup.normedFor(spark, dir)
+      ivfAssign(v, Clustering.kmeansCentroidsFor(spark, dir))
+    }
+
   /** IVF-bucketed ANN: nprobe=2 over deterministic coarse centroids. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
@@ -170,7 +186,7 @@ object Similarity {
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
     val cents = Clustering.kmeansCentroidsFor(spark, dir)
-    val assign = ivfAssign(v, cents)
+    val assign = kmAssignFor(spark, dir)
 
     val q = v.where(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
@@ -212,35 +228,65 @@ object Similarity {
     * in cluster memory); the codebook and per-query ADC tables are
     * constant-size broadcasts; scoring is one map-side join + one
     * map-side-combined integer aggregation, no shuffle of the vectors
-    * themselves. Production composes this with the IVF probe filter so
-    * each query scores one bucket, not the corpus.
+    * themselves. This full-scan form is the recall baseline; the serving
+    * shape is [[pqIvfSearch]], which composes the same codes with the IVF
+    * probe filter so each query scores its probed buckets, not the corpus.
     */
   def pqSearch(spark: SparkSession, dir: String): DataFrame =
     pqTopFor(spark, dir).orderBy("q_id", "rk")
 
-  /** Memoized PQ top-5 relation (5·Q rows) — encode + ADC scoring runs once
-    * per session, shared by `q_pq_search` and the recall audit.
+  /** Memoized PQ top-5 relation (5·Q rows) — ADC scoring over the FULL
+    * codes relation runs once per session, shared by `q_pq_search` and the
+    * recall audit. The correctness baseline for the composed
+    * [[pqIvfTopFor]]; O(Q·N) by construction.
     */
   private[graft] def pqTopFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"pqtop:$dir")(pqTop(spark, dir))
+    graft.sources.Materialized.of(spark, s"pqtop:$dir") {
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_q"), col("n_id"))
+      pqCodesFor(spark, dir)
+        .join(broadcast(pqDtabFor(spark, dir)), Seq("m", "code"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id").as("n_id"))
+        .agg(sum(col("dq")).as("adc_q"))
+        .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
+    }
 
-  private def pqTop(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorOps.l2sq
-    val v = Dedup.normedFor(spark, dir)
+  /** Long-format subvectors: (id, m, 8-dim slice), m = 0..7. */
+  private def pqSubs(df: DataFrame, id: String, arr: String, out: String) =
+    df.select(col(id), explode(array((0 to 7).map(m =>
+        struct(lit(m).as("m"), slice(col(arr), m * 8 + 1, 8).as(out))): _*)).as("s"))
+      .select(col(id), col("s.m").as("m"), col(s"s.$out").as(out))
+
+  /** Per-subspace codebook rows (code, m, cw): the subvectors of the 16
+    * hash-min sample vectors — fixed size, deterministic, oracle-replayable.
+    */
+  private[graft] def pqCodebookSub(v: DataFrame): DataFrame = {
     val cb = v.select(col("vec_id").as("code"), col("e").as("cbe"),
         Tables.portableHash(col("vec_id").cast("string")).as("hk"))
       .orderBy(col("hk"), col("code")).limit(16).select("code", "cbe")
-    // long-format subvectors: (id, m, 8-dim slice), m = 0..7
-    def subs(df: DataFrame, id: String, arr: String, out: String) =
-      df.select(col(id), explode(array((0 to 7).map(m =>
-          struct(lit(m).as("m"), slice(col(arr), m * 8 + 1, 8).as(out))): _*)).as("s"))
-        .select(col(id), col("s.m").as("m"), col(s"s.$out").as(out))
-    val cbSub = subs(cb, "code", "cbe", "cw")
-    val vSub = subs(v.select("vec_id", "e"), "vec_id", "e", "sv")
-    // encode: nearest codeword per (vector, subspace), ties -> min code —
-    // map-only: the 128-entry codebook collapses to one broadcast row and
-    // the argmin is a per-row fold (same shape as Similarity.multiProbe;
-    // no N×8×16 shuffle through a window)
+    pqSubs(cb, "code", "cbe", "cw")
+  }
+
+  /** Memoized PQ codes relation (vec_id, m, code) — THE index: 8 one-byte
+    * codes per vector, the 64× compression that lets a 100 TB corpus's
+    * index fit in cluster memory. Shared by the full-scan and IVF-composed
+    * searches.
+    */
+  private[graft] def pqCodesFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"pqcodes:$dir")(
+      pqCodesBuild(spark, dir))
+
+  /** Un-memoized encode builder (plan-audit surface): nearest codeword per
+    * (vector, subspace), ties → min code — map-only: the 128-entry codebook
+    * collapses to one broadcast row and the argmin is a per-row fold (same
+    * shape as [[multiProbe]]; no N×8×16 shuffle through a window), using
+    * the codegen'd [[graft.functions.L2Squared]].
+    */
+  private[graft] def pqCodesBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.l2sq
+    val v = Dedup.normedFor(spark, dir)
+    val cbSub = pqCodebookSub(v)
+    val vSub = pqSubs(v.select("vec_id", "e"), "vec_id", "e", "sv")
     val cbArr = cbSub.agg(
       array_sort(collect_list(struct(col("m"), col("code"), col("cw"))))
         .as("cbs"))
@@ -248,43 +294,89 @@ object Similarity {
       filter(col("cbs"), c => c.getField("m") === col("m")),
       c => struct(l2sq(col("sv"), c.getField("cw")).as("d"),
         c.getField("code").as("code")))), 1, 1)
-    val codes = vSub.crossJoin(broadcast(cbArr))
+    vSub.crossJoin(broadcast(cbArr))
       .select(col("vec_id"), col("m"),
         element_at(best, 1).getField("code").as("code"))
-    // per-query ADC tables in integer micro-units
-    val q = v.where(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val qSub = subs(q, "q_id", "qe", "qs")
-    val dtab = qSub.join(broadcast(cbSub), "m")
-      .select(col("q_id"), col("m"), col("code"),
-        round(l2sq(col("qs"), col("cw")) * 1000000.0).cast("long").as("dq"))
-    // score: sum of the 8 table lookups, top-5 ascending per query
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_q"), col("n_id"))
-    codes.join(broadcast(dtab), Seq("m", "code"))
+  }
+
+  /** Memoized per-query ADC tables (q_id, m, code, dq) in integer
+    * micro-units — Q×8×16 rows, a constant-size broadcast per query batch.
+    * Integer units make the 8-way sum order-independent (bit-identical in
+    * any engine, any shuffle order — a double sum would depend on
+    * aggregation order).
+    */
+  private[graft] def pqDtabFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"pqdtab:$dir") {
+      import graft.functions.VectorOps.l2sq
+      val v = Dedup.normedFor(spark, dir)
+      val q = v.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      pqSubs(q, "q_id", "qe", "qs").join(broadcast(pqCodebookSub(v)), "m")
+        .select(col("q_id"), col("m"), col("code"),
+          round(l2sq(col("qs"), col("cw")) * 1000000.0).cast("long").as("dq"))
+    }
+
+  /** PQ∘IVF composed search — the production serving shape at 100 TB: each
+    * query ADC-scores ONLY the codes of vectors assigned to its `nprobe`
+    * probed coarse buckets, dropping the scan from O(Q·N) to
+    * O(Q·N·nprobe/C). The probe list comes from the same map-only
+    * [[multiProbe]] the IVF search uses and the bucket restriction is an
+    * equi-join on cent_id, so the full-corpus codes relation is touched
+    * once, shuffled on its (small) join keys, never broadcast or
+    * re-scored per query.
+    */
+  def pqIvfSearch(spark: SparkSession, dir: String): DataFrame =
+    pqIvfTopFor(spark, dir).orderBy("q_id", "rk")
+
+  /** Memoized PQ∘IVF top-5 relation (≤ 5·Q rows). */
+  private[graft] def pqIvfTopFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"pqivftop:$dir")(
+      pqIvfTopBuild(spark, dir))
+
+  /** Un-memoized PQ∘IVF builder (plan-audit surface): probes ⋈ assignment
+    * on cent_id → candidate (q_id, vec_id) pairs; candidates ⋈ codes on
+    * vec_id; broadcast ADC-table join on (q_id, m, code); map-side-combined
+    * integer aggregation; per-query top-5 (adc_q ASC, n_id).
+    */
+  private[graft] def pqIvfTopBuild(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    val assign = ivfAssignFor(spark, dir)
+    val probes = multiProbe(v.where(col("vec_id") % 20 === 0),
+        centroidsFor(v), nprobe = 2)
+      .withColumnRenamed("vec_id", "q_id")
+    val cand = probes.join(assign, "cent_id")
       .where(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_q"), col("n_id"))
+    cand.join(pqCodesFor(spark, dir), "vec_id")
+      .join(broadcast(pqDtabFor(spark, dir)), Seq("q_id", "m", "code"))
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
       .agg(sum(col("dq")).as("adc_q"))
       .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
   }
 
-  /** Recall@5 audit of the PQ/ADC search against the exact brute-force
-    * top-5 ([[annTopk]]) on the same query sample — the compression-loss
-    * number that decides whether 64× smaller vectors still retrieve what
-    * the exact index would (the `q_ann_recall` pattern applied to the PQ
-    * family). One row: query count, overlapping top-5 hits, permille
-    * recall. The comparison is a semi-join of two top-5 relations (≤ 5·Q
-    * rows each), so the audit costs nothing beyond the two searches it
-    * grades; at 100 TB it runs on a query sample exactly like this one.
+  /** Recall@5 audit of BOTH PQ searches — the full-corpus ADC scan and the
+    * PQ∘IVF composition — against the exact brute-force top-5 ([[annTopk]])
+    * on the same query sample: the compression-loss AND probe-loss numbers
+    * side by side (the `q_ann_recall` pattern applied to the PQ family).
+    * One row: query count, per-variant top-5 hits, permille recalls. The
+    * comparison is semi-joins of top-5 relations (≤ 5·Q rows each), so the
+    * audit costs nothing beyond the searches it grades; at 100 TB it runs
+    * on a query sample exactly like this one.
     */
   def pqRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = annTopkFor(spark, dir).select(col("q_id"), col("n_id"))
     val pq = pqTopFor(spark, dir).select(col("q_id"), col("n_id"))
+    val pqi = pqIvfTopFor(spark, dir).select(col("q_id"), col("n_id"))
     val nQ = exact.select("q_id").distinct().agg(count(lit(1)).as("n_queries"))
     val nHit = exact.join(pq, Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
-    nQ.crossJoin(nHit)
-      .select(col("n_queries"), col("n_hits"),
-        expr("n_hits * 1000 div (n_queries * 5)").as("recall_permille"))
+    val nHitIvf = exact.join(pqi, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits_ivf"))
+    nQ.crossJoin(nHit).crossJoin(nHitIvf)
+      .select(col("n_queries"), col("n_hits"), col("n_hits_ivf"),
+        expr("n_hits * 1000 div (n_queries * 5)").as("recall_permille"),
+        expr("n_hits_ivf * 1000 div (n_queries * 5)").as("recall_ivf_permille"))
   }
 
   /** Cluster-vs-label agreement: per IVF bucket, the majority embedding

@@ -131,6 +131,73 @@ object StreamingOps {
           }).getField("cent_id").as("cent_id"))
   }
 
+  /** Streaming PQ∘IVF top-k serving — the continuous form of the batch
+    * `q_pq_ivf_search`: each arriving query vector probes its `nprobe`
+    * nearest coarse centroids, ADC-scores ONLY the PQ codes of vectors
+    * assigned to those buckets, and emits its top-`k` neighbors.
+    *
+    * All index relations are STATIC (re-read per micro-batch like
+    * [[enrichStream]]'s dimension): the centroid table and per-subspace
+    * codebook collapse to one broadcast row each; the per-bucket member
+    * codes join the probe stream on cent_id. Per query row the work is
+    * nprobe·(N/C) candidate folds — the same O-shape as the batch
+    * composition, with no shuffle of the stream beyond the final
+    * per-query top-k aggregation (state: one top-k accumulator per
+    * in-flight query key).
+    *
+    * The ADC table (128 integer micro-unit entries) is computed INSIDE the
+    * query row from the broadcast codebook — bit-identical to the batch
+    * `pqDtabFor` table (same slices, same codegen'd L2², same rounding), so
+    * the scores and therefore the top-k agree exactly with the batch
+    * search restricted to the same buckets (StreamingOpsSpec pins ≡).
+    *
+    * Input columns: (vec_id, e: array<double>). Statics: cents
+    * (cent_id, ce, cn), assign (vec_id, cent_id), codes (vec_id, m, code),
+    * codebook (code, m, cw). Output: (q_id, topk: array<struct<adc_q,
+    * n_id>>) — run in update/complete mode.
+    */
+  def pqServeStream(stream: DataFrame, cents: DataFrame, assign: DataFrame,
+      codes: DataFrame, codebook: DataFrame, nprobe: Int = 2, k: Int = 5): DataFrame = {
+    import graft.functions.VectorOps
+    val centArr = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("ce"), col("cn"))))
+        .as("cents"))
+    val cbArr = codebook.agg(
+      array_sort(collect_list(struct(col("m"), col("code"), col("cw"))))
+        .as("cbs"))
+    // per-row probe list (cos DESC, cent_id ASC — the batch multiProbe order)
+    val probe = slice(array_sort(transform(col("cents"), c =>
+      struct((-(VectorOps.dot(col("e"), c.getField("ce")) /
+        (col("nrm") * c.getField("cn")))).as("negcos"),
+        c.getField("cent_id").as("cent_id")))), 1, nprobe)
+    // per-row ADC table: dq = round(1e6·L2²(query subvector, codeword))
+    val dtab = transform(col("cbs"), c =>
+      struct(c.getField("m").as("m"), c.getField("code").as("code"),
+        round(VectorOps.l2sq(
+          slice(col("e"), c.getField("m") * 8 + 1, lit(8)), c.getField("cw"))
+          * 1000000.0).cast("long").as("dq")))
+    val probed = stream
+      .withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
+      .crossJoin(broadcast(centArr)).crossJoin(broadcast(cbArr))
+      .select(col("vec_id").as("q_id"), dtab.as("dtab"), explode(probe).as("p"))
+      .select(col("q_id"), col("dtab"), col("p.cent_id").as("cent_id"))
+    // static per-bucket member codes, one row per (bucket, vector)
+    val memberCodes = assign.join(codes, "vec_id")
+      .groupBy(col("cent_id"), col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("vcodes"))
+    val scored = probed.join(broadcast(memberCodes), "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        aggregate(col("vcodes"), lit(0L), (acc, c) =>
+          acc + element_at(filter(col("dtab"), d =>
+            d.getField("m") === c.getField("m") &&
+              d.getField("code") === c.getField("code")), 1)
+            .getField("dq")).as("adc_q"))
+    scored.groupBy(col("q_id"))
+      .agg(slice(array_sort(collect_list(struct(col("adc_q"), col("n_id")))),
+        1, k).as("topk"))
+  }
+
   /** Streaming truncation dedup — the continuous companion of the batch
     * `q_prefix_dups` report: arriving documents are keyed by the 60-bit
     * hash of their first [[graft.operators.Corpus.PrefixKeyLen]] chars and

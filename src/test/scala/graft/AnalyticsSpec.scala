@@ -61,21 +61,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("lsh cosine: verified candidates are a subset of exact pairs >= 0.6") {
+  test("lsh cosine: verified candidates are a non-empty subset of exact pairs >= 0.45") {
     val exact = operators.Dedup.normedFor(spark, sf0001)
       .as("a").join(operators.Dedup.normedFor(spark, sf0001).as("b"),
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id"), col("b.vec_id"),
         (graft.functions.VectorOps.dot(col("a.e"), col("b.e")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .where(col("cos") >= 0.6)
+      .where(col("cos") >= 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = Analytics.lshCosine(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSet.subsetOf(exact), "LSH produced a false positive")
     assert(got.length == got.toSet.size, "duplicate pairs")
-    // deterministic corpus → pin observed recall so regressions surface
-    assert(exact.isEmpty || got.length * 2 >= exact.size,
+    // deterministic corpus → the contract must bite (non-empty) and pin
+    // the observed 4-bit-band recall (3 of 7 exact pairs at sf0.001) so
+    // collapses surface; 4-band/4-bit SRP at cos 0.45 is a ~0.5-recall
+    // design point by construction, so the pin is recall ≥ 1/3
+    assert(got.nonEmpty, "LSH contract is vacuous (0 rows) at sf0.001")
+    assert(got.length * 3 >= exact.size,
       s"recall collapsed: ${got.length}/${exact.size}")
   }
 

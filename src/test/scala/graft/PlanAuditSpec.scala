@@ -56,14 +56,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "dedup must never be all-pairs")
   }
 
-  test("ann_topk broadcasts the query sample, scans vectors once") {
-    val p = plan(Similarity.annTopk(spark, sf001))
+  // The memoized relations (annTopkFor, ivfHashminPairsFor, …) are parquet
+  // scans by design — plan audits inspect the un-memoized BUILDERS, which
+  // carry the operator structure that runs at build time.
+  test("ann_topk build broadcasts the query sample, scans vectors once") {
+    val p = plan(Similarity.annTopkBuild(spark, sf001))
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("graft_dot"), "codegen dot product must be in the plan")
   }
 
-  test("ivf dedup_embedding plan: no cartesian, candidates join on centroid keys") {
-    val p = plan(Dedup.dedupEmbedding(spark, sf001))
+  test("ivf dedup_embedding build plan: no cartesian, candidates join on centroid keys") {
+    val v = Dedup.normedFor(spark, sf001)
+    val p = plan(Dedup.ivfPairs(v, Similarity.centroidsFor(v), nprobe = 8))
     assert(!p.contains("CartesianProduct"),
       s"embedding dedup degenerated to all-pairs:\n$p")
     // the only nested-loop allowed is the centroid broadcast (a crossJoin
@@ -78,6 +82,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"label cosine degenerated to all-pairs:\n$p")
     assert(p.contains("graft_dot"))
+  }
+
+  test("pq-ivf build: bucket-restricted ADC, broadcast dtab, no cartesian") {
+    val p = plan(Similarity.pqIvfTopBuild(spark, sf001))
+    assert(!p.contains("CartesianProduct"), s"pq-ivf degenerated to all-pairs:\n$p")
+    // the candidate restriction and the ADC-table lookup are equi-joins
+    // (cent_id; q_id/m/code) — the ADC table rides a broadcast
+    assert(p.contains("BroadcastHashJoin"), s"dtab should broadcast-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "candidate join must be an equi-join")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "ADC sums need map-side combine")
+  }
+
+  test("pq encode build: codegen'd l2sq argmin, map-only against broadcast codebook") {
+    val p = plan(Similarity.pqCodesBuild(spark, sf001))
+    assert(p.contains("graft_l2sq"), "codegen L2² must be in the encode plan")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only join is the 1-row codebook-array broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"encode must not shuffle vectors:\n$p")
   }
 
   test("vector quantization broadcasts the per-dim scales") {

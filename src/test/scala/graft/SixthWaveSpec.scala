@@ -120,15 +120,47 @@ class SixthWaveSpec extends SparkSpec {
     assert(got.toSeq == model)
   }
 
-  test("pq recall is internally consistent and nontrivial") {
+  test("pq recall (full + ivf-composed) is internally consistent and nontrivial") {
     val r = Similarity.pqRecall(spark, sf001).collect().head
-    val (nq, nh, rec) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (nq, nh, nhi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (rec, reci) = (r.getLong(3), r.getLong(4))
     assert(nq > 0 && nh >= 0 && nh <= nq * 5)
+    assert(nhi >= 0 && nhi <= nq * 5)
     assert(rec == nh * 1000 / (nq * 5))
+    assert(reci == nhi * 1000 / (nq * 5))
     // 64×-compressed codes must retrieve far more than chance: random
     // guessing scores ~5/(N−1) ≈ 10 permille; observed 160 at sf0.01 on
     // near-random vectors (the adversarial case — real corpora cluster,
     // and production raises the 16-entry codebook to 256/subspace)
     assert(rec >= 100, s"recall_permille $rec")
+    // the IVF-composed search scores ~nprobe/C of the corpus; on
+    // near-random vectors the probe restriction costs recall but must
+    // stay far above chance too
+    assert(reci >= 50, s"recall_ivf_permille $reci")
+  }
+
+  test("pq-ivf search: results live in the query's probed buckets, ranks contiguous") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.pqIvfSearch(spark, sf001)
+    // every returned neighbor is assigned to one of the query's nprobe=2
+    // probed centroids — the defining property of the composition
+    val v = operators.Dedup.normedFor(spark, sf001)
+    val probes = Similarity.multiProbe(
+        v.where(col("vec_id") % 20 === 0), Similarity.centroidsFor(v), nprobe = 2)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    val asg = Similarity.ivfAssignFor(spark, sf001)
+      .select(col("vec_id").as("n_id"), col("cent_id"))
+    val inProbed = got.join(asg, "n_id")
+      .join(probes, Seq("q_id", "cent_id"), "left_semi")
+    assert(inProbed.count() == got.count(), "neighbor outside probed buckets")
+    // per-query: ranks are 1..k contiguous, ADC nondecreasing
+    val rows = got.orderBy("q_id", "rk").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length))
+      assert(sorted.map(_.getLong(2)).toSeq == sorted.map(_.getLong(2)).sorted.toSeq)
+      assert(sorted.length <= 5)
+    }
+    assert(rows.nonEmpty)
   }
 }

@@ -87,6 +87,49 @@ class StreamingOpsSpec extends SparkSpec {
     })
   }
 
+  test("streaming PQ∘IVF serving == batch pq-ivf top-5 on the query sample") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val v = graft.operators.Dedup.normedFor(sp, sf0001)
+    val cents = graft.operators.Similarity.centroidsFor(v)
+    val assign = graft.operators.Similarity.ivfAssignFor(sp, sf0001)
+    val codes = graft.operators.Similarity.pqCodesFor(sp, sf0001)
+    val codebook = graft.operators.Similarity.pqCodebookSub(v)
+    // batch truth: the composed PQ∘IVF top-5 relation
+    val batch = graft.operators.Similarity.pqIvfTopFor(sp, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(2), r.getLong(1)))
+      .toMap
+    // stream the SAME query sample (vec_id % 20 == 0) through the server
+    val rows = v.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("e")).as[(Long, Seq[Double])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Double])]
+    val out = graft.streaming.StreamingOps.pqServeStream(
+      in.toDF().toDF("vec_id", "e"), cents, assign, codes, codebook)
+    val q = out.writeStream.format("memory").queryName("pq_serve_out")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches to prove per-batch re-broadcast of the statics
+      val (first, second) = rows.splitAt(rows.size / 2)
+      in.addData(first)
+      q.processAllAvailable()
+      in.addData(second)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("pq_serve_out").select(col("q_id"),
+        posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).as("rk"),
+        col("t.adc_q"), col("t.n_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == batch, {
+      val diff = batch.keys.filter(k => got.get(k) != batch.get(k)).take(5)
+      s"first diverging (q_id, rk): ${diff.map(k => (k, got.get(k), batch.get(k)))}"
+    })
+  }
+
   test("streaming tumbling counts equal the batch shape after watermark passes") {
     val sp = spark
     import sp.implicits._
