@@ -37,6 +37,7 @@ object Bench {
     // to land on whichever family member ran first). These are real work and
     // stay inside the reported total — the attribution is just explicit now.
     val builds: Seq[(String, () => Unit)] = Seq(
+      "_build_msgs" -> (() => { sources.Tables.msgs(spark, sfDir).count(); () }),
       "_build_links" -> (() => { operators.ChainLink.linksFor(spark, sfDir).count(); () }),
       "_build_linked" -> (() => { operators.ChainLink.linkedFor(spark, sfDir).count(); () }),
       "_build_shingle_index" -> (() => { operators.Dedup.shinglesHashedFor(spark, sfDir).count(); () }),
@@ -56,7 +57,12 @@ object Bench {
       "_build_pq_dtab" -> (() => { operators.Similarity.pqDtabFor(spark, sfDir).count(); () }),
       "_build_pq_top" -> (() => { operators.Similarity.pqTopFor(spark, sfDir).count(); () }),
       "_build_pq_ivf_top" -> (() => { operators.Similarity.pqIvfTopFor(spark, sfDir).count(); () }),
+      "_build_pq_cb_train" -> (() => { operators.Similarity.pqTrainedCodebookFor(spark, sfDir).count(); () }),
+      "_build_pq_trained_top" -> (() => { operators.Similarity.pqTrainedTopFor(spark, sfDir).count(); () }),
       "_build_strict_links" -> (() => { operators.ChainLink.strictLinksFor(spark, sfDir).count(); () }),
+      "_build_shingle_sizes" -> (() => { operators.Dedup.sizesFor(spark, sfDir).count(); () }),
+      "_build_shingle_all" -> (() => { operators.Corpus.allShingleHashesFor(spark, sfDir).count(); () }),
+      "_build_co_edges" -> (() => { operators.Graph.coEdges(spark, sfDir).count(); () }),
     )
     val buildResults =
       if (only.isDefined) Seq.empty
@@ -66,9 +72,17 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // Steady-state timing: one untimed warm execution per query before the
+    // timed repeats. First executions pay one-off whole-stage-codegen JIT
+    // (the 16×64-literal LSH signature fold compiles a very large method);
+    // median-of-3 already reports a clean middle, but the spread metric
+    // would otherwise be dominated by that one-time compile instead of real
+    // run-to-run variance. Disable with SPARK_GRAFT_BENCH_WARM=0.
+    val warm = sys.env.get("SPARK_GRAFT_BENCH_WARM").forall(_ != "0")
     val queryTimes = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        if (warm) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
         name -> (1 to repeat).map(_ => time { fn(spark, sfDir).count(); () })
       }
     val queryResults = queryTimes.map { case (n, ts) => n -> median(ts) }

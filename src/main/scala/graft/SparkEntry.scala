@@ -203,6 +203,7 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "q_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     "q_pq_ivf_search" -> ((s, d) => Similarity.pqIvfSearch(s, d)),
+    "q_pq_recall_trained" -> ((s, d) => Similarity.pqRecallTrained(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -409,6 +410,46 @@ object SparkEntry {
        |         JOIN codes c ON x.vec_id = c.vec_id
        |         JOIN dtab d ON d.q_id = x.q_id AND d.m = c.m AND d.code = c.code
        |         GROUP BY 1, 2)""".stripMargin
+
+  /** Per-subspace Lloyd training CTE chain (needs vecCte + pqCtes): 2
+    * k-means iterations over each subspace's subvectors from the hash-min
+    * seed codebook `cbs`, exact integer micro-unit means (the
+    * [[kmeansCtes]] arithmetic applied per (m, code)). Ends in
+    * `tcbs(code, m, cw)` plus the trained-codebook encode/ADC chain
+    * `tadc(q_id, n_id, adc_q)`.
+    */
+  private lazy val pqTrainCtes: String = {
+    def assign(cbs: String, out: String) =
+      s"""$out AS (SELECT m, code, sv FROM (
+         |       SELECT vs.vec_id, vs.m, c.code, vs.sv,
+         |              row_number() OVER (PARTITION BY vs.vec_id, vs.m
+         |                ORDER BY ${l2sqSql("vs.sv", "c.cw")}, c.code) AS rn
+         |       FROM vs JOIN $cbs c ON vs.m = c.m) WHERE rn = 1)""".stripMargin
+    def update(asg: String, out: String) =
+      s"""${out}q AS (SELECT m, code, di.i AS dim,
+         |            CAST(trunc(CAST(sum(CAST(round(sv[di.i] * 1000000.0) AS BIGINT))
+         |                             AS DOUBLE) / count(*)) AS BIGINT) AS cq
+         |     FROM $asg CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) di
+         |     GROUP BY 1, 2, 3),
+         |$out AS (SELECT code, m, list(cq / 1000000.0 ORDER BY dim) AS cw
+         |     FROM ${out}q GROUP BY 1, 2)""".stripMargin
+    s"""${assign("cbs", "ta1")},
+       |${update("ta1", "tcb1")},
+       |${assign("tcb1", "ta2")},
+       |${update("ta2", "tcbs")},
+       |tcodes AS (SELECT vec_id, m, code FROM (
+       |             SELECT vs.vec_id, vs.m, c.code,
+       |                    row_number() OVER (PARTITION BY vs.vec_id, vs.m
+       |                      ORDER BY ${l2sqSql("vs.sv", "c.cw")}, c.code) AS rn
+       |             FROM vs JOIN tcbs c ON vs.m = c.m) WHERE rn = 1),
+       |tdtab AS (SELECT q_id, qs.m, c.code,
+       |                 CAST(round(${l2sqSql("qs.qsub", "c.cw")} * 1000000.0)
+       |                      AS BIGINT) AS dq
+       |          FROM qs JOIN tcbs c ON qs.m = c.m),
+       |tadc AS (SELECT d.q_id, c.vec_id AS n_id, CAST(sum(d.dq) AS BIGINT) AS adc_q
+       |         FROM tcodes c JOIN tdtab d ON c.m = d.m AND c.code = d.code
+       |         WHERE c.vec_id <> d.q_id GROUP BY 1, 2)""".stripMargin
+  }
 
   private val revenueE4 =
     """CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -828,6 +869,41 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY q_id ORDER BY adc_q, n_id) AS rk
          |  FROM adci)
          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // Replays the per-subspace Lloyd codebook training and audits the
+    // trained vs seed codebook full-scan ADC recall against the exact top-5.
+    "q_pq_recall_trained" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |$pqTrainCtes,
+         |stop5 AS (SELECT q_id, n_id FROM (
+         |            SELECT q_id, n_id,
+         |                   row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY adc_q, n_id) AS rk
+         |            FROM adc) WHERE rk <= 5),
+         |ttop5 AS (SELECT q_id, n_id FROM (
+         |            SELECT q_id, n_id,
+         |                   row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY adc_q, n_id) AS rk
+         |            FROM tadc) WHERE rk <= 5),
+         |ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+         |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
+         |       WHERE q.vec_id % 20 = 0),
+         |ext AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY cos DESC, n_id) AS rk
+         |          FROM ep) WHERE rk <= 5),
+         |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
+         |             (SELECT count(*) FROM ext JOIN stop5 USING (q_id, n_id))
+         |               AS n_hits_seed,
+         |             (SELECT count(*) FROM ext JOIN ttop5 USING (q_id, n_id))
+         |               AS n_hits_trained)
+         |SELECT n_queries, n_hits_seed, n_hits_trained,
+         |       n_hits_seed * 1000 // (n_queries * 5) AS recall_seed_permille,
+         |       n_hits_trained * 1000 // (n_queries * 5) AS recall_trained_permille
+         |FROM n""".stripMargin,
 
     // ann_ivf with the k-means-refined centroid table: identical search
     // mechanics, centroids from the replayed 2-iteration Lloyd loop.

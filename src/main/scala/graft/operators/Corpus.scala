@@ -30,7 +30,7 @@ object Corpus {
     * boilerplate detection needs exactly the shingles the near-dup index
     * drops. Memoized per session; 8-byte key, one explode + one project.
     */
-  private[operators] def allShingleHashesFor(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def allShingleHashesFor(spark: SparkSession, dir: String): DataFrame =
     Materialized.of(spark, s"shhall:$dir")(
       Dedup.shinglesFor(spark, dir)
         .select(col("doc_id"), Tables.portableHash(col("shingle")).as("h")))

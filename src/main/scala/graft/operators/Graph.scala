@@ -70,7 +70,7 @@ object Graph {
     * (3.6k at sf0.1) — without it, any downstream graph algorithm is
     * O(noise), with it the graph fits wherever it lands.
     */
-  private[operators] def coEdges(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def coEdges(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"co_edges:$dir") {
       // one shuffle: collect_set dedupes parts per order; pairs are
       // generated map-side from the sorted per-order array (u < v by

@@ -316,6 +316,108 @@ object Similarity {
           round(l2sq(col("qs"), col("cw")) * 1000000.0).cast("long").as("dq"))
     }
 
+  /** K-means-TRAINED PQ codebook: `iters` Lloyd iterations in EACH of the
+    * 8 subspaces, seeded by the hash-min sample codewords ([[pqCodebookSub]])
+    * — the production codebook build the sampled codebook approximates
+    * (mirrors [[Clustering.kmeansCentroids]] for the coarse quantizer).
+    *
+    * Assignment is the same map-only argmin the encoder uses (broadcast
+    * codebook row, per-row fold, ties → min code); the update is an exact
+    * integer micro-unit mean per (subspace, code, dim) — `sum div count`
+    * over `round(x·1e6)` — so every iteration is bit-identical in DuckDB
+    * and the oracle replays the whole loop. Codewords that lose all
+    * members drop out deterministically in both engines. Cost per
+    * iteration: one N·8-row map + one map-side-combined shuffle of
+    * (m, code, dim) keyed rows — O(N·d); the codebook stays 8×16 at any
+    * corpus size.
+    */
+  private[graft] def pqTrainedCodebookFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"pqcbtrain:$dir") {
+      import graft.functions.VectorOps.l2sq
+      val v = Dedup.normedFor(spark, dir)
+      val vSub = pqSubs(v.select("vec_id", "e"), "vec_id", "e", "sv")
+      var cbSub = pqCodebookSub(v)
+      for (_ <- 1 to 2) {
+        val cbArr = cbSub.agg(
+          array_sort(collect_list(struct(col("m"), col("code"), col("cw"))))
+            .as("cbs"))
+        val best = slice(array_sort(transform(
+          filter(col("cbs"), c => c.getField("m") === col("m")),
+          c => struct(l2sq(col("sv"), c.getField("cw")).as("d"),
+            c.getField("code").as("code")))), 1, 1)
+        val assign = vSub.crossJoin(broadcast(cbArr))
+          .select(col("m"), element_at(best, 1).getField("code").as("code"),
+            col("sv"))
+        val upd = assign
+          .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+          .select(col("m"), col("code"), col("dim"),
+            round(col("x") * 1000000.0).cast("long").as("q"))
+          .groupBy("m", "code", "dim")
+          .agg(expr("sum(q) div count(1)").as("cq"))
+        cbSub = upd.groupBy("m", "code").agg(
+          transform(array_sort(collect_list(struct(col("dim"), col("cq")))),
+            s => s.getField("cq") / lit(1000000.0)).as("cw"))
+      }
+      cbSub.select("code", "m", "cw")
+    }
+
+  /** Recall@5 audit of the TRAINED-codebook full-scan ADC search vs the
+    * sampled-codebook one ([[pqTopFor]]) against the exact top-5 — the
+    * "does codebook training buy retrieval" number, the PQ analog of
+    * `q_ann_recall_kmeans`. One row: query count, per-codebook hits,
+    * permille recalls. The trained encode/ADC pipeline is rebuilt inline
+    * from the memoized codebook (same argmin, same integer ADC units).
+    */
+  def pqRecallTrained(spark: SparkSession, dir: String): DataFrame = {
+    val trainedTop = pqTrainedTopFor(spark, dir)
+    val exact = annTopkFor(spark, dir).select(col("q_id"), col("n_id"))
+    val seed = pqTopFor(spark, dir).select(col("q_id"), col("n_id"))
+    val nQ = exact.select("q_id").distinct().agg(count(lit(1)).as("n_queries"))
+    val nSeed = exact.join(seed, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits_seed"))
+    val nTrained = exact.join(trainedTop.select("q_id", "n_id"),
+        Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits_trained"))
+    nQ.crossJoin(nSeed).crossJoin(nTrained)
+      .select(col("n_queries"), col("n_hits_seed"), col("n_hits_trained"),
+        expr("n_hits_seed * 1000 div (n_queries * 5)").as("recall_seed_permille"),
+        expr("n_hits_trained * 1000 div (n_queries * 5)").as("recall_trained_permille"))
+  }
+
+  /** Memoized trained-codebook full-scan top-5 (5·Q rows): encode + ADC
+    * against [[pqTrainedCodebookFor]] — the same pipeline as [[pqTopFor]]
+    * with the trained codewords swapped in (the swappability IS the
+    * design property, like the IVF centroid tables).
+    */
+  private[graft] def pqTrainedTopFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"pqttop:$dir") {
+      import graft.functions.VectorOps.l2sq
+      val v = Dedup.normedFor(spark, dir)
+      val cbSub = pqTrainedCodebookFor(spark, dir)
+      val vSub = pqSubs(v.select("vec_id", "e"), "vec_id", "e", "sv")
+      val cbArr = cbSub.agg(
+        array_sort(collect_list(struct(col("m"), col("code"), col("cw"))))
+          .as("cbs"))
+      val best = slice(array_sort(transform(
+        filter(col("cbs"), c => c.getField("m") === col("m")),
+        c => struct(l2sq(col("sv"), c.getField("cw")).as("d"),
+          c.getField("code").as("code")))), 1, 1)
+      val codes = vSub.crossJoin(broadcast(cbArr))
+        .select(col("vec_id"), col("m"),
+          element_at(best, 1).getField("code").as("code"))
+      val q = v.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      val dtab = pqSubs(q, "q_id", "qe", "qs").join(broadcast(cbSub), "m")
+        .select(col("q_id"), col("m"), col("code"),
+          round(l2sq(col("qs"), col("cw")) * 1000000.0).cast("long").as("dq"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_q"), col("n_id"))
+      codes.join(broadcast(dtab), Seq("m", "code"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id").as("n_id"))
+        .agg(sum(col("dq")).as("adc_q"))
+        .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
+    }
+
   /** PQ∘IVF composed search — the production serving shape at 100 TB: each
     * query ADC-scores ONLY the codes of vectors assigned to its `nprobe`
     * probed coarse buckets, dropping the scan from O(Q·N) to

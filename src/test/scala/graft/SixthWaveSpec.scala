@@ -139,6 +139,27 @@ class SixthWaveSpec extends SparkSpec {
     assert(reci >= 50, s"recall_ivf_permille $reci")
   }
 
+  test("trained PQ codebook: 8x<=16 shape, internally consistent recall audit") {
+    val cb = Similarity.pqTrainedCodebookFor(spark, sf001).collect()
+    // 8 subspaces, at most 16 codewords each (empty cells may drop), every
+    // codeword an 8-dim vector
+    val byM = cb.groupBy(_.getInt(1))
+    assert(byM.keySet == (0 to 7).toSet)
+    byM.values.foreach { rows =>
+      assert(rows.length >= 2 && rows.length <= 16)
+      rows.foreach(r => assert(r.getSeq[Double](2).length == 8))
+    }
+    val r = Similarity.pqRecallTrained(spark, sf001).collect().head
+    val (nq, ns, nt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nq > 0 && ns >= 0 && ns <= nq * 5 && nt >= 0 && nt <= nq * 5)
+    assert(r.getLong(3) == ns * 1000 / (nq * 5))
+    assert(r.getLong(4) == nt * 1000 / (nq * 5))
+    // training must not collapse retrieval: trained recall stays above
+    // chance (~10 permille); on near-random vectors it need not beat the
+    // seed codebook, but both are reported side by side
+    assert(nt * 1000 / (nq * 5) >= 50, s"trained recall collapsed: $r")
+  }
+
   test("pq-ivf search: results live in the query's probed buckets, ranks contiguous") {
     import org.apache.spark.sql.functions._
     val got = Similarity.pqIvfSearch(spark, sf001)
