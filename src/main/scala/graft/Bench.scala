@@ -87,11 +87,15 @@ object Bench {
       }
     val queryResults = queryTimes.map { case (n, ts) => n -> median(ts) }
     val results = buildResults ++ queryResults
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the (long) line compact so a tail-
+    // truncated capture holds as many per-query medians as possible
+    def fmt(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v) // '.' decimal in any locale
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val spread =
       if (repeat == 1) ""
-      else queryTimes.map { case (k, ts) => s"\"" + k + "\":" + (ts.max - ts.min) }
+      else queryTimes.map { case (k, ts) => s"\"" + k + "\":" + fmt(ts.max - ts.min) }
         .mkString(""""spread":{""", ",", "},")
     val total = results.map(_._2).sum
     // One JSON line, ordered spread → medians → footer: tail-truncated
@@ -101,7 +105,7 @@ object Bench {
     // n_queries counts the query entries only; n_builds the _build_* lines
     // — together they reconcile exactly against the queries map and the
     // summed total.
-    println(s"""{$spread"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","repeat":$repeat,"n_queries":${queryResults.size},"n_builds":${buildResults.size},"value":$total}""")
+    println(s"""{$spread"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","repeat":$repeat,"n_queries":${queryResults.size},"n_builds":${buildResults.size},"value":${fmt(total)}}""")
     spark.stop()
   }
 }
