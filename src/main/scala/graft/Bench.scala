@@ -59,6 +59,7 @@ object Bench {
       "_build_pq_ivf_top" -> (() => { operators.Similarity.pqIvfTopFor(spark, sfDir).count(); () }),
       "_build_pq_cb_train" -> (() => { operators.Similarity.pqTrainedCodebookFor(spark, sfDir).count(); () }),
       "_build_pq_trained_top" -> (() => { operators.Similarity.pqTrainedTopFor(spark, sfDir).count(); () }),
+      "_build_pq_res_top" -> (() => { operators.Similarity.pqResidualTopFor(spark, sfDir).count(); () }),
       "_build_strict_links" -> (() => { operators.ChainLink.strictLinksFor(spark, sfDir).count(); () }),
       "_build_shingle_sizes" -> (() => { operators.Dedup.sizesFor(spark, sfDir).count(); () }),
       "_build_shingle_all" -> (() => { operators.Corpus.allShingleHashesFor(spark, sfDir).count(); () }),

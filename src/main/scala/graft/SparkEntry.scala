@@ -204,6 +204,8 @@ object SparkEntry {
     "q_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     "q_pq_ivf_search" -> ((s, d) => Similarity.pqIvfSearch(s, d)),
     "q_pq_recall_trained" -> ((s, d) => Similarity.pqRecallTrained(s, d)),
+    "q_pq_res_search" -> ((s, d) => Similarity.pqResSearch(s, d)),
+    "q_pq_res_recall" -> ((s, d) => Similarity.pqResRecall(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -449,6 +451,47 @@ object SparkEntry {
        |tadc AS (SELECT d.q_id, c.vec_id AS n_id, CAST(sum(d.dq) AS BIGINT) AS adc_q
        |         FROM tcodes c JOIN tdtab d ON c.m = d.m AND c.code = d.code
        |         WHERE c.vec_id <> d.q_id GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Residual-PQ (IVFADC) CTE chain (needs vecCte + pqCtes + pqIvfCtes):
+    * per-vector residuals to the assigned hash-min centroid, a residual
+    * codebook over the same sample ids, residual encode, per-(query,
+    * probed-centroid) ADC tables, bucket-restricted scoring. Ends in
+    * `radc(q_id, n_id, adc_q)`. Replays
+    * [[graft.operators.Similarity.pqResidualTopFor]] exactly.
+    */
+  private lazy val pqResCtes: String = {
+    def sub(a: String, b: String) =
+      s"list_transform(list_zip($a, $b), s -> s[1] - s[2])"
+    s"""resv AS (SELECT a.vec_id, a.cent_id, ${sub("v.e", "c.ce")} AS rv
+       |         FROM iasg a JOIN v ON a.vec_id = v.vec_id
+       |         JOIN icents c ON a.cent_id = c.cent_id),
+       |rcb AS (SELECT r.vec_id AS code, r.rv AS cbe
+       |        FROM resv r JOIN cb ON r.vec_id = cb.code),
+       |rcbs AS (SELECT code, m, cbe[m * 8 + 1 : m * 8 + 8] AS cw
+       |         FROM rcb CROSS JOIN mi),
+       |rvs AS (SELECT vec_id, cent_id, m, rv[m * 8 + 1 : m * 8 + 8] AS sv
+       |        FROM resv CROSS JOIN mi),
+       |rcodes AS (SELECT vec_id, cent_id, m, code FROM (
+       |             SELECT rvs.vec_id, rvs.cent_id, rvs.m, rcbs.code,
+       |                    row_number() OVER (PARTITION BY rvs.vec_id, rvs.m
+       |                      ORDER BY ${l2sqSql("rvs.sv", "rcbs.cw")}, rcbs.code) AS rn
+       |             FROM rvs JOIN rcbs ON rvs.m = rcbs.m) WHERE rn = 1),
+       |qres AS (SELECT p.q_id, p.cent_id, ${sub("v.e", "c.ce")} AS qr
+       |         FROM iprobes p JOIN v ON p.q_id = v.vec_id
+       |         JOIN icents c ON p.cent_id = c.cent_id),
+       |rqs AS (SELECT q_id, cent_id, m, qr[m * 8 + 1 : m * 8 + 8] AS qsub
+       |        FROM qres CROSS JOIN mi),
+       |rdtab AS (SELECT q_id, cent_id, rqs.m, rcbs.code,
+       |                 CAST(round(${l2sqSql("rqs.qsub", "rcbs.cw")} * 1000000.0)
+       |                      AS BIGINT) AS dq
+       |          FROM rqs JOIN rcbs ON rqs.m = rcbs.m),
+       |radc AS (SELECT x.q_id, c.vec_id AS n_id,
+       |                CAST(sum(d.dq) AS BIGINT) AS adc_q
+       |         FROM icand x JOIN rcodes c ON x.vec_id = c.vec_id
+       |         JOIN rdtab d ON d.q_id = x.q_id AND d.cent_id = c.cent_id
+       |                     AND d.m = c.m AND d.code = c.code
+       |         GROUP BY 1, 2)""".stripMargin
   }
 
   private val revenueE4 =
@@ -903,6 +946,56 @@ object SparkEntry {
          |SELECT n_queries, n_hits_seed, n_hits_trained,
          |       n_hits_seed * 1000 // (n_queries * 5) AS recall_seed_permille,
          |       n_hits_trained * 1000 // (n_queries * 5) AS recall_trained_permille
+         |FROM n""".stripMargin,
+
+    // Replays residual-PQ∘IVF (IVFADC): residual encode against the
+    // assigned centroid, per-(query, probed-centroid) ADC tables,
+    // bucket-restricted scoring.
+    "q_pq_res_search" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |$pqIvfCtes,
+         |$pqResCtes
+         |SELECT q_id, n_id, adc_q, rk FROM (
+         |  SELECT q_id, n_id, adc_q,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adc_q, n_id) AS rk
+         |  FROM radc)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // Residual vs plain PQ∘IVF recall against the exact top-5 (all three
+    // chains replayed).
+    "q_pq_res_recall" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |$pqIvfCtes,
+         |$pqResCtes,
+         |pqit AS (SELECT q_id, n_id FROM (
+         |           SELECT q_id, n_id,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                    ORDER BY adc_q, n_id) AS rk
+         |           FROM adci) WHERE rk <= 5),
+         |rest AS (SELECT q_id, n_id FROM (
+         |           SELECT q_id, n_id,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                    ORDER BY adc_q, n_id) AS rk
+         |           FROM radc) WHERE rk <= 5),
+         |ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+         |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
+         |       WHERE q.vec_id % 20 = 0),
+         |ext AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY cos DESC, n_id) AS rk
+         |          FROM ep) WHERE rk <= 5),
+         |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
+         |             (SELECT count(*) FROM ext JOIN pqit USING (q_id, n_id))
+         |               AS n_hits_ivf,
+         |             (SELECT count(*) FROM ext JOIN rest USING (q_id, n_id))
+         |               AS n_hits_res)
+         |SELECT n_queries, n_hits_ivf, n_hits_res,
+         |       n_hits_ivf * 1000 // (n_queries * 5) AS recall_ivf_permille,
+         |       n_hits_res * 1000 // (n_queries * 5) AS recall_res_permille
          |FROM n""".stripMargin,
 
     // ann_ivf with the k-means-refined centroid table: identical search
