@@ -27,9 +27,19 @@ object Bench {
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    def time(body: => Unit): Double = {
+    // Failures are NOT swallowed into near-zero timings: a throwing
+    // query/build records its error (surfaced on stderr immediately and in
+    // the JSON's "errors" map) so a regression can never masquerade as a
+    // fast result. The bench still completes — one broken query shouldn't
+    // cost the round the other 139 numbers.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def time(name: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
+      try body catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+        System.err.println(s"[bench] $name FAILED: $msg")
+        errors.getOrElseUpdate(name, msg)
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Session-memoized shared intermediates, timed as their own named lines
@@ -67,7 +77,7 @@ object Bench {
     )
     val buildResults =
       if (only.isDefined) Seq.empty
-      else builds.map { case (name, body) => name -> time(body()) }
+      else builds.map { case (name, body) => name -> time(name)(body()) }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -83,30 +93,40 @@ object Bench {
     val queryTimes = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        // warm failures surface through the timed repeats (same exception)
         if (warm) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
-        name -> (1 to repeat).map(_ => time { fn(spark, sfDir).count(); () })
+        name -> (1 to repeat).map(_ => time(name) { fn(spark, sfDir).count(); () })
       }
     val queryResults = queryTimes.map { case (n, ts) => n -> median(ts) }
-    val results = buildResults ++ queryResults
     // millisecond precision keeps the (long) line compact so a tail-
-    // truncated capture holds as many per-query medians as possible
+    // truncated capture holds as many per-query medians as possible; every
+    // printed number is rounded BEFORE totaling so the documented exact
+    // reconciliation (sum of printed entries == printed value) holds
+    def ms(v: Double): Double = math.rint(v * 1000.0) / 1000.0
     def fmt(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v) // '.' decimal in any locale
+    val results = (buildResults ++ queryResults).map { case (k, v) => k -> ms(v) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val spread =
       if (repeat == 1) ""
       else queryTimes.map { case (k, ts) => s"\"" + k + "\":" + fmt(ts.max - ts.min) }
         .mkString(""""spread":{""", ",", "},")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) =>
+        s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }.mkString(""""errors":{""", ",", "},")
     val total = results.map(_._2).sum
-    // One JSON line, ordered spread → medians → footer: tail-truncated
-    // captures keep the END of a long line, so the per-query medians and
-    // the headline total must come after the (equally long) spread map —
-    // round 5's artifact kept only the spread and lost every median.
-    // n_queries counts the query entries only; n_builds the _build_* lines
-    // — together they reconcile exactly against the queries map and the
-    // summed total.
-    println(s"""{$spread"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","repeat":$repeat,"n_queries":${queryResults.size},"n_builds":${buildResults.size},"value":${fmt(total)}}""")
+    // One JSON line, ordered errors → spread → medians → footer: tail-
+    // truncated captures keep the END of a long line, so the per-query
+    // medians and the headline total must come after the (equally long)
+    // spread map — round 5's artifact kept only the spread and lost every
+    // median. n_queries counts the query entries only; n_builds the
+    // _build_* lines; n_errors > 0 means the run is NOT healthy even
+    // though it completed.
+    println(s"""{$errJson$spread"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","repeat":$repeat,"n_queries":${queryResults.size},"n_builds":${buildResults.size},"n_errors":${errors.size},"value":${fmt(total)}}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

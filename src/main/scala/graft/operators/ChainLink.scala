@@ -290,19 +290,6 @@ object ChainLink {
       .orderBy("grand_id", "mid_id", "child_id")
   }
 
-  /** Ancestor-chain depth per message: longest path over the STRICT-
-    * containment link DAG. Equal-interval pairs link mutually (a 2-cycle in
-    * the full relation — the reference allows mutual parent/child), so depth
-    * restricts edges to strict containment, which is irreflexive and
-    * transitive ⇒ acyclic, making longest-path well-defined.
-    *
-    * Implementation is iterative relaxation (d(c) ← max over parents
-    * d(p)+1) to fixpoint — rounds = max chain depth (call trees are ~5 deep
-    * in the reference workload). Same Pregel shape as
-    * [[Curation.dedupClusters]]: one shuffle per round over only the nodes
-    * that appear in edges; every other message keeps depth 0. The oracle is
-    * a recursive-CTE longest path — an independent mechanism.
-    */
   /** Memoized strict-containment edge relation (equal-interval 2-cycles
     * removed) — the DAG every [[traceDepth]] round joins against. A session
     * memo, not a per-call `.cache()`: under the round-5 full-bench memory
@@ -323,6 +310,20 @@ object ChainLink {
         .select("parent_id", "child_id")
     }
 
+  /** Ancestor-chain depth per message: longest path over the STRICT-
+    * containment link DAG ([[strictLinksFor]]). Equal-interval pairs link
+    * mutually (a 2-cycle in the full relation — the reference allows mutual
+    * parent/child), so depth restricts edges to strict containment, which
+    * is irreflexive and transitive ⇒ acyclic, making longest-path
+    * well-defined.
+    *
+    * Implementation is iterative relaxation (d(c) ← max over parents
+    * d(p)+1) to fixpoint — rounds = max chain depth (call trees are ~5 deep
+    * in the reference workload). Same Pregel shape as
+    * [[Curation.dedupClusters]]: one shuffle per round over only the nodes
+    * that appear in edges; every other message keeps depth 0. The oracle is
+    * a recursive-CTE longest path — an independent mechanism.
+    */
   def traceDepth(spark: SparkSession, dir: String): DataFrame = {
     val strict = strictLinksFor(spark, dir)
     val (init, freeInit) = Iterative.round(

@@ -27,8 +27,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A parquet memo has neither failure mode: downstream plans see a plain
   * columnar scan (trivial to canonicalize, prunable, pushdown-friendly),
   * executor memory stays free for execution, and the OS page cache serves
-  * re-reads of the (small) memo files. It is also exactly the production
-  * shape — a persisted intermediate table, not a pinned RDD.
+  * re-reads of the (small) memo files.
+  *
+  * Memo location: `spark.graft.materialized.dir` when set — REQUIRED on a
+  * multi-host cluster, pointing at a shared filesystem (HDFS/object store)
+  * all executors can commit to, exactly like any other Spark output path —
+  * otherwise a driver-local temp directory, which is correct only for
+  * `local[*]` masters (this repo's test/bench mode). Local temp dirs are
+  * swept when their session stops and on JVM exit; a configured shared dir
+  * is left in place (it is a real table location, and remote cleanup isn't
+  * java.nio's job).
   *
   * Keyed by (session identity, logical key). The build is EAGER at first
   * request (the write is the materialization) — every consumer, including
@@ -38,10 +46,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Materialized {
 
   /** Per-session memo maps keyed by the session object, plus each session's
-    * temp directory root. Stopped sessions are swept on each lookup —
-    * `sparkContext.isStopped` is the session's end-of-life signal — and
-    * their memo directories deleted; a JVM shutdown hook removes whatever
-    * remains (e.g. the directory of a still-running session at exit).
+    * temp directory root (local default only). Stopped sessions are swept on
+    * each lookup — `sparkContext.isStopped` is the session's end-of-life
+    * signal — and their local memo directories deleted; a JVM shutdown hook
+    * removes whatever remains (e.g. the directory of a still-running
+    * session at exit).
     */
   private val sessions =
     new java.util.IdentityHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]()
@@ -57,11 +66,37 @@ object Materialized {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder()).iterator()
-      while (it.hasNext) { try Files.delete(it.next()) catch { case _: Exception => () } }
+      val walk = Files.walk(p)
+      try {
+        val it = walk.sorted(java.util.Comparator.reverseOrder()).iterator()
+        while (it.hasNext) {
+          try Files.delete(it.next()) catch { case _: Exception => () }
+        }
+      } finally walk.close()
     }
 
-  private def forSession(spark: SparkSession): (ConcurrentHashMap[String, DataFrame], Path) =
+  /** The memo root for a session: the configured shared dir (cluster mode)
+    * or a fresh driver-local temp dir (local mode). Returned as a string
+    * path suitable for `df.write.parquet`; the Path is tracked only for
+    * local dirs we own and sweep.
+    */
+  private def rootFor(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.materialized.dir") match {
+      case Some(shared) =>
+        s"$shared/graft-mat-${spark.sparkContext.applicationId}"
+      case None =>
+        sessions.synchronized {
+          var base = baseDirs.get(spark)
+          if (base == null) {
+            base = Files.createTempDirectory(
+              Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft-mat-")
+            baseDirs.put(spark, base)
+          }
+          base.toString
+        }
+    }
+
+  private def forSession(spark: SparkSession): ConcurrentHashMap[String, DataFrame] =
     sessions.synchronized {
       val it = sessions.keySet().iterator()
       val dead = new java.util.ArrayList[SparkSession]()
@@ -73,43 +108,49 @@ object Materialized {
       }
       var m = sessions.get(spark)
       if (m == null) { m = new ConcurrentHashMap[String, DataFrame](); sessions.put(spark, m) }
-      var base = baseDirs.get(spark)
-      if (base == null) {
-        base = Files.createTempDirectory(
-          Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft-mat-")
-        baseDirs.put(spark, base)
-      }
-      (m, base)
+      m
     }
 
   /** Keys carry paths/colons; the directory name keeps a readable slug plus
-    * a uniqueness counter (two concurrent builders of the same key write to
-    * distinct directories; putIfAbsent picks the winner, the loser's
-    * directory is deleted).
+    * a uniqueness counter.
     */
   private def slug(key: String): String =
     key.map(c => if (c.isLetterOrDigit || c == '-' || c == '.') c else '_').takeRight(48)
 
+  /** Per-(session, key) build guards: unlike the old lazy `.cache()` race
+    * (which only duplicated a plan object), an eager parquet memo race
+    * duplicates the whole build JOB — Verify runs 4 queries concurrently,
+    * so two absent-memo requests for the same heavy relation must coalesce
+    * onto one build. Locks are per key, builders nest strictly downward
+    * (pair relations build normed/centroid relations, never the reverse),
+    * so lock acquisition is acyclic and cannot deadlock.
+    */
+  private val buildLocks = new ConcurrentHashMap[String, Object]()
+
   /** Memoize `build` under `key` for this session, materialized to parquet.
     *
-    * The map is not guarded with computeIfAbsent: builders nest (the
-    * enriched relation memo builds the links memo inside its builder), and
-    * ConcurrentHashMap forbids recursive mutation during computeIfAbsent —
-    * it throws "Recursive update" whenever the nested key hashes into the
-    * same bin, which is run-dependent. get + putIfAbsent allows nesting;
-    * the benign race (two threads materialize the same relation, loser's
-    * directory is deleted) costs one redundant small write.
+    * The memo map itself is not guarded with computeIfAbsent: builders nest
+    * (the enriched relation memo builds the links memo inside its builder),
+    * and ConcurrentHashMap forbids recursive mutation during
+    * computeIfAbsent. Instead a per-key monitor serializes builders of the
+    * SAME key while leaving distinct keys (and nested builds) concurrent.
     */
   def of(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val (cache, base) = forSession(spark)
+    val cache = forSession(spark)
     val existing = cache.get(key)
-    if (existing != null) existing
-    else {
-      val dir = base.resolve(s"m${seq.incrementAndGet()}-${slug(key)}")
-      build.write.mode("overwrite").parquet(dir.toString)
-      val table = spark.read.parquet(dir.toString)
-      val prev = cache.putIfAbsent(key, table)
-      if (prev != null) { deleteRecursively(dir); prev } else table
+    if (existing != null) return existing
+    val lockKey = System.identityHashCode(spark) + "/" + key
+    val lock = buildLocks.computeIfAbsent(lockKey, _ => new Object)
+    lock.synchronized {
+      val raced = cache.get(key) // built while we waited for the lock
+      if (raced != null) raced
+      else {
+        val dir = s"${rootFor(spark)}/m${seq.incrementAndGet()}-${slug(key)}"
+        build.write.mode("overwrite").parquet(dir)
+        val table = spark.read.parquet(dir)
+        cache.put(key, table)
+        table
+      }
     }
   }
 }

@@ -181,11 +181,15 @@ object StreamingOps {
       .crossJoin(broadcast(centArr)).crossJoin(broadcast(cbArr))
       .select(col("vec_id").as("q_id"), dtab.as("dtab"), explode(probe).as("p"))
       .select(col("q_id"), col("dtab"), col("p.cent_id").as("cent_id"))
-    // static per-bucket member codes, one row per (bucket, vector)
+    // Static per-bucket member codes, one row per (bucket, vector) —
+    // corpus-sized, so NO broadcast hint: the cent_id equi-join lets the
+    // planner shuffle bucket-sized slices (or broadcast on its own when
+    // the index genuinely fits), same rule as the batch composition where
+    // the codes relation is never broadcast.
     val memberCodes = assign.join(codes, "vec_id")
       .groupBy(col("cent_id"), col("vec_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("vcodes"))
-    val scored = probed.join(broadcast(memberCodes), "cent_id")
+    val scored = probed.join(memberCodes, "cent_id")
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         aggregate(col("vcodes"), lit(0L), (acc, c) =>
