@@ -29,9 +29,10 @@ object Bench {
     }
     // Failures are NOT swallowed into near-zero timings: a throwing
     // query/build records its error (surfaced on stderr immediately and in
-    // the JSON's "errors" map) so a regression can never masquerade as a
-    // fast result. The bench still completes — one broken query shouldn't
-    // cost the round the other 139 numbers.
+    // the JSON's "errors" map) and is EXCLUDED from the medians map and the
+    // headline total, so a regression can never masquerade as a fast
+    // result. The bench still completes — one broken query shouldn't cost
+    // the round the other 139 numbers.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def time(name: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -97,7 +98,13 @@ object Bench {
         if (warm) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
         name -> (1 to repeat).map(_ => time(name) { fn(spark, sfDir).count(); () })
       }
-    val queryResults = queryTimes.map { case (n, ts) => n -> median(ts) }
+    // A name that errored in ANY repeat is dropped from the medians and the
+    // total — its fast-fail elapsed times are meaningless — and reported
+    // only in the errors map (n_queries/n_builds count published medians).
+    val queryResults = queryTimes.collect {
+      case (n, ts) if !errors.contains(n) => n -> median(ts)
+    }
+    val healthyBuilds = buildResults.filterNot { case (n, _) => errors.contains(n) }
     // millisecond precision keeps the (long) line compact so a tail-
     // truncated capture holds as many per-query medians as possible; every
     // printed number is rounded BEFORE totaling so the documented exact
@@ -105,27 +112,36 @@ object Bench {
     def ms(v: Double): Double = math.rint(v * 1000.0) / 1000.0
     def fmt(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v) // '.' decimal in any locale
-    val results = (buildResults ++ queryResults).map { case (k, v) => k -> ms(v) }
+    // Minimal JSON string escaping — Spark exception messages routinely
+    // contain newlines and plan fragments; an unescaped control character
+    // would both break JSON validity and split the one-line output contract
+    def jstr(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c    => c.toString
+    }
+    val results = (healthyBuilds ++ queryResults).map { case (k, v) => k -> ms(v) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val spread =
       if (repeat == 1) ""
-      else queryTimes.map { case (k, ts) => s"\"" + k + "\":" + fmt(ts.max - ts.min) }
-        .mkString(""""spread":{""", ",", "},")
+      else queryTimes.collect { case (k, ts) if !errors.contains(k) =>
+        s"\"" + k + "\":" + fmt(ts.max - ts.min)
+      }.mkString(""""spread":{""", ",", "},")
     val errJson =
       if (errors.isEmpty) ""
-      else errors.map { case (k, v) =>
-        s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      }.mkString(""""errors":{""", ",", "},")
+      else errors.map { case (k, v) => s"\"" + jstr(k) + "\":\"" + jstr(v) + "\"" }
+        .mkString(""""errors":{""", ",", "},")
     val total = results.map(_._2).sum
     // One JSON line, ordered errors → spread → medians → footer: tail-
     // truncated captures keep the END of a long line, so the per-query
     // medians and the headline total must come after the (equally long)
     // spread map — round 5's artifact kept only the spread and lost every
-    // median. n_queries counts the query entries only; n_builds the
-    // _build_* lines; n_errors > 0 means the run is NOT healthy even
-    // though it completed.
-    println(s"""{$errJson$spread"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","repeat":$repeat,"n_queries":${queryResults.size},"n_builds":${buildResults.size},"n_errors":${errors.size},"value":${fmt(total)}}""")
+    // median. n_queries/n_builds count PUBLISHED medians (errored names are
+    // excluded); n_errors lives in the footer so even a truncated capture
+    // shows whether the run was healthy.
+    println(s"""{$errJson$spread"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","repeat":$repeat,"n_queries":${queryResults.size},"n_builds":${healthyBuilds.size},"n_errors":${errors.size},"value":${fmt(total)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

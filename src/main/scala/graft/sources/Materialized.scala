@@ -52,8 +52,17 @@ object Materialized {
     * removes whatever remains (e.g. the directory of a still-running
     * session at exit).
     */
-  private val sessions =
-    new java.util.IdentityHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]()
+  /** Memo table plus per-key build monitors for one session. Holding the
+    * locks beside the memos (identity-keyed, swept together) means a
+    * stopped session releases its lock objects with its tables, and two
+    * live sessions can never share a monitor — an identityHashCode-derived
+    * string key could collide across sessions.
+    */
+  private final class SessionState {
+    val memos = new ConcurrentHashMap[String, DataFrame]()
+    val locks = new ConcurrentHashMap[String, Object]()
+  }
+  private val sessions = new java.util.IdentityHashMap[SparkSession, SessionState]()
   private val baseDirs = new java.util.IdentityHashMap[SparkSession, Path]()
   private val seq = new AtomicLong(0L)
 
@@ -96,7 +105,7 @@ object Materialized {
         }
     }
 
-  private def forSession(spark: SparkSession): ConcurrentHashMap[String, DataFrame] =
+  private def forSession(spark: SparkSession): SessionState =
     sessions.synchronized {
       val it = sessions.keySet().iterator()
       val dead = new java.util.ArrayList[SparkSession]()
@@ -107,7 +116,7 @@ object Materialized {
         if (d != null) deleteRecursively(d)
       }
       var m = sessions.get(spark)
-      if (m == null) { m = new ConcurrentHashMap[String, DataFrame](); sessions.put(spark, m) }
+      if (m == null) { m = new SessionState; sessions.put(spark, m) }
       m
     }
 
@@ -117,38 +126,35 @@ object Materialized {
   private def slug(key: String): String =
     key.map(c => if (c.isLetterOrDigit || c == '-' || c == '.') c else '_').takeRight(48)
 
-  /** Per-(session, key) build guards: unlike the old lazy `.cache()` race
-    * (which only duplicated a plan object), an eager parquet memo race
-    * duplicates the whole build JOB — Verify runs 4 queries concurrently,
-    * so two absent-memo requests for the same heavy relation must coalesce
-    * onto one build. Locks are per key, builders nest strictly downward
-    * (pair relations build normed/centroid relations, never the reverse),
-    * so lock acquisition is acyclic and cannot deadlock.
-    */
-  private val buildLocks = new ConcurrentHashMap[String, Object]()
-
   /** Memoize `build` under `key` for this session, materialized to parquet.
+    *
+    * Unlike the old lazy `.cache()` race (which only duplicated a plan
+    * object), an eager parquet memo race duplicates the whole build JOB —
+    * Verify runs 4 queries concurrently, so two absent-memo requests for
+    * the same heavy relation must coalesce onto one build: a per-(session,
+    * key) monitor serializes builders of the SAME key while leaving
+    * distinct keys (and nested builds) concurrent. Builders nest strictly
+    * downward (pair relations build normed/centroid relations, never the
+    * reverse), so lock acquisition is acyclic and cannot deadlock.
     *
     * The memo map itself is not guarded with computeIfAbsent: builders nest
     * (the enriched relation memo builds the links memo inside its builder),
     * and ConcurrentHashMap forbids recursive mutation during
-    * computeIfAbsent. Instead a per-key monitor serializes builders of the
-    * SAME key while leaving distinct keys (and nested builds) concurrent.
+    * computeIfAbsent.
     */
   def of(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val cache = forSession(spark)
-    val existing = cache.get(key)
+    val state = forSession(spark)
+    val existing = state.memos.get(key)
     if (existing != null) return existing
-    val lockKey = System.identityHashCode(spark) + "/" + key
-    val lock = buildLocks.computeIfAbsent(lockKey, _ => new Object)
+    val lock = state.locks.computeIfAbsent(key, _ => new Object)
     lock.synchronized {
-      val raced = cache.get(key) // built while we waited for the lock
+      val raced = state.memos.get(key) // built while we waited for the lock
       if (raced != null) raced
       else {
         val dir = s"${rootFor(spark)}/m${seq.incrementAndGet()}-${slug(key)}"
         build.write.mode("overwrite").parquet(dir)
         val table = spark.read.parquet(dir)
-        cache.put(key, table)
+        state.memos.put(key, table)
         table
       }
     }

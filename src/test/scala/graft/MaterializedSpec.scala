@@ -62,6 +62,56 @@ class MaterializedSpec extends SparkSpec {
       .count() == 4)
   }
 
+  test("concurrent same-key requests coalesce onto ONE build") {
+    // Verify runs 4 queries concurrently; two absent-memo requests for the
+    // same heavy relation must not duplicate the build job.
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val started = new java.util.concurrent.CountDownLatch(4)
+    def build = {
+      builds.incrementAndGet()
+      Thread.sleep(200) // widen the race window: all threads enter before any build finishes
+      spark.range(8).select(col("id"))
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to 4).map { _ =>
+      Future {
+        started.countDown()
+        started.await()
+        Materialized.of(spark, "spec:race")(build)
+      }
+    }
+    val results = futures.map(Await.result(_, 60.seconds))
+    assert(builds.get() == 1, s"expected 1 coalesced build, got ${builds.get()}")
+    assert(results.forall(_ eq results.head),
+      "all racers must receive the identical memoized relation")
+    assert(results.head.count() == 8)
+  }
+
+  test("spark.graft.materialized.dir redirects memo writes to the configured root") {
+    val shared = java.nio.file.Files.createTempDirectory("graft-spec-shared-")
+    spark.conf.set("spark.graft.materialized.dir", shared.toString)
+    try {
+      val out = Materialized.of(spark, "spec:shareddir")(
+        spark.range(6).select(col("id")))
+      assert(out.count() == 6)
+      val appRoot = shared.resolve(
+        s"graft-mat-${spark.sparkContext.applicationId}")
+      assert(java.nio.file.Files.isDirectory(appRoot),
+        s"memo not written under the configured shared dir: $shared")
+      val memoDirs = java.nio.file.Files.list(appRoot).toArray.map(_.toString)
+      assert(memoDirs.exists(_.contains("spec_shareddir")),
+        s"expected a spec:shareddir memo under $appRoot, found: ${memoDirs.mkString(",")}")
+    } finally {
+      spark.conf.unset("spark.graft.materialized.dir")
+      val walk = java.nio.file.Files.walk(shared)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("downstream filters push into the memo's parquet scan") {
     Materialized.of(spark, "spec:pushdown")(
       spark.range(100).select(col("id"), (col("id") % 7).as("k")))
