@@ -141,7 +141,7 @@ object Bench {
     // median. n_queries/n_builds count PUBLISHED medians (errored names are
     // excluded); n_errors lives in the footer so even a truncated capture
     // shows whether the run was healthy.
-    println(s"""{$errJson$spread"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","repeat":$repeat,"n_queries":${queryResults.size},"n_builds":${healthyBuilds.size},"n_errors":${errors.size},"value":${fmt(total)}}""")
+    println(s"""{$errJson$spread"queries":$qs,"sf":"${jstr(sfDir)}","metric":"total","unit":"sec","repeat":$repeat,"n_queries":${queryResults.size},"n_builds":${healthyBuilds.size},"n_errors":${errors.size},"value":${fmt(total)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

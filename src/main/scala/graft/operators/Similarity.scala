@@ -121,6 +121,17 @@ object Similarity {
       .select(col("vec_id") +: keep.map(col) :+ col("p.cent_id").as("cent_id"): _*)
   }
 
+  /** Memoized hash-min centroid table for a dir — the persisted coarse-
+    * quantizer artifact every IVF consumer shares. Without it, each
+    * consumer re-plans the full-corpus TakeOrdered selection (the
+    * residual-PQ build paid it twice in one job); with it, probes read a
+    * 64-row parquet table. Doubles round-trip parquet bit-exactly
+    * (MaterializedSpec), so results are unchanged.
+    */
+  private[graft] def centroidsMemoFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"cents:$dir")(
+      centroidsFor(Dedup.normedFor(spark, dir)))
+
   /** IVF index build: every vector → its nearest centroid (ties → min
     * cent_id). Map-only via [[multiProbe]].
     */
@@ -134,7 +145,7 @@ object Similarity {
   private[graft] def ivfAssignFor(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"ivfasg:$dir") {
       val v = Dedup.normedFor(spark, dir)
-      ivfAssign(v, centroidsFor(v))
+      ivfAssign(v, centroidsMemoFor(spark, dir))
     }
 
   /** Memoized IVF assignment over the k-means-refined centroid table — the
@@ -151,7 +162,7 @@ object Similarity {
   /** IVF-bucketed ANN: nprobe=2 over deterministic coarse centroids. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
-    val cents = centroidsFor(v)
+    val cents = centroidsMemoFor(spark, dir)
     val assign = ivfAssignFor(spark, dir)
 
     // query sample + its 2 nearest centroid lists (map-only probe)
@@ -251,20 +262,25 @@ object Similarity {
         .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
     }
 
-  /** Long-format subvectors: (id, m, 8-dim slice), m = 0..7. */
-  private def pqSubs(df: DataFrame, id: String, arr: String, out: String) =
-    df.select(col(id), explode(array((0 to 7).map(m =>
-        struct(lit(m).as("m"), slice(col(arr), m * 8 + 1, 8).as(out))): _*)).as("s"))
-      .select(col(id), col("s.m").as("m"), col(s"s.$out").as(out))
+  /** Long-format subvectors: (ids…, m, 8-dim slice), m = 0..7. Extra key
+    * columns ride along (the residual encoder keys by (q_id, cent_id)).
+    */
+  private def pqSubs(df: DataFrame, ids: Seq[String], arr: String, out: String) =
+    df.select(ids.map(col) :+ explode(array((0 to 7).map(m =>
+        struct(lit(m).as("m"), slice(col(arr), m * 8 + 1, 8).as(out))): _*)).as("s"): _*)
+      .select(ids.map(col) ++ Seq(col("s.m").as("m"), col(s"s.$out").as(out)): _*)
 
   /** Per-subspace codebook rows (code, m, cw): the subvectors of the 16
     * hash-min sample vectors — fixed size, deterministic, oracle-replayable.
+    * `vecCol` selects the column to quantize (raw embeddings by default,
+    * residuals for the IVFADC encoder) so every PQ variant shares ONE
+    * sampling/tie-break/slicing implementation.
     */
-  private[graft] def pqCodebookSub(v: DataFrame): DataFrame = {
-    val cb = v.select(col("vec_id").as("code"), col("e").as("cbe"),
+  private[graft] def pqCodebookSub(v: DataFrame, vecCol: String = "e"): DataFrame = {
+    val cb = v.select(col("vec_id").as("code"), col(vecCol).as("cbe"),
         Tables.portableHash(col("vec_id").cast("string")).as("hk"))
       .orderBy(col("hk"), col("code")).limit(16).select("code", "cbe")
-    pqSubs(cb, "code", "cbe", "cw")
+    pqSubs(cb, Seq("code"), "cbe", "cw")
   }
 
   /** Memoized PQ codes relation (vec_id, m, code) — THE index: 8 one-byte
@@ -286,7 +302,7 @@ object Similarity {
     import graft.functions.VectorOps.l2sq
     val v = Dedup.normedFor(spark, dir)
     val cbSub = pqCodebookSub(v)
-    val vSub = pqSubs(v.select("vec_id", "e"), "vec_id", "e", "sv")
+    val vSub = pqSubs(v.select("vec_id", "e"), Seq("vec_id"), "e", "sv")
     val cbArr = cbSub.agg(
       array_sort(collect_list(struct(col("m"), col("code"), col("cw"))))
         .as("cbs"))
@@ -311,7 +327,7 @@ object Similarity {
       val v = Dedup.normedFor(spark, dir)
       val q = v.where(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      pqSubs(q, "q_id", "qe", "qs").join(broadcast(pqCodebookSub(v)), "m")
+      pqSubs(q, Seq("q_id"), "qe", "qs").join(broadcast(pqCodebookSub(v)), "m")
         .select(col("q_id"), col("m"), col("code"),
           round(l2sq(col("qs"), col("cw")) * 1000000.0).cast("long").as("dq"))
     }
@@ -335,7 +351,7 @@ object Similarity {
     graft.sources.Materialized.of(spark, s"pqcbtrain:$dir") {
       import graft.functions.VectorOps.l2sq
       val v = Dedup.normedFor(spark, dir)
-      val vSub = pqSubs(v.select("vec_id", "e"), "vec_id", "e", "sv")
+      val vSub = pqSubs(v.select("vec_id", "e"), Seq("vec_id"), "e", "sv")
       var cbSub = pqCodebookSub(v)
       for (_ <- 1 to 2) {
         val cbArr = cbSub.agg(
@@ -394,7 +410,7 @@ object Similarity {
       import graft.functions.VectorOps.l2sq
       val v = Dedup.normedFor(spark, dir)
       val cbSub = pqTrainedCodebookFor(spark, dir)
-      val vSub = pqSubs(v.select("vec_id", "e"), "vec_id", "e", "sv")
+      val vSub = pqSubs(v.select("vec_id", "e"), Seq("vec_id"), "e", "sv")
       val cbArr = cbSub.agg(
         array_sort(collect_list(struct(col("m"), col("code"), col("cw"))))
           .as("cbs"))
@@ -407,7 +423,7 @@ object Similarity {
           element_at(best, 1).getField("code").as("code"))
       val q = v.where(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      val dtab = pqSubs(q, "q_id", "qe", "qs").join(broadcast(cbSub), "m")
+      val dtab = pqSubs(q, Seq("q_id"), "qe", "qs").join(broadcast(cbSub), "m")
         .select(col("q_id"), col("m"), col("code"),
           round(l2sq(col("qs"), col("cw")) * 1000000.0).cast("long").as("dq"))
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_q"), col("n_id"))
@@ -444,7 +460,7 @@ object Similarity {
     val v = Dedup.normedFor(spark, dir)
     val assign = ivfAssignFor(spark, dir)
     val probes = multiProbe(v.where(col("vec_id") % 20 === 0),
-        centroidsFor(v), nprobe = 2)
+        centroidsMemoFor(spark, dir), nprobe = 2)
       .withColumnRenamed("vec_id", "q_id")
     val cand = probes.join(assign, "cent_id")
       .where(col("vec_id") =!= col("q_id"))
@@ -506,16 +522,14 @@ object Similarity {
     graft.sources.Materialized.of(spark, s"pqrtop:$dir") {
       import graft.functions.VectorOps.l2sq
       val v = Dedup.normedFor(spark, dir)
-      val cents = centroidsFor(v).select(col("cent_id"), col("ce"))
+      val centsFull = centroidsMemoFor(spark, dir)
+      val cents = centsFull.select(col("cent_id"), col("ce"))
       val assign = ivfAssignFor(spark, dir)
       val resv = v.join(assign, "vec_id").join(broadcast(cents), "cent_id")
         .select(col("vec_id"), col("cent_id"),
           zip_with(col("e"), col("ce"), (a, b) => a - b).as("rv"))
-      val rcb = resv.select(col("vec_id").as("code"), col("rv").as("cbe"),
-          Tables.portableHash(col("vec_id").cast("string")).as("hk"))
-        .orderBy(col("hk"), col("code")).limit(16).select("code", "cbe")
-      val rcbSub = pqSubs(rcb, "code", "cbe", "cw")
-      val rvSub = pqSubs(resv.select("vec_id", "rv"), "vec_id", "rv", "sv")
+      val rcbSub = pqCodebookSub(resv, "rv")
+      val rvSub = pqSubs(resv.select("vec_id", "rv"), Seq("vec_id"), "rv", "sv")
       val cbArr = rcbSub.agg(
         array_sort(collect_list(struct(col("m"), col("code"), col("cw"))))
           .as("cbs"))
@@ -528,15 +542,12 @@ object Similarity {
           element_at(best, 1).getField("code").as("code"))
         .join(assign, "vec_id")
       val qprobes = multiProbe(v.where(col("vec_id") % 20 === 0),
-          centroidsFor(v), nprobe = 2, keep = Seq("e"))
+          centsFull, nprobe = 2, keep = Seq("e"))
         .withColumnRenamed("vec_id", "q_id")
         .join(broadcast(cents), "cent_id")
         .select(col("q_id"), col("cent_id"),
           zip_with(col("e"), col("ce"), (a, b) => a - b).as("qr"))
-      val qrSub = qprobes.select(col("q_id"), col("cent_id"),
-          explode(array((0 to 7).map(m => struct(lit(m).as("m"),
-            slice(col("qr"), m * 8 + 1, 8).as("qs"))): _*)).as("s"))
-        .select(col("q_id"), col("cent_id"), col("s.m").as("m"), col("s.qs").as("qs"))
+      val qrSub = pqSubs(qprobes, Seq("q_id", "cent_id"), "qr", "qs")
       val rdtab = qrSub.join(broadcast(rcbSub), "m")
         .select(col("q_id"), col("cent_id"), col("m"), col("code"),
           round(l2sq(col("qs"), col("cw")) * 1000000.0).cast("long").as("dq"))

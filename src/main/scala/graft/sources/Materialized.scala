@@ -105,20 +105,27 @@ object Materialized {
         }
     }
 
-  private def forSession(spark: SparkSession): SessionState =
-    sessions.synchronized {
+  private def forSession(spark: SparkSession): SessionState = {
+    // Sweep bookkeeping under the monitor, but DELETE after releasing it —
+    // a recursive walk over a large dead memo dir would otherwise stall
+    // every concurrent of() fast path (Verify runs 4 query threads).
+    val deadDirs = new java.util.ArrayList[Path]()
+    val state = sessions.synchronized {
       val it = sessions.keySet().iterator()
       val dead = new java.util.ArrayList[SparkSession]()
       while (it.hasNext) { val s = it.next(); if (s.sparkContext.isStopped) dead.add(s) }
       dead.forEach { s =>
         sessions.remove(s)
         val d = baseDirs.remove(s)
-        if (d != null) deleteRecursively(d)
+        if (d != null) deadDirs.add(d)
       }
       var m = sessions.get(spark)
       if (m == null) { m = new SessionState; sessions.put(spark, m) }
       m
     }
+    deadDirs.forEach(deleteRecursively)
+    state
+  }
 
   /** Keys carry paths/colons; the directory name keeps a readable slug plus
     * a uniqueness counter.
@@ -152,7 +159,19 @@ object Materialized {
       if (raced != null) raced
       else {
         val dir = s"${rootFor(spark)}/m${seq.incrementAndGet()}-${slug(key)}"
-        build.write.mode("overwrite").parquet(dir)
+        // A failed build must not leak its half-written directory — the
+        // retry uses a fresh seq number, so without cleanup every failure
+        // orphans a dir of partial part-files (permanently, in shared-dir
+        // mode, which the session sweep and shutdown hook both skip).
+        // Hadoop's FileSystem handles both local and shared roots.
+        try build.write.mode("overwrite").parquet(dir)
+        catch { case e: Throwable =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Exception => () }
+          throw e
+        }
         val table = spark.read.parquet(dir)
         state.memos.put(key, table)
         table
