@@ -112,6 +112,44 @@ class MaterializedSpec extends SparkSpec {
     }
   }
 
+  test("a failed build deletes its partial directory and does not poison the key") {
+    // Fail mid-WRITE (not at plan time): a job that throws after some tasks
+    // have committed leaves a half-written directory — the case the cleanup
+    // exists for. Shared-dir mode makes the root observable, and is also
+    // the mode where a leak would be permanent (no session sweep there).
+    val shared = java.nio.file.Files.createTempDirectory("graft-spec-fail-")
+    spark.conf.set("spark.graft.materialized.dir", shared.toString)
+    try {
+      val boom = udf((id: Long) =>
+        if (id == 7L) throw new RuntimeException("spec-induced write failure")
+        else id)
+      val failing = spark.range(8).repartition(4).select(boom(col("id")).as("id"))
+      val ex = intercept[Exception] {
+        Materialized.of(spark, "spec:failedbuild")(failing)
+      }
+      assert(ex.getMessage != null)
+      val appRoot = shared.resolve(
+        s"graft-mat-${spark.sparkContext.applicationId}")
+      def memoDirs = if (java.nio.file.Files.isDirectory(appRoot))
+        java.nio.file.Files.list(appRoot).toArray.map(_.toString).toSeq
+      else Seq.empty[String]
+      assert(!memoDirs.exists(_.contains("spec_failedbuild")),
+        s"failed build leaked its partial directory: $memoDirs")
+      // the key is not poisoned: a correct builder succeeds on retry
+      val ok = Materialized.of(spark, "spec:failedbuild")(
+        spark.range(8).select(col("id")))
+      assert(ok.count() == 8)
+      assert(memoDirs.count(_.contains("spec_failedbuild")) == 1,
+        s"expected exactly the retry's memo dir: $memoDirs")
+    } finally {
+      spark.conf.unset("spark.graft.materialized.dir")
+      val walk = java.nio.file.Files.walk(shared)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("downstream filters push into the memo's parquet scan") {
     Materialized.of(spark, "spec:pushdown")(
       spark.range(100).select(col("id"), (col("id") % 7).as("k")))
