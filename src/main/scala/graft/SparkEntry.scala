@@ -75,6 +75,7 @@ object SparkEntry {
     // training-data pipeline: dedup
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(s, d)),
+    "q_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
@@ -750,6 +751,30 @@ object SparkEntry {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE inter * 3 >= sa.n_sh + sb.n_sh
          |ORDER BY 1, 2""".stripMargin,
+
+    // Same shingle universe + Jaccard test as dedup_ngram; the split is
+    // deterministic (doc_id % 5) so both engines agree on shard membership.
+    "q_incremental_dedup" ->
+      s"""WITH $docShCtes, $interCte,
+         |jac AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |        JOIN sizes sa ON i.doc_a = sa.doc_id
+         |        JOIN sizes sb ON i.doc_b = sb.doc_id
+         |        WHERE i.inter * 3 >= sa.n_sh + sb.n_sh),
+         |incdocs AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+         |corpdup AS (
+         |  SELECT DISTINCT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id
+         |  FROM jac WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)),
+         |sharddup AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM jac
+         |  WHERE doc_a % 5 = 0 AND doc_b % 5 = 0)
+         |SELECT d.doc_id,
+         |  CASE WHEN c.doc_id IS NOT NULL THEN 'corpus_dup'
+         |       WHEN s.doc_id IS NOT NULL THEN 'shard_dup'
+         |       ELSE 'unique' END AS verdict
+         |FROM incdocs d
+         |LEFT JOIN corpdup c ON d.doc_id = c.doc_id
+         |LEFT JOIN sharddup s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $docShCtes, $interCte,
