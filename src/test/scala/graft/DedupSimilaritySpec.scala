@@ -30,6 +30,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.size * 10 >= truth.size * 8, s"recall too low: ${got.size}/${truth.size}")
   }
 
+  test("incremental dedup verdicts agree with the ngram pair relation") {
+    // the verdict column is a classification OVER dedup_ngram's pair set:
+    // corpus_dup ⇔ the doc is in a cross-split Jaccard pair, shard_dup ⇔
+    // only in within-shard pairs as the LATER doc, unique ⇔ in neither.
+    val pairs = Dedup.dedupNgram(spark, sf001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val inc = (id: Long) => id % 5 == 0
+    val expCorp = pairs.collect {
+      case (a, b) if inc(a) != inc(b) => if (inc(a)) a else b
+    }.toSet
+    val expShard = pairs.collect {
+      case (a, b) if inc(a) && inc(b) => b
+    }.toSet -- expCorp
+    val verdicts = Dedup.incrementalDedup(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val roster = Tables.load(spark, sf001, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).filter(inc).toSet
+    assert(verdicts.keySet == roster, "one verdict per incoming doc")
+    assert(verdicts.filter(_._2 == "corpus_dup").keySet == expCorp)
+    assert(verdicts.filter(_._2 == "shard_dup").keySet == expShard)
+    assert(expCorp.nonEmpty, "contract must bite at sf0.01")
+  }
+
   test("simhash pairs all have hamming <= 3 and near-dup docs collide") {
     val rows = Dedup.dedupSimhash(spark, sf001).collect()
     rows.foreach(r => assert(r.getLong(2) <= 3))
