@@ -85,6 +85,12 @@ object Engine {
   def nearDuplicates(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupMinhash(spark, dir)
 
+  /** Incremental ingest dedup: incoming-shard docs classified against the
+    * already-ingested corpus (corpus_dup / shard_dup / unique).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.incrementalDedup(spark, dir)
+
   /** Exact top-k cosine neighbors for the sampled query set. */
   def annTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.annTopk(spark, dir)
