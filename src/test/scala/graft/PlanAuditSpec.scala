@@ -56,6 +56,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "dedup must never be all-pairs")
   }
 
+  test("incremental dedup: verdict sets broadcast onto the shard roster") {
+    val p = plan(Dedup.incrementalDedup(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup degenerated:\n$p")
+    // the (tiny) corpus_dup/shard_dup sets must broadcast into the
+    // roster's left joins, not shuffle the roster
+    assert(p.contains("BroadcastHashJoin"), s"verdict join should broadcast:\n$p")
+  }
+
   // The memoized relations (annTopkFor, ivfHashminPairsFor, …) are parquet
   // scans by design — plan audits inspect the un-memoized BUILDERS, which
   // carry the operator structure that runs at build time.
