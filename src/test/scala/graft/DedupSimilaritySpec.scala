@@ -53,6 +53,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expCorp.nonEmpty, "contract must bite at sf0.01")
   }
 
+  test("incremental verdict core: shard_dup and precedence on a planted fixture") {
+    // sf0.01 has no within-shard Jaccard pairs, so the shard_dup branch
+    // needs a planted fixture: incoming = doc_id % 5 == 0.
+    //   1 (corpus) = {a,b,c}
+    //   5  = {a,b,c} → corpus_dup
+    //   10 = {x,y,z} → unique (no match anywhere)
+    //   15 = {x,y,z} → shard_dup (earlier shard doc 10)
+    //   20 = {q}     → unique
+    //   25 = {a,b,c} → corpus_dup (matches BOTH corpus 1 and earlier shard
+    //                  5/15 — corpus_dup must win the precedence)
+    val sp = spark
+    import sp.implicits._
+    val shh = Seq(1L -> "a", 1L -> "b", 1L -> "c",
+      5L -> "a", 5L -> "b", 5L -> "c",
+      10L -> "x", 10L -> "y", 10L -> "z",
+      15L -> "x", 15L -> "y", 15L -> "z",
+      20L -> "q",
+      25L -> "a", 25L -> "b", 25L -> "c").toDF("doc_id", "h")
+    val sizes = shh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val roster = Seq(1L, 5L, 10L, 15L, 20L, 25L).toDF("doc_id")
+    val got = Dedup.incrementalVerdicts(shh, sizes, roster,
+        col("doc_id") % 5 === 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(5L -> "corpus_dup", 10L -> "unique",
+      15L -> "shard_dup", 20L -> "unique", 25L -> "corpus_dup"))
+  }
+
   test("simhash pairs all have hamming <= 3 and near-dup docs collide") {
     val rows = Dedup.dedupSimhash(spark, sf001).collect()
     rows.foreach(r => assert(r.getLong(2) <= 3))

@@ -130,9 +130,10 @@ class MaterializedSpec extends SparkSpec {
       assert(ex.getMessage != null)
       val appRoot = shared.resolve(
         s"graft-mat-${spark.sparkContext.applicationId}")
-      def memoDirs = if (java.nio.file.Files.isDirectory(appRoot))
-        java.nio.file.Files.list(appRoot).toArray.map(_.toString).toSeq
-      else Seq.empty[String]
+      // File.list, not Files.list: the latter returns a stream that must
+      // be closed, and this helper is evaluated repeatedly
+      def memoDirs = Option(appRoot.toFile.list()).map(_.toSeq)
+        .getOrElse(Seq.empty[String])
       assert(!memoDirs.exists(_.contains("spec_failedbuild")),
         s"failed build leaked its partial directory: $memoDirs")
       // the key is not poisoned: a correct builder succeeds on retry
