@@ -192,6 +192,14 @@ object Engine {
       : Dataset[graft.streaming.DedupVerdict] =
     graft.streaming.StreamingDedup.minhashDedupStreamProcTime(docs, idleFlushMs)
 
+  /** Streaming corpus-probe dedup: arriving docs' shingle hashes probe the
+    * static corpus posting lists; emits the Jaccard ≥ 0.5 drop list.
+    */
+  def corpusProbeDedupStream(docShingles: DataFrame, postings: DataFrame,
+      candSizes: DataFrame): DataFrame =
+    graft.streaming.StreamingOps.corpusProbeDedupStream(
+      docShingles, postings, candSizes)
+
   /** Corpus-grounded per-document fluency gate (mean bigram PMI). */
   def docFluency(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.docFluency(spark, dir)

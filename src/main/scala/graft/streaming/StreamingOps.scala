@@ -219,6 +219,43 @@ object StreamingOps {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("prefix_h")
 
+  /** Streaming corpus-probe near-dup dedup — the streaming form of the
+    * batch `q_incremental_dedup` corpus pass: each arriving document's
+    * (df-capped) shingle hashes probe the STATIC corpus posting lists,
+    * per-candidate intersections aggregate in an event-time window, and
+    * docs with any Jaccard ≥ 0.5 corpus match emit on the DROP list once
+    * the watermark closes their window. Emitting only dups (append mode)
+    * keeps the hot path proportional to duplicate mass; uniques are the
+    * stream minus the drop list at the sink.
+    *
+    * Input stream: one row per (doc, shingle hash) — (doc_id, h, n_sh,
+    * event_time), `n_sh` being the doc's own capped shingle count (known
+    * at ingest). Statics: `postings` (cand, h), the persisted corpus
+    * inverted index, and `candSizes` (cand, n_c). The probe is a
+    * STATELESS stream-static equi-join on the 8-byte hash (per-key
+    * fan-out bounded by the index's df cap); the only state is the two
+    * chained windowed aggregations, bounded by in-flight (doc ×
+    * candidate) pairs inside the watermark. Same integer-exact Jaccard
+    * test as the batch core, so verdicts agree exactly
+    * (StreamingOpsSpec pins drop-set equality). Within-batch dups are
+    * the separate stateful topology
+    * ([[StreamingDedup.minhashDedupStream]]); this op is the corpus side.
+    */
+  def corpusProbeDedupStream(docShingles: DataFrame, postings: DataFrame,
+      candSizes: DataFrame, windowLen: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    docShingles.withWatermark("event_time", watermark)
+      .join(postings, Seq("h"))
+      .groupBy(window(col("event_time"), windowLen), col("doc_id"),
+        col("n_sh"), col("cand"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(candSizes), "cand")
+      .where(col("inter") * 3 >= col("n_sh") + col("n_c"))
+      .groupBy(col("window"), col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_cands"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_dup_cands"))
+
   /** Streaming quality gate — the batch `q_quality_filter` verdict applied
     * at ingest: every arriving document gets the same integer metrics and
     * the same first-failing-rule verdict (the thresholds live in ONE place,

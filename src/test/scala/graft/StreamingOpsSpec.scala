@@ -319,4 +319,47 @@ class StreamingOpsSpec extends SparkSpec {
     // the gate discriminates on this corpus: both verdicts occur
     assert(batch.exists(_._7 == 1L) && batch.exists(_._7 == 0L))
   }
+
+  test("streaming corpus-probe dedup drop set == batch corpus_dup set") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // same split as q_incremental_dedup at sf0.01 (13 corpus_dups)
+    val shh = graft.operators.Dedup.shinglesHashedFor(sp, sf001)
+    val sizes = graft.operators.Dedup.sizesFor(sp, sf001)
+    val isInc = col("doc_id") % 5 === 0
+    val postings = shh.where(!isInc)
+      .select(col("doc_id").as("cand"), col("h"))
+    val candSizes = sizes.where(!isInc)
+      .select(col("doc_id").as("cand"), col("n_sh").as("n_c"))
+    val expected = graft.operators.Dedup.incrementalVerdicts(
+        shh, sizes,
+        graft.sources.Tables.load(sp, sf001, "documents").select("doc_id"),
+        isInc)
+      .where(col("verdict") === "corpus_dup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty, "fixture must bite")
+    val rows = shh.where(isInc).join(sizes, "doc_id")
+      .select(col("doc_id"), col("h"), col("n_sh")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), ts(1000)))
+    val in = MemoryStream[(Long, Long, Long, Timestamp)]
+    val out = StreamingOps.corpusProbeDedupStream(
+      in.toDF().toDF("doc_id", "h", "n_sh", "event_time"),
+      postings, candSizes)
+    val q = out.writeStream.format("memory").queryName("cprobe_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.toSeq)
+      q.processAllAvailable()
+      // advance the watermark far past the window so the drop list emits
+      in.addData(Seq((-1L, 0L, 1L, ts(3600L * 1000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("cprobe_out").select("doc_id").as[Long].collect().toSet
+    assert(got == expected, {
+      s"stream-only: ${(got -- expected).take(5)}; batch-only: ${(expected -- got).take(5)}"
+    })
+  }
 }
