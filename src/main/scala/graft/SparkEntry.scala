@@ -2413,22 +2413,30 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, cum_tokens FROM c CROSS JOIN b
         |WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin,
 
+    // Sub-3-word docs stay in the report with zero gram columns (their
+    // dup_word_pct is still meaningful), mirroring the Spark side.
     "q_dup_ngrams" ->
       """WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id,
         |        CAST(len(w) AS BIGINT) AS n_words,
         |        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
-        |        CAST(len(w) - 2 AS BIGINT) AS n_grams,
-        |        CAST(len(w) - 2 - len(list_distinct(
-        |          list_transform(generate_series(1, len(w) - 2),
-        |                         i -> array_to_string(w[i:i+2], ' '))))
-        |          AS BIGINT) AS n_dup_grams
-        |      FROM dw WHERE len(w) >= 3)
+        |        CASE WHEN len(w) >= 3 THEN CAST(len(w) - 2 AS BIGINT)
+        |             ELSE CAST(0 AS BIGINT) END AS n_grams,
+        |        CASE WHEN len(w) >= 3 THEN
+        |          CAST(len(w) - 2 - len(list_distinct(
+        |            list_transform(generate_series(1, len(w) - 2),
+        |                           i -> array_to_string(w[i:i+2], ' '))))
+        |            AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END AS n_dup_grams
+        |      FROM dw)
         |SELECT doc_id, n_words, n_distinct_words, n_grams, n_dup_grams,
         |       (100 * (n_words - n_distinct_words)) // n_words AS dup_word_pct,
-        |       (100 * n_dup_grams) // n_grams AS dup_gram_pct
+        |       CASE WHEN n_grams > 0 THEN (100 * n_dup_grams) // n_grams
+        |            ELSE CAST(0 AS BIGINT) END AS dup_gram_pct
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    // Roster-preserving (sub-3-word docs count in n_docs with zero grams,
+    // never flagged), mirroring the Spark side exactly.
     "q_boilerplate_grams" ->
       s"""WITH $docShCtes,
          |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -2436,18 +2444,23 @@ object SparkEntry {
          |       JOIN (SELECT shingle FROM shdf WHERE df >= 3) c
          |         ON s.shingle = c.shingle
          |       GROUP BY 1),
-         |pd AS (SELECT sz.doc_id, sz.n_sh, coalesce(cm.n_common, 0) AS n_common
-         |       FROM sz LEFT JOIN cm ON sz.doc_id = cm.doc_id)
-         |SELECT d.source,
+         |pd AS (SELECT d.doc_id, d.source,
+         |              coalesce(sz.n_sh, 0) AS n_sh,
+         |              coalesce(cm.n_common, 0) AS n_common
+         |       FROM documents d
+         |       LEFT JOIN sz ON d.doc_id = sz.doc_id
+         |       LEFT JOIN cm ON d.doc_id = cm.doc_id)
+         |SELECT source,
          |       count(*) AS n_docs,
-         |       CAST(sum(pd.n_sh) AS BIGINT) AS n_grams,
-         |       CAST(sum(pd.n_common) AS BIGINT) AS n_common,
-         |       CAST(sum(pd.n_common) AS BIGINT) * 1000
-         |         // CAST(sum(pd.n_sh) AS BIGINT) AS bp_permille,
-         |       CAST(sum(CASE WHEN pd.n_common * 2 >= pd.n_sh THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS n_flagged
-         |FROM pd JOIN documents d ON pd.doc_id = d.doc_id
-         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+         |       CAST(sum(n_sh) AS BIGINT) AS n_grams,
+         |       CAST(sum(n_common) AS BIGINT) AS n_common,
+         |       CASE WHEN sum(n_sh) > 0
+         |            THEN CAST(sum(n_common) AS BIGINT) * 1000
+         |                   // CAST(sum(n_sh) AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS bp_permille,
+         |       CAST(sum(CASE WHEN n_sh > 0 AND n_common * 2 >= n_sh
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
 
     "q_source_overlap" ->
       s"""WITH $docShCtes,
@@ -2510,13 +2523,19 @@ object SparkEntry {
          |FROM sz LEFT JOIN nv ON sz.doc_id = nv.doc_id
          |ORDER BY sz.doc_id""".stripMargin,
 
+    // Replays the PrefixDfCap: prefixes carried by > 64 docs are
+    // boilerplate, dropped from the candidate key on both sides.
     "q_prefix_dups" ->
-      """WITH d AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS l
-        |           FROM documents WHERE len(text) >= 60)
+      """WITH d0 AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS l,
+        |                   substr(text, 1, 60) AS p
+        |            FROM documents WHERE len(text) >= 60),
+        |pc AS (SELECT p FROM (SELECT p, count(*) AS df FROM d0 GROUP BY 1)
+        |       WHERE df <= 64),
+        |d AS (SELECT d0.* FROM d0 JOIN pc ON d0.p = pc.p)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       a.l AS len_a, b.l AS len_b
         |FROM d a JOIN d b
-        |  ON substr(a.text, 1, 60) = substr(b.text, 1, 60)
+        |  ON a.p = b.p
         | AND (a.l < b.l OR (a.l = b.l AND a.doc_id < b.doc_id))
         |WHERE substr(b.text, 1, CAST(a.l AS INT)) = a.text
         |ORDER BY doc_a, doc_b""".stripMargin,

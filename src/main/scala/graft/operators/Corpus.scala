@@ -66,19 +66,39 @@ object Corpus {
           .groupBy("doc_id").agg(count(lit(1)).as("n_common")),
         Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_common"))
+    // roster-preserving: docs with < 3 words have no shingles but must
+    // still count in n_docs, or this report's per-source doc counts
+    // disagree with every other per-source report; such docs carry zero
+    // grams and are never flagged (the flag needs n_sh > 0 evidence)
     val src = Tables.load(spark, dir, "documents").select("doc_id", "source")
-    perDoc.join(src, "doc_id")
+    src.join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_sh", "n_common"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_sh")).as("n_grams"),
         sum(col("n_common")).as("n_common"),
-        sum(when(col("n_common") * 2 >= col("n_sh"), 1L).otherwise(0L))
-          .as("n_flagged"))
-      .withColumn("bp_permille", expr("1000 * n_common div n_grams"))
+        sum(when(col("n_sh") > 0 && col("n_common") * 2 >= col("n_sh"),
+          1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("bp_permille",
+        when(col("n_grams") > 0, expr("1000 * n_common div n_grams"))
+          .otherwise(lit(0L)))
       .select("source", "n_docs", "n_grams", "n_common", "bp_permille",
         "n_flagged")
       .orderBy("source")
   }
+
+  /** Memoized distinct (source, shingle-hash) relation — both sides of
+    * the [[sourceOverlap]] self-join read it, so the documents-join +
+    * distinct over the capped shingle index is computed once per session,
+    * not once per join side.
+    */
+  private[graft] def sourceShinglesFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"srch:$dir") {
+      Dedup.shinglesHashedFor(spark, dir)
+        .join(Tables.load(spark, dir, "documents").select("doc_id", "source"),
+          "doc_id")
+        .select("source", "h").distinct()
+    }
 
   /** Pairwise cross-source contamination: for every source pair, the
     * number of distinct shingle hashes they share and the integer Jaccard
@@ -94,9 +114,7 @@ object Corpus {
     * [[Dedup]] scale.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val src = Tables.load(spark, dir, "documents").select("doc_id", "source")
-    val sh = Dedup.shinglesHashedFor(spark, dir)
-      .join(src, "doc_id").select("source", "h").distinct()
+    val sh = sourceShinglesFor(spark, dir)
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
@@ -128,10 +146,15 @@ object Corpus {
     val d = Tables.load(spark, dir, "documents")
       .select(col("source"),
         least(expr("size(split(text, ' ')) div 8"), lit(15)).cast("long").as("bucket"))
+    // ONE corpus scan + tokenize: the (source, bucket) aggregate is tiny
+    // (sources × ≤16 buckets), localCheckpointed, and every other total
+    // derives from it — re-deriving each from `d` would re-run the scan
+    // and the split() per reference
     val bySrc = d.groupBy("source", "bucket").agg(count(lit(1)).as("c_sb"))
-    val srcTot = d.groupBy("source").agg(count(lit(1)).as("n_s"))
-    val byAll = d.groupBy("bucket").agg(count(lit(1)).as("c_b"))
-    val n = d.agg(count(lit(1)).as("n")).select("n")
+      .localCheckpoint()
+    val srcTot = bySrc.groupBy("source").agg(sum(col("c_sb")).as("n_s"))
+    val byAll = bySrc.groupBy("bucket").agg(sum(col("c_sb")).as("c_b"))
+    val n = bySrc.agg(sum(col("c_sb")).as("n")).select("n")
     val grid = srcTot.select("source", "n_s")
       .crossJoin(broadcast(byAll.crossJoin(broadcast(n))))
     grid.join(bySrc, Seq("source", "bucket"), "left")
@@ -169,6 +192,15 @@ object Corpus {
   /** Minimum prefix length (chars) for [[prefixDups]] candidate keying. */
   private[graft] val PrefixKeyLen = 60
 
+  /** Df cap for the prefix-hash join key — same role as
+    * [[Dedup.ShingleDfCap]]: a prefix shared by D documents contributes
+    * D²/2 candidate pairs through one join key, and shared boilerplate
+    * prefixes (site headers, templated pages) are the norm at corpus
+    * scale. A prefix carried by more than `cap` documents is boilerplate,
+    * not truncation evidence, so both engines drop it consistently.
+    */
+  private[graft] val PrefixDfCap = 64
+
   /** Truncation-duplicate pairs: (a, b) where document a's full text is a
     * prefix of document b's (the same page fetched with different
     * truncation — a dup class n-gram Jaccard often misses when the longer
@@ -176,19 +208,23 @@ object Corpus {
     * are oriented by doc_id.
     *
     * Candidates join on the 60-bit hash of the first [[PrefixKeyLen]]
-    * chars — an 8-byte shuffle key; only same-prefix groups ever meet, and
-    * group sizes are bounded by the true truncation-dup mass. A corpus
-    * whose pages share boilerplate PREFIXES (e.g. a common header) would
-    * df-cap this key exactly like [[Dedup.ShingleDfCap]] caps shingles;
-    * the verification `substring(b, 1, len(a)) = a` then confirms full
-    * prefix containment, so the hash key is only ever a candidate filter.
+    * chars — an 8-byte shuffle key, df-capped at [[PrefixDfCap]] so a
+    * boilerplate prefix can never make one join key quadratic (the
+    * [[Dedup.ShingleDfCap]] argument applied to this index); group sizes
+    * are then bounded by min(cap, true truncation-dup mass). The
+    * verification `substring(b, 1, len(a)) = a` confirms full prefix
+    * containment, so the hash key is only ever a candidate filter.
     */
   def prefixDups(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val raw = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("l"))
       .where(col("l") >= PrefixKeyLen)
       .withColumn("pk",
         Tables.portableHash(substring(col("text"), 1, PrefixKeyLen)))
+    val d = raw.join(
+      raw.groupBy("pk").agg(count(lit(1)).as("df"))
+        .where(col("df") <= PrefixDfCap).select("pk"),
+      Seq("pk"), "left_semi")
     d.as("a").join(d.as("b"),
         col("a.pk") === col("b.pk") &&
           (col("a.l") < col("b.l") ||

@@ -313,27 +313,18 @@ object Curation {
     * taken in doc_id order until the cumulative token count crosses the
     * budget — the "cut a training corpus at N tokens" operation.
     *
-    * The running sum is NOT a global single-task window: doc_ids are
-    * range-bucketed, each bucket computes its local prefix sums, and the
-    * cross-bucket carry is a cumulative sum over the per-bucket totals (a
-    * relation bounded by bucket count). Same two-level scan as the skyline
-    * and the Ranking helpers.
+    * The running sum is [[Ranking.withRunningTotal]] — range partitions
+    * compute local prefix sums in parallel and a broadcast per-partition
+    * offset pass supplies the carry, so no single task ever sees more
+    * than one partition's rows. (The previous form carried across
+    * `doc_id div 100` buckets through an UNPARTITIONED window — a
+    * single-task relation that still grew linearly with the corpus.)
     */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("b", expr("doc_id div 100"))
     val budget = d.agg(expr("sum(n_tokens) * 6 div 10").as("budget"))
-    val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy("b").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val bAgg = d.groupBy("b").agg(sum(col("n_tokens")).as("btot"))
-    val wB = org.apache.spark.sql.expressions.Window.orderBy("b")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val carry = bAgg.withColumn("carry",
-      coalesce(sum(col("btot")).over(wB), lit(0L))).drop("btot")
-    d.join(carry, Seq("b"), "left")
-      .withColumn("cum_tokens", col("carry") + sum(col("n_tokens")).over(wLocal))
+    Ranking.withRunningTotal(d, col("n_tokens"), "cum_tokens", col("doc_id"))
       .crossJoin(broadcast(budget))
       .where(col("cum_tokens") <= col("budget"))
       .select("doc_id", "n_tokens", "cum_tokens")

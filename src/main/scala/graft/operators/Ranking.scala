@@ -58,6 +58,35 @@ object Ranking {
     * distributed global row number, bit-identical to a single-task
     * `ntile(k) over (order by ...)`.
     */
+  /** `df` + column `out` = exact inclusive global running total of
+    * `valueCol` in `sortCols` order — the distributed form of
+    * `sum(v) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`, built the same
+    * way as [[withGlobalRowNumber]]: local prefix sums inside range
+    * partitions plus one broadcast per-partition offset pass. `sortCols`
+    * must be a total order (callers tie-break on a unique id).
+    */
+  def withRunningTotal(df: DataFrame, valueCol: Column, out: String,
+      sortCols: Column*): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val v = "__graft_val"
+    val ranged = df.withColumn(v, valueCol)
+      .repartitionByRange(parts, sortCols: _*)
+      .withColumn(Pid, spark_partition_id())
+      .localCheckpoint() // offset pass + main pass read one materialization
+    val local = ranged.withColumn("__graft_lsum",
+      sum(col(v)).over(Window.partitionBy(Pid).orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val sums = ranged.groupBy(Pid).agg(sum(col(v)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val cum = sums.scanLeft(0L)(_ + _._2)
+    val offsetsDf = df.sparkSession.createDataFrame(
+      sums.indices.map(i => (sums(i)._1, cum(i)))
+    ).toDF(Pid, "__graft_off")
+    local.join(broadcast(offsetsDf), Pid)
+      .withColumn(out, col("__graft_lsum") + col("__graft_off"))
+      .drop(Pid, v, "__graft_lsum", "__graft_off")
+  }
+
   def withGlobalNtile(df: DataFrame, k: Int, out: String, sortCols: Column*): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val rn = "__graft_rn"

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{Materialized, Tables}
 
@@ -38,6 +38,15 @@ object TextAnalysis {
         .groupBy("t").agg(count(lit(1)).as("n"))
     }
 
+  /** The stopword test, in ONE place: [[textStats]] and [[qualityFilter]]
+    * both count hits against this set, so extending it cannot silently
+    * diverge the two reports (the same single-home rule as
+    * [[qualityVerdict]] for the gate thresholds).
+    */
+  private def stopwordHits(w: Column): Column =
+    size(filter(w, x =>
+      x === "the" || x === "a" || x === "of" || x === "and")).cast("long")
+
   /** Per-document statistics + quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
@@ -49,9 +58,7 @@ object TextAnalysis {
         size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
         aggregate(transform(col("w"), x => length(x)), lit(0),
           (acc, v) => greatest(acc, v)).cast("long").as("max_word_len"),
-        size(filter(col("w"), x =>
-          x === "the" || x === "a" || x === "of" || x === "and"))
-          .cast("long").as("stopword_n"))
+        stopwordHits(col("w")).as("stopword_n"))
       .withColumn("quality_pct",
         expr("(100 * n_distinct_words) div n_words"))
       .orderBy("doc_id")
@@ -106,7 +113,9 @@ object TextAnalysis {
   }
 
   /** Token counting: whitespace tokens vs a BPE-ish regex token stream
-    * (`[a-z0-9]+` runs and single non-space symbols).
+    * (`[a-z0-9]+` runs only — punctuation/uppercase characters are not
+    * counted as tokens, they just split runs; right for this lowercase
+    * synthetic corpus, and the DuckDB oracle replays the same regex).
     */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
@@ -140,9 +149,7 @@ object TextAnalysis {
         size(col("w")).cast("long").as("n_words"),
         // words are single-space joined: total word chars = len − (n−1)
         (col("nc") - size(col("w")).cast("long") + 1L).as("word_chars"),
-        size(filter(col("w"), x =>
-          x === "the" || x === "a" || x === "of" || x === "and"))
-          .cast("long").as("stopword_n"))
+        stopwordHits(col("w")).as("stopword_n"))
       .withColumn("mwl10", expr("(10 * word_chars) div n_words"))
       .join(tf, "doc_id")
       .withColumn("top_pct", expr("(100 * top_n) div n_words"))
@@ -350,19 +357,24 @@ object TextAnalysis {
     val w = split(col("text"), " ")
     val grams = transform(sequence(lit(1), size(col("w")) - 2),
       i => concat_ws(" ", slice(col("w"), i, lit(3))))
+    // sub-3-word docs stay in the report (dup_word_pct is well-defined
+    // for them — "spam spam" is maximal repetition); their gram columns
+    // are zero, with the pct guarded against the 0 denominator
     d.select(col("doc_id"), w.as("w"))
-      .where(size(col("w")) >= 3)
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_words"),
         size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
-        grams.as("g"))
+        when(size(col("w")) >= 3, grams)
+          .otherwise(array().cast("array<string>")).as("g"))
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
         size(col("g")).cast("long").as("n_grams"),
         (size(col("g")) - size(array_distinct(col("g")))).cast("long")
           .as("n_dup_grams"))
       .withColumn("dup_word_pct",
         expr("(100 * (n_words - n_distinct_words)) div n_words"))
-      .withColumn("dup_gram_pct", expr("(100 * n_dup_grams) div n_grams"))
+      .withColumn("dup_gram_pct",
+        when(col("n_grams") > 0, expr("(100 * n_dup_grams) div n_grams"))
+          .otherwise(lit(0L)))
       .orderBy("doc_id")
   }
 }
