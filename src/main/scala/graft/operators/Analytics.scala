@@ -64,6 +64,19 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** The percentile_disc scaffold shared by every exact-quantile operator
+    * here (quantityPercentiles, approxQuantile, iqrOutliers, madOutliers,
+    * timeToConvert): rows get `rn` = row_number within `group` ordered by
+    * `value`, and `n` = the group count via a broadcast join; callers read
+    * a percentile off `min(when(rn === <rank expr>, value))`. ONE home for
+    * the construction so the rank formulas can't drift between operators.
+    */
+  private def rankedWithCounts(df: DataFrame, group: String, value: String): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(col(value))
+    df.withColumn("rn", row_number().over(w))
+      .join(broadcast(df.groupBy(group).agg(count(lit(1)).as("n"))), group)
+  }
+
   /** Exact distributed quantiles (p25/p50/p90 of l_quantity per returnflag)
     * via sort + row_number — the deterministic engine-portable form of
     * `percentile_disc` (value at 1-based rank ⌈p·n⌉, computed with integer
@@ -76,10 +89,7 @@ object Analytics {
   def quantityPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
-    val ranked = li.withColumn("rn", row_number().over(w))
-    val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-    ranked.join(broadcast(counts), "l_returnflag")
+    rankedWithCounts(li, "l_returnflag", "q")
       .groupBy("l_returnflag")
       .agg(
         min(when(col("rn") === expr("(n + 3) div 4"), col("q"))).as("p25"),
@@ -92,8 +102,9 @@ object Analytics {
 
   /** Share-of-total (TPC-H Q14 flavored): revenue per part type with its
     * permille share of total revenue. `part` is a true dimension →
-    * explicit broadcast; the share is a window over the 6-row aggregate
-    * (integer permille, portable).
+    * explicit broadcast; the share is an unpartitioned window over the
+    * per-p_type aggregate — bounded by the p_type domain (150 values in
+    * TPC-H), a dimension cardinality, never event volume.
     */
   def promoShare(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
@@ -110,27 +121,38 @@ object Analytics {
   }
 
   /** Funnel analysis: how far each user progresses through
-    * view → click → purchase (in event-time order, other events ignored).
-    * The per-user journey collapses to an ordered initial-letter string —
-    * one hash aggregation, map-side combinable — and stage membership is a
-    * subsequence regex on that string; output is users per deepest stage.
-    * This is the O(users) shape for funnel queries at any scale: no
-    * self-joins per stage, no per-stage scans.
+    * view → click → purchase (in event-time order, other events ignored) —
+    * subsequence semantics, computed with O(1) state per user via the
+    * greedy earliest-first match (optimal for subsequence inclusion):
+    * kv = first view, kc = first click after kv, stage 3 ⇔ any purchase
+    * after kc. Each step is a per-user aggregate (≤ 1 row per user)
+    * joined back on user_id — bounded reducer state at ANY per-user event
+    * volume, where a collect-the-journey aggregation would hand a bot
+    * account's millions of events to one reducer as a single unbounded
+    * group (the oracle keeps the equivalent string_agg + regex form, fine
+    * at oracle scale).
     */
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-    val journeys = ev
+    val e = Tables.load(spark, dir, "events")
       .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type").as("t"),
+        struct(Tables.epochMs.as("em"), col("event_id").as("eid")).as("k"))
+    val v = e.where(col("t") === "view")
+      .groupBy("user_id").agg(min(col("k")).as("kv"))
+    val c = e.where(col("t") === "click")
+      .join(v, "user_id").where(col("k") > col("kv"))
+      .groupBy("user_id").agg(min(col("k")).as("kc"))
+    val p = e.where(col("t") === "purchase")
+      .join(c, "user_id").where(col("k") > col("kc"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_p"))
+    e.select("user_id").distinct()
+      .join(v.withColumn("f1", lit(1L)).drop("kv"), Seq("user_id"), "left")
+      .join(c.withColumn("f2", lit(1L)).drop("kc"), Seq("user_id"), "left")
+      .join(p.withColumn("f3", lit(1L)).drop("n_p"), Seq("user_id"), "left")
       .select(col("user_id"),
-        struct(Tables.epochMs.as("em"), col("event_id"),
-          substring(col("event_type"), 1, 1).as("i")).as("e"))
-      .groupBy("user_id")
-      .agg(concat_ws("", transform(sort_array(collect_list(col("e"))),
-        e => e.getField("i"))).as("seq"))
-    journeys.select(col("user_id"),
-        when(col("seq").rlike("v.*c.*p"), 3L)
-          .when(col("seq").rlike("v.*c"), 2L)
-          .when(col("seq").rlike("v"), 1L)
+        when(col("f3") === 1L, 3L)
+          .when(col("f2") === 1L, 2L)
+          .when(col("f1") === 1L, 1L)
           .otherwise(0L).as("stage"))
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
       .orderBy("stage")
@@ -141,8 +163,11 @@ object Analytics {
     * needs, but order-independent int64 sums that hash-compare across
     * engines (a float `corr()` differs in the last ulp between engines and
     * partitionings). The caller derives r or β from the moments. Dollars,
-    * not cents: Σy² in cents would overflow int64 near 10⁸ rows/group
-    * (y²≈10¹⁴ each); dollar-scale keeps headroom to ~10¹² rows.
+    * not cents: y² ≈ 1.2·10¹⁰ at dollar scale (vs 10¹⁴ in cents), so Σy²
+    * holds ~7·10⁸ rows per group before int64 wraps — enough for the test
+    * scales and typical group cardinalities, NOT for 10¹¹-row groups: at
+    * that size production shifts y by the group mean first (one extra
+    * pass) or sums into DECIMAL(38,0), both engine-portable.
     */
   def corrMoments(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
@@ -239,12 +264,7 @@ object Analytics {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
     // exact median via rank ⌈(n+1)/2⌉ against a joined per-group count
-    // (same engine-portable construction as quantityPercentiles)
-    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
-    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val ranked = ev.withColumn("rn", row_number().over(w))
-      .join(broadcast(counts), "event_type")
-    val exact2 = ranked.groupBy("event_type")
+    val exact2 = rankedWithCounts(ev, "event_type", "v").groupBy("event_type")
       .agg(min(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("p50_exact"),
         min(col("n")).as("n"))
     val approx = ev.groupBy("event_type")
@@ -352,10 +372,7 @@ object Analytics {
   def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
-    val ranked = ev.withColumn("rn", row_number().over(w))
-    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val quartiles = ranked.join(broadcast(counts), "event_type")
+    val quartiles = rankedWithCounts(ev, "event_type", "v")
       .groupBy("event_type")
       .agg(min(when(col("rn") === expr("(n + 3) div 4"), col("v"))).as("q1"),
         min(when(col("rn") === expr("(3 * n + 3) div 4"), col("v"))).as("q3"))
@@ -381,14 +398,10 @@ object Analytics {
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
-    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-    def medianOf(df: DataFrame, c: String): DataFrame = {
-      val w = Window.partitionBy(col("event_type")).orderBy(col(c))
-      df.withColumn("rn", row_number().over(w))
-        .join(broadcast(counts), "event_type")
+    def medianOf(df: DataFrame, c: String): DataFrame =
+      rankedWithCounts(df, "event_type", c)
         .groupBy("event_type")
         .agg(min(when(col("rn") === expr("(n + 1) div 2"), col(c))).as(s"med_$c"))
-    }
     val med = medianOf(ev, "v")
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("dv", abs(col("v") - col("med_v")))
@@ -474,10 +487,7 @@ object Analytics {
       .groupBy("user_id")
       .agg(min(expr("em - view_ms")).as("delta_ms"))
       .withColumn("cohort", col("user_id") % 8)
-    val counts = delta.groupBy("cohort").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("cohort")).orderBy(col("delta_ms"))
-    delta.withColumn("rn", row_number().over(w))
-      .join(broadcast(counts), "cohort")
+    rankedWithCounts(delta, "cohort", "delta_ms")
       .groupBy("cohort")
       .agg(min(col("n")).as("n_converted"),
         min(when(col("rn") === expr("(n + 1) div 2"), col("delta_ms")))

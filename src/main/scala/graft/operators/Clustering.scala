@@ -52,7 +52,7 @@ object Clustering {
 
   def kmeansCentroids(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
-    var cents = Similarity.centroidsFor(v)
+    var cents = Similarity.centroidsMemoFor(spark, dir)
     for (_ <- 1 to iters) {
       // map-only argmax assignment (Similarity.multiProbe, nprobe=1)
       val assign = Similarity.multiProbe(v, cents, 1, keep = Seq("e"))
@@ -80,11 +80,12 @@ object Clustering {
     * table and so from this report (deterministically, both engines).
     *
     * Both relations are K rows (broadcast-size); the report is a K-row
-    * join — free at any corpus size, because the corpus-sized work
-    * (assignment) already happened inside the memoized centroid builds.
+    * join over the 64-row seed memo and the 64-row refined memo — free at
+    * any corpus size, because the corpus-sized work (seed selection,
+    * assignment) already happened inside the memoized builds.
     */
   def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
-    val seeds = Similarity.centroidsFor(Dedup.normedFor(spark, dir))
+    val seeds = Similarity.centroidsMemoFor(spark, dir)
       .select(col("cent_id"), col("ce").as("se"), col("cn").as("sn"))
     val kc = kmeansCentroidsFor(spark, dir)
     seeds.join(kc, "cent_id")
@@ -99,7 +100,7 @@ object Clustering {
 
     // assignment: nearest centroid by cosine (ties → smallest cluster_id),
     // map-only via Similarity.multiProbe (nprobe=1)
-    val assign = Similarity.multiProbe(v, Similarity.centroidsFor(v), 1,
+    val assign = Similarity.multiProbe(v, Similarity.centroidsMemoFor(spark, dir), 1,
         keep = Seq("e"))
       .select(col("vec_id"), col("cent_id").as("cluster_id"), col("e"))
 

@@ -16,9 +16,12 @@ import graft.sources.Tables
   *     key — partial aggregation doesn't shrink distinct state, so the final
   *     reducer for that key explodes.
   *
-  * Both helpers preserve exact semantics for ANY salt assignment; the salt
-  * is derived with `xxhash64` over the row (deterministic, re-evaluation
-  * safe — `rand()` is not, it breaks on task retry).
+  * Both helpers preserve exact semantics for ANY salt assignment. The
+  * aggregation helpers and the `saltOn` join derive the salt with
+  * `xxhash64` over row content (deterministic, re-evaluation safe —
+  * `rand()` is not, it breaks on task retry); the ONLY retry-unsafe path
+  * is the explicitly named [[saltedJoinPositional]], whose name is the
+  * warning.
   */
 object Skew {
 
@@ -48,33 +51,40 @@ object Skew {
     * over `salt` tasks at the cost of a `salt`× build-side blowup — size
     * `salt` ≈ (hot-key share × parallelism).
     *
-    * Prefer the `saltOn` overload: pass any stable row-identifying columns
-    * (a primary key, a line number) and the salt is
-    * `xxhash64(key, saltOn…) mod salt` — a pure function of row CONTENT, so
-    * a task retry recomputes the identical assignment. The no-`saltOn` form
-    * falls back to positional `monotonically_increasing_id mod salt`
-    * (content hashing without an id column would send fully-identical rows
-    * of a hot key back to ONE task — the degenerate duplicate-heavy case
-    * this helper exists for). CAVEAT on the positional fallback: the id is
-    * row-order-dependent, so a shuffle-fetch failure that partially
-    * recomputes the map stage can re-salt rows differently from what
-    * already-committed reducers fetched — rows duplicated or lost. Use it
-    * only when no stable id exists, and prefer rerunning the job over
-    * trusting a retried one.
-    */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame =
-    saltedJoin(big, small, key, salt, Nil)
-
-  /** Retry-safe variant: salt = `xxhash64(key, saltOn…) mod salt`. `saltOn`
-    * should identify rows within a key (unique id, sequence number) so
-    * duplicates of the hot key spread across tasks deterministically.
+    * `saltOn` must be stable row-identifying columns (a primary key, a
+    * line number): the salt is `xxhash64(key, saltOn…) mod salt` — a pure
+    * function of row CONTENT, so a task retry recomputes the identical
+    * assignment.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
       saltOn: Seq[Column]): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
-    val saltExpr =
-      if (saltOn.nonEmpty) pmod(xxhash64((col(key) +: saltOn): _*), lit(salt.toLong))
-      else pmod(monotonically_increasing_id(), lit(salt.toLong))
+    require(saltOn.nonEmpty,
+      "saltOn must identify rows; for relations with no stable id use " +
+        "saltedJoinPositional and accept its retry caveat")
+    saltedJoinWith(big, small, key, salt,
+      pmod(xxhash64((col(key) +: saltOn): _*), lit(salt.toLong)))
+  }
+
+  /** Positional fallback for relations with NO stable row identity: salt =
+    * `monotonically_increasing_id mod salt` (content hashing would send
+    * fully-identical rows of a hot key back to ONE task — the degenerate
+    * duplicate-heavy case salting exists for). RETRY-UNSAFE by
+    * construction, hence the separate name: the id is row-order-dependent,
+    * so a shuffle-fetch failure that partially recomputes the map stage
+    * can re-salt rows differently from what already-committed reducers
+    * fetched — rows duplicated or lost. Prefer rerunning the whole job
+    * over trusting a retried one.
+    */
+  def saltedJoinPositional(big: DataFrame, small: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    saltedJoinWith(big, small, key, salt,
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+  }
+
+  private def saltedJoinWith(big: DataFrame, small: DataFrame, key: String,
+      salt: Int, saltExpr: Column): DataFrame = {
     val b = big.withColumn(SaltCol, saltExpr.cast("int"))
     val s = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salt - 1))))
@@ -114,7 +124,11 @@ object Skew {
       .groupBy(col(key), col(SaltCol))
       .agg(collect_set(value).as("part"))
       .groupBy(col(key))
-      .agg(array_sort(array_distinct(flatten(collect_list(col("part"))))).as("values"))
+      // no array_distinct needed: salt = hash(value) % n partitions values
+      // into DISJOINT buckets, and collect_set dedupes within each — the
+      // flattened partials cannot overlap (same invariant
+      // saltedCountDistinct's plain sum rests on)
+      .agg(array_sort(flatten(collect_list(col("part")))).as("values"))
   }
 
   /** Exact distinct count under a hot group key via the same two-phase

@@ -47,18 +47,18 @@ class SkewSpec extends SparkSpec {
     assert(graft.operators.Dedup.dfCapped(atCap, 64).count() == 128L)
   }
 
-  test("saltedJoin == plain join on skewed data (any salt)") {
+  test("saltedJoinPositional == plain join on skewed data (any salt)") {
     val plain = skewed.join(dim, "k")
       .select("k", "n", "v", "label")
       .collect().map(_.toSeq).toSet
     Seq(1, 4, 16).foreach { s =>
-      val salted = Skew.saltedJoin(skewed, dim, "k", s)
+      val salted = Skew.saltedJoinPositional(skewed, dim, "k", s)
         .select("k", "n", "v", "label")
         .collect().map(_.toSeq).toSet
       assert(salted == plain, s"salt=$s diverged")
     }
     // the salt must be part of the physical join key
-    val p = Skew.saltedJoin(skewed, dim, "k", 8)
+    val p = Skew.saltedJoinPositional(skewed, dim, "k", 8)
       .queryExecution.executedPlan.toString
     assert(p.contains("__graft_salt"), "salt not in the plan")
   }
