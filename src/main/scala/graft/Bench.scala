@@ -75,6 +75,7 @@ object Bench {
       "_build_shingle_sizes" -> (() => { operators.Dedup.sizesFor(spark, sfDir).count(); () }),
       "_build_shingle_all" -> (() => { operators.Corpus.allShingleHashesFor(spark, sfDir).count(); () }),
       "_build_co_edges" -> (() => { operators.Graph.coEdges(spark, sfDir).count(); () }),
+      "_build_media_meta" -> (() => { operators.Multimodal.mediaMetaFor(spark, sfDir).count(); () }),
     )
     val buildResults =
       if (only.isDefined) Seq.empty

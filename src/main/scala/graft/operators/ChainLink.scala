@@ -57,7 +57,10 @@ object ChainLink {
       approx_percentile(col("end_at_ms") - col("start_at_ms"), lit(0.95), lit(1000)),
       max(col("end_at_ms") - col("start_at_ms"))).head()
     if (stats.isNullAt(0) || stats.isNullAt(1)) 1L
-    else math.max(1L, math.max(stats.getLong(0), stats.getLong(1) / 64))
+    // CEILING division: floor would let w undershoot maxLen/64 and the
+    // worst interval replicate to up to 128 buckets, double the cap the
+    // knob promises (maxLen/⌈maxLen/64⌉ + 1 ≤ 65 always)
+    else math.max(1L, math.max(stats.getLong(0), (stats.getLong(1) + 63) / 64))
   }
 
   def links(msgsRaw: DataFrame): DataFrame = {
@@ -238,28 +241,34 @@ object ChainLink {
       .orderBy("event_type", "key_id", "other_id")
   }
 
-  /** J2 (batch form) — watermark emission set: messages whose `end_at_ms` is
-    * at or below the final watermark `max(start_at_ms) − 30 000`
-    * (reference: `linking_utils.py:59-76`, 30 s bound
-    * `simpy_kafka_reader.py:28`).
+  /** The shared J2/J3 split: messages vs the final watermark
+    * `max(start_at_ms) − 30 000` (reference 30 s bound
+    * `simpy_kafka_reader.py:28`) — ONE home for the bound and the
+    * broadcast-scalar shape, so the emitted set and its eviction
+    * complement cannot drift.
     */
-  def watermarkEmitted(spark: SparkSession, dir: String): DataFrame = {
+  private def vsWatermark(spark: SparkSession, dir: String,
+      emitted: Boolean): DataFrame = {
     val m = Tables.msgs(spark, dir)
     val wm = m.agg((max(col("start_at_ms")) - 30000L).as("wm"))
-    m.crossJoin(broadcast(wm)).where(col("end_at_ms") <= col("wm"))
+    m.crossJoin(broadcast(wm))
+      .where(if (emitted) col("end_at_ms") <= col("wm")
+             else col("end_at_ms") > col("wm"))
       .select(m.columns.toIndexedSeq.map(col): _*).orderBy("id")
   }
+
+  /** J2 (batch form) — watermark emission set: messages whose `end_at_ms` is
+    * at or below the final watermark (reference: `linking_utils.py:59-76`).
+    */
+  def watermarkEmitted(spark: SparkSession, dir: String): DataFrame =
+    vsWatermark(spark, dir, emitted = true)
 
   /** J3 — eviction complement: messages still buffered at the final
     * watermark (reference eviction scan `simpy_kafka_reader.py:162-184`
     * removes `end_at_ms <= timer`; these are the survivors).
     */
-  def evictionSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val m = Tables.msgs(spark, dir)
-    val wm = m.agg((max(col("start_at_ms")) - 30000L).as("wm"))
-    m.crossJoin(broadcast(wm)).where(col("end_at_ms") > col("wm"))
-      .select(m.columns.toIndexedSeq.map(col): _*).orderBy("id")
-  }
+  def evictionSurvivors(spark: SparkSession, dir: String): DataFrame =
+    vsWatermark(spark, dir, emitted = false)
 
   /** A1 (summary form) — per-id parent/child degree, rolled up into a
     * (parent_cnt, child_cnt) → n histogram. Pure-integer output (hash-safe).
@@ -438,6 +447,10 @@ object ChainLink {
     * Oracle equivalence: the DuckDB side extracts with a full JSON-number
     * regex (incl. exponents); both sides map non-numeric/quoted/missing
     * `k` to the 0 default, so they agree on any valid-JSON props value.
+    * One deliberate deviation: both engines FLOOR, while Python's
+    * `int(float(x))` truncates toward zero — they differ only on negative
+    * fractional k (floor(-2.5) = -3 vs int = -2), a case the generator
+    * never emits (k ≥ 0 in the wire format).
     */
   def parseEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")

@@ -76,8 +76,11 @@ object Multimodal {
     val len = in.payload.length.toLong
     val nFrames = len / 100 + 1
     val sampled = math.min(nFrames - 1, 3L)
+    // decode the payload ONCE per record, not once per sampled frame —
+    // this map is the per-partition hot loop
+    val s = new String(in.payload, StandardCharsets.UTF_8)
     val hashes = (0L to sampled).map { j =>
-      portableHashBytes(utf8(new String(in.payload, StandardCharsets.UTF_8) + "#" + j))
+      portableHashBytes(utf8(s + "#" + j))
     }
     val w = 64 + portableHashBytes(utf8("w" + in.doc_id)) % 1920
     val h = 64 + portableHashBytes(utf8("h" + in.doc_id)) % 1080
@@ -93,14 +96,23 @@ object Multimodal {
     }
   }
 
+  /** Session-memoized decoded relation — the decode (the expensive codec
+    * stage in a real pipeline) runs once per session and serves
+    * [[mediaMeta]], [[mediaFrames]] and [[mediaTypeStats]]; previously
+    * each consumer (and mediaTypeStats' two aggregation branches) re-ran
+    * the full decode.
+    */
+  private[graft] def mediaMetaFor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Materialized.of(spark, s"mediameta:$dir")(
+      decode(mediaTable(spark, dir).as[MediaIn]).toDF())
+  }
+
   /** The oracle-checked query: derive media table, batch-decode, project
     * metadata sorted by doc_id.
     */
-  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = mediaTable(spark, dir).as[MediaIn]
-    decode(media).toDF().orderBy("doc_id")
-  }
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaMetaFor(spark, dir).orderBy("doc_id")
 
   /** Frame-sample + resize plumbing: the decoded docs fanned out 1→N to one
     * row per sampled frame (`posexplode` — the UDTF shape), each carrying an
@@ -110,8 +122,7 @@ object Multimodal {
     * resize arithmetic are the real, oracle-checked parts.
     */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val meta = decode(mediaTable(spark, dir).as[MediaIn]).toDF()
+    val meta = mediaMetaFor(spark, dir)
     meta.select(col("doc_id"), col("media_type"), col("width"), col("height"),
         posexplode(col("frame_hashes")).as(Seq("frame_idx", "frame_hash")))
       .select(col("doc_id"), col("media_type"),
@@ -121,13 +132,16 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** Cross-document media-chunk dedup: each payload's sampled frames are
-    * its 100-byte chunks (same sample positions as [[mediaFrames]]), hashed
-    * and grouped — chunks shared by ≥ 2 documents flag duplicated media
-    * content even when the containing documents differ elsewhere (the
-    * chunk-level exact-dedup stage of an asset pipeline; near-identical
-    * payloads collide on their unchanged chunks). One hash-shuffle keyed by
-    * the 60-bit chunk hash — the [[Dedup.dedupExact]] shape.
+  /** Cross-document media-chunk dedup: each payload is cut into up to four
+    * 100-CHARACTER chunks (its own chunking scheme — character-positioned
+    * over the text encoding, distinct from [[decodeOne]]'s byte-positioned
+    * whole-payload frame hashes; the two coincide only on ASCII payloads
+    * like this corpus), hashed and grouped — chunks shared by ≥ 2
+    * documents flag duplicated media content even when the containing
+    * documents differ elsewhere (the chunk-level exact-dedup stage of an
+    * asset pipeline; near-identical payloads collide on their unchanged
+    * chunks). One hash-shuffle keyed by the 60-bit chunk hash — the
+    * [[Dedup.dedupExact]] shape.
     */
   def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
@@ -154,8 +168,7 @@ object Multimodal {
     * countDistinct keyed by the tiny media_type domain.
     */
   def mediaTypeStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val meta = decode(mediaTable(spark, dir).as[MediaIn]).toDF()
+    val meta = mediaMetaFor(spark, dir)
     val base = meta.groupBy("media_type")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("byte_len")).as("total_bytes"),

@@ -495,7 +495,7 @@ object Relational {
       .groupBy(Tables.epochMsBucket(86400000L).as("day"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        sum(cents(col("value"))).as("value_cents"))
       .selectExpr("day",
         "stack(3, 'n_events', n_events, 'n_users', n_users, " +
           "'value_cents', value_cents) AS (metric, val)")
@@ -530,7 +530,7 @@ object Relational {
     */
   def qHourlySeasonality(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
-      .select(expr("((ts div 1000000) div 3600000) % 24").as("hour"),
+      .select((Tables.epochMsBucket(3600000L) % 24).as("hour"),
         col("event_type"), cents(col("value")).as("vc"))
       .groupBy("hour")
       .agg(count(lit(1)).as("n_events"),

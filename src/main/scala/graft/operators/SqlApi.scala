@@ -15,14 +15,17 @@ object SqlApi {
     Tables.load(spark, dir, name).createOrReplaceTempView(name)
 
   /** Register every table (plus the derived `msgs` trace view) as temp
-    * views, making the whole surface addressable from `spark.sql` — the
-    * full SQL personality for users coming from the reference.
+    * views AND the engine's custom SQL functions (graft_dot …), making the
+    * whole surface addressable from `spark.sql` — the full SQL personality
+    * for users coming from the reference, with no dependence on the
+    * session having been built with the GraftExtensions conf.
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach(view(spark, dir, _))
     Tables.msgs(spark, dir).createOrReplaceTempView("msgs")
+    graft.functions.GraftFunctions.register(spark)
   }
 
   /** Revenue by market segment, pure SQL text (same integer-cents policy). */

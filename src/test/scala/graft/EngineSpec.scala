@@ -24,6 +24,10 @@ class EngineSpec extends SparkSpec {
       .head().getLong(0)
     assert(n == 1000L)
     assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
+    // registerAll alone must make the custom functions available — no
+    // dependence on the GraftExtensions session conf or another entry point
+    assert(spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0) == 11.0)
   }
 
   test("graft_dot is registered by the facade session path") {
