@@ -190,18 +190,33 @@ final class LinkingProcessor
   * emit exactly once when the watermark passes `end_at_ms`, then clear.
   * Updates arriving before the base message accumulate; orphan updates
   * (no base) are never emitted — reference behavior (`:266-269`).
+  *
+  * Orphan-state TTL: update lists created with no base self-expire via a
+  * cleanup timer at watermark + the 30 s out-of-orderness bound — without
+  * it, an update landing after its key's base emitted (the
+  * watermark-boundary corner) would recreate list state with no timer and
+  * leak it for the life of the query (the ProcTime twin discards orphans
+  * explicitly; this is the event-time equivalent). A base admissible
+  * within the bound always arrives before the cleanup fires and disarms
+  * it; a base later than that is late by the pipeline's own policy, and
+  * its updates are discarded exactly as the reference discards orphans.
   */
 final class AggregationProcessor
     extends StatefulProcessor[String, UpdateEvent, LinkedMsg] {
 
+  private val OrphanGraceMs = 30001L
+
   @transient private var base: org.apache.spark.sql.streaming.ValueState[Msg] = _
   @transient private var parents: org.apache.spark.sql.streaming.ListState[String] = _
   @transient private var children: org.apache.spark.sql.streaming.ListState[String] = _
+  @transient private var orphanAt: org.apache.spark.sql.streaming.ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     base = getHandle.getValueState[Msg]("base", Encoders.product[Msg], TTLConfig.NONE)
     parents = getHandle.getListState[String]("parents", Encoders.STRING, TTLConfig.NONE)
     children = getHandle.getListState[String]("children", Encoders.STRING, TTLConfig.NONE)
+    orphanAt = getHandle.getValueState[Long]("orphan_at",
+      Encoders.scalaLong, TTLConfig.NONE)
   }
 
   override def handleInputRows(key: String, rows: Iterator[UpdateEvent],
@@ -220,6 +235,11 @@ final class AggregationProcessor
               u.latency_msec, u.end_at_ms)
             base.update(m)
             getHandle.registerTimer(m.end_at_ms)
+            // the base's own emission timer owns cleanup from here on
+            if (orphanAt.exists()) {
+              getHandle.deleteTimer(orphanAt.get())
+              orphanAt.clear()
+            }
           }
         case "add_parent" => if (u.other_id.nonEmpty) pSet += u.other_id
         case "add_child" => if (u.other_id.nonEmpty) cSet += u.other_id
@@ -228,6 +248,11 @@ final class AggregationProcessor
     }
     if (pSet.size != p0) parents.put(pSet.toArray)
     if (cSet.size != c0) children.put(cSet.toArray)
+    if (!base.exists() && (pSet.nonEmpty || cSet.nonEmpty) && !orphanAt.exists()) {
+      val at = timers.getCurrentWatermarkInMs() + OrphanGraceMs
+      getHandle.registerTimer(at)
+      orphanAt.update(at)
+    }
     Iterator.empty
   }
 
@@ -238,6 +263,11 @@ final class AggregationProcessor
       val out = LinkedMsg.of(m, parents.get().toSeq, children.get().toSeq)
       base.clear(); parents.clear(); children.clear()
       Iterator.single(out)
+    } else if (!base.exists() && orphanAt.exists() &&
+        orphanAt.get() == expired.getExpiryTimeInMs()) {
+      // orphan cleanup: no base ever arrived inside the grace window
+      parents.clear(); children.clear(); orphanAt.clear()
+      Iterator.empty
     } else Iterator.empty
   }
 }

@@ -161,6 +161,12 @@ final class ProcTimeSigIndexProcessor(idleFlushMs: Long)
 
   override def handleExpiredTimer(key: String, timers: TimerValues,
       expired: ExpiredTimerInfo): Iterator[BandVerdict] = {
+    // stale-timer guard (same as the chain-link proc-time processors): a
+    // timer superseded by newer input in this very micro-batch must not
+    // flush — it would judge just-added pending records before their idle
+    // window and desync idleAt from the live timer
+    if (!idleAt.exists() || idleAt.get() != expired.getExpiryTimeInMs())
+      return Iterator.empty
     val own = owner.get()
     val now = new Timestamp(timers.getCurrentProcessingTimeInMs())
     val out = pending.get().map { p =>
@@ -229,14 +235,24 @@ object StreamingDedup {
   private val P = 1000000007L
 
   /** The 4 band-signature rows per document, as pure map-side expressions
-    * mirroring `Dedup.minhash16For` / `minhashCandFor` bit-for-bit.
+    * mirroring `Dedup.minhash16For` / `minhashCandFor`'s permutation and
+    * banding arithmetic bit-for-bit over the document's OWN distinct
+    * shingles. Two deliberate single-pass divergences from the batch
+    * index: (a) no corpus df cap (that needs corpus-level df counts a
+    * pure stream doesn't have — boilerplate-dominated corpora should
+    * pre-gate with the static-index [[StreamingOps.corpusProbeDedupStream]]);
+    * (b) sub-3-word docs get a per-doc SENTINEL gram (batch gives them an
+    * empty shingle set and so never pairs them) — the sentinel contains
+    * NUL so it can't equal any real space-split trigram, making such docs
+    * uncollidable here too: same always-kept verdict, but emitted through
+    * the normal verdict path instead of silently missing.
     */
   def bandSignatures(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     val grams = when(size(col("w")) >= 3,
       transform(sequence(lit(1), size(col("w")) - 2),
         i => concat_ws(" ", slice(col("w"), i, lit(3)))))
-      .otherwise(array(concat_ws(" ", col("w"))))
+      .otherwise(array(concat(lit("\u0000short\u0000"), col("doc_id").cast("string"))))
     val hs = transform(array_distinct(col("g")),
       g => graft.functions.PortableHash60(g) % P)
     val mh = (0 to 15).map(j =>

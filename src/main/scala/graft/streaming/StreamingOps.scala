@@ -114,21 +114,12 @@ object StreamingOps {
     */
   def ivfAssignStream(stream: DataFrame, cents: DataFrame): DataFrame = {
     import graft.functions.VectorOps
-    val centArr = cents.agg(
-      array_sort(collect_list(struct(col("cent_id"), col("ce"), col("cn"))))
-        .as("cents"))
-    stream.withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
-      .crossJoin(broadcast(centArr))
-      .select(col("vec_id"),
-        aggregate(col("cents"),
-          struct(lit(-1L).as("cent_id"), lit(Double.NegativeInfinity).as("best")),
-          (acc, c) => {
-            val cos = VectorOps.dot(col("e"), c.getField("ce")) /
-              (col("nrm") * c.getField("cn"))
-            when(cos > acc.getField("best"),
-              struct(c.getField("cent_id").as("cent_id"), cos.as("best")))
-              .otherwise(acc)
-          }).getField("cent_id").as("cent_id"))
+    // routes through the SAME Similarity.multiProbe expression the batch
+    // index build uses (nprobe=1) — cosine arithmetic and tie-break are
+    // identical by construction, not by a hand-mirrored re-implementation
+    graft.operators.Similarity.multiProbe(
+      stream.withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e")))),
+      cents, nprobe = 1)
   }
 
   /** Streaming PQ∘IVF top-k serving — the continuous form of the batch
@@ -159,28 +150,25 @@ object StreamingOps {
   def pqServeStream(stream: DataFrame, cents: DataFrame, assign: DataFrame,
       codes: DataFrame, codebook: DataFrame, nprobe: Int = 2, k: Int = 5): DataFrame = {
     import graft.functions.VectorOps
-    val centArr = cents.agg(
-      array_sort(collect_list(struct(col("cent_id"), col("ce"), col("cn"))))
-        .as("cents"))
     val cbArr = codebook.agg(
       array_sort(collect_list(struct(col("m"), col("code"), col("cw"))))
         .as("cbs"))
-    // per-row probe list (cos DESC, cent_id ASC — the batch multiProbe order)
-    val probe = slice(array_sort(transform(col("cents"), c =>
-      struct((-(VectorOps.dot(col("e"), c.getField("ce")) /
-        (col("nrm") * c.getField("cn")))).as("negcos"),
-        c.getField("cent_id").as("cent_id")))), 1, nprobe)
-    // per-row ADC table: dq = round(1e6·L2²(query subvector, codeword))
+    // per-row ADC table: dq = round(1e6·L2²(query subvector, codeword)) —
+    // computed ONCE per query row (before the probe fan-out duplicates it)
     val dtab = transform(col("cbs"), c =>
       struct(c.getField("m").as("m"), c.getField("code").as("code"),
         round(VectorOps.l2sq(
           slice(col("e"), c.getField("m") * 8 + 1, lit(8)), c.getField("cw"))
           * 1000000.0).cast("long").as("dq")))
-    val probed = stream
+    val withDtab = stream
       .withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
-      .crossJoin(broadcast(centArr)).crossJoin(broadcast(cbArr))
-      .select(col("vec_id").as("q_id"), dtab.as("dtab"), explode(probe).as("p"))
-      .select(col("q_id"), col("dtab"), col("p.cent_id").as("cent_id"))
+      .crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), col("e"), col("nrm"), dtab.as("dtab"))
+    // probe list via the SAME Similarity.multiProbe the batch composition
+    // uses — not a hand-mirrored copy of its cosine/tie-break expression
+    val probed = graft.operators.Similarity
+      .multiProbe(withDtab, cents, nprobe, keep = Seq("dtab"))
+      .select(col("vec_id").as("q_id"), col("dtab"), col("cent_id"))
     // Static per-bucket member codes, one row per (bucket, vector) —
     // corpus-sized, so NO broadcast hint: the cent_id equi-join lets the
     // planner shuffle bucket-sized slices (or broadcast on its own when
@@ -206,16 +194,26 @@ object StreamingOps {
     * `q_prefix_dups` report: arriving documents are keyed by the 60-bit
     * hash of their first [[graft.operators.Corpus.PrefixKeyLen]] chars and
     * deduplicated within the watermark, so re-fetches of the same page at
-    * different truncation lengths collapse to the first arrival. Exact
-    * containment of later, longer variants is a batch concern (the report
-    * names pairs); the stream's job is to stop the duplicate mass at
-    * ingest with one bounded-state key per prefix.
+    * different truncation lengths collapse to the first arrival. Documents
+    * SHORTER than the key length are keyed by their own doc_id (never
+    * deduped here — the batch report excludes them too; exact short-doc
+    * dups belong to [[dedupExactStream]]).
+    *
+    * PRECISION CAVEAT, by design: the stream drops on the prefix key
+    * alone — no containment verification and no corpus df cap (both need
+    * more than one-key bounded state). Distinct pages sharing a ≥ 60-char
+    * boilerplate header WILL collapse to one. On corpora where that
+    * pattern exists, run this as a quarantine router (sink the dropped
+    * side for the batch `q_prefix_dups`/df-capped pass to adjudicate),
+    * not as a hard delete.
     * Columns in: (doc_id, text, event_time).
     */
   def prefixDedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
     docs.withColumn("prefix_h",
-        graft.sources.Tables.portableHash(
-          substring(col("text"), 1, graft.operators.Corpus.PrefixKeyLen)))
+        when(length(col("text")) >= graft.operators.Corpus.PrefixKeyLen,
+          graft.sources.Tables.portableHash(
+            substring(col("text"), 1, graft.operators.Corpus.PrefixKeyLen)))
+          .otherwise(-col("doc_id") - 1)) // negative: disjoint from the 60-bit hash range
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("prefix_h")
 
