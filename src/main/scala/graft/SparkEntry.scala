@@ -313,6 +313,20 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), s -> s[1] * s[2]), (x, y) -> x + y)"
 
+  /** Hash-min sample CTE: the `k` vectors with the smallest portable
+    * 60-bit hash of their id (ties -> min vec_id) -- the ONE home for the
+    * deterministic selection every index oracle replays (IVF centroids,
+    * k-means seeds, PQ codebooks), mirroring `Similarity.centroidsFor` /
+    * `pqCodebookSub`. Drift in K, the hash, or the tie-break now touches
+    * every consumer at once instead of silently desynchronizing one copy.
+    */
+  private def hashMinCte(name: String, k: Int,
+      cols: String = "vec_id AS cent_id, e AS ce, nrm AS cn"): String =
+    s"""$name AS (SELECT $cols FROM v
+       |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+       |                AS BIGINT), vec_id
+       |  LIMIT $k)""".stripMargin
+
   private def l2sqSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)"
 
@@ -339,10 +353,7 @@ object SparkEntry {
          |${out}l AS (SELECT cent_id, list(cq / 1000000.0 ORDER BY dim) AS ce
          |     FROM ${out}q GROUP BY 1),
          |$out AS (SELECT cent_id, ce, sqrt(${dotSql("ce", "ce")}) AS cn FROM ${out}l)""".stripMargin
-    s"""seeds AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
-       |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-       |                        AS BIGINT), vec_id
-       |          LIMIT 64),
+    s"""${hashMinCte("seeds", 64)},
        |${assign("seeds", "ka1")},
        |${update("ka1", "kc1")},
        |${assign("kc1", "ka2")},
@@ -355,10 +366,7 @@ object SparkEntry {
     * `q_pq_recall` audit.
     */
   private lazy val pqCtes: String =
-    s"""cb AS (SELECT vec_id AS code, e AS cbe FROM v
-       |       ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-       |                     AS BIGINT), vec_id
-       |       LIMIT 16),
+    s"""${hashMinCte("cb", 16, "vec_id AS code, e AS cbe")},
        |mi AS (SELECT unnest(generate_series(0, 7)) AS m),
        |cbs AS (SELECT code, m, cbe[m * 8 + 1 : m * 8 + 8] AS cw
        |        FROM cb CROSS JOIN mi),
@@ -387,10 +395,7 @@ object SparkEntry {
     * Replays [[graft.operators.Similarity.pqIvfTopBuild]] exactly.
     */
   private lazy val pqIvfCtes: String =
-    s"""icents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
-       |           ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-       |                         AS BIGINT), vec_id
-       |           LIMIT 64),
+    s"""${hashMinCte("icents", 64)},
        |iasg AS (SELECT vec_id, cent_id FROM (
        |           SELECT v.vec_id, c.cent_id,
        |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -503,13 +508,19 @@ object SparkEntry {
     * exact same ±1 literals the Spark side uses
     * ([[Analytics.hyperplaneSigns]]), so signatures agree bit-for-bit.
     */
-  private lazy val lshCosineSql: String = {
-    val sigTerms = Analytics.hyperplaneSigns.zipWithIndex.map { case (row, b) =>
+  /** The 16-hyperplane SRP signature expression, inlining the exact same
+    * ±1 literals the Spark side uses ([[Analytics.hyperplaneSigns]]) — ONE
+    * home shared by the q_lsh_cosine and q_sql_cosine_by_label oracles.
+    */
+  private lazy val sigTermsSql: String =
+    Analytics.hyperplaneSigns.zipWithIndex.map { case (row, b) =>
       val lits = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
       s"(CASE WHEN ${dotSql("e", lits)} > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
+
+  private lazy val lshCosineSql: String = {
     s"""WITH $vecCte,
-       |sig AS (SELECT vec_id, e, nrm, CAST($sigTerms AS BIGINT) AS sig FROM v),
+       |sig AS (SELECT vec_id, e, nrm, CAST($sigTermsSql AS BIGINT) AS sig FROM v),
        |bands AS (SELECT vec_id, sig, k, (sig >> (4 * k)) & 15 AS band_val
        |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -816,10 +827,7 @@ object SparkEntry {
     // min cent_id), same exact-cosine verification.
     "dedup_embedding" ->
       s"""WITH $vecCte,
-         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
-         |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-         |                        AS BIGINT), vec_id
-         |          LIMIT 64),
+         |${hashMinCte("cents", 64)},
          |probes AS (SELECT vec_id, cent_id FROM (
          |             SELECT v.vec_id, c.cent_id,
          |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -845,10 +853,7 @@ object SparkEntry {
          |ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |       FROM v a JOIN v b ON a.vec_id < b.vec_id
          |       WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
-         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
-         |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-         |                        AS BIGINT), vec_id
-         |          LIMIT 64),
+         |${hashMinCte("cents", 64)},
          |probes AS (SELECT vec_id, cent_id FROM (
          |             SELECT v.vec_id, c.cent_id,
          |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -886,10 +891,7 @@ object SparkEntry {
 
     "ann_ivf" ->
       s"""WITH $vecCte,
-         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
-         |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-         |                        AS BIGINT), vec_id
-         |          LIMIT 64),
+         |${hashMinCte("cents", 64)},
          |asg AS (SELECT vec_id, cent_id FROM (
          |          SELECT v.vec_id, c.cent_id,
          |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1103,10 +1105,7 @@ object SparkEntry {
 
     "q_kmeans_step" ->
       s"""WITH $vecCte,
-         |cents AS (SELECT vec_id AS cluster_id, e AS ce, nrm AS cn FROM v
-         |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-         |                        AS BIGINT), vec_id
-         |          LIMIT 64),
+         |${hashMinCte("cents", 64, "vec_id AS cluster_id, e AS ce, nrm AS cn")},
          |asg AS (SELECT vec_id, cluster_id, e FROM (
          |          SELECT v.vec_id, c.cluster_id, v.e,
          |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1823,14 +1822,10 @@ object SparkEntry {
     // Replays sqlCosineByLabel's SRP-LSH banding exactly (same inlined
     // hyperplane literals as q_lsh_cosine), restricted to equal labels.
     "q_sql_cosine_by_label" -> {
-      val sigTerms = Analytics.hyperplaneSigns.zipWithIndex.map { case (row, b) =>
-        val lits = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-        s"(CASE WHEN ${dotSql("e", lits)} > 0 THEN ${1L << b} ELSE 0 END)"
-      }.mkString(" + ")
       s"""WITH $vecCte,
          |v2 AS (SELECT v.vec_id, e.label, v.e, v.nrm
          |       FROM v JOIN embeddings e ON v.vec_id = e.vec_id),
-         |sig AS (SELECT vec_id, label, e, nrm, CAST($sigTerms AS BIGINT) AS sig
+         |sig AS (SELECT vec_id, label, e, nrm, CAST($sigTermsSql AS BIGINT) AS sig
          |        FROM v2),
          |bands AS (SELECT vec_id, label, sig, k, (sig >> (4 * k)) & 15 AS band_val
          |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
@@ -1978,10 +1973,7 @@ object SparkEntry {
     // Replays the nprobe=1 assignment; per-bucket majority label + purity.
     "q_ivf_purity" ->
       s"""WITH $vecCte,
-         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
-         |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-         |                        AS BIGINT), vec_id
-         |          LIMIT 64),
+         |${hashMinCte("cents", 64)},
          |asg AS (SELECT vec_id, cent_id FROM (
          |          SELECT v.vec_id, c.cent_id,
          |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -2006,10 +1998,7 @@ object SparkEntry {
     // Replays the ann_ivf nprobe=1 assignment; per-centroid bucket sizes.
     "q_ivf_stats" ->
       s"""WITH $vecCte,
-         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
-         |          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-         |                        AS BIGINT), vec_id
-         |          LIMIT 64),
+         |${hashMinCte("cents", 64)},
          |asg AS (SELECT vec_id, cent_id FROM (
          |          SELECT v.vec_id, c.cent_id,
          |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY

@@ -55,7 +55,9 @@ object Verify {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            // e.toString, not getMessage: NPE-class exceptions carry a null
+            // message, and triage needs the class name either way
+            System.err.println(s"[verify] $name failed: $e")
           }
         }
       }
