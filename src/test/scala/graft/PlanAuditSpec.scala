@@ -56,6 +56,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "dedup must never be all-pairs")
   }
 
+  test("funnel: equi-joins on user_id only, no cartesian, no unbounded collect") {
+    val p = plan(operators.Analytics.funnelStages(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel degenerated:\n$p")
+    // the greedy rewrite must not reintroduce the per-user journey gather
+    assert(!p.contains("collect_list") && !p.contains("collect_set"),
+      "funnel state must stay O(1) per user")
+  }
+
   test("incremental dedup: verdict sets broadcast onto the shard roster") {
     val p = plan(Dedup.incrementalDedup(spark, sf001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
