@@ -109,4 +109,51 @@ class StreamingSpec extends SparkSpec {
     } yield (p.id, c.id)).toSet
     assert(got == spec)
   }
+
+  test("aggregation stage: orphan update lists expire after the grace window") {
+    // drive the aggregation processor alone: an add_parent whose base
+    // never arrives inside watermark + 30s grace must be DISCARDED (its
+    // state TTL'd), while the same shape with the base inside the window
+    // keeps the parent — the event-time form of the reference's
+    // orphan-discard (simpy_kafka_reader.py:266-269)
+    import graft.streaming.{AggregationProcessor, UpdateEvent}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def upd(t: String, key: String, other: String, endMs: Long, atMs: Long) =
+      UpdateEvent(t, key, other, "a", "b", math.max(endMs - 100, 0L), 1.0, endMs, ts(atMs))
+    val in = MemoryStream[UpdateEvent]
+    val out = in.toDS()
+      .withWatermark("event_time", "30 seconds")
+      .groupByKey(_.key_id)
+      .transformWithState(new AggregationProcessor, TimeMode.EventTime, OutputMode.Append)
+    val name = s"agg_orphan_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // mX: orphan update (base comes 5 min later); mW: update + base together
+      in.addData(upd("add_parent", "mX", "pY", 0L, 1000),
+        upd("add_parent", "mW", "pY", 0L, 1000),
+        upd("message", "mW", "", 5000L, 5000))
+      q.processAllAvailable()
+      // advance the watermark far past 1s + 30s grace (fires mX's orphan
+      // cleanup and mW's emission timer)
+      in.addData(upd("message", "zz", "", 200500L, 200000))
+      q.processAllAvailable()
+      // mX's base finally arrives — admissible, but its updates are gone
+      in.addData(upd("message", "mX", "", 300500L, 300500))
+      q.processAllAvailable()
+      in.addData(upd("message", "flush", "", 400500L, 400000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = sp.table(name).as[graft.core.LinkedMsg].collect()
+      .map(m => m.id -> m).toMap
+    assert(rows("mW").parents == Seq("pY"), "in-window update must survive")
+    assert(rows.contains("mX"), "late base must still emit")
+    assert(rows("mX").parents.isEmpty,
+      s"orphan update must have been TTL'd, got ${rows("mX").parents}")
+  }
 }
