@@ -192,14 +192,21 @@ final class LinkingProcessor
   * (no base) are never emitted — reference behavior (`:266-269`).
   *
   * Orphan-state TTL: update lists created with no base self-expire via a
-  * cleanup timer at watermark + the 30 s out-of-orderness bound — without
-  * it, an update landing after its key's base emitted (the
-  * watermark-boundary corner) would recreate list state with no timer and
-  * leak it for the life of the query (the ProcTime twin discards orphans
-  * explicitly; this is the event-time equivalent). A base admissible
-  * within the bound always arrives before the cleanup fires and disarms
-  * it; a base later than that is late by the pipeline's own policy, and
-  * its updates are discarded exactly as the reference discards orphans.
+  * cleanup timer — without it, an update landing after its key's base
+  * emitted (the watermark-boundary corner) would recreate list state with
+  * no timer and leak it for the life of the query (the ProcTime twin
+  * discards orphans explicitly; this is the event-time equivalent). The
+  * timer is anchored at `max(current watermark, max event_time of the
+  * orphan updates seen for the key) + the 30 s bound`, and re-arms
+  * forward when a later orphan update arrives: anchoring at the watermark
+  * alone is wrong when event times run ahead of it (first micro-batch,
+  * where the watermark is still 0, or bursty arrival) — the timer would
+  * fire while a base carrying those event times is still admissible,
+  * purging lists the base is about to claim. Measured in the updates' own
+  * event-time frame, a base admissible within the bound always arrives
+  * before the cleanup fires and disarms it; a base later than that is
+  * late by the pipeline's own policy, and its updates are discarded
+  * exactly as the reference discards orphans.
   */
 final class AggregationProcessor
     extends StatefulProcessor[String, UpdateEvent, LinkedMsg] {
@@ -227,6 +234,7 @@ final class AggregationProcessor
     if (parents.exists()) parents.get().foreach(pSet += _)
     if (children.exists()) children.get().foreach(cSet += _)
     val (p0, c0) = (pSet.size, cSet.size)
+    var maxUpdateEvtMs = Long.MinValue // orphan updates' own event-time frame
     rows.foreach { u =>
       u.event_type match {
         case "message" =>
@@ -241,17 +249,32 @@ final class AggregationProcessor
               orphanAt.clear()
             }
           }
-        case "add_parent" => if (u.other_id.nonEmpty) pSet += u.other_id
-        case "add_child" => if (u.other_id.nonEmpty) cSet += u.other_id
+        case "add_parent" =>
+          if (u.other_id.nonEmpty) pSet += u.other_id
+          if (u.event_time != null)
+            maxUpdateEvtMs = math.max(maxUpdateEvtMs, u.event_time.getTime)
+        case "add_child" =>
+          if (u.other_id.nonEmpty) cSet += u.other_id
+          if (u.event_time != null)
+            maxUpdateEvtMs = math.max(maxUpdateEvtMs, u.event_time.getTime)
         case _ => ()
       }
     }
     if (pSet.size != p0) parents.put(pSet.toArray)
     if (cSet.size != c0) children.put(cSet.toArray)
-    if (!base.exists() && (pSet.nonEmpty || cSet.nonEmpty) && !orphanAt.exists()) {
-      val at = timers.getCurrentWatermarkInMs() + OrphanGraceMs
-      getHandle.registerTimer(at)
-      orphanAt.update(at)
+    if (!base.exists() && (pSet.nonEmpty || cSet.nonEmpty)) {
+      // Anchor the grace window in the updates' event-time frame, not the
+      // (possibly lagging) watermark; re-arm forward for later orphans.
+      val at =
+        math.max(timers.getCurrentWatermarkInMs(), maxUpdateEvtMs) + OrphanGraceMs
+      if (!orphanAt.exists()) {
+        getHandle.registerTimer(at)
+        orphanAt.update(at)
+      } else if (at > orphanAt.get()) {
+        getHandle.deleteTimer(orphanAt.get())
+        getHandle.registerTimer(at)
+        orphanAt.update(at)
+      }
     }
     Iterator.empty
   }

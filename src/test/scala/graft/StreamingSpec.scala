@@ -156,4 +156,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows("mX").parents.isEmpty,
       s"orphan update must have been TTL'd, got ${rows("mX").parents}")
   }
+
+  test("aggregation stage: orphan grace is anchored in the updates' event-time frame") {
+    // First micro-batch: the watermark is still 0 but the update's event
+    // time is far ahead of it. The base arrives two batches later — still
+    // admissible within the 30 s bound measured in the UPDATE's own
+    // event-time frame — so its parent list must survive. A TTL anchored
+    // at the lagging watermark (0 + 30 s) would already have fired in the
+    // second batch and purged the list before the base could claim it.
+    import graft.streaming.{AggregationProcessor, UpdateEvent}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def upd(t: String, key: String, other: String, endMs: Long, atMs: Long) =
+      UpdateEvent(t, key, other, "a", "b", math.max(endMs - 100, 0L), 1.0, endMs, ts(atMs))
+    val in = MemoryStream[UpdateEvent]
+    val out = in.toDS()
+      .withWatermark("event_time", "30 seconds")
+      .groupByKey(_.key_id)
+      .transformWithState(new AggregationProcessor, TimeMode.EventTime, OutputMode.Append)
+    val name = s"agg_anchor_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // orphan update at event time 100s while the watermark is 0
+      in.addData(upd("add_parent", "mA", "pZ", 0L, 100000))
+      q.processAllAvailable()
+      // advance the watermark to 90s: past a watermark-anchored timer
+      // (0 + 30s), short of the event-time-anchored one (100s + 30s)
+      in.addData(upd("message", "zz", "", 200000L, 120000))
+      q.processAllAvailable()
+      // base arrives in a third batch, admissible (event time 120s >= wm 90s)
+      in.addData(upd("message", "mA", "", 125000L, 120000))
+      q.processAllAvailable()
+      in.addData(upd("message", "flush", "", 500000L, 500000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = sp.table(name).as[graft.core.LinkedMsg].collect()
+      .map(m => m.id -> m).toMap
+    assert(rows.contains("mA"), "base admissible within the bound must emit")
+    assert(rows("mA").parents == Seq("pZ"),
+      s"update accumulated before an admissible base must survive the TTL, got ${rows("mA").parents}")
+  }
 }
