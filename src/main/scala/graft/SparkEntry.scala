@@ -207,6 +207,7 @@ object SparkEntry {
     "q_pq_recall_trained" -> ((s, d) => Similarity.pqRecallTrained(s, d)),
     "q_pq_res_search" -> ((s, d) => Similarity.pqResSearch(s, d)),
     "q_pq_res_recall" -> ((s, d) => Similarity.pqResRecall(s, d)),
+    "q_pq_ivf_trained" -> ((s, d) => Similarity.pqIvfTrainedSearch(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -458,6 +459,20 @@ object SparkEntry {
        |         FROM tcodes c JOIN tdtab d ON c.m = d.m AND c.code = d.code
        |         WHERE c.vec_id <> d.q_id GROUP BY 1, 2)""".stripMargin
   }
+
+  /** Trained PQ∘IVF scoring CTE (needs vecCte + pqCtes + pqIvfCtes +
+    * pqTrainCtes): the [[pqIvfCtes]] bucket restriction with the trained
+    * codes/ADC tables swapped in. Ends in `tadci(q_id, n_id, adc_q)`.
+    * Replays [[graft.operators.Similarity.pqIvfTrainedTopBuild]] exactly.
+    */
+  private lazy val pqIvfTrainedCte: String =
+    s"""tadci AS (SELECT x.q_id, c.vec_id AS n_id,
+       |                 CAST(sum(d.dq) AS BIGINT) AS adc_q
+       |          FROM icand x
+       |          JOIN tcodes c ON x.vec_id = c.vec_id
+       |          JOIN tdtab d ON d.q_id = x.q_id AND d.m = c.m
+       |            AND d.code = c.code
+       |          GROUP BY 1, 2)""".stripMargin
 
   /** Residual-PQ (IVFADC) CTE chain (needs vecCte + pqCtes + pqIvfCtes):
     * per-vector residuals to the assigned hash-min centroid, a residual
@@ -940,22 +955,34 @@ object SparkEntry {
          |  FROM adci)
          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
-    // Replays the per-subspace Lloyd codebook training and audits the
-    // trained vs seed codebook full-scan ADC recall against the exact top-5.
+    // Replays the per-subspace Lloyd codebook training and audits the full
+    // seed/trained × full-scan/IVF recall matrix against the exact top-5.
     "q_pq_recall_trained" ->
       s"""WITH $vecCte,
          |$pqCtes,
+         |$pqIvfCtes,
          |$pqTrainCtes,
+         |$pqIvfTrainedCte,
          |stop5 AS (SELECT q_id, n_id FROM (
          |            SELECT q_id, n_id,
          |                   row_number() OVER (PARTITION BY q_id
          |                     ORDER BY adc_q, n_id) AS rk
          |            FROM adc) WHERE rk <= 5),
+         |sitop5 AS (SELECT q_id, n_id FROM (
+         |             SELECT q_id, n_id,
+         |                    row_number() OVER (PARTITION BY q_id
+         |                      ORDER BY adc_q, n_id) AS rk
+         |             FROM adci) WHERE rk <= 5),
          |ttop5 AS (SELECT q_id, n_id FROM (
          |            SELECT q_id, n_id,
          |                   row_number() OVER (PARTITION BY q_id
          |                     ORDER BY adc_q, n_id) AS rk
          |            FROM tadc) WHERE rk <= 5),
+         |titop5 AS (SELECT q_id, n_id FROM (
+         |             SELECT q_id, n_id,
+         |                    row_number() OVER (PARTITION BY q_id
+         |                      ORDER BY adc_q, n_id) AS rk
+         |             FROM tadci) WHERE rk <= 5),
          |ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
          |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
          |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
@@ -968,12 +995,37 @@ object SparkEntry {
          |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
          |             (SELECT count(*) FROM ext JOIN stop5 USING (q_id, n_id))
          |               AS n_hits_seed,
+         |             (SELECT count(*) FROM ext JOIN sitop5 USING (q_id, n_id))
+         |               AS n_hits_seed_ivf,
          |             (SELECT count(*) FROM ext JOIN ttop5 USING (q_id, n_id))
-         |               AS n_hits_trained)
-         |SELECT n_queries, n_hits_seed, n_hits_trained,
+         |               AS n_hits_trained,
+         |             (SELECT count(*) FROM ext JOIN titop5 USING (q_id, n_id))
+         |               AS n_hits_trained_ivf)
+         |SELECT n_queries, n_hits_seed, n_hits_seed_ivf, n_hits_trained,
+         |       n_hits_trained_ivf,
          |       n_hits_seed * 1000 // (n_queries * 5) AS recall_seed_permille,
-         |       n_hits_trained * 1000 // (n_queries * 5) AS recall_trained_permille
+         |       n_hits_seed_ivf * 1000 // (n_queries * 5)
+         |         AS recall_seed_ivf_permille,
+         |       n_hits_trained * 1000 // (n_queries * 5)
+         |         AS recall_trained_permille,
+         |       n_hits_trained_ivf * 1000 // (n_queries * 5)
+         |         AS recall_trained_ivf_permille
          |FROM n""".stripMargin,
+
+    // Replays the trained-codebook PQ∘IVF composition — the production
+    // IVFPQ configuration: Lloyd-trained codes/ADC tables, scoring
+    // restricted to each query's nprobe=2 probed hash-min buckets.
+    "q_pq_ivf_trained" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |$pqIvfCtes,
+         |$pqTrainCtes,
+         |$pqIvfTrainedCte
+         |SELECT q_id, n_id, adc_q, rk FROM (
+         |  SELECT q_id, n_id, adc_q,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adc_q, n_id) AS rk
+         |  FROM tadci)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     // Replays residual-PQ∘IVF (IVFADC): residual encode against the
     // assigned centroid, per-(query, probed-centroid) ADC tables,

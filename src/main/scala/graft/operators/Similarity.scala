@@ -292,17 +292,17 @@ object Similarity {
     graft.sources.Materialized.of(spark, s"pqcodes:$dir")(
       pqCodesBuild(spark, dir))
 
-  /** Un-memoized encode builder (plan-audit surface): nearest codeword per
-    * (vector, subspace), ties → min code — map-only: the 128-entry codebook
-    * collapses to one broadcast row and the argmin is a per-row fold (same
-    * shape as [[multiProbe]]; no N×8×16 shuffle through a window), using
-    * the codegen'd [[graft.functions.L2Squared]].
+  /** Map-only PQ encode against an arbitrary per-subspace codebook:
+    * nearest codeword per (vector, subspace), ties → min code. The 128-row
+    * codebook collapses to ONE broadcast array row and the argmin is a
+    * per-row fold (same shape as [[multiProbe]]; no N×8×16 shuffle through
+    * a window), using the codegen'd [[graft.functions.L2Squared]]. Taking
+    * the codebook as a parameter is the design property: the seed
+    * (hash-min sample) and trained (Lloyd) codebooks encode through the
+    * SAME operator, like the swappable IVF centroid tables.
     */
-  private[graft] def pqCodesBuild(spark: SparkSession, dir: String): DataFrame = {
+  private def pqEncode(vSub: DataFrame, cbSub: DataFrame): DataFrame = {
     import graft.functions.VectorOps.l2sq
-    val v = Dedup.normedFor(spark, dir)
-    val cbSub = pqCodebookSub(v)
-    val vSub = pqSubs(v.select("vec_id", "e"), Seq("vec_id"), "e", "sv")
     val cbArr = cbSub.agg(
       array_sort(collect_list(struct(col("m"), col("code"), col("cw"))))
         .as("cbs"))
@@ -315,6 +315,28 @@ object Similarity {
         element_at(best, 1).getField("code").as("code"))
   }
 
+  /** Per-query ADC table against an arbitrary per-subspace codebook:
+    * (q_id, m, code, dq) in integer micro-units — Q×8×16 rows, a
+    * constant-size broadcast per query batch. Integer units make the 8-way
+    * sum order-independent (bit-identical in any engine, any shuffle
+    * order — a double sum would depend on aggregation order).
+    */
+  private def pqAdcTable(q: DataFrame, cbSub: DataFrame): DataFrame = {
+    import graft.functions.VectorOps.l2sq
+    pqSubs(q, Seq("q_id"), "qe", "qs").join(broadcast(cbSub), "m")
+      .select(col("q_id"), col("m"), col("code"),
+        round(l2sq(col("qs"), col("cw")) * 1000000.0).cast("long").as("dq"))
+  }
+
+  /** Un-memoized encode builder (plan-audit surface): [[pqEncode]] against
+    * the seed (hash-min sample) codebook.
+    */
+  private[graft] def pqCodesBuild(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    pqEncode(pqSubs(v.select("vec_id", "e"), Seq("vec_id"), "e", "sv"),
+      pqCodebookSub(v))
+  }
+
   /** Memoized per-query ADC tables (q_id, m, code, dq) in integer
     * micro-units — Q×8×16 rows, a constant-size broadcast per query batch.
     * Integer units make the 8-way sum order-independent (bit-identical in
@@ -323,13 +345,10 @@ object Similarity {
     */
   private[graft] def pqDtabFor(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"pqdtab:$dir") {
-      import graft.functions.VectorOps.l2sq
       val v = Dedup.normedFor(spark, dir)
       val q = v.where(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      pqSubs(q, Seq("q_id"), "qe", "qs").join(broadcast(pqCodebookSub(v)), "m")
-        .select(col("q_id"), col("m"), col("code"),
-          round(l2sq(col("qs"), col("cw")) * 1000000.0).cast("long").as("dq"))
+      pqAdcTable(q, pqCodebookSub(v))
     }
 
   /** K-means-TRAINED PQ codebook: `iters` Lloyd iterations in EACH of the
@@ -377,57 +396,66 @@ object Similarity {
       cbSub.select("code", "m", "cw")
     }
 
-  /** Recall@5 audit of the TRAINED-codebook full-scan ADC search vs the
-    * sampled-codebook one ([[pqTopFor]]) against the exact top-5 — the
-    * "does codebook training buy retrieval" number, the PQ analog of
-    * `q_ann_recall_kmeans`. One row: query count, per-codebook hits,
-    * permille recalls. The trained encode/ADC pipeline is rebuilt inline
-    * from the memoized codebook (same argmin, same integer ADC units).
+  /** Recall@5 audit of the full seed/trained × full-scan/IVF matrix
+    * against the exact brute-force top-5 — the "does codebook training buy
+    * retrieval, and does it recover the probe loss" numbers side by side
+    * (the PQ analog of `q_ann_recall_kmeans`, extended to the composed
+    * serving shapes). One row: query count, per-variant hits, permille
+    * recalls. Each comparison is a semi-join of two ≤ 5·Q-row relations,
+    * so the audit costs nothing beyond the four searches it grades; at
+    * 100 TB it runs on a query sample exactly like this one.
     */
   def pqRecallTrained(spark: SparkSession, dir: String): DataFrame = {
-    val trainedTop = pqTrainedTopFor(spark, dir)
     val exact = annTopkFor(spark, dir).select(col("q_id"), col("n_id"))
-    val seed = pqTopFor(spark, dir).select(col("q_id"), col("n_id"))
+    def hits(top: DataFrame, as: String) =
+      exact.join(top.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as(as))
     val nQ = exact.select("q_id").distinct().agg(count(lit(1)).as("n_queries"))
-    val nSeed = exact.join(seed, Seq("q_id", "n_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hits_seed"))
-    val nTrained = exact.join(trainedTop.select("q_id", "n_id"),
-        Seq("q_id", "n_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hits_trained"))
-    nQ.crossJoin(nSeed).crossJoin(nTrained)
-      .select(col("n_queries"), col("n_hits_seed"), col("n_hits_trained"),
+    nQ.crossJoin(hits(pqTopFor(spark, dir), "n_hits_seed"))
+      .crossJoin(hits(pqIvfTopFor(spark, dir), "n_hits_seed_ivf"))
+      .crossJoin(hits(pqTrainedTopFor(spark, dir), "n_hits_trained"))
+      .crossJoin(hits(pqIvfTrainedTopFor(spark, dir), "n_hits_trained_ivf"))
+      .select(col("n_queries"), col("n_hits_seed"), col("n_hits_seed_ivf"),
+        col("n_hits_trained"), col("n_hits_trained_ivf"),
         expr("n_hits_seed * 1000 div (n_queries * 5)").as("recall_seed_permille"),
-        expr("n_hits_trained * 1000 div (n_queries * 5)").as("recall_trained_permille"))
+        expr("n_hits_seed_ivf * 1000 div (n_queries * 5)").as("recall_seed_ivf_permille"),
+        expr("n_hits_trained * 1000 div (n_queries * 5)").as("recall_trained_permille"),
+        expr("n_hits_trained_ivf * 1000 div (n_queries * 5)").as("recall_trained_ivf_permille"))
   }
 
-  /** Memoized trained-codebook full-scan top-5 (5·Q rows): encode + ADC
-    * against [[pqTrainedCodebookFor]] — the same pipeline as [[pqTopFor]]
-    * with the trained codewords swapped in (the swappability IS the
-    * design property, like the IVF centroid tables).
+  /** Memoized trained-codebook codes relation (vec_id, m, code):
+    * [[pqEncode]] against [[pqTrainedCodebookFor]] — the trained index,
+    * shared by the trained full-scan and trained∘IVF searches exactly as
+    * [[pqCodesFor]] is by the seed-codebook pair.
+    */
+  private[graft] def pqTrainedCodesFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"pqtcodes:$dir") {
+      val v = Dedup.normedFor(spark, dir)
+      pqEncode(pqSubs(v.select("vec_id", "e"), Seq("vec_id"), "e", "sv"),
+        pqTrainedCodebookFor(spark, dir))
+    }
+
+  /** Memoized trained-codebook per-query ADC tables — [[pqDtabFor]] with
+    * the trained codewords swapped in.
+    */
+  private[graft] def pqTrainedDtabFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"pqtdtab:$dir") {
+      val v = Dedup.normedFor(spark, dir)
+      val q = v.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      pqAdcTable(q, pqTrainedCodebookFor(spark, dir))
+    }
+
+  /** Memoized trained-codebook full-scan top-5 (5·Q rows): ADC over the
+    * FULL trained codes relation — the same pipeline as [[pqTopFor]] with
+    * the trained codewords swapped in (the swappability IS the design
+    * property, like the IVF centroid tables).
     */
   private[graft] def pqTrainedTopFor(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"pqttop:$dir") {
-      import graft.functions.VectorOps.l2sq
-      val v = Dedup.normedFor(spark, dir)
-      val cbSub = pqTrainedCodebookFor(spark, dir)
-      val vSub = pqSubs(v.select("vec_id", "e"), Seq("vec_id"), "e", "sv")
-      val cbArr = cbSub.agg(
-        array_sort(collect_list(struct(col("m"), col("code"), col("cw"))))
-          .as("cbs"))
-      val best = slice(array_sort(transform(
-        filter(col("cbs"), c => c.getField("m") === col("m")),
-        c => struct(l2sq(col("sv"), c.getField("cw")).as("d"),
-          c.getField("code").as("code")))), 1, 1)
-      val codes = vSub.crossJoin(broadcast(cbArr))
-        .select(col("vec_id"), col("m"),
-          element_at(best, 1).getField("code").as("code"))
-      val q = v.where(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      val dtab = pqSubs(q, Seq("q_id"), "qe", "qs").join(broadcast(cbSub), "m")
-        .select(col("q_id"), col("m"), col("code"),
-          round(l2sq(col("qs"), col("cw")) * 1000000.0).cast("long").as("dq"))
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_q"), col("n_id"))
-      codes.join(broadcast(dtab), Seq("m", "code"))
+      pqTrainedCodesFor(spark, dir)
+        .join(broadcast(pqTrainedDtabFor(spark, dir)), Seq("m", "code"))
         .where(col("vec_id") =!= col("q_id"))
         .groupBy(col("q_id"), col("vec_id").as("n_id"))
         .agg(sum(col("dq")).as("adc_q"))
@@ -468,6 +496,46 @@ object Similarity {
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_q"), col("n_id"))
     cand.join(pqCodesFor(spark, dir), "vec_id")
       .join(broadcast(pqDtabFor(spark, dir)), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("dq")).as("adc_q"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
+  }
+
+  /** Trained-codebook PQ∘IVF search — the configuration every production
+    * IVFPQ index actually ships: the Lloyd-trained codebook
+    * ([[pqTrainedCodebookFor]]) supplies codes and ADC tables, and the IVF
+    * probe restricts scoring to each query's nprobe buckets. Same
+    * O(Q·N·nprobe/C) scan and join shape as [[pqIvfSearch]]; only the
+    * codeword tables differ. [[pqRecallTrained]] reports seed/trained ×
+    * full/IVF recall side by side — the audit that says whether codebook
+    * training recovers the probe loss.
+    */
+  def pqIvfTrainedSearch(spark: SparkSession, dir: String): DataFrame =
+    pqIvfTrainedTopFor(spark, dir).orderBy("q_id", "rk")
+
+  /** Memoized trained-codebook PQ∘IVF top-5 relation (≤ 5·Q rows). */
+  private[graft] def pqIvfTrainedTopFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"pqivfttop:$dir")(
+      pqIvfTrainedTopBuild(spark, dir))
+
+  /** Un-memoized trained PQ∘IVF builder (plan-audit surface): identical
+    * join tree to [[pqIvfTopBuild]] — probes ⋈ assignment on cent_id;
+    * candidates ⋈ codes on vec_id; broadcast ADC-table join on
+    * (q_id, m, code); map-side-combined integer aggregation; per-query
+    * top-5 — with the TRAINED codes/dtab relations swapped in.
+    */
+  private[graft] def pqIvfTrainedTopBuild(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    val assign = ivfAssignFor(spark, dir)
+    val probes = multiProbe(v.where(col("vec_id") % 20 === 0),
+        centroidsMemoFor(spark, dir), nprobe = 2)
+      .withColumnRenamed("vec_id", "q_id")
+    val cand = probes.join(assign, "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_q"), col("n_id"))
+    cand.join(pqTrainedCodesFor(spark, dir), "vec_id")
+      .join(broadcast(pqTrainedDtabFor(spark, dir)), Seq("q_id", "m", "code"))
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
       .agg(sum(col("dq")).as("adc_q"))
       .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)

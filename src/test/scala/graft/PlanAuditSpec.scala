@@ -114,6 +114,16 @@ class PlanAuditSpec extends SparkSpec {
       "ADC sums need map-side combine")
   }
 
+  test("trained pq-ivf build: bucket-restricted ADC, broadcast dtab, no cartesian") {
+    val p = plan(Similarity.pqIvfTrainedTopBuild(spark, sf001))
+    assert(!p.contains("CartesianProduct"), s"trained pq-ivf degenerated to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"trained dtab should broadcast-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "candidate join must be an equi-join")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "ADC sums need map-side combine")
+  }
+
   test("pq encode build: codegen'd l2sq argmin, map-only against broadcast codebook") {
     val p = plan(Similarity.pqCodesBuild(spark, sf001))
     assert(p.contains("graft_l2sq"), "codegen L2² must be in the encode plan")
