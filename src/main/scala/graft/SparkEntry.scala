@@ -208,6 +208,7 @@ object SparkEntry {
     "q_pq_res_search" -> ((s, d) => Similarity.pqResSearch(s, d)),
     "q_pq_res_recall" -> ((s, d) => Similarity.pqResRecall(s, d)),
     "q_pq_ivf_trained" -> ((s, d) => Similarity.pqIvfTrainedSearch(s, d)),
+    "q_incremental_ivf" -> ((s, d) => Similarity.incrementalIvf(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -1011,6 +1012,60 @@ object SparkEntry {
          |       n_hits_trained_ivf * 1000 // (n_queries * 5)
          |         AS recall_trained_ivf_permille
          |FROM n""".stripMargin,
+
+    // Replays incremental IVF maintenance: shard (vec_id % 5 = 0) vs
+    // persisted-quantizer assignment, per-bucket growth, integer-exact
+    // member-mean drift, and the reindex/keep verdict.
+    "q_incremental_ivf" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("icents", 64)},
+         |iasg AS (SELECT vec_id, cent_id FROM (
+         |           SELECT v.vec_id, c.cent_id,
+         |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                    ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                    c.cent_id) AS rn
+         |           FROM v CROSS JOIN icents c) WHERE rn = 1),
+         |wv AS (SELECT a.vec_id, a.cent_id, v.e,
+         |              (a.vec_id % 5 = 0) AS is_new
+         |       FROM iasg a JOIN v ON a.vec_id = v.vec_id),
+         |growth AS (SELECT cent_id,
+         |                  CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END)
+         |                       AS BIGINT) AS n_old,
+         |                  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END)
+         |                       AS BIGINT) AS n_new
+         |           FROM wv GROUP BY 1),
+         |ex AS (SELECT cent_id, is_new, di.i AS dim,
+         |              CAST(round(e[di.i] * 1000000.0) AS BIGINT) AS q
+         |       FROM wv CROSS JOIN
+         |         (SELECT unnest(generate_series(1, 64)) AS i) di),
+         |sums AS (SELECT cent_id, dim,
+         |                sum(CASE WHEN NOT is_new THEN q END) AS so,
+         |                CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END)
+         |                     AS BIGINT) AS no,
+         |                sum(q) AS sa, count(*) AS na
+         |         FROM ex GROUP BY 1, 2),
+         |means AS (SELECT cent_id, dim,
+         |                 CAST(trunc(CAST(so AS DOUBLE) / no) AS BIGINT) AS mo,
+         |                 CAST(trunc(CAST(sa AS DOUBLE) / na) AS BIGINT) AS ma
+         |          FROM sums WHERE no > 0),
+         |arrs AS (SELECT cent_id,
+         |                list(mo / 1000000.0 ORDER BY dim) AS om,
+         |                list(ma / 1000000.0 ORDER BY dim) AS am
+         |         FROM means GROUP BY 1),
+         |drift AS (SELECT cent_id,
+         |                 CAST(floor(1000.0 * ${dotSql("om", "am")} /
+         |                      (sqrt(${dotSql("om", "om")}) *
+         |                       sqrt(${dotSql("am", "am")}))) AS BIGINT) AS cosp
+         |          FROM arrs)
+         |SELECT g.cent_id, g.n_old, g.n_new,
+         |       g.n_new * 1000 // greatest(g.n_old, 1) AS growth_permille,
+         |       coalesce(d.cosp, -1) AS cos_permille,
+         |       CASE WHEN g.n_old = 0
+         |              OR g.n_new * 1000 // greatest(g.n_old, 1) >= 400
+         |              OR coalesce(d.cosp, -1) < 950
+         |            THEN 'reindex' ELSE 'keep' END AS verdict
+         |FROM growth g LEFT JOIN drift d USING (cent_id)
+         |ORDER BY cent_id""".stripMargin,
 
     // Replays the trained-codebook PQ∘IVF composition — the production
     // IVFPQ configuration: Lloyd-trained codes/ADC tables, scoring

@@ -695,4 +695,67 @@ object Similarity {
         expr("n_vecs * 1000 div n_total").as("share_permille"))
       .orderBy("cent_id")
   }
+
+  /** Incremental IVF index maintenance — the embedding-side analog of
+    * [[Dedup.incrementalDedup]]'s recurring-crawl pass: an incoming shard
+    * (vec_id % 5 = 0) is assigned against the PERSISTED coarse-centroid
+    * table (the quantizer is NOT retrained — the same stateless
+    * assignment [[graft.streaming.StreamingOps.ivfAssignStream]] runs
+    * continuously), and the report says, per bucket, how much the shard
+    * grew it and how far the merged bucket mean drifted from the
+    * pre-shard mean — the `q_centroid_drift`-style readout a recurring
+    * ingest keys its "retrain the quantizer?" decision on.
+    *
+    * Per bucket: pre-shard and shard member counts, permille growth,
+    * the cosine (permille, floored; −1 when there is no pre-shard mean)
+    * between the pre-shard member mean and the merged mean — means are
+    * exact integer micro-unit `sum div count` per dimension, so DuckDB
+    * replays them bit-for-bit — and the verdict: `reindex` when the
+    * bucket is brand-new, grew ≥ 40%, or its mean moved below cos 950‰;
+    * else `keep`.
+    *
+    * Scale shape: rides the memoized persisted assignment
+    * ([[ivfAssignFor]]; shard membership is a predicate, so the old/new
+    * split is a map over the index relation), one map-side-combined
+    * (cent_id, dim) integer aggregation over member coordinates, and a
+    * K-row report — shard-classification cost plus ONE scan of the
+    * assignment, never corpus×corpus, exactly like the dedup twin.
+    */
+  def incrementalIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val v = Dedup.normedFor(spark, dir)
+    val withV = ivfAssignFor(spark, dir).join(v.select("vec_id", "e"), "vec_id")
+      .withColumn("is_new", col("vec_id") % 5 === 0)
+    val growth = withV.groupBy("cent_id").agg(
+      sum(when(col("is_new"), 0L).otherwise(1L)).as("n_old"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+    val sums = withV
+      .select(col("cent_id"), col("is_new"), posexplode(col("e")).as(Seq("dim", "x")))
+      .select(col("cent_id"), col("is_new"), col("dim"),
+        round(col("x") * 1000000.0).cast("long").as("q"))
+      .groupBy("cent_id", "dim")
+      .agg(sum(when(!col("is_new"), col("q"))).as("so"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("no"),
+        sum(col("q")).as("sa"), count(lit(1)).as("na"))
+    val means = sums.where(col("no") > 0)
+      .select(col("cent_id"), col("dim"),
+        expr("so div no").as("mo"), expr("sa div na").as("ma"))
+    val drift = means.groupBy("cent_id").agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mo")))),
+          s => s.getField("mo") / lit(1000000.0)).as("om"),
+        transform(array_sort(collect_list(struct(col("dim"), col("ma")))),
+          s => s.getField("ma") / lit(1000000.0)).as("am"))
+      .select(col("cent_id"),
+        floor(lit(1000.0) * VectorOps.dot(col("om"), col("am")) /
+          (sqrt(VectorOps.dot(col("om"), col("om"))) *
+            sqrt(VectorOps.dot(col("am"), col("am"))))).cast("long").as("cosp"))
+    growth.join(drift, Seq("cent_id"), "left")
+      .select(col("cent_id"), col("n_old"), col("n_new"),
+        expr("n_new * 1000 div greatest(n_old, 1)").as("growth_permille"),
+        coalesce(col("cosp"), lit(-1L)).as("cos_permille"))
+      .withColumn("verdict",
+        when(col("n_old") === 0 || col("growth_permille") >= 400 ||
+          col("cos_permille") < 950, lit("reindex")).otherwise(lit("keep")))
+      .orderBy("cent_id")
+  }
 }

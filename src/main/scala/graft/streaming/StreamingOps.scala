@@ -122,6 +122,22 @@ object StreamingOps {
       cents, nprobe = 1)
   }
 
+  /** Streaming IVF index maintenance — the continuous form of the batch
+    * `q_incremental_ivf` growth side: arriving shard vectors are assigned
+    * statelessly against the PERSISTED centroid table
+    * ([[ivfAssignStream]] — the quantizer is NOT retrained), and a running
+    * per-bucket count tracks how much each bucket has grown since the last
+    * re-index — the signal a recurring crawl alerts on (run in
+    * update/complete mode). State is one counter per bucket (K rows,
+    * constant at any corpus size). The drift/verdict readout stays batch
+    * ([[graft.operators.Similarity.incrementalIvf]]) because it needs the
+    * corpus-side member means, not the stream.
+    * Input columns: (vec_id, e: array<double>). Output: (cent_id, n_new).
+    */
+  def ivfGrowthStream(stream: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssignStream(stream, cents)
+      .groupBy("cent_id").agg(count(lit(1)).as("n_new"))
+
   /** Streaming PQ∘IVF top-k serving — the continuous form of the batch
     * `q_pq_ivf_search`: each arriving query vector probes its `nprobe`
     * nearest coarse centroids, ADC-scores ONLY the PQ codes of vectors

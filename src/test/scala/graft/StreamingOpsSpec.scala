@@ -87,6 +87,42 @@ class StreamingOpsSpec extends SparkSpec {
     })
   }
 
+  test("streaming IVF growth == batch incremental-ivf shard counts") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // batch maintenance report over sf0001: per-bucket shard growth
+    val batch = graft.operators.Similarity.incrementalIvf(sp, sf0001)
+      .where(col("n_new") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the same shard (vec_id % 5 = 0) arriving as a stream, two batches
+    val shard = graft.operators.Dedup.normedFor(sp, sf0001)
+      .where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("e")).as[(Long, Seq[Double])].collect().toSeq
+    val cents = graft.operators.Similarity.centroidsMemoFor(sp, sf0001)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val out = graft.streaming.StreamingOps.ivfGrowthStream(
+      in.toDF().toDF("vec_id", "e"), cents)
+    val q = out.writeStream.format("memory").queryName("ivf_growth_out")
+      .outputMode("complete").start()
+    try {
+      val (first, second) = shard.splitAt(shard.size / 2)
+      in.addData(first)
+      q.processAllAvailable()
+      in.addData(second)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("ivf_growth_out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch, {
+      val diff = (batch.keySet ++ got.keySet)
+        .filter(k => got.get(k) != batch.get(k)).take(5)
+      s"diverging buckets: ${diff.map(k => (k, got.get(k), batch.get(k)))}"
+    })
+  }
+
   test("streaming PQ∘IVF serving == batch pq-ivf top-5 on the query sample") {
     val sp = spark
     import sp.implicits._
