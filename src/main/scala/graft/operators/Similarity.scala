@@ -462,6 +462,26 @@ object Similarity {
         .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
     }
 
+  /** Per-bucket member codes (cent_id, vec_id, vcodes) — the serving-index
+    * relation the streaming PQ∘IVF server probes per micro-batch: each
+    * member vector's 8 (m, code) pairs pre-grouped into one sorted array
+    * row, keyed by its coarse bucket.
+    */
+  private[graft] def memberCodes(assign: DataFrame, codes: DataFrame): DataFrame =
+    assign.join(codes, "vec_id")
+      .groupBy(col("cent_id"), col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("vcodes"))
+
+  /** Memoized per-bucket member codes — grouping the corpus-sized
+    * assign ⋈ codes ONCE per session (parquet memo) so each streaming
+    * micro-batch pays only the probe join, not a full-corpus shuffle; the
+    * Materialized analog of the serving index a deployed PQ∘IVF server
+    * loads at startup.
+    */
+  private[graft] def memberCodesFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"pqmember:$dir")(
+      memberCodes(ivfAssignFor(spark, dir), pqCodesFor(spark, dir)))
+
   /** PQ∘IVF composed search — the production serving shape at 100 TB: each
     * query ADC-scores ONLY the codes of vectors assigned to its `nprobe`
     * probed coarse buckets, dropping the scan from O(Q·N) to

@@ -156,26 +156,36 @@ object StreamingOps {
     * query row from the broadcast codebook — bit-identical to the batch
     * `pqDtabFor` table (same slices, same codegen'd L2², same rounding), so
     * the scores and therefore the top-k agree exactly with the batch
-    * search restricted to the same buckets (StreamingOpsSpec pins ≡).
+    * search restricted to the same buckets (StreamingOpsSpec pins ≡). It
+    * is carried as a MAP keyed by `code·8 + m` (collision-free: codes are
+    * distinct ids, m < 8), so each candidate's 8-code fold is 8 O(1)
+    * `element_at` lookups instead of a 128-entry array filter per code —
+    * a 16× inner-loop saving on the op whose whole point is serving
+    * latency.
     *
     * Input columns: (vec_id, e: array<double>). Statics: cents
-    * (cent_id, ce, cn), assign (vec_id, cent_id), codes (vec_id, m, code),
-    * codebook (code, m, cw). Output: (q_id, topk: array<struct<adc_q,
-    * n_id>>) — run in update/complete mode.
+    * (cent_id, ce, cn), memberCodes (cent_id, vec_id, vcodes) — the
+    * PRE-GROUPED per-bucket member-code index
+    * ([[graft.operators.Similarity.memberCodesFor]] memoizes it), so a
+    * micro-batch pays only the probe join; grouping the corpus-sized
+    * assign ⋈ codes inside the stream plan would re-shuffle the full
+    * corpus EVERY batch — codebook (code, m, cw). Output: (q_id, topk:
+    * array<struct<adc_q, n_id>>) — run in update/complete mode.
     */
-  def pqServeStream(stream: DataFrame, cents: DataFrame, assign: DataFrame,
-      codes: DataFrame, codebook: DataFrame, nprobe: Int = 2, k: Int = 5): DataFrame = {
+  def pqServeStream(stream: DataFrame, cents: DataFrame,
+      memberCodes: DataFrame, codebook: DataFrame,
+      nprobe: Int = 2, k: Int = 5): DataFrame = {
     import graft.functions.VectorOps
     val cbArr = codebook.agg(
       array_sort(collect_list(struct(col("m"), col("code"), col("cw"))))
         .as("cbs"))
-    // per-row ADC table: dq = round(1e6·L2²(query subvector, codeword)) —
+    // per-row ADC map: dq = round(1e6·L2²(query subvector, codeword)) —
     // computed ONCE per query row (before the probe fan-out duplicates it)
-    val dtab = transform(col("cbs"), c =>
-      struct(c.getField("m").as("m"), c.getField("code").as("code"),
+    val dtab = map_from_entries(transform(col("cbs"), c =>
+      struct((c.getField("code") * 8 + c.getField("m")).as("key"),
         round(VectorOps.l2sq(
           slice(col("e"), c.getField("m") * 8 + 1, lit(8)), c.getField("cw"))
-          * 1000000.0).cast("long").as("dq")))
+          * 1000000.0).cast("long").as("dq"))))
     val withDtab = stream
       .withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
       .crossJoin(broadcast(cbArr))
@@ -185,22 +195,16 @@ object StreamingOps {
     val probed = graft.operators.Similarity
       .multiProbe(withDtab, cents, nprobe, keep = Seq("dtab"))
       .select(col("vec_id").as("q_id"), col("dtab"), col("cent_id"))
-    // Static per-bucket member codes, one row per (bucket, vector) —
-    // corpus-sized, so NO broadcast hint: the cent_id equi-join lets the
-    // planner shuffle bucket-sized slices (or broadcast on its own when
-    // the index genuinely fits), same rule as the batch composition where
-    // the codes relation is never broadcast.
-    val memberCodes = assign.join(codes, "vec_id")
-      .groupBy(col("cent_id"), col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("vcodes"))
+    // memberCodes is corpus-sized, so NO broadcast hint: the cent_id
+    // equi-join lets the planner shuffle bucket-sized slices (or broadcast
+    // on its own when the index genuinely fits), same rule as the batch
+    // composition where the codes relation is never broadcast.
     val scored = probed.join(memberCodes, "cent_id")
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         aggregate(col("vcodes"), lit(0L), (acc, c) =>
-          acc + element_at(filter(col("dtab"), d =>
-            d.getField("m") === c.getField("m") &&
-              d.getField("code") === c.getField("code")), 1)
-            .getField("dq")).as("adc_q"))
+          acc + element_at(col("dtab"),
+            c.getField("code") * 8 + c.getField("m"))).as("adc_q"))
     scored.groupBy(col("q_id"))
       .agg(slice(array_sort(collect_list(struct(col("adc_q"), col("n_id")))),
         1, k).as("topk"))

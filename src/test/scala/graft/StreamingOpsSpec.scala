@@ -131,8 +131,7 @@ class StreamingOpsSpec extends SparkSpec {
       sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
     val v = graft.operators.Dedup.normedFor(sp, sf0001)
     val cents = graft.operators.Similarity.centroidsFor(v)
-    val assign = graft.operators.Similarity.ivfAssignFor(sp, sf0001)
-    val codes = graft.operators.Similarity.pqCodesFor(sp, sf0001)
+    val member = graft.operators.Similarity.memberCodesFor(sp, sf0001)
     val codebook = graft.operators.Similarity.pqCodebookSub(v)
     // batch truth: the composed PQ∘IVF top-5 relation
     val batch = graft.operators.Similarity.pqIvfTopFor(sp, sf0001)
@@ -143,7 +142,7 @@ class StreamingOpsSpec extends SparkSpec {
       .select(col("vec_id"), col("e")).as[(Long, Seq[Double])].collect().toSeq
     val in = MemoryStream[(Long, Seq[Double])]
     val out = graft.streaming.StreamingOps.pqServeStream(
-      in.toDF().toDF("vec_id", "e"), cents, assign, codes, codebook)
+      in.toDF().toDF("vec_id", "e"), cents, member, codebook)
     val q = out.writeStream.format("memory").queryName("pq_serve_out")
       .outputMode("complete").start()
     try {
