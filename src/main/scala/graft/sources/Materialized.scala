@@ -34,9 +34,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * all executors can commit to, exactly like any other Spark output path —
   * otherwise a driver-local temp directory, which is correct only for
   * `local[*]` masters (this repo's test/bench mode). Local temp dirs are
-  * swept when their session stops and on JVM exit; a configured shared dir
-  * is left in place (it is a real table location, and remote cleanup isn't
-  * java.nio's job).
+  * swept when their session stops and on JVM exit.
+  *
+  * The shared dir is a CONTENT-KEYED PERSISTED STORE with a lifecycle, not
+  * per-application scratch: each entry lives at
+  * `<dir>/graft-mat-shared/<slug>-<hash(key, fingerprint)>/` holding the
+  * parquet table under `data/` plus a `manifest.properties` (logical key,
+  * build fingerprint, completion time). A NEW application whose (key,
+  * fingerprint) matches a fresh manifest ADOPTS the entry instead of
+  * rebuilding — the "persisted index" behavior a recurring pipeline wants.
+  * The fingerprint (`spark.graft.materialized.fingerprint`, default
+  * `dev`) is the deployment's invalidation lever: bump it when the build
+  * logic changes and old entries stop matching. Entries older than
+  * `spark.graft.materialized.ttlMs` (default 7 days) are never adopted
+  * and are rebuilt in place; [[sweepShared]] is the retention janitor a
+  * scheduled maintenance job calls to reclaim them.
+  *
+  * Concurrent writers (two applications, same key) are safe without any
+  * shared lock: each builds to a writer-unique `….tmp-<appId>-<n>`
+  * directory and PUBLISHES with an atomic directory rename; the loser's
+  * rename fails against the existing entry, it deletes its tmp and adopts
+  * the winner's table. Both contents are valid by construction (same key,
+  * same fingerprint), so which writer wins is immaterial.
   *
   * Keyed by (session identity, logical key). The build is EAGER at first
   * request (the write is the materialization) — every consumer, including
@@ -84,25 +103,18 @@ object Materialized {
       } finally walk.close()
     }
 
-  /** The memo root for a session: the configured shared dir (cluster mode)
-    * or a fresh driver-local temp dir (local mode). Returned as a string
-    * path suitable for `df.write.parquet`; the Path is tracked only for
-    * local dirs we own and sweep.
+  /** The driver-local memo root for a session (local default mode only;
+    * owned, tracked, and swept by this object).
     */
-  private def rootFor(spark: SparkSession): String =
-    spark.conf.getOption("spark.graft.materialized.dir") match {
-      case Some(shared) =>
-        s"$shared/graft-mat-${spark.sparkContext.applicationId}"
-      case None =>
-        sessions.synchronized {
-          var base = baseDirs.get(spark)
-          if (base == null) {
-            base = Files.createTempDirectory(
-              Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft-mat-")
-            baseDirs.put(spark, base)
-          }
-          base.toString
-        }
+  private def localRootFor(spark: SparkSession): String =
+    sessions.synchronized {
+      var base = baseDirs.get(spark)
+      if (base == null) {
+        base = Files.createTempDirectory(
+          Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft-mat-")
+        baseDirs.put(spark, base)
+      }
+      base.toString
     }
 
   private def forSession(spark: SparkSession): SessionState = {
@@ -158,24 +170,165 @@ object Materialized {
       val raced = state.memos.get(key) // built while we waited for the lock
       if (raced != null) raced
       else {
-        val dir = s"${rootFor(spark)}/m${seq.incrementAndGet()}-${slug(key)}"
-        // A failed build must not leak its half-written directory — the
-        // retry uses a fresh seq number, so without cleanup every failure
-        // orphans a dir of partial part-files (permanently, in shared-dir
-        // mode, which the session sweep and shutdown hook both skip).
-        // Hadoop's FileSystem handles both local and shared roots.
-        try build.write.mode("overwrite").parquet(dir)
-        catch { case e: Throwable =>
-          try {
-            val p = new org.apache.hadoop.fs.Path(dir)
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-          } catch { case _: Exception => () }
-          throw e
+        val table = spark.conf.getOption("spark.graft.materialized.dir") match {
+          case Some(shared) => sharedMemo(spark, shared, key, build)
+          case None => localMemo(spark, key, build)
         }
-        val table = spark.read.parquet(dir)
         state.memos.put(key, table)
         table
       }
     }
   }
+
+  private def localMemo(spark: SparkSession, key: String,
+      build: => DataFrame): DataFrame = {
+    val dir = s"${localRootFor(spark)}/m${seq.incrementAndGet()}-${slug(key)}"
+    // A failed build must not leak its half-written directory — the retry
+    // uses a fresh seq number, so without cleanup every failure orphans a
+    // dir of partial part-files. Hadoop's FileSystem handles any root.
+    try build.write.mode("overwrite").parquet(dir)
+    catch { case e: Throwable =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case _: Exception => () }
+      throw e
+    }
+    spark.read.parquet(dir)
+  }
+
+  // ——— shared-dir content-keyed store ———
+
+  private val SharedSubdir = "graft-mat-shared"
+  private val ManifestFile = "manifest.properties"
+  private val DefaultTtlMs = 7L * 24 * 3600 * 1000
+
+  private def fingerprintOf(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.materialized.fingerprint").getOrElse("dev")
+
+  private def ttlMsOf(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.materialized.ttlMs")
+      .map(_.toLong).getOrElse(DefaultTtlMs)
+
+  /** Content-keyed entry directory: readable slug + a 16-hex-digit md5 of
+    * (key, fingerprint) — the hash, not the slug, is the identity (the
+    * slug truncates), and folding the fingerprint in means a bumped
+    * fingerprint naturally lands on a fresh directory instead of fighting
+    * the old one.
+    */
+  private def sharedEntry(shared: String, key: String, fp: String)
+      : org.apache.hadoop.fs.Path = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$key\u0000$fp".getBytes("UTF-8"))
+    val hex = md.map(b => f"$b%02x").mkString.take(16)
+    new org.apache.hadoop.fs.Path(s"$shared/$SharedSubdir/${slug(key)}-$hex")
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, key: String, fp: String): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("key", key)
+    props.setProperty("fingerprint", fp)
+    props.setProperty("completedAtMs", System.currentTimeMillis().toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, ManifestFile), true)
+    try props.store(out, "graft materialized memo manifest") finally out.close()
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[(String, String, Long)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir, ManifestFile)
+      if (!fs.exists(p)) None
+      else {
+        val props = new java.util.Properties()
+        val in = fs.open(p)
+        try props.load(in) finally in.close()
+        Some((props.getProperty("key", ""), props.getProperty("fingerprint", ""),
+          props.getProperty("completedAtMs", "0").toLong))
+      }
+    } catch { case _: Exception => None }
+
+  /** Adopt a published entry if its manifest matches this (key,
+    * fingerprint) and is inside the TTL. The manifest is written into the
+    * tmp dir BEFORE the publishing rename, so its presence under the entry
+    * path implies the data directory is complete.
+    */
+  private def adoptShared(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, entry: org.apache.hadoop.fs.Path,
+      key: String, fp: String): Option[DataFrame] =
+    readManifest(fs, entry) match {
+      case Some((k, f, at)) if k == key && f == fp &&
+          System.currentTimeMillis() - at <= ttlMsOf(spark) =>
+        Some(spark.read.parquet(new org.apache.hadoop.fs.Path(entry, "data").toString))
+      case _ => None
+    }
+
+  /** Shared-store memo: adopt a fresh matching entry if one exists
+    * (cross-application reuse — the whole point of the persisted store);
+    * otherwise build into a writer-unique tmp dir and publish with an
+    * atomic rename. A losing concurrent writer adopts the winner's entry.
+    * A stale or fingerprint-mismatched entry is evicted and rebuilt in
+    * place (under concurrent eviction the last published entry wins —
+    * both contents are valid by construction).
+    */
+  private def sharedMemo(spark: SparkSession, shared: String, key: String,
+      build: => DataFrame): DataFrame = {
+    val fp = fingerprintOf(spark)
+    val entry = sharedEntry(shared, key, fp)
+    val fs = entry.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    adoptShared(spark, fs, entry, key, fp).getOrElse {
+      if (fs.exists(entry)) fs.delete(entry, true) // stale/mismatched: evict
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$entry.tmp-${spark.sparkContext.applicationId}-${seq.incrementAndGet()}")
+      try {
+        build.write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(tmp, "data").toString)
+        writeManifest(fs, tmp, key, fp)
+        // Publish atomically. Some FileSystems fail the rename when the
+        // destination exists (HDFS); others move src INTO the existing
+        // directory (POSIX-style local semantics) — detect the latter by
+        // the nested dir it leaves and treat both as losing the race.
+        val renamed = fs.rename(tmp, entry)
+        val nested = new org.apache.hadoop.fs.Path(entry, tmp.getName)
+        if (renamed && !fs.exists(nested))
+          spark.read.parquet(new org.apache.hadoop.fs.Path(entry, "data").toString)
+        else {
+          // a concurrent writer published first — drop ours, adopt theirs
+          if (renamed) fs.delete(nested, true) else fs.delete(tmp, true)
+          adoptShared(spark, fs, entry, key, fp).getOrElse(throw new IllegalStateException(
+            s"memo entry $entry unreadable after losing the publish race"))
+        }
+      } catch { case e: Throwable =>
+        try fs.delete(tmp, true) catch { case _: Exception => () }
+        throw e
+      }
+    }
+  }
+
+  /** Retention janitor for the shared store: deletes entries whose
+    * manifest completion time is older than `maxAgeMs`, and directories
+    * with no readable manifest (crashed writers' tmp dirs, half-published
+    * entries) older than `maxAgeMs` by filesystem mtime. Returns the
+    * number of directories deleted. Live sessions that already adopted an
+    * entry keep their (immutable) parquet plans; the sweep governs
+    * storage retention, not in-memory caches — run it from a scheduled
+    * maintenance job, the same cadence as any warehouse vacuum.
+    */
+  def sweepShared(spark: SparkSession, maxAgeMs: Long = DefaultTtlMs): Int =
+    spark.conf.getOption("spark.graft.materialized.dir") match {
+      case None => 0
+      case Some(shared) =>
+        val root = new org.apache.hadoop.fs.Path(s"$shared/$SharedSubdir")
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(root)) 0
+        else fs.listStatus(root).count { st =>
+          val now = System.currentTimeMillis()
+          val stale = readManifest(fs, st.getPath) match {
+            case Some((_, _, at)) => now - at > maxAgeMs
+            case None => now - st.getModificationTime > maxAgeMs
+          }
+          if (stale) fs.delete(st.getPath, true)
+          stale
+        }
+    }
 }

@@ -89,26 +89,149 @@ class MaterializedSpec extends SparkSpec {
     assert(results.head.count() == 8)
   }
 
-  test("spark.graft.materialized.dir redirects memo writes to the configured root") {
+  /** Entries under the shared store's root whose name contains `frag`. */
+  private def storeEntries(shared: java.nio.file.Path, frag: String): Seq[String] = {
+    val root = shared.resolve("graft-mat-shared")
+    Option(root.toFile.list()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.contains(frag))
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(q => java.nio.file.Files.deleteIfExists(q))
+    finally walk.close()
+  }
+
+  test("spark.graft.materialized.dir redirects memo writes to the content-keyed store") {
     val shared = java.nio.file.Files.createTempDirectory("graft-spec-shared-")
     spark.conf.set("spark.graft.materialized.dir", shared.toString)
     try {
       val out = Materialized.of(spark, "spec:shareddir")(
         spark.range(6).select(col("id")))
       assert(out.count() == 6)
-      val appRoot = shared.resolve(
-        s"graft-mat-${spark.sparkContext.applicationId}")
-      assert(java.nio.file.Files.isDirectory(appRoot),
-        s"memo not written under the configured shared dir: $shared")
-      val memoDirs = java.nio.file.Files.list(appRoot).toArray.map(_.toString)
-      assert(memoDirs.exists(_.contains("spec_shareddir")),
-        s"expected a spec:shareddir memo under $appRoot, found: ${memoDirs.mkString(",")}")
+      val entries = storeEntries(shared, "spec_shareddir")
+      assert(entries.size == 1,
+        s"expected one published spec:shareddir entry, found: $entries")
+      val entry = shared.resolve("graft-mat-shared").resolve(entries.head)
+      assert(java.nio.file.Files.exists(entry.resolve("manifest.properties")),
+        "published entry must carry its manifest")
+      assert(java.nio.file.Files.exists(entry.resolve("data")),
+        "published entry must hold the parquet table under data/")
     } finally {
       spark.conf.unset("spark.graft.materialized.dir")
-      val walk = java.nio.file.Files.walk(shared)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      deleteTree(shared)
+    }
+  }
+
+  test("shared store: a NEW session adopts a published memo; a bumped fingerprint rebuilds") {
+    val shared = java.nio.file.Files.createTempDirectory("graft-spec-adopt-")
+    spark.conf.set("spark.graft.materialized.dir", shared.toString)
+    try {
+      var builds = 0
+      Materialized.of(spark, "spec:adopt") {
+        builds += 1; spark.range(5).select(col("id"))
+      }
+      assert(builds == 1)
+      // a fresh session (fresh in-memory memo map — the same path a fresh
+      // APPLICATION takes: everything derives from conf + disk state)
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.materialized.dir", shared.toString)
+      val adopted = Materialized.of(s2, "spec:adopt") {
+        builds += 1; s2.range(5).select(col("id"))
+      }
+      assert(builds == 1, "a matching fresh manifest must be adopted, not rebuilt")
+      assert(adopted.collect().map(_.getLong(0)).toSeq.sorted == (0L until 5L))
+      // a bumped build fingerprint must NOT adopt the old entry
+      val s3 = spark.newSession()
+      s3.conf.set("spark.graft.materialized.dir", shared.toString)
+      s3.conf.set("spark.graft.materialized.fingerprint", "v2")
+      Materialized.of(s3, "spec:adopt") {
+        builds += 1; s3.range(5).select(col("id"))
+      }
+      assert(builds == 2, "a bumped fingerprint must rebuild")
+      assert(storeEntries(shared, "spec_adopt").size == 2,
+        "old and new fingerprints land on distinct entries")
+    } finally {
+      spark.conf.unset("spark.graft.materialized.dir")
+      deleteTree(shared)
+    }
+  }
+
+  test("shared store: stale entries are not adopted, and the janitor reclaims them") {
+    val shared = java.nio.file.Files.createTempDirectory("graft-spec-stale-")
+    spark.conf.set("spark.graft.materialized.dir", shared.toString)
+    // rewrite through the Hadoop FS API (as the writer does) so the local
+    // filesystem's checksum sidecar stays consistent with the content
+    def ageManifest(ageMs: Long): Unit = {
+      val mf = new org.apache.hadoop.fs.Path(shared.resolve("graft-mat-shared")
+        .resolve(storeEntries(shared, "spec_stale").head)
+        .resolve("manifest.properties").toString)
+      val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val props = new java.util.Properties()
+      val in = fs.open(mf)
+      try props.load(in) finally in.close()
+      props.setProperty("completedAtMs",
+        (System.currentTimeMillis() - ageMs).toString)
+      val out = fs.create(mf, true)
+      try props.store(out, "aged by spec") finally out.close()
+    }
+    try {
+      Materialized.of(spark, "spec:stale")(spark.range(3).select(col("id")))
+      ageManifest(8L * 24 * 3600 * 1000) // older than the 7-day default TTL
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.materialized.dir", shared.toString)
+      var rebuilt = false
+      Materialized.of(s2, "spec:stale") {
+        rebuilt = true; s2.range(3).select(col("id"))
+      }
+      assert(rebuilt, "an entry past its TTL must be evicted and rebuilt")
+      assert(storeEntries(shared, "spec_stale").size == 1,
+        "the rebuild replaces the stale entry in place")
+      // janitor: age the fresh entry again, then sweep
+      ageManifest(8L * 24 * 3600 * 1000)
+      assert(Materialized.sweepShared(s2) == 1, "sweep must reclaim the stale entry")
+      assert(storeEntries(shared, "spec_stale").isEmpty, "entry gone after sweep")
+      assert(Materialized.sweepShared(s2) == 0, "second sweep finds nothing")
+    } finally {
+      spark.conf.unset("spark.graft.materialized.dir")
+      deleteTree(shared)
+    }
+  }
+
+  test("shared store: two concurrent writers publish ONE entry, both read good data") {
+    val shared = java.nio.file.Files.createTempDirectory("graft-spec-race-")
+    val sessions = Seq(spark.newSession(), spark.newSession())
+    sessions.foreach(_.conf.set("spark.graft.materialized.dir", shared.toString))
+    try {
+      // both builders are forced into flight before either publishes
+      val latch = new java.util.concurrent.CountDownLatch(2)
+      val results = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Long]]()
+      val threads = sessions.zipWithIndex.map { case (s, i) =>
+        new Thread(() => {
+          val df = Materialized.of(s, "spec:race") {
+            latch.countDown(); latch.await()
+            s.range(10).select(col("id"))
+          }
+          results.put(i, df.collect().map(_.getLong(0)).toSeq.sorted)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(120000))
+      assert(results.size == 2, "both writers must complete")
+      results.values().forEach(v => assert(v == (0L until 10L)))
+      val all = Option(shared.resolve("graft-mat-shared").toFile.list())
+        .map(_.toSeq).getOrElse(Seq.empty)
+      assert(all.count(_.contains("spec_race")) == 1 && !all.exists(_.contains(".tmp-")),
+        s"expected exactly one published entry and no tmp leftovers, found: $all")
+      val entry = shared.resolve("graft-mat-shared")
+        .resolve(all.find(_.contains("spec_race")).get)
+      val inside = Option(entry.toFile.list()).map(_.toSeq).getOrElse(Seq.empty)
+        .filterNot(_.startsWith(".")) // local-FS checksum sidecars
+      assert(inside.sorted == Seq("data", "manifest.properties"),
+        s"loser's rename-into-dir residue must be cleaned, entry holds: $inside")
+    } finally {
+      sessions.foreach(_.conf.unset("spark.graft.materialized.dir"))
+      deleteTree(shared)
     }
   }
 
@@ -128,26 +251,17 @@ class MaterializedSpec extends SparkSpec {
         Materialized.of(spark, "spec:failedbuild")(failing)
       }
       assert(ex.getMessage != null)
-      val appRoot = shared.resolve(
-        s"graft-mat-${spark.sparkContext.applicationId}")
-      // File.list, not Files.list: the latter returns a stream that must
-      // be closed, and this helper is evaluated repeatedly
-      def memoDirs = Option(appRoot.toFile.list()).map(_.toSeq)
-        .getOrElse(Seq.empty[String])
-      assert(!memoDirs.exists(_.contains("spec_failedbuild")),
-        s"failed build leaked its partial directory: $memoDirs")
+      assert(storeEntries(shared, "spec_failedbuild").isEmpty,
+        "failed build leaked its partial tmp directory")
       // the key is not poisoned: a correct builder succeeds on retry
       val ok = Materialized.of(spark, "spec:failedbuild")(
         spark.range(8).select(col("id")))
       assert(ok.count() == 8)
-      assert(memoDirs.count(_.contains("spec_failedbuild")) == 1,
-        s"expected exactly the retry's memo dir: $memoDirs")
+      assert(storeEntries(shared, "spec_failedbuild").size == 1,
+        "expected exactly the retry's published entry")
     } finally {
       spark.conf.unset("spark.graft.materialized.dir")
-      val walk = java.nio.file.Files.walk(shared)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      deleteTree(shared)
     }
   }
 
