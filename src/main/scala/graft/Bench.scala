@@ -68,8 +68,12 @@ object Bench {
       "_build_pq_dtab" -> (() => { operators.Similarity.pqDtabFor(spark, sfDir).count(); () }),
       "_build_pq_top" -> (() => { operators.Similarity.pqTopFor(spark, sfDir).count(); () }),
       "_build_pq_ivf_top" -> (() => { operators.Similarity.pqIvfTopFor(spark, sfDir).count(); () }),
+      "_build_pq_member" -> (() => { operators.Similarity.memberCodesFor(spark, sfDir).count(); () }),
       "_build_pq_cb_train" -> (() => { operators.Similarity.pqTrainedCodebookFor(spark, sfDir).count(); () }),
+      "_build_pq_trained_codes" -> (() => { operators.Similarity.pqTrainedCodesFor(spark, sfDir).count(); () }),
+      "_build_pq_trained_dtab" -> (() => { operators.Similarity.pqTrainedDtabFor(spark, sfDir).count(); () }),
       "_build_pq_trained_top" -> (() => { operators.Similarity.pqTrainedTopFor(spark, sfDir).count(); () }),
+      "_build_pq_ivf_trained_top" -> (() => { operators.Similarity.pqIvfTrainedTopFor(spark, sfDir).count(); () }),
       "_build_pq_res_top" -> (() => { operators.Similarity.pqResidualTopFor(spark, sfDir).count(); () }),
       "_build_strict_links" -> (() => { operators.ChainLink.strictLinksFor(spark, sfDir).count(); () }),
       "_build_shingle_sizes" -> (() => { operators.Dedup.sizesFor(spark, sfDir).count(); () }),
