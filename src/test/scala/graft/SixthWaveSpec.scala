@@ -149,15 +149,23 @@ class SixthWaveSpec extends SparkSpec {
       assert(rows.length >= 2 && rows.length <= 16)
       rows.foreach(r => assert(r.getSeq[Double](2).length == 8))
     }
+    // 4-way audit matrix: (n_queries, hits for seed/seed∘IVF/trained/
+    // trained∘IVF, then the four permilles in the same order)
     val r = Similarity.pqRecallTrained(spark, sf001).collect().head
-    val (nq, ns, nt) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    assert(nq > 0 && ns >= 0 && ns <= nq * 5 && nt >= 0 && nt <= nq * 5)
-    assert(r.getLong(3) == ns * 1000 / (nq * 5))
-    assert(r.getLong(4) == nt * 1000 / (nq * 5))
+    val nq = r.getLong(0)
+    val hitCols = (1 to 4).map(r.getLong)
+    assert(nq > 0)
+    hitCols.foreach(h => assert(h >= 0 && h <= nq * 5))
+    (1 to 4).foreach { i =>
+      assert(r.getLong(4 + i) == r.getLong(i) * 1000 / (nq * 5),
+        s"permille column ${4 + i} inconsistent with hits column $i: $r")
+    }
     // training must not collapse retrieval: trained recall stays above
     // chance (~10 permille); on near-random vectors it need not beat the
-    // seed codebook, but both are reported side by side
-    assert(nt * 1000 / (nq * 5) >= 50, s"trained recall collapsed: $r")
+    // seed codebook, but all four cells are reported side by side
+    assert(hitCols(2) * 1000 / (nq * 5) >= 50, s"trained recall collapsed: $r")
+    assert(hitCols(3) * 1000 / (nq * 5) >= 50,
+      s"trained-IVF recall collapsed: $r")
   }
 
   test("residual PQ: results in probed buckets, audit consistent, above chance") {
