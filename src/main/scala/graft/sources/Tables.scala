@@ -15,14 +15,50 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Spark 4 rejects parquet TIMESTAMP(NANOS) outright; read as int64 nanos.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
   }
 
-  /** Epoch millis of `events.ts` (parquet timestamp[ns], read as int64 nanos
-    * via nanosAsLong), referenced by column name. Integer division — a
-    * double round-trip would lose precision at ~1.7e18 ns (> 2^53). Matches
-    * DuckDB `epoch_ms(ts)` (floor; all values positive). The single home of
-    * the ns→ms conversion: every operator over `events` uses this.
+  /** Normalize an optional `ts` column to int64 epoch-NANOSECONDS, the frozen
+    * internal contract every downstream `ts` expression assumes. The testdata
+    * generator has shipped `events.ts` as parquet timestamp[ns] (read as
+    * int64 via nanosAsLong) and later as timestamp[us] with
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ under Spark 4's default
+    * inferTimestampNTZ); this adapter absorbs either — plus plain LTZ and
+    * ISO-8601 strings in the lenient-parse spirit of the reference's reader
+    * (simpy_kafka_reader.py:42-54) — so a regeneration cannot break the
+    * query layer again.
+    *
+    * DuckDB parity: the oracle's `epoch_ms(ts)` treats naive timestamps as
+    * UTC; all our sessions pin `spark.sql.session.timeZone=UTC`, and the NTZ
+    * path additionally routes through from_utc_timestamp with the session
+    * zone (NTZ→LTZ cast subtracts the session offset; from_utc_timestamp
+    * adds it back) so the result is correct even on an unpinned session.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType match {
+      case org.apache.spark.sql.types.LongType => df // already int64 nanos
+      case org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(from_utc_timestamp(col("ts").cast("timestamp"),
+            df.sparkSession.conf.get("spark.sql.session.timeZone"))) * lit(1000L))
+      case org.apache.spark.sql.types.StringType =>
+        df.withColumn("ts",
+          unix_micros(from_utc_timestamp(
+            col("ts").cast("timestamp_ntz").cast("timestamp"),
+            df.sparkSession.conf.get("spark.sql.session.timeZone"))) * lit(1000L))
+      case other =>
+        throw new IllegalArgumentException(
+          s"Tables.normalizeTs: unsupported ts encoding $other")
+    }).getOrElse(df)
+
+  /** Epoch millis of `events.ts` (normalized to int64 epoch-nanos by
+    * [[load]]/[[normalizeTs]] regardless of the parquet encoding), referenced
+    * by column name. Integer division — a double round-trip would lose
+    * precision at ~1.7e18 ns (> 2^53). Matches DuckDB `epoch_ms(ts)` (floor;
+    * all values positive). The single home of the ns→ms conversion: every
+    * operator over `events` uses this.
     */
   val epochMs: Column = expr("ts div 1000000")
 
