@@ -30,7 +30,25 @@ def norm(v):
     return v
 
 
+def schema_fp(sf_dir):
+    """Fingerprint the raw parquet schemas so a check run self-evidences
+    which data contract it verified (round 7: a stale-data local run masked
+    an events.ts regeneration). Arrow-type based, so comparable across runs
+    of this script (not across tools)."""
+    import hashlib
+    parts = []
+    for t in TABLES:
+        try:
+            s = pq.read_schema(f"{sf_dir}/{t}.parquet")
+            fields = ",".join(f"{f.name}:{f.type}" for f in s)
+        except Exception:
+            fields = "missing"
+        parts.append(f"{t}{{{fields}}}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
+
+
 def main(sf_dir, out_dir):
+    print(f"schema_fp {schema_fp(sf_dir)} ({sf_dir})")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

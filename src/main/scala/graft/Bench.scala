@@ -20,8 +20,30 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fingerprint the RAW testdata schemas (pre-normalization) so every
+    // published bench self-evidences which data contract it ran against —
+    // round 7's local bench was silently recorded against stale parquet
+    // (events.ts regenerated ns→us) and masked a 39-query break. A
+    // BENCH_LOCAL_* whose schema_fp differs from the driver's BENCH_r* was
+    // measured on different data and must not be compared.
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val fpSrc = tables.map { t =>
+      val fields =
+        try spark.read.parquet(s"$sfDir/$t.parquet").schema
+          .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+        catch { case _: Throwable => "missing" }
+      s"$t{$fields}"
+    }.mkString(";")
+    val schemaFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(fpSrc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tsType =
+      try spark.read.parquet(s"$sfDir/events.parquet")
+        .schema("ts").dataType.simpleString
+      catch { case _: Throwable => "missing" }
     // warm JIT/codegen/scan paths untimed so timings reflect steady state
     Seq("q1_pricing", "dedup_exact").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
@@ -146,7 +168,7 @@ object Bench {
     // median. n_queries/n_builds count PUBLISHED medians (errored names are
     // excluded); n_errors lives in the footer so even a truncated capture
     // shows whether the run was healthy.
-    println(s"""{$errJson$spread"queries":$qs,"sf":"${jstr(sfDir)}","metric":"total","unit":"sec","repeat":$repeat,"n_queries":${queryResults.size},"n_builds":${healthyBuilds.size},"n_errors":${errors.size},"value":${fmt(total)}}""")
+    println(s"""{$errJson$spread"queries":$qs,"sf":"${jstr(sfDir)}","schema_fp":"$schemaFp","ts_type":"${jstr(tsType)}","metric":"total","unit":"sec","repeat":$repeat,"n_queries":${queryResults.size},"n_builds":${healthyBuilds.size},"n_errors":${errors.size},"value":${fmt(total)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -66,6 +66,17 @@ object Skew {
       pmod(xxhash64((col(key) +: saltOn): _*), lit(salt.toLong)))
   }
 
+  /** Pre-r7 4-arg signature, kept one deprecation cycle so downstream call
+    * sites keep compiling across the rename; the behavior is unchanged
+    * (positional salting), only the name now carries the retry caveat.
+    */
+  @deprecated("positional salting is retry-unsafe; use the 5-arg " +
+    "content-salted saltedJoin, or saltedJoinPositional to accept the caveat",
+    "round 8")
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salt: Int): DataFrame =
+    saltedJoinPositional(big, small, key, salt)
+
   /** Positional fallback for relations with NO stable row identity: salt =
     * `monotonically_increasing_id mod salt` (content hashing would send
     * fully-identical rows of a hot key back to ONE task — the degenerate
