@@ -102,6 +102,8 @@ object Bench {
       "_build_shingle_all" -> (() => { operators.Corpus.allShingleHashesFor(spark, sfDir).count(); () }),
       "_build_co_edges" -> (() => { operators.Graph.coEdges(spark, sfDir).count(); () }),
       "_build_media_meta" -> (() => { operators.Multimodal.mediaMetaFor(spark, sfDir).count(); () }),
+      "_build_sq_codes" -> (() => { operators.Similarity.sqCodesFor(spark, sfDir).count(); () }),
+      "_build_sq_top" -> (() => { operators.Similarity.sqTopFor(spark, sfDir).count(); () }),
     )
     val buildResults =
       if (only.isDefined) Seq.empty

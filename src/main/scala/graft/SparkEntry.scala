@@ -209,6 +209,12 @@ object SparkEntry {
     "q_pq_res_recall" -> ((s, d) => Similarity.pqResRecall(s, d)),
     "q_pq_ivf_trained" -> ((s, d) => Similarity.pqIvfTrainedSearch(s, d)),
     "q_incremental_ivf" -> ((s, d) => Similarity.incrementalIvf(s, d)),
+    // seventh wave: int8 scalar-quantization serving, matryoshka truncation,
+    // deterministic training-order sharding
+    "q_sq_search" -> ((s, d) => Similarity.sqSearch(s, d)),
+    "q_sq_recall" -> ((s, d) => Similarity.sqRecall(s, d)),
+    "q_mrl_recall" -> ((s, d) => Similarity.mrlRecall(s, d)),
+    "q_train_order" -> ((s, d) => Curation.trainOrder(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -328,6 +334,43 @@ object SparkEntry {
        |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
        |                AS BIGINT), vec_id
        |  LIMIT $k)""".stripMargin
+
+  /** Exact full-dimension cosine top-5 CTE chain (`ep` pairs → `ext`
+    * top-5) — the recall-audit baseline replaying
+    * [[operators.Similarity.annTopkFor]]; shared by every `*_recall`
+    * oracle that compares an approximate index against the exact scan.
+    */
+  private val exactTopCtes: String =
+    s"""ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+       |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+       |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
+       |       WHERE q.vec_id % 20 = 0),
+       |ext AS (SELECT q_id, n_id FROM (
+       |          SELECT q_id, n_id,
+       |                 row_number() OVER (PARTITION BY q_id
+       |                   ORDER BY cos DESC, n_id) AS rk
+       |          FROM ep) WHERE rk <= 5)""".stripMargin
+
+  /** SQ8 CTE chain replaying [[operators.Similarity.sqCodesFor]] →
+    * [[operators.Similarity.sqTopFor]]: unit-normalize, per-dim maxabs
+    * scales, `round(127·x̂/maxabs)` codes rebuilt into ordered BIGINT
+    * lists, then integer-dot scored query×corpus pairs (`sd`). The int64
+    * sum needs no fold-order discipline — it is exact in both engines.
+    */
+  private val sqCtes: String =
+    """vn AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS en FROM v),
+      |sp AS (SELECT vec_id, di.i - 1 AS dim, en[di.i] AS x
+      |       FROM vn CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) di),
+      |ss AS (SELECT dim, max(abs(x)) AS maxabs FROM sp GROUP BY 1),
+      |sc AS (SELECT vec_id,
+      |         list(CAST(round(x * 127.0 / maxabs) AS BIGINT)
+      |              ORDER BY sp.dim) AS qe
+      |       FROM sp JOIN ss ON sp.dim = ss.dim GROUP BY vec_id),
+      |sd AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+      |         CAST(list_reduce(list_transform(list_zip(q.qe, t.qe),
+      |                s -> s[1] * s[2]), (x, y) -> x + y) AS BIGINT) AS dot
+      |       FROM sc q JOIN sc t ON t.vec_id <> q.vec_id
+      |       WHERE q.vec_id % 20 = 0)""".stripMargin
 
   private def l2sqSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)"
@@ -2750,5 +2793,65 @@ object SparkEntry {
          |       n_hits * 1000 // (n_queries * 5) AS recall_permille,
          |       n_hits_ivf * 1000 // (n_queries * 5) AS recall_ivf_permille
          |FROM n""".stripMargin,
+
+    "q_sq_search" ->
+      s"""WITH $vecCte,
+         |$sqCtes
+         |SELECT q_id, n_id, dot, rk FROM (
+         |  SELECT q_id, n_id, dot,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY dot DESC, n_id) AS rk
+         |  FROM sd) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "q_sq_recall" ->
+      s"""WITH $vecCte,
+         |$sqCtes,
+         |sqt AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY dot DESC, n_id) AS rk
+         |          FROM sd) WHERE rk <= 5),
+         |$exactTopCtes,
+         |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
+         |             (SELECT count(*) FROM ext JOIN sqt USING (q_id, n_id))
+         |               AS n_hits)
+         |SELECT n_queries, n_hits,
+         |       n_hits * 1000 // (n_queries * 5) AS recall_permille
+         |FROM n""".stripMargin,
+
+    "q_mrl_recall" ->
+      s"""WITH $vecCte,
+         |t16 AS (SELECT vec_id, e[1:16] AS e16,
+         |          sqrt(list_reduce(list_transform(e[1:16], x -> x * x),
+         |                           (a, b) -> a + b)) AS n16
+         |        FROM v),
+         |mp AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+         |         ${dotSql("q.e16", "t.e16")} / (q.n16 * t.n16) AS cos
+         |       FROM t16 q JOIN t16 t ON t.vec_id <> q.vec_id
+         |       WHERE q.vec_id % 20 = 0),
+         |mt AS (SELECT q_id, n_id FROM (
+         |         SELECT q_id, n_id,
+         |                row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY cos DESC, n_id) AS rk
+         |         FROM mp) WHERE rk <= 5),
+         |$exactTopCtes,
+         |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
+         |             (SELECT count(*) FROM ext JOIN mt USING (q_id, n_id))
+         |               AS n_hits)
+         |SELECT n_queries, n_hits,
+         |       n_hits * 1000 // (n_queries * 5) AS recall_permille
+         |FROM n""".stripMargin,
+
+    "q_train_order" ->
+      """WITH h AS (SELECT doc_id,
+        |             CAST('0x' || substr(md5('order:r8:' || doc_id), 1, 15)
+        |                  AS BIGINT) AS hk
+        |           FROM documents),
+        |r AS (SELECT doc_id, hk,
+        |        row_number() OVER (ORDER BY hk, doc_id) AS pos,
+        |        count(*) OVER () AS n
+        |      FROM h)
+        |SELECT doc_id, hk, pos, (pos - 1) * 16 // n AS shard
+        |FROM r ORDER BY pos""".stripMargin,
   )
 }

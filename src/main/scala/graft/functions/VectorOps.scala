@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Whole-stage-codegen'd dot product over two `ARRAY<DOUBLE>` columns.
   *
@@ -105,6 +105,53 @@ case class L2Squared(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Whole-stage-codegen'd integer dot product over two `ARRAY<BIGINT>`
+  * columns — the scoring kernel of the int8 scalar-quantization serving
+  * path. Pure int64 arithmetic: associative, overflow-free for SQ8 codes
+  * (|q| ≤ 127 → |Σ| ≤ 127²·dims), and therefore bit-identical in any
+  * engine and any evaluation order — unlike the double folds, it needs no
+  * left-to-right discipline to match the DuckDB oracle.
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_ldot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   /** Dot product of two ARRAY<DOUBLE> columns (codegen'd). */
   def dot(a: Column, b: Column): Column =
@@ -114,5 +161,10 @@ object VectorOps {
   /** Squared L2 distance of two ARRAY<DOUBLE> columns (codegen'd). */
   def l2sq(a: Column, b: Column): Column =
     GraftColumnBridge.column(L2Squared(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Integer dot product of two ARRAY<BIGINT> columns (codegen'd). */
+  def ldot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(LongDot(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

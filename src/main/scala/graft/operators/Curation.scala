@@ -330,4 +330,32 @@ object Curation {
       .select("doc_id", "n_tokens", "cum_tokens")
       .orderBy("doc_id")
   }
+
+  /** Deterministic global training-order shuffle + shard assignment: the
+    * "shuffle the corpus before writing training shards" step. Order =
+    * portableHash("order:r8:" ++ doc_id) with doc_id tie-break — a seeded
+    * pseudo-random permutation any worker can recompute (no `rand()`, no
+    * driver-side shuffle state); shard = contiguous 1/16 block of that
+    * permuted order, so shards are equal-size ±1 and a shard's docs are
+    * an unbiased corpus sample.
+    *
+    * The global position comes from [[Ranking.withGlobalRowNumber]] —
+    * range-partitioned parallel sort + broadcast offsets — NOT an
+    * unpartitioned window; at 100 TB this is the same distributed
+    * sort-by-key Spark's own `sortBy` write path runs, and the shard
+    * boundary arithmetic is pure int64 on the resulting position.
+    */
+  def trainOrder(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 16
+    val h = Tables.portableHash(
+      concat(lit("order:r8:"), col("doc_id").cast("string")))
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), h.as("hk"))
+    val (ranked, n) = Ranking.withGlobalRowNumber(
+      d, "pos", col("hk"), col("doc_id"))
+    ranked
+      .select(col("doc_id"), col("hk"), col("pos"),
+        expr(s"(pos - 1) * $nShards div ${math.max(n, 1L)}").as("shard"))
+      .orderBy("pos")
+  }
 }

@@ -778,4 +778,105 @@ object Similarity {
           col("cos_permille") < 950, lit("reindex")).otherwise(lit("keep")))
       .orderBy("cent_id")
   }
+
+  /** Memoized SQ8 codes (vec_id, qe: array<bigint>): the UNIT vector
+    * (e/nrm) quantized per-dimension to `round(127·x̂/maxabs_dim)` —
+    * int8-range symmetric scalar quantization, the standard 4× compression
+    * below which PQ takes over. Quantizing the NORMALIZED vector makes the
+    * integer dot a cosine surrogate (raw-vector int dots would rank by
+    * magnitude, not angle). Per-dim scales are one map-side-combinable
+    * aggregation over the posexploded relation, collapsed to a single
+    * 64-element broadcast array; encoding is map-only. All arithmetic
+    * (double divide, half-away-from-zero round) is bit-identical in
+    * DuckDB, so the oracle replays the codes exactly.
+    */
+  private[graft] def sqCodesFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"sqcodes:$dir") {
+      val vn = Dedup.normedFor(spark, dir)
+        .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("en"))
+      val scales = vn
+        .select(posexplode(col("en")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(max(abs(col("x"))).as("maxabs"))
+      val sArr = scales
+        .agg(array_sort(collect_list(struct(col("dim"), col("maxabs")))).as("ss"))
+        .select(transform(col("ss"), s => s.getField("maxabs")).as("sarr"))
+      vn.crossJoin(broadcast(sArr))
+        .select(col("vec_id"),
+          zip_with(col("en"), col("sarr"),
+            (x, s) => round(x * lit(127.0) / s).cast("long")).as("qe"))
+    }
+
+  /** Memoized SQ8 top-5 relation: brute-force integer-dot scan over the
+    * codes — O(Q·N) like [[annTopkFor]] but on 64 int8-range values per
+    * vector instead of 64 doubles (4× memory traffic; SIMD int8 dot on
+    * real hardware). The int dot is pure int64 arithmetic
+    * ([[graft.functions.LongDot]]): order-independent, engine-exact —
+    * the one ANN score in the family that needs NO float-fold discipline.
+    */
+  private[graft] def sqTopFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"sqtop:$dir") {
+      import graft.functions.VectorOps.ldot
+      val codes = sqCodesFor(spark, dir)
+      val q = codes.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dot").desc, col("n_id"))
+      broadcast(q).join(codes, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          ldot(col("qq"), col("qe")).as("dot"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= K)
+    }
+
+  /** SQ8 top-5 per sampled query by integer dot (desc, ties → min n_id). */
+  def sqSearch(spark: SparkSession, dir: String): DataFrame =
+    sqTopFor(spark, dir).orderBy("q_id", "rk")
+
+  /** Recall of the SQ8 integer-dot top-5 against the exact cosine top-5 —
+    * the quality side of the 4× compression (quantization noise only;
+    * same candidate set as the exact scan, unlike IVF which also loses
+    * probe coverage).
+    */
+  def sqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopkFor(spark, dir).select(col("q_id"), col("n_id"))
+    val nQ = exact.select("q_id").distinct().agg(count(lit(1)).as("n_queries"))
+    val nHit = exact
+      .join(sqTopFor(spark, dir).select("q_id", "n_id"),
+        Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    nQ.crossJoin(nHit)
+      .select(col("n_queries"), col("n_hits"),
+        expr("n_hits * 1000 div (n_queries * 5)").as("recall_permille"))
+  }
+
+  /** Recall of truncated-dimension (matryoshka-style) search: cosine over
+    * the FIRST 16 of 64 dimensions vs the full-dimension exact top-5. The
+    * cheap pre-ranking stage of a coarse-to-fine pipeline — 4× less
+    * memory traffic per candidate, no index to maintain; the audit
+    * quantifies what the truncation costs on THIS corpus (embeddings
+    * trained with matryoshka losses front-load information, random ones
+    * don't — the recall number is the evidence either way).
+    */
+  def mrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.dot
+    val t = Dedup.normedFor(spark, dir)
+      .select(col("vec_id"), slice(col("e"), 1, 16).as("e16"))
+      .withColumn("n16", sqrt(dot(col("e16"), col("e16"))))
+    val q = t.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("e16").as("q16"),
+        col("n16").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val top16 = broadcast(q).join(t, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("q16"), col("e16")) / (col("qn") * col("n16"))).as("cos"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= K)
+    val exact = annTopkFor(spark, dir).select(col("q_id"), col("n_id"))
+    val nQ = exact.select("q_id").distinct().agg(count(lit(1)).as("n_queries"))
+    val nHit = exact.join(top16.select("q_id", "n_id"),
+        Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    nQ.crossJoin(nHit)
+      .select(col("n_queries"), col("n_hits"),
+        expr("n_hits * 1000 div (n_queries * 5)").as("recall_permille"))
+  }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Similarity}
+
+/** Round-8 additions: int8 scalar-quantization serving (codes, search,
+  * recall), matryoshka truncated-dim recall, and the deterministic
+  * training-order shuffle/sharding. The DuckDB hash-equivalence lives in
+  * the driver gate; these pin the operator-level invariants.
+  */
+class SeventhWaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQ8 codes stay in int8 range and cover every vector") {
+    val codes = Similarity.sqCodesFor(spark, sf0001)
+    val n = codes.count()
+    assert(n === graft.sources.Tables.load(spark, sf0001, "embeddings").count())
+    val bad = codes
+      .where(exists(col("qe"), q => abs(q) > 127) || size(col("qe")) =!= 64)
+      .count()
+    assert(bad === 0L, "every code must be a 64-long int8-range vector")
+  }
+
+  test("SQ8 search returns exactly top-5 per sampled query, int64 scores") {
+    val top = Similarity.sqSearch(spark, sf0001)
+    val perQ = top.groupBy("q_id").count().where(col("count") =!= 5).count()
+    assert(perQ === 0L)
+    assert(top.schema("dot").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // sampled queries: vec_id % 20 == 0
+    assert(top.where(col("q_id") % 20 =!= 0).count() === 0L)
+  }
+
+  test("SQ8 recall beats the PQ seed-codebook recall on this corpus") {
+    // SQ8 keeps the full candidate set and loses only quantization
+    // precision (4×); PQ compresses 64× — on near-random vectors SQ8
+    // must rank strictly better. Pins the two audits against each other
+    // so a scoring bug in either one shows up as an inversion.
+    val sq = Similarity.sqRecall(spark, sf0001)
+      .select("recall_permille").as[Long].head()
+    val pq = Similarity.pqRecall(spark, sf0001)
+      .select(col("recall_permille")).as[Long].head()
+    assert(sq > pq, s"sq=$sq should exceed pq=$pq")
+    assert(sq >= 0L && sq <= 1000L)
+  }
+
+  test("matryoshka recall is a valid permille and below SQ8") {
+    val mrl = Similarity.mrlRecall(spark, sf0001)
+      .select("recall_permille").as[Long].head()
+    val sq = Similarity.sqRecall(spark, sf0001)
+      .select("recall_permille").as[Long].head()
+    assert(mrl >= 0L && mrl <= 1000L)
+    // 16/64 dims of an untrained random embedding carry ~25% of the
+    // signal; 4× precision loss on ALL dims costs far less than dropping
+    // 75% of them.
+    assert(mrl < sq, s"mrl=$mrl should trail sq=$sq on random embeddings")
+  }
+
+  test("train order is a permutation with balanced contiguous shards") {
+    val t = Curation.trainOrder(spark, sf0001).cache()
+    val n = t.count()
+    assert(t.select("doc_id").distinct().count() === n)
+    // positions are exactly 1..n
+    val r = t.agg(min("pos"), max("pos"), countDistinct("pos")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, n, n)))
+    // shards are contiguous blocks of the permuted order, sizes within ±1
+    val sizes = t.groupBy("shard").count().select("count").as[Long].collect()
+    assert(sizes.length === 16)
+    assert(sizes.max - sizes.min <= 1)
+    val straddle = t.as("a").join(t.as("b"),
+        $"a.pos" === $"b.pos" - 1 && $"a.shard" > $"b.shard").count()
+    assert(straddle === 0L, "shard id must be monotone in pos")
+    t.unpersist()
+  }
+
+  test("train order is seeded-deterministic: same input, same permutation") {
+    val a = Curation.trainOrder(spark, sf0001).select("doc_id", "pos", "shard")
+    val b = Curation.trainOrder(spark, sf0001).select("doc_id", "pos", "shard")
+    assert(a.except(b).count() === 0L)
+    assert(b.except(a).count() === 0L)
+  }
+}
