@@ -104,6 +104,8 @@ object Bench {
       "_build_media_meta" -> (() => { operators.Multimodal.mediaMetaFor(spark, sfDir).count(); () }),
       "_build_sq_codes" -> (() => { operators.Similarity.sqCodesFor(spark, sfDir).count(); () }),
       "_build_sq_top" -> (() => { operators.Similarity.sqTopFor(spark, sfDir).count(); () }),
+      "_build_sq_member" -> (() => { operators.Similarity.memberSqCodesFor(spark, sfDir).count(); () }),
+      "_build_sq_ivf_top" -> (() => { operators.Similarity.sqIvfTopFor(spark, sfDir).count(); () }),
     )
     val buildResults =
       if (only.isDefined) Seq.empty

@@ -212,6 +212,7 @@ object SparkEntry {
     // seventh wave: int8 scalar-quantization serving, matryoshka truncation,
     // deterministic training-order sharding
     "q_sq_search" -> ((s, d) => Similarity.sqSearch(s, d)),
+    "q_sq_ivf_search" -> ((s, d) => Similarity.sqIvfSearch(s, d)),
     "q_sq_recall" -> ((s, d) => Similarity.sqRecall(s, d)),
     "q_mrl_recall" -> ((s, d) => Similarity.mrlRecall(s, d)),
     "q_train_order" -> ((s, d) => Curation.trainOrder(s, d)),
@@ -371,6 +372,38 @@ object SparkEntry {
       |                s -> s[1] * s[2]), (x, y) -> x + y) AS BIGINT) AS dot
       |       FROM sc q JOIN sc t ON t.vec_id <> q.vec_id
       |       WHERE q.vec_id % 20 = 0)""".stripMargin
+
+  /** SQ8∘IVF CTE chain (needs vecCte + sqCtes): hash-min coarse centroids,
+    * nearest-centroid assignment, nprobe=2 query probes, candidate pairs,
+    * then integer-dot scores over the SQ8 codes (`sc`) — replaying
+    * [[operators.Similarity.sqIvfTopBuild]]. Ends in
+    * `sqdi(q_id, n_id, dot)`.
+    */
+  private lazy val sqIvfCtes: String =
+    s"""${hashMinCte("qcents", 64)},
+       |qasg AS (SELECT vec_id, cent_id FROM (
+       |           SELECT v.vec_id, c.cent_id,
+       |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |                    ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |                    c.cent_id) AS rn
+       |           FROM v CROSS JOIN qcents c) WHERE rn = 1),
+       |qprobes AS (SELECT q_id, cent_id FROM (
+       |              SELECT v.vec_id AS q_id, c.cent_id,
+       |                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |                       ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |                       c.cent_id) AS rn
+       |              FROM v CROSS JOIN qcents c WHERE v.vec_id % 20 = 0)
+       |            WHERE rn <= 2),
+       |sqcand AS (SELECT p.q_id, a.vec_id FROM qprobes p
+       |           JOIN qasg a ON p.cent_id = a.cent_id
+       |           WHERE a.vec_id <> p.q_id),
+       |sqdi AS (SELECT cd.q_id, cd.vec_id AS n_id,
+       |           CAST(list_reduce(list_transform(list_zip(cq.qe, ct.qe),
+       |                  z -> z[1] * z[2]), (ac, el) -> ac + el) AS BIGINT)
+       |             AS dot
+       |         FROM sqcand cd
+       |         JOIN sc cq ON cq.vec_id = cd.q_id
+       |         JOIN sc ct ON ct.vec_id = cd.vec_id)""".stripMargin
 
   private def l2sqSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)"
@@ -2803,20 +2836,39 @@ object SparkEntry {
          |           ORDER BY dot DESC, n_id) AS rk
          |  FROM sd) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
+    "q_sq_ivf_search" ->
+      s"""WITH $vecCte,
+         |$sqCtes,
+         |$sqIvfCtes
+         |SELECT q_id, n_id, dot, rk FROM (
+         |  SELECT q_id, n_id, dot,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY dot DESC, n_id) AS rk
+         |  FROM sqdi) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
     "q_sq_recall" ->
       s"""WITH $vecCte,
          |$sqCtes,
+         |$sqIvfCtes,
          |sqt AS (SELECT q_id, n_id FROM (
          |          SELECT q_id, n_id,
          |                 row_number() OVER (PARTITION BY q_id
          |                   ORDER BY dot DESC, n_id) AS rk
          |          FROM sd) WHERE rk <= 5),
+         |sqit AS (SELECT q_id, n_id FROM (
+         |           SELECT q_id, n_id,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                    ORDER BY dot DESC, n_id) AS rk
+         |           FROM sqdi) WHERE rk <= 5),
          |$exactTopCtes,
          |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
          |             (SELECT count(*) FROM ext JOIN sqt USING (q_id, n_id))
-         |               AS n_hits)
-         |SELECT n_queries, n_hits,
-         |       n_hits * 1000 // (n_queries * 5) AS recall_permille
+         |               AS n_hits,
+         |             (SELECT count(*) FROM ext JOIN sqit USING (q_id, n_id))
+         |               AS n_hits_ivf)
+         |SELECT n_queries, n_hits, n_hits_ivf,
+         |       n_hits * 1000 // (n_queries * 5) AS recall_permille,
+         |       n_hits_ivf * 1000 // (n_queries * 5) AS recall_ivf_permille
          |FROM n""".stripMargin,
 
     "q_mrl_recall" ->

@@ -779,6 +779,24 @@ object Similarity {
       .orderBy("cent_id")
   }
 
+  /** Memoized per-dimension SQ8 scale artifact — ONE row
+    * (sarr: array<double>, maxabs per dim, dim-ordered). The statistics a
+    * deployed SQ8 index ships alongside the codes: queries quantize
+    * against the SAME scales the corpus was encoded with (asymmetric
+    * scales would bias every dot). One map-side-combinable aggregation
+    * over the posexploded corpus, collapsed to a broadcastable scalar row.
+    */
+  private[graft] def sqScalesFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"sqscales:$dir") {
+      Dedup.normedFor(spark, dir)
+        .select(posexplode(transform(col("e"), x => x / col("nrm")))
+          .as(Seq("dim", "x")))
+        .groupBy("dim").agg(max(abs(col("x"))).as("maxabs"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("maxabs"))))
+          .as("ss"))
+        .select(transform(col("ss"), s => s.getField("maxabs")).as("sarr"))
+    }
+
   /** Memoized SQ8 codes (vec_id, qe: array<bigint>): the UNIT vector
     * (e/nrm) quantized per-dimension to `round(127·x̂/maxabs_dim)` —
     * int8-range symmetric scalar quantization, the standard 4× compression
@@ -794,13 +812,7 @@ object Similarity {
     graft.sources.Materialized.of(spark, s"sqcodes:$dir") {
       val vn = Dedup.normedFor(spark, dir)
         .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("en"))
-      val scales = vn
-        .select(posexplode(col("en")).as(Seq("dim", "x")))
-        .groupBy("dim").agg(max(abs(col("x"))).as("maxabs"))
-      val sArr = scales
-        .agg(array_sort(collect_list(struct(col("dim"), col("maxabs")))).as("ss"))
-        .select(transform(col("ss"), s => s.getField("maxabs")).as("sarr"))
-      vn.crossJoin(broadcast(sArr))
+      vn.crossJoin(broadcast(sqScalesFor(spark, dir)))
         .select(col("vec_id"),
           zip_with(col("en"), col("sarr"),
             (x, s) => round(x * lit(127.0) / s).cast("long")).as("qe"))
@@ -831,10 +843,59 @@ object Similarity {
   def sqSearch(spark: SparkSession, dir: String): DataFrame =
     sqTopFor(spark, dir).orderBy("q_id", "rk")
 
-  /** Recall of the SQ8 integer-dot top-5 against the exact cosine top-5 —
-    * the quality side of the 4× compression (quantization noise only;
-    * same candidate set as the exact scan, unlike IVF which also loses
-    * probe coverage).
+  /** Memoized per-bucket SQ8 code index (cent_id, vec_id, qe) — the
+    * relation an SQ8∘IVF server loads at startup, pre-grouped by coarse
+    * bucket exactly like [[memberCodesFor]] is for PQ: a micro-batch (or
+    * batch probe set) pays only the cent_id equi-join, never a re-group
+    * of the corpus-sized codes relation.
+    */
+  private[graft] def memberSqCodesFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"sqmember:$dir") {
+      ivfAssignFor(spark, dir).select("vec_id", "cent_id")
+        .join(sqCodesFor(spark, dir), "vec_id")
+    }
+
+  /** Memoized SQ8∘IVF top-5 (≤ 5·Q rows): the IVF probe supplies the
+    * candidate set (O(Q·N·nprobe/C)), the integer dot supplies the
+    * score — the SQ8 analogue of [[pqIvfTopFor]] and the scale path for
+    * int8 serving (the full-scan [[sqTopFor]] is its correctness
+    * baseline exactly as [[pqTopFor]] is for PQ∘IVF).
+    */
+  private[graft] def sqIvfTopFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"sqivftop:$dir")(
+      sqIvfTopBuild(spark, dir))
+
+  /** Un-memoized SQ8∘IVF builder (plan-audit surface): probes ⋈ bucket
+    * index on cent_id, broadcast query codes, codegen'd int64 dot,
+    * per-query top-5.
+    */
+  private[graft] def sqIvfTopBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.ldot
+    val v = Dedup.normedFor(spark, dir)
+    val probes = multiProbe(v.where(col("vec_id") % 20 === 0),
+        centroidsMemoFor(spark, dir), nprobe = 2)
+      .withColumnRenamed("vec_id", "q_id")
+    val qq = sqCodesFor(spark, dir).where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col("n_id"))
+    probes.join(broadcast(qq), "q_id")
+      .join(memberSqCodesFor(spark, dir), "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        ldot(col("qq"), col("qe")).as("dot"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
+  }
+
+  /** SQ8∘IVF top-5 per sampled query (int dot desc, ties → min n_id). */
+  def sqIvfSearch(spark: SparkSession, dir: String): DataFrame =
+    sqIvfTopFor(spark, dir).orderBy("q_id", "rk")
+
+  /** Recall of the SQ8 integer-dot top-5 — full scan AND ∘IVF — against
+    * the exact cosine top-5: the quality side of the 4× compression. The
+    * full-scan column isolates quantization noise (same candidate set as
+    * the exact scan); the IVF column adds probe-coverage loss on top,
+    * the same two-factor decomposition [[pqRecall]] reports for PQ.
     */
   def sqRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = annTopkFor(spark, dir).select(col("q_id"), col("n_id"))
@@ -843,9 +904,14 @@ object Similarity {
       .join(sqTopFor(spark, dir).select("q_id", "n_id"),
         Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
-    nQ.crossJoin(nHit)
-      .select(col("n_queries"), col("n_hits"),
-        expr("n_hits * 1000 div (n_queries * 5)").as("recall_permille"))
+    val nHitIvf = exact
+      .join(sqIvfTopFor(spark, dir).select("q_id", "n_id"),
+        Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits_ivf"))
+    nQ.crossJoin(nHit).crossJoin(nHitIvf)
+      .select(col("n_queries"), col("n_hits"), col("n_hits_ivf"),
+        expr("n_hits * 1000 div (n_queries * 5)").as("recall_permille"),
+        expr("n_hits_ivf * 1000 div (n_queries * 5)").as("recall_ivf_permille"))
   }
 
   /** Recall of truncated-dimension (matryoshka-style) search: cosine over

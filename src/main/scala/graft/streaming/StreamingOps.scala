@@ -210,6 +210,51 @@ object StreamingOps {
         1, k).as("topk"))
   }
 
+  /** Streaming SQ8∘IVF serving — the int8 twin of [[pqServeStream]]:
+    * arriving query vectors are unit-normalized and quantized against the
+    * BROADCAST per-dim scale artifact (the same scales the corpus codes
+    * were built with — [[graft.operators.Similarity.sqScalesFor]]), probe
+    * their nprobe nearest coarse buckets via the SAME
+    * `Similarity.multiProbe` the batch composition uses, and score only
+    * the PRE-GROUPED per-bucket SQ8 member codes
+    * ([[graft.operators.Similarity.memberSqCodesFor]]) with the
+    * codegen'd int64 dot. Per-batch work is the probe join + bucket
+    * folds — O(nprobe·N/C) per query — and the int64 score is exact
+    * under any execution order, so the topk agrees bit-for-bit with the
+    * batch [[graft.operators.Similarity.sqIvfTopFor]] restricted to the
+    * same queries (StreamingOpsSpec pins ≡).
+    *
+    * Input columns: (vec_id, e: array<double>). Statics: cents
+    * (cent_id, ce, cn), memberSqCodes (cent_id, vec_id, qe), scales
+    * (sarr: array<double>, ONE row). Output: (q_id, topk:
+    * array<struct<negdot, n_id>>) — negdot = −dot so the ascending
+    * array_sort yields dot-descending, n_id-ascending order; run in
+    * update/complete mode.
+    */
+  def sqServeStream(stream: DataFrame, cents: DataFrame,
+      memberSqCodes: DataFrame, scales: DataFrame,
+      nprobe: Int = 2, k: Int = 5): DataFrame = {
+    import graft.functions.VectorOps
+    val withQ = stream
+      .withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
+      .crossJoin(broadcast(scales))
+      .withColumn("qq",
+        zip_with(transform(col("e"), x => x / col("nrm")), col("sarr"),
+          (x, s) => round(x * lit(127.0) / s).cast("long")))
+    val probed = graft.operators.Similarity
+      .multiProbe(withQ, cents, nprobe, keep = Seq("qq"))
+      .select(col("vec_id").as("q_id"), col("qq"), col("cent_id"))
+    // memberSqCodes is corpus-sized: no broadcast hint, same rule as the
+    // PQ server — the cent_id equi-join moves bucket-sized slices only.
+    val scoredSq = probed.join(memberSqCodes, "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        VectorOps.ldot(col("qq"), col("qe")).as("dot"))
+    scoredSq.groupBy(col("q_id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("dot")).as("negdot"), col("n_id")))), 1, k).as("topk"))
+  }
+
   /** Streaming truncation dedup — the continuous companion of the batch
     * `q_prefix_dups` report: arriving documents are keyed by the 60-bit
     * hash of their first [[graft.operators.Corpus.PrefixKeyLen]] chars and

@@ -165,6 +165,48 @@ class StreamingOpsSpec extends SparkSpec {
     })
   }
 
+  test("streaming SQ8∘IVF serving == batch sq-ivf top-5 on the query sample") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val v = graft.operators.Dedup.normedFor(sp, sf0001)
+    val cents = graft.operators.Similarity.centroidsFor(v)
+    val member = graft.operators.Similarity.memberSqCodesFor(sp, sf0001)
+    val scales = graft.operators.Similarity.sqScalesFor(sp, sf0001)
+    // batch truth: the composed SQ8∘IVF top-5 (q_id, n_id, dot, rk)
+    val batch = graft.operators.Similarity.sqIvfTopFor(sp, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(2), r.getLong(1)))
+      .toMap
+    val rows = v.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("e")).as[(Long, Seq[Double])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Double])]
+    val out = graft.streaming.StreamingOps.sqServeStream(
+      in.toDF().toDF("vec_id", "e"), cents, member, scales)
+    val q = out.writeStream.format("memory").queryName("sq_serve_out")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches to prove per-batch re-broadcast of the statics
+      val (first, second) = rows.splitAt(rows.size / 2)
+      in.addData(first)
+      q.processAllAvailable()
+      in.addData(second)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("sq_serve_out").select(col("q_id"),
+        posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).as("rk"),
+        (-col("t.negdot")).as("dot"), col("t.n_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == batch, {
+      val diff = (batch.keySet ++ got.keySet)
+        .filter(k => got.get(k) != batch.get(k)).take(5)
+      s"first diverging (q_id, rk): ${diff.map(k => (k, got.get(k), batch.get(k)))}"
+    })
+  }
+
   test("streaming tumbling counts equal the batch shape after watermark passes") {
     val sp = spark
     import sp.implicits._
