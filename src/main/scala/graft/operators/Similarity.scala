@@ -809,14 +809,20 @@ object Similarity {
     * DuckDB, so the oracle replays the codes exactly.
     */
   private[graft] def sqCodesFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"sqcodes:$dir") {
-      val vn = Dedup.normedFor(spark, dir)
-        .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("en"))
-      vn.crossJoin(broadcast(sqScalesFor(spark, dir)))
-        .select(col("vec_id"),
-          zip_with(col("en"), col("sarr"),
-            (x, s) => round(x * lit(127.0) / s).cast("long")).as("qe"))
-    }
+    graft.sources.Materialized.of(spark, s"sqcodes:$dir")(
+      sqCodesBuild(spark, dir))
+
+  /** Un-memoized SQ8 encoder (plan-audit surface): the only join is the
+    * ONE-row scale-array broadcast — the corpus never shuffles.
+    */
+  private[graft] def sqCodesBuild(spark: SparkSession, dir: String): DataFrame = {
+    val vn = Dedup.normedFor(spark, dir)
+      .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("en"))
+    vn.crossJoin(broadcast(sqScalesFor(spark, dir)))
+      .select(col("vec_id"),
+        zip_with(col("en"), col("sarr"),
+          (x, s) => round(x * lit(127.0) / s).cast("long")).as("qe"))
+  }
 
   /** Memoized SQ8 top-5 relation: brute-force integer-dot scan over the
     * codes — O(Q·N) like [[annTopkFor]] but on 64 int8-range values per

@@ -361,4 +361,31 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("sq-ivf build: bucket-restricted int-dot, broadcast query codes, no cartesian") {
+    val p = plan(Similarity.sqIvfTopBuild(spark, sf001))
+    assert(!p.contains("CartesianProduct"), s"sq-ivf degenerated to all-pairs:\n$p")
+    // the query-code attach (q_id) and candidate restriction (cent_id) are
+    // equi-joins; the Q-row query codes ride a broadcast
+    assert(p.contains("BroadcastHashJoin"), s"query codes should broadcast-join:\n$p")
+    assert(p.contains("graft_ldot"), "codegen'd int64 dot must score candidates")
+  }
+
+  test("sq encode is map-only: corpus never shuffles through the scale join") {
+    val p = plan(Similarity.sqCodesBuild(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only join is the 1-row per-dim scale array broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"encode must not shuffle vectors:\n$p")
+  }
+
+  test("train order: rank rides range partitioning, window is pid-partitioned") {
+    val p = plan(operators.Curation.trainOrder(spark, sf0001))
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"global position must come from a range-partitioned sort:\n$p")
+    val globals = p.linesIterator.filter(l =>
+      l.trim.startsWith("Window") && !l.contains("__graft_pid")).toSeq
+    assert(globals.isEmpty,
+      s"row_number must be partitioned by __graft_pid:\n${globals.mkString("\n")}")
+  }
 }
