@@ -216,6 +216,7 @@ object SparkEntry {
     "q_sq_recall" -> ((s, d) => Similarity.sqRecall(s, d)),
     "q_mrl_recall" -> ((s, d) => Similarity.mrlRecall(s, d)),
     "q_train_order" -> ((s, d) => Curation.trainOrder(s, d)),
+    "q_mixture_budget" -> ((s, d) => Curation.mixtureBudget(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -2893,6 +2894,38 @@ object SparkEntry {
          |SELECT n_queries, n_hits,
          |       n_hits * 1000 // (n_queries * 5) AS recall_permille
          |FROM n""".stripMargin,
+
+    "q_mixture_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |bs AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+         |       FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tok_total,
+         |             CAST(sum(CAST(floor(sqrt(src_tokens)) AS BIGINT))
+         |                  AS BIGINT) AS w_total
+         |      FROM bs),
+         |b AS (SELECT bs.source, bs.src_tokens,
+         |        CAST(floor(sqrt(bs.src_tokens)) AS BIGINT) AS weight,
+         |        CAST((t.tok_total // 2)
+         |             * CAST(floor(sqrt(bs.src_tokens)) AS BIGINT)
+         |             // t.w_total AS BIGINT) AS budget_tokens
+         |      FROM bs CROSS JOIN t),
+         |o AS (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY ${Tables.portableHashSql("'mixb:' || doc_id")},
+         |                   doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |      FROM d),
+         |k AS (SELECT o.source, count(*) AS n_kept,
+         |        CAST(sum(o.n_tokens) AS BIGINT) AS kept_tokens
+         |      FROM o JOIN b ON o.source = b.source
+         |      WHERE o.cum_tokens <= b.budget_tokens GROUP BY 1)
+         |SELECT b.source, b.src_tokens, b.weight, b.budget_tokens,
+         |       coalesce(k.n_kept, 0) AS n_kept,
+         |       coalesce(k.kept_tokens, 0) AS kept_tokens
+         |FROM b LEFT JOIN k ON b.source = k.source
+         |ORDER BY b.source""".stripMargin,
 
     "q_train_order" ->
       """WITH h AS (SELECT doc_id,

@@ -331,6 +331,57 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Temperature-weighted per-source TOKEN budgets, enforced — the
+    * "assemble the training mix" step that composes [[sourceMixture]]'s
+    * weighting idea with [[tokenBudget]]'s cut: each source gets
+    * `(total/2) · weight_s / Σweight` tokens (weight = ⌊√src_tokens⌋, the
+    * √-temperature that up-weights small sources relative to proportional
+    * sampling), and docs fill the budget in seeded-hash order so the
+    * selection is an unbiased, retry-stable sample of the source.
+    *
+    * The per-source running total is a window PARTITIONED by source —
+    * sources fill in parallel; that is the right shape while no single
+    * source dominates a partition's memory. If one source is itself
+    * corpus-scale, swap in the [[Ranking.withRunningTotal]]
+    * range-partitioned prefix sum per hot source (same numbers, two
+    * passes) — the operator contract (hash order, budget arithmetic)
+    * doesn't change.
+    *
+    * Output: one row per source — corpus tokens, weight, budget, and what
+    * the greedy fill actually kept (n_kept, kept_tokens ≤ budget).
+    */
+  def mixtureBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bySource = d.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val total = bySource.agg(
+      sum(col("src_tokens")).as("tok_total"),
+      sum(floor(sqrt(col("src_tokens"))).cast("long")).as("w_total"))
+    val budgets = bySource.crossJoin(broadcast(total))
+      .withColumn("weight", floor(sqrt(col("src_tokens"))).cast("long"))
+      .withColumn("budget_tokens",
+        expr("(tok_total div 2) * weight div w_total"))
+      .select("source", "src_tokens", "weight", "budget_tokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val kept = d
+      .withColumn("hk", Tables.portableHash(
+        concat(lit("mixb:"), col("doc_id").cast("string"))))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(budgets.select("source", "budget_tokens")), "source")
+      .where(col("cum_tokens") <= col("budget_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("kept_tokens"))
+    budgets.join(kept, Seq("source"), "left")
+      .select(col("source"), col("src_tokens"), col("weight"),
+        col("budget_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** Deterministic global training-order shuffle + shard assignment: the
     * "shuffle the corpus before writing training shards" step. Order =
     * portableHash("order:r8:" ++ doc_id) with doc_id tie-break — a seeded

@@ -73,6 +73,19 @@ class SeventhWaveSpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("mixture budget: greedy fill respects every source's token budget") {
+    val m = Curation.mixtureBudget(spark, sf0001).cache()
+    assert(m.count() === 20) // every source reported, kept or not
+    assert(m.where(col("kept_tokens") > col("budget_tokens")).count() === 0L,
+      "no source may exceed its budget")
+    assert(m.where(col("n_kept") === 0).count() === 0L,
+      "a ~50% global budget must keep docs from every source")
+    // √-temperature: the weight is ⌊√tokens⌋, so weight² ≤ tokens
+    assert(m.where(col("weight") * col("weight") > col("src_tokens"))
+      .count() === 0L)
+    m.unpersist()
+  }
+
   test("train order is seeded-deterministic: same input, same permutation") {
     val a = Curation.trainOrder(spark, sf0001).select("doc_id", "pos", "shard")
     val b = Curation.trainOrder(spark, sf0001).select("doc_id", "pos", "shard")
