@@ -28,7 +28,8 @@ FAMILIES = [
     ("dedup", lambda n: n.startswith("dedup_") or n in (
         "q_incremental_dedup", "q_containment", "q_prefix_dups",
         "q_minhash_acc", "q_dedup_clusters")),
-    ("ann-pq", lambda n: n.startswith(("ann_", "q_pq_", "q_ann_")) or n in (
+    ("ann-pq", lambda n: n.startswith(
+        ("ann_", "q_pq_", "q_ann_", "q_sq_", "q_mrl_")) or n in (
         "q_vector_quantize", "q_ivf_stats", "q_ivf_purity",
         "q_centroid_drift", "q_kmeans_step", "q_lsh_cosine",
         "q_incremental_ivf", "q_embed_stats")),
@@ -39,7 +40,8 @@ FAMILIES = [
                       "q_stopword", "q_token"))),
     ("corpus", lambda n: n.startswith(
         ("q_source_", "q_pack_", "q_novelty", "q_decontaminate", "q_funnel",
-         "q_sample", "q_weighted", "q_temperature", "q_media", "media_"))),
+         "q_sample", "q_weighted", "q_temperature", "q_media", "media_",
+         "q_train_order", "q_mixture_budget"))),
     ("linking", lambda n: n in (
         "chain_link", "expand_roles", "expand_updates", "link_pairs",
         "parse_events", "watermark_emitted", "eviction_survivors",

@@ -77,6 +77,40 @@ class TablesSchemaSpec extends SparkSpec {
     } finally spark.conf.set(tzKey, saved)
   }
 
+  test("whole-corpus contract: every table loads with the canonical types") {
+    // The r7 break cost 39 queries and surfaced as cryptic per-query
+    // DATATYPE_MISMATCH errors; this pin makes the NEXT generator drift
+    // fail as ONE readable diff at round start. Update deliberately when
+    // the contract moves — normalizeTs (events.ts) is the template for
+    // absorbing a drift instead of pinning it.
+    val expected = Map(
+      "region" -> "r_regionkey:int,r_name:string",
+      "nation" -> "n_nationkey:int,n_name:string,n_regionkey:int",
+      "customer" -> ("c_custkey:bigint,c_name:string,c_nationkey:int," +
+        "c_acctbal:double,c_mktsegment:string"),
+      "supplier" -> "s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double",
+      "part" -> ("p_partkey:bigint,p_name:string,p_brand:string,p_type:string," +
+        "p_size:int,p_retailprice:double"),
+      "orders" -> ("o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string," +
+        "o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string"),
+      "lineitem" -> ("l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint," +
+        "l_linenumber:int,l_quantity:double,l_extendedprice:double," +
+        "l_discount:double,l_tax:double,l_returnflag:string," +
+        "l_linestatus:string,l_shipdate:timestamp_ntz"),
+      "events" -> ("event_id:bigint,ts:bigint,user_id:bigint," +
+        "event_type:string,value:double,props:string"),
+      "documents" -> "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint",
+      "embeddings" -> "vec_id:bigint,embedding:array<float>,label:int")
+    val got = expected.keys.map { t =>
+      t -> Tables.load(spark, sf0001, t).schema
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    }.toMap
+    val diffs = expected.collect {
+      case (t, e) if got(t) != e => s"$t:\n  expected $e\n  got      ${got(t)}"
+    }
+    assert(diffs.isEmpty, s"data contract drifted:\n${diffs.mkString("\n")}")
+  }
+
   test("real testdata loads as int64 nanos in a plausible epoch range") {
     val ev = Tables.load(spark, sf0001, "events")
     assert(ev.schema("ts").dataType === LongType)
