@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
       (exprs: Seq[Expression]) => L2Squared(exprs(0), exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("graft_ldot"),
+      new ExpressionInfo(classOf[LongDot].getName, "graft_ldot"),
+      (exprs: Seq[Expression]) => LongDot(exprs(0), exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("graft_phash"),
       new ExpressionInfo(classOf[PortableHash60].getName, "graft_phash"),
       (exprs: Seq[Expression]) => PortableHash60(exprs(0))))
@@ -39,6 +43,8 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_l2sq", exprs => L2Squared(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_ldot", exprs => LongDot(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_phash", exprs => PortableHash60(exprs(0)), "built-in")
   }

@@ -30,6 +30,14 @@ class FunctionsSpec extends SparkSpec {
     assert(r == 32.0)
   }
 
+  test("graft_ldot is SQL-callable and exact on int64 arrays") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_ldot(array(127L, -127L, 3L), array(127L, 127L, 2L)) AS d")
+      .head().getLong(0)
+    assert(r == 127L * 127L - 127L * 127L + 6L)
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
