@@ -217,6 +217,7 @@ object SparkEntry {
     "q_mrl_recall" -> ((s, d) => Similarity.mrlRecall(s, d)),
     "q_train_order" -> ((s, d) => Curation.trainOrder(s, d)),
     "q_mixture_budget" -> ((s, d) => Curation.mixtureBudget(s, d)),
+    "q_embed_stats" -> ((s, d) => Similarity.embedStats(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -2926,6 +2927,18 @@ object SparkEntry {
          |       coalesce(k.kept_tokens, 0) AS kept_tokens
          |FROM b LEFT JOIN k ON b.source = k.source
          |ORDER BY b.source""".stripMargin,
+
+    "q_embed_stats" ->
+      s"""WITH $vecCte,
+         |p AS (SELECT di.i - 1 AS dim,
+         |        CAST(round(e[di.i] * 1000000.0) AS BIGINT) AS q
+         |      FROM v CROSS JOIN
+         |        (SELECT unnest(generate_series(1, 64)) AS i) di)
+         |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+         |       CAST(sum(q) AS BIGINT) AS sum_micro,
+         |       CAST(sum(q * q) AS BIGINT) AS sumsq_micro2,
+         |       CAST(max(abs(q)) AS BIGINT) AS maxabs_micro
+         |FROM p GROUP BY dim ORDER BY dim""".stripMargin,
 
     "q_train_order" ->
       """WITH h AS (SELECT doc_id,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Micro-benchmark for the streaming SQ8∘IVF server — the int8 twin of
+  * [[PqServeBench]]: pre-builds the serving statics (per-bucket SQ8 code
+  * index, coarse centroids, per-dim scale artifact), then streams the
+  * query sample through [[graft.streaming.StreamingOps.sqServeStream]] in
+  * fixed micro-batches (one untimed warm-up) and reports sustained
+  * queries/sec. Args: repeats (default 8). `SPARK_GRAFT_SF_DIR` selects
+  * the corpus.
+  */
+object SqServeBench {
+  def main(args: Array[String]): Unit = {
+    val repeats = args.headOption.map(_.toInt).getOrElse(8)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-sq-serve-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val v = operators.Dedup.normedFor(spark, sfDir)
+    val cents = operators.Similarity.centroidsMemoFor(spark, sfDir)
+    val member = operators.Similarity.memberSqCodesFor(spark, sfDir)
+    val scales = operators.Similarity.sqScalesFor(spark, sfDir)
+    member.count() // force the serving-index build before timing
+
+    val qs = v.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("e")).as[(Long, Seq[Double])].collect().toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val input = MemoryStream[(Long, Seq[Double])]
+    val out = streaming.StreamingOps.sqServeStream(
+      input.toDF().toDF("vec_id", "e"), cents, member, scales)
+    val q = out.writeStream.format("memory").queryName("sq_serve_bench")
+      .outputMode("complete").start()
+    try {
+      input.addData(qs) // untimed warm-up micro-batch
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      for (i <- 1 to repeats) {
+        // fresh q_ids per repeat so complete-mode state keeps growing
+        // realistically instead of collapsing onto the same keys
+        input.addData(qs.map { case (id, e) => (id + i * 10000000L, e) })
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = repeats * qs.size
+      println(f"""{"metric":"sq_serve_queries_per_sec","value":${n / sec}%.1f,""" +
+        s""""unit":"q/sec","queries":$n,"batches":$repeats,""" +
+        f""""wall_sec":$sec%.2f}""")
+    } finally q.stop()
+    spark.stop()
+  }
+}

@@ -920,6 +920,32 @@ object Similarity {
         expr("n_hits_ivf * 1000 div (n_queries * 5)").as("recall_ivf_permille"))
   }
 
+  /** Corpus embedding-health report: per-dimension count, micro-unit sum,
+    * sum of squares, and max|x| — the moments that expose dead dimensions
+    * (tiny variance → candidates for matryoshka-style truncation), scale
+    * drift between ingests, and outlier dims that would dominate an
+    * unnormalized distance. One map-side-combinable aggregation over the
+    * posexploded corpus; 64 output rows at any corpus size.
+    *
+    * Sums are reported RAW (no mean/variance division): integer division
+    * of negative sums rounds differently across engines (trunc vs floor),
+    * so the oracle-exact contract is the moments themselves — consumers
+    * derive mean/var in their own numeric domain. Micro-unit int64
+    * squares hold to ~10⁹ vectors; beyond that, widen to decimal or
+    * drop to milli-units (same operator shape).
+    */
+  def embedStats(spark: SparkSession, dir: String): DataFrame =
+    Dedup.normedFor(spark, dir)
+      .select(posexplode(col("e")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("x") * 1000000.0).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sum_micro"),
+        sum(col("q") * col("q")).as("sumsq_micro2"),
+        max(abs(col("q"))).as("maxabs_micro"))
+      .orderBy("dim")
+
   /** Recall of truncated-dimension (matryoshka-style) search: cosine over
     * the FIRST 16 of 64 dimensions vs the full-dimension exact top-5. The
     * cheap pre-ranking stage of a coarse-to-fine pipeline — 4× less

@@ -38,6 +38,14 @@ class FunctionsSpec extends SparkSpec {
     assert(r == 127L * 127L - 127L * 127L + 6L)
   }
 
+  test("graft_ldot participates in whole-stage codegen") {
+    val codes = graft.operators.Similarity.sqCodesFor(spark, sf0001)
+    val df = codes.select(VectorOps.ldot(col("qe"), col("qe")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_ldot")).get.trim
+    assert(line.startsWith("*"), s"ldot not codegen'd: $line")
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     val emb = graft.sources.Tables.load(spark, sf0001, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))

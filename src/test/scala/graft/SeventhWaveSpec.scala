@@ -86,6 +86,20 @@ class SeventhWaveSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("embed stats: 64 dims, full coverage, consistent moments") {
+    val s = Similarity.embedStats(spark, sf0001).cache()
+    assert(s.count() === 64)
+    val nVecs = graft.sources.Tables.load(spark, sf0001, "embeddings").count()
+    assert(s.where(col("n") =!= nVecs).count() === 0L,
+      "every dimension must see every vector")
+    // Cauchy-Schwarz-ish sanity: sumsq >= sum^2 / n  (variance >= 0)
+    assert(s.where(col("sumsq_micro2") * col("n") <
+      col("sum_micro") * col("sum_micro")).count() === 0L)
+    assert(s.where(col("maxabs_micro") <= 0).count() === 0L,
+      "no dimension of these embeddings is identically zero")
+    s.unpersist()
+  }
+
   test("train order is seeded-deterministic: same input, same permutation") {
     val a = Curation.trainOrder(spark, sf0001).select("doc_id", "pos", "shard")
     val b = Curation.trainOrder(spark, sf0001).select("doc_id", "pos", "shard")
