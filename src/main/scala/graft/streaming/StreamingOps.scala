@@ -255,6 +255,29 @@ object StreamingOps {
         struct((-col("dot")).as("negdot"), col("n_id")))), 1, k).as("topk"))
   }
 
+  /** Streaming embedding-health monitor — the continuous twin of
+    * [[graft.operators.Similarity.embedStats]]: per-dimension running
+    * count / micro-unit sum / sum-of-squares / max|x| over arriving
+    * vectors, maintained in update/complete mode. State is EXACTLY 64
+    * rows of int64 counters regardless of ingest volume, and because
+    * every statistic is an integer sum or max — associative, commutative,
+    * overflow-free to ~10⁹ vectors — the running values equal the batch
+    * operator's bit-for-bit at every micro-batch boundary (no float
+    * accumulation order to discipline). Input columns: (vec_id, e:
+    * array<double>). Output: (dim, n, sum_micro, sumsq_micro2,
+    * maxabs_micro).
+    */
+  def embedStatsStream(stream: DataFrame): DataFrame =
+    stream
+      .select(posexplode(col("e")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("x") * 1000000.0).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sum_micro"),
+        sum(col("q") * col("q")).as("sumsq_micro2"),
+        max(abs(col("q"))).as("maxabs_micro"))
+
   /** Streaming truncation dedup — the continuous companion of the batch
     * `q_prefix_dups` report: arriving documents are keyed by the 60-bit
     * hash of their first [[graft.operators.Corpus.PrefixKeyLen]] chars and

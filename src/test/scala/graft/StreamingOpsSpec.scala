@@ -207,6 +207,38 @@ class StreamingOpsSpec extends SparkSpec {
     })
   }
 
+  test("streaming embed stats == batch moments after the corpus streams through") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val batch = graft.operators.Similarity.embedStats(sp, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = graft.operators.Dedup.normedFor(sp, sf0001)
+      .select(col("vec_id"), col("e")).as[(Long, Seq[Double])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Double])]
+    val out = StreamingOps.embedStatsStream(in.toDF().toDF("vec_id", "e"))
+    val q = out.writeStream.format("memory").queryName("embed_stats_out")
+      .outputMode("complete").start()
+    try {
+      val (first, second) = rows.splitAt(rows.size / 2)
+      in.addData(first)
+      q.processAllAvailable()
+      in.addData(second)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("embed_stats_out")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == batch, {
+      val diff = (batch.keySet ++ got.keySet)
+        .filter(k => got.get(k) != batch.get(k)).take(3)
+      s"diverging dims: ${diff.map(k => (k, got.get(k), batch.get(k)))}"
+    })
+  }
+
   test("streaming tumbling counts equal the batch shape after watermark passes") {
     val sp = spark
     import sp.implicits._
