@@ -379,6 +379,24 @@ class PlanAuditSpec extends SparkSpec {
       s"encode must not shuffle vectors:\n$p")
   }
 
+  test("embed stats: partial aggregation present, no joins at all") {
+    val p = plan(Similarity.embedStats(spark, sf001))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "per-dim moments need map-side combine")
+    assert(!p.contains("Join"), s"a pure aggregation must not join:\n$p")
+  }
+
+  test("mixture budget: budgets broadcast, running total partitioned by source") {
+    val p = plan(operators.Curation.mixtureBudget(spark, sf001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the 20-row budget table should broadcast:\n$p")
+    val globals = p.linesIterator.filter(l =>
+      l.trim.startsWith("Window") && !l.contains("source")).toSeq
+    assert(globals.isEmpty,
+      s"the running total must be source-partitioned:\n${globals.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("train order: rank rides range partitioning, window is pid-partitioned") {
     val p = plan(operators.Curation.trainOrder(spark, sf0001))
     assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),

@@ -111,6 +111,23 @@ class TablesSchemaSpec extends SparkSpec {
     assert(diffs.isEmpty, s"data contract drifted:\n${diffs.mkString("\n")}")
   }
 
+  test("embedding column tolerates a float->double regeneration") {
+    // The vector family widens float[] to double[] with a plain Cast
+    // (exact); if the generator ever ships double[] directly the cast is
+    // a no-op and every consumer keeps working. Proven on a tiny
+    // double[] fixture through a real consumer (embedStats).
+    val dir = Files.createTempDirectory("graft-emb-fixture").toFile
+    dir.deleteOnExit()
+    Seq((0L, Seq(0.25, -0.5, 1.0), 0), (1L, Seq(0.125, 0.75, -1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(dir, "embeddings.parquet").getAbsolutePath)
+    val stats = graft.operators.Similarity
+      .embedStats(spark, dir.getAbsolutePath)
+    assert(stats.count() === 3)
+    assert(stats.where(col("n") =!= 2).count() === 0L)
+  }
+
   test("real testdata loads as int64 nanos in a plausible epoch range") {
     val ev = Tables.load(spark, sf0001, "events")
     assert(ev.schema("ts").dataType === LongType)
