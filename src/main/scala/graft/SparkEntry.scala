@@ -218,6 +218,7 @@ object SparkEntry {
     "q_train_order" -> ((s, d) => Curation.trainOrder(s, d)),
     "q_mixture_budget" -> ((s, d) => Curation.mixtureBudget(s, d)),
     "q_embed_stats" -> ((s, d) => Similarity.embedStats(s, d)),
+    "q_pack_sequences" -> ((s, d) => Curation.packSequences(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -2939,6 +2940,20 @@ object SparkEntry {
          |       CAST(sum(q * q) AS BIGINT) AS sumsq_micro2,
          |       CAST(max(abs(q)) AS BIGINT) AS maxabs_micro
          |FROM p GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM d)
+        |SELECT doc_id, n_tokens, cum - n_tokens AS start_off,
+        |       (cum - n_tokens) // 2048 AS seq_first,
+        |       (cum - 1) // 2048 AS seq_last,
+        |       (cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_train_order" ->
       """WITH h AS (SELECT doc_id,

@@ -382,6 +382,36 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Fixed-length training-sequence packing, concat-and-chop style: the
+    * corpus is one token stream in doc_id order, chopped every 2048
+    * tokens — the standard GPT-pretraining packing (no padding waste;
+    * documents may straddle sequence boundaries). Emits each document's
+    * stream offset and first/last sequence ids, from which a writer
+    * shards the actual token stream.
+    *
+    * The only corpus-wide computation is the exact prefix sum
+    * ([[Ranking.withRunningTotal]], range-partitioned + broadcast
+    * offsets); everything after is per-row int64 arithmetic (`div` on
+    * non-negative operands, trunc ≡ floor in every engine). At 100 TB
+    * the sequence ids arrive without any sequential pass — each doc
+    * computes its own placement from the prefix sum, so the packed
+    * layout is parallel to build AND parallel to audit.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2048L
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Ranking.withRunningTotal(d, col("n_tokens"), "cum", col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_off"),
+        expr(s"(cum - n_tokens) div $cap").as("seq_first"),
+        expr(s"(cum - 1) div $cap").as("seq_last"),
+        (expr(s"(cum - 1) div $cap") - expr(s"(cum - n_tokens) div $cap")
+          + 1).as("n_seqs"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic global training-order shuffle + shard assignment: the
     * "shuffle the corpus before writing training shards" step. Order =
     * portableHash("order:r8:" ++ doc_id) with doc_id tie-break — a seeded

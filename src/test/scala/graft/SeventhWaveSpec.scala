@@ -100,6 +100,28 @@ class SeventhWaveSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("sequence packing: contiguous stream, valid spans, exact chop") {
+    val p = Curation.packSequences(spark, sf0001).orderBy("doc_id").cache()
+    val rows = p.select("doc_id", "n_tokens", "start_off", "seq_first",
+      "seq_last", "n_seqs").collect()
+    var expectedOff = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) === expectedOff,
+        s"doc ${r.getLong(0)} not contiguous in the token stream")
+      expectedOff += r.getLong(1)
+      val (sf0, sl, ns) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(sf0 === r.getLong(2) / 2048)
+      assert(sl === (r.getLong(2) + r.getLong(1) - 1) / 2048)
+      assert(ns === sl - sf0 + 1 && ns >= 1)
+    }
+    // every sequence before the last is chopped exactly full: total
+    // tokens span seq ids 0..(total-1)/2048 with no gaps
+    val total = expectedOff
+    val maxSeq = rows.map(_.getLong(4)).max
+    assert(maxSeq === (total - 1) / 2048)
+    p.unpersist()
+  }
+
   test("train order is seeded-deterministic: same input, same permutation") {
     val a = Curation.trainOrder(spark, sf0001).select("doc_id", "pos", "shard")
     val b = Curation.trainOrder(spark, sf0001).select("doc_id", "pos", "shard")
