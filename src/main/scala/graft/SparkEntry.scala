@@ -219,6 +219,7 @@ object SparkEntry {
     "q_mixture_budget" -> ((s, d) => Curation.mixtureBudget(s, d)),
     "q_embed_stats" -> ((s, d) => Similarity.embedStats(s, d)),
     "q_pack_sequences" -> ((s, d) => Curation.packSequences(s, d)),
+    "q_pack_greedy" -> ((s, d) => Curation.packGreedy(s, d)),
   )
 
   private val msgsCte = Tables.msgsCte
@@ -2940,6 +2941,26 @@ object SparkEntry {
          |       CAST(sum(q * q) AS BIGINT) AS sumsq_micro2,
          |       CAST(max(abs(q)) AS BIGINT) AS maxabs_micro
          |FROM p GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "q_pack_greedy" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id % 16 AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         row_number() OVER (PARTITION BY doc_id % 16
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |         CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+        |         CASE WHEN r.fill + t.n_tokens <= 2048 THEN r.bin_id
+        |              ELSE r.bin_id + 1 END,
+        |         CASE WHEN r.fill + t.n_tokens <= 2048
+        |              THEN r.fill + t.n_tokens ELSE t.n_tokens END
+        |  FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)
+        |SELECT doc_id, shard, bin_id FROM r ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH d AS (SELECT doc_id,

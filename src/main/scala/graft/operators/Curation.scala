@@ -412,6 +412,48 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Greedy NO-SPLIT bin packing — the SFT/finetuning variant of
+    * [[packSequences]]: documents are never chopped; within each of 16
+    * doc_id-hash shards, docs in doc_id order fill 2048-token bins and a
+    * doc that would overflow opens the next bin (an oversize doc gets a
+    * bin alone). Emits (doc_id, shard, bin_id).
+    *
+    * Greedy sequential fill is inherently order-stateful — bin breaks
+    * depend on the whole prefix — so this is the one operator in the
+    * curation family that legitimately drops to `mapPartitions`: hash-
+    * repartition by shard, sort within partitions by (shard, doc_id),
+    * then ONE sequential scan per partition with O(1) state (current
+    * shard, bin, fill). Shards bound the sequential unit — at 100 TB you
+    * run ~max-docs-per-shard sequential steps per task, in parallel
+    * across shards, never a global scan. Deterministic under retry: the
+    * shard hash, the sort, and the scan are all pure functions of the
+    * data. The DuckDB oracle replays the fill with a recursive CTE
+    * advancing one doc per shard per iteration.
+    */
+  def packGreedy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 2048L
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 16).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, sh, n) =>
+          if (sh != curShard) { curShard = sh; bin = 0L; fill = n }
+          else if (fill + n <= cap) { fill += n }
+          else { bin += 1; fill = n }
+          (id, sh, bin)
+        }
+      }
+      .toDF("doc_id", "shard", "bin_id")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic global training-order shuffle + shard assignment: the
     * "shuffle the corpus before writing training shards" step. Order =
     * portableHash("order:r8:" ++ doc_id) with doc_id tie-break — a seeded

@@ -122,6 +122,28 @@ class SeventhWaveSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("greedy packing: bins within capacity, ids contiguous per shard") {
+    val toks = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n_tokens"))
+    val p = Curation.packGreedy(spark, sf0001).join(toks, "doc_id").cache()
+    // a bin exceeds 2048 only when it holds a single oversize doc
+    val over = p.groupBy("shard", "bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n_docs"))
+      .where(col("fill") > 2048 && col("n_docs") > 1).count()
+    assert(over === 0L, "multi-doc bins must fit the 2048-token capacity")
+    // bin ids are 0..max contiguous within every shard
+    val gaps = p.groupBy("shard")
+      .agg(countDistinct("bin_id").as("n_bins"), max("bin_id").as("max_bin"))
+      .where(col("n_bins") =!= col("max_bin") + 1).count()
+    assert(gaps === 0L, "bin ids must be dense per shard")
+    // deterministic under re-execution
+    val again = Curation.packGreedy(spark, sf0001)
+    assert(p.select("doc_id", "shard", "bin_id")
+      .except(again).count() === 0L)
+    p.unpersist()
+  }
+
   test("train order is seeded-deterministic: same input, same permutation") {
     val a = Curation.trainOrder(spark, sf0001).select("doc_id", "pos", "shard")
     val b = Curation.trainOrder(spark, sf0001).select("doc_id", "pos", "shard")
