@@ -36,7 +36,16 @@ object Tables {
     */
   def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType match {
-      case org.apache.spark.sql.types.LongType => df // already int64 nanos
+      case org.apache.spark.sql.types.LongType =>
+        // nanos (legacy TIMESTAMP(NANOS) via nanosAsLong) OR plain int64
+        // micros — disambiguated per row by magnitude: epoch-nanos for any
+        // date after 1973 exceed 1e17, epoch-micros stay below 1e17 until
+        // year ~5138, so the ranges are disjoint by ~400× around this
+        // data's 2020s timestamps. One codegen'd comparison per row, no
+        // driver-side probe.
+        df.withColumn("ts",
+          when(abs(col("ts")) < lit(100000000000000000L),
+            col("ts") * lit(1000L)).otherwise(col("ts")))
       case org.apache.spark.sql.types.TimestampType =>
         df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case org.apache.spark.sql.types.TimestampNTZType =>

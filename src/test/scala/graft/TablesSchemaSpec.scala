@@ -38,6 +38,13 @@ class TablesSchemaSpec extends SparkSpec {
     assert(got === expectedNanos)
   }
 
+  test("plain int64 MICROS ts is recognized by magnitude and widened") {
+    // epoch-micros (< 1e17 until year ~5138) vs epoch-nanos (> 1e17 after
+    // 1973) are disjoint ranges; the LongType branch dispatches per row
+    val got = writeAndLoad(base.select($"event_id", $"us".as("ts")))
+    assert(got === expectedNanos)
+  }
+
   test("timestamp (LTZ, parquet micros isAdjustedToUTC=true) → nanos") {
     val got = writeAndLoad(
       base.select($"event_id", timestamp_micros($"us").as("ts")))
