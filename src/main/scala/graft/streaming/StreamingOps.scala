@@ -375,6 +375,25 @@ object StreamingOps {
         graft.operators.TextAnalysis.qualityVerdict.as("fail_reason"))
       .withColumn("keep", (col("fail_reason") === "ok").cast("long"))
 
+  /** Streaming shard router — the landing step of the streaming curation
+    * pipeline (quality gate → dedup → ROUTE): every surviving document is
+    * assigned a landing shard by `portableHash mod nShards` — a pure
+    * per-row function: stateless, shuffle-free, identical under retry
+    * and across engines, sizes balanced in expectation. It shares the
+    * seeded hash with the batch [[graft.operators.Curation.trainOrder]]
+    * permutation but NOT its shard ids: the batch operator cuts
+    * contiguous equal-size ±1 blocks of the global hash order, which
+    * needs corpus-wide positions a stream cannot know. The contract is
+    * landing locality (stable, auditable routing at ingest); the
+    * pre-training pass re-runs the batch permutation over the landed
+    * corpus for the exact equal-size training shards.
+    * Columns in: (doc_id, event_time). Out: + (hk, shard).
+    */
+  def shardRouteStream(docs: DataFrame, nShards: Int = 16): DataFrame =
+    docs.withColumn("hk", graft.sources.Tables.portableHash(
+        concat(lit("order:r8:"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("hk"), lit(nShards.toLong)))
+
   /** Streaming length-distribution drift monitor — the continuous form of
     * the batch `q_source_drift` report: per tumbling window and source,
     * the permille L1 distance between the window's token-length histogram

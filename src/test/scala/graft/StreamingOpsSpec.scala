@@ -239,6 +239,37 @@ class StreamingOpsSpec extends SparkSpec {
     })
   }
 
+  test("streaming shard route: stateless, stable, same hash as train order") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = StreamingOps.shardRouteStream(
+      in.toDF().toDF("doc_id", "event_time"))
+    val q = out.writeStream.format("memory").queryName("shard_route_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((0L, ts(1000)), (1L, ts(2000)), (2L, ts(3000))))
+      q.processAllAvailable()
+      in.addData(Seq((0L, ts(9000)))) // same doc again → same route
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("shard_route_out")
+      .select("doc_id", "hk", "shard").distinct()
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size === 3, "re-arrival of doc 0 must route identically")
+    // hk matches the batch permutation's hash for the same docs
+    val batchHk = graft.operators.Curation.trainOrder(sp, sf0001)
+      .where(col("doc_id") < 3).select("doc_id", "hk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, (hk, shard)) =>
+      assert(hk === batchHk(id), s"hash drift for doc $id")
+      assert(shard === math.floorMod(hk, 16L), s"bad route for doc $id")
+    }
+  }
+
   test("streaming tumbling counts equal the batch shape after watermark passes") {
     val sp = spark
     import sp.implicits._
