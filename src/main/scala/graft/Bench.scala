@@ -31,11 +31,13 @@ object Bench {
     // measured on different data and must not be compared.
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+    // NonFatal only: a fatal JVM error (OOM, linkage) must fail the run
+    // loudly, not be absorbed into the fingerprint as "missing".
     val fpSrc = tables.map { t =>
       val fields =
         try spark.read.parquet(s"$sfDir/$t.parquet").schema
           .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
-        catch { case _: Throwable => "missing" }
+        catch { case scala.util.control.NonFatal(_) => "missing" }
       s"$t{$fields}"
     }.mkString(";")
     val schemaFp = java.security.MessageDigest.getInstance("MD5")
@@ -43,7 +45,7 @@ object Bench {
     val tsType =
       try spark.read.parquet(s"$sfDir/events.parquet")
         .schema("ts").dataType.simpleString
-      catch { case _: Throwable => "missing" }
+      catch { case scala.util.control.NonFatal(_) => "missing" }
     // warm JIT/codegen/scan paths untimed so timings reflect steady state
     Seq("q1_pricing", "dedup_exact").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
@@ -122,11 +124,26 @@ object Bench {
     // would otherwise be dominated by that one-time compile instead of real
     // run-to-run variance. Disable with SPARK_GRAFT_BENCH_WARM=0.
     val warm = sys.env.get("SPARK_GRAFT_BENCH_WARM").forall(_ != "0")
+    // Drift-adjudication aid: SPARK_GRAFT_EXPLAIN_DIR=<dir> dumps each timed
+    // query's formatted physical plan to <dir>/<name>.plan.txt so a re-timed
+    // outlier carries its plan as evidence (plan unchanged + time in band =
+    // environment, not regression).
+    val explainDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
+    explainDir.foreach(d => new java.io.File(d).mkdirs())
     val queryTimes = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // warm failures surface through the timed repeats (same exception)
         if (warm) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+        explainDir.foreach { d =>
+          try {
+            val plan = fn(spark, sfDir).queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, s"$name.plan.txt"),
+              plan.getBytes("UTF-8"))
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
         name -> (1 to repeat).map(_ => time(name) { fn(spark, sfDir).count(); () })
       }
     // A name that errored in ANY repeat is dropped from the medians and the
