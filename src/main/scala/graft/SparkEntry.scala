@@ -193,6 +193,7 @@ object SparkEntry {
     "q_pack_bins" -> ((s, d) => Corpus.packBins(s, d)),
     "q_ngram_novelty" -> ((s, d) => Corpus.ngramNovelty(s, d)),
     "q_prefix_dups" -> ((s, d) => Corpus.prefixDups(s, d)),
+    "q_para_dedup" -> ((s, d) => Corpus.paraDedup(s, d)),
     "q_centroid_drift" -> ((s, d) => Clustering.centroidDrift(s, d)),
     "q_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
     // sixth wave: containment dedup, SCD2, chunking, BPE stats, zone maps,
@@ -2715,6 +2716,32 @@ object SparkEntry {
         | AND (a.l < b.l OR (a.l = b.l AND a.doc_id < b.doc_id))
         |WHERE substr(b.text, 1, CAST(a.l AS INT)) = a.text
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Replays paragraph blocking (8-word non-overlapping blocks, tails of
+    // < 4 words excluded) and the first-wins rule: rn=1 over (doc_id, pos)
+    // per paragraph hash == Spark's min(struct(doc_id, pos)). The fixed
+    // series 0..15 covers 128 words; the corpus caps at ~100.
+    "q_para_dedup" ->
+      s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w
+         |            FROM documents),
+         |bl AS (SELECT doc_id, b.i AS pos,
+         |              array_to_string(w[(b.i*8+1):(b.i*8+8)], ' ') AS para
+         |       FROM dw CROSS JOIN
+         |         (SELECT unnest(generate_series(0, 15)) AS i) b
+         |       WHERE b.i * 8 < len(w)),
+         |q AS (SELECT doc_id, pos, CAST(len(para) AS BIGINT) AS plen,
+         |             ${Tables.portableHashSql("para")} AS h
+         |      FROM bl WHERE len(string_split(para, ' ')) >= 4),
+         |r AS (SELECT doc_id, plen,
+         |             row_number() OVER (PARTITION BY h
+         |               ORDER BY doc_id, pos) AS rn
+         |      FROM q)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+         |         AS n_removed,
+         |       CAST(sum(CASE WHEN rn = 1 THEN plen ELSE 0 END) AS BIGINT)
+         |         AS kept_chars
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_centroid_drift" ->
       s"""WITH $vecCte,

@@ -235,6 +235,63 @@ object Corpus {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Paragraph unit for [[paraDedup]]: non-overlapping blocks of this many
+    * words. The corpus has no line or sentence structure (flat word
+    * streams), so the C4-style "three-sentence span" becomes a fixed-width
+    * word block — the same role, deterministic on any text.
+    */
+  private[graft] val ParaWords = 8
+
+  /** Blocks shorter than this many words (short tails) are not treated as
+    * paragraphs: a 1-2 word tail is near-guaranteed to repeat by chance in
+    * a small vocabulary and would flag chance collisions as duplication.
+    */
+  private[graft] val MinParaWords = 4
+
+  /** Paragraph-level exact dedup (the C4 "same span repeated across
+    * different pages" pass, reference `requirements-v2.md` corpus-hygiene
+    * family): each document is cut into consecutive [[ParaWords]]-word
+    * blocks; a block's text is portable-hashed; the first occurrence
+    * corpus-wide — smallest (doc_id, pos) — KEEPS its paragraph and every
+    * later occurrence is removed. Per document: paragraphs considered,
+    * paragraphs removed, and the surviving text length.
+    *
+    * Output: doc_id, n_paras, n_removed, kept_chars (Σ len over kept
+    * paragraphs), ordered by doc_id.
+    *
+    * Scale shape: one explode to ~n/[[ParaWords]] rows per doc, a
+    * map-side-combined groupBy on the 8-byte hash for the winner relation
+    * (min-struct, not a window — no per-key sort), and a shuffle join back
+    * on the same key. Linear in corpus size, no all-pairs anywhere; the
+    * hottest key's posting list is only ever *counted and min'd*, never
+    * self-joined, so boilerplate paragraphs (the high-df tail) cost O(df)
+    * not O(df²). Survives 100× unchanged.
+    */
+  def paraDedup(spark: SparkSession, dir: String): DataFrame = {
+    val paras = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0L, (cast(size(w) AS BIGINT) + ${ParaWords - 1}) div $ParaWords - 1),
+             |  i -> array_join(slice(w, cast(i * $ParaWords + 1 AS INT), $ParaWords), ' '))""".stripMargin)))
+      .toDF("doc_id", "pos", "para")
+      .where(size(split(col("para"), " ")) >= MinParaWords)
+      .withColumn("h", Tables.portableHash(col("para")))
+      .withColumn("plen", length(col("para")).cast("long"))
+    val winners = paras.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w0"))
+      .select(col("h"), col("w0.doc_id").as("w_doc"), col("w0.pos").as("w_pos"))
+    paras.join(winners, Seq("h"))
+      .withColumn("kept",
+        col("doc_id") === col("w_doc") && col("pos") === col("w_pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        sum(when(col("kept"), col("plen")).otherwise(0L)).as("kept_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Number of training shards [[packBins]] stripes into. */
   private[graft] val PackShards = 16
 

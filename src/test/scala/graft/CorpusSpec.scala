@@ -128,6 +128,36 @@ class CorpusSpec extends SparkSpec {
     assert(model.nonEmpty)
   }
 
+  test("para dedup == brute-force first-wins Scala model over 8-word blocks") {
+    val docs = docsRaw
+    // (doc_id, pos, paragraph) for every qualifying block, in corpus order
+    val blocks = docs.toSeq.flatMap { case (id, (_, t)) =>
+      val w = t.split(" ", -1)
+      w.grouped(Corpus.ParaWords).zipWithIndex.collect {
+        case (b, i) if b.length >= Corpus.MinParaWords =>
+          (id, i.toLong, b.mkString(" "))
+      }
+    }
+    // first occurrence of each paragraph TEXT wins (hash is injective here
+    // in the model; the operator hashes — collision-free at this scale)
+    val winner = blocks.groupBy(_._3).map { case (p, os) =>
+      p -> os.map(o => (o._1, o._2)).min }
+    val model = blocks.groupBy(_._1).map { case (id, bs) =>
+      val kept = bs.filter(b => winner(b._3) == ((b._1, b._2)))
+      id -> ((bs.size.toLong, (bs.size - kept.size).toLong,
+        kept.map(_._3.length.toLong).sum))
+    }
+    val got = Corpus.paraDedup(spark, sf001).collect()
+    assert(got.length == model.size)
+    got.foreach { r =>
+      val exp = model(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == exp,
+        s"doc ${r.getLong(0)}")
+    }
+    // the corpus must actually contain cross-document repeats to dedup
+    assert(model.values.map(_._2).sum > 0)
+  }
+
   test("pack bins: exact LPT striping and near-even token balance") {
     val docs = docsRaw
     val toks = docs.toSeq.map { case (id, (_, t)) =>
