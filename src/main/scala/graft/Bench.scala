@@ -87,6 +87,7 @@ object Bench {
       "_build_km_assign" -> (() => { operators.Similarity.kmAssignFor(spark, sfDir).count(); () }),
       "_build_doc_bigrams" -> (() => { operators.TextAnalysis.docBigramsFor(spark, sfDir).count(); () }),
       "_build_unigrams" -> (() => { operators.TextAnalysis.unigramCountsFor(spark, sfDir).count(); () }),
+      "_build_bpe_vocab" -> (() => { operators.TextAnalysis.bpeVocabFor(spark, sfDir).count(); () }),
       "_build_ann_topk" -> (() => { operators.Similarity.annTopkFor(spark, sfDir).count(); () }),
       "_build_pq_codes" -> (() => { operators.Similarity.pqCodesFor(spark, sfDir).count(); () }),
       "_build_pq_dtab" -> (() => { operators.Similarity.pqDtabFor(spark, sfDir).count(); () }),

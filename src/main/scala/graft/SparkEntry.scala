@@ -203,6 +203,7 @@ object SparkEntry {
     "q_zonemap_prune" -> ((s, d) => Relational.qZonemapPrune(s, d)),
     "q_chunk_docs" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
+    "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "q_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     "q_pq_ivf_search" -> ((s, d) => Similarity.pqIvfSearch(s, d)),
     "q_pq_recall_trained" -> ((s, d) => Similarity.pqRecallTrained(s, d)),
@@ -293,6 +294,40 @@ object SparkEntry {
       |shc AS (SELECT s.doc_id, s.shingle FROM sh s
       |        JOIN shdf d ON s.shingle = d.shingle WHERE d.df <= 64),
       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1)""".stripMargin
+
+  /** BPE training replay: 8 chained merge rounds over the word-type table
+    * (pair counts weighted by frequency, argmax count-desc/pair-asc, literal
+    * replace on the angle-bracket symbol encoding — see
+    * [[graft.operators.TextAnalysis.bpeVocabFor]]). Ends at `tok(word, wl,
+    * wt)`: per-word char and BPE token counts under the learned vocab.
+    * The fixed pair-index series 1..15 covers words to 16 symbols; the
+    * corpus caps at 8.
+    */
+  private val bpeCtes: String = {
+    val rounds = (1 to operators.TextAnalysis.BpeMergeRounds).map { k =>
+      s"""p$k AS (SELECT sy[i.i] AS pa, sy[i.i + 1] AS pb, sum(n) AS np
+         |  FROM (SELECT n, regexp_extract_all(st, '<([a-z0-9]+)>', 1) AS sy
+         |        FROM s${k - 1})
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS i) i
+         |  WHERE i.i < len(sy) GROUP BY 1, 2),
+         |t$k AS (SELECT '<' || pa || '><' || pb || '>' AS pat,
+         |               '<' || pa || pb || '>' AS rep
+         |        FROM p$k ORDER BY np DESC, pa, pb LIMIT 1),
+         |s$k AS (SELECT word, n, replace(st, t$k.pat, t$k.rep) AS st
+         |        FROM s${k - 1}, t$k)""".stripMargin
+    }.mkString(",\n")
+    s"""vw AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |             FROM documents) GROUP BY 1),
+       |s0 AS (SELECT word, n,
+       |              regexp_replace(word, '(.)', '<\\1>', 'g') AS st
+       |       FROM vw),
+       |$rounds,
+       |tok AS (SELECT word, CAST(len(word) AS BIGINT) AS wl,
+       |          CAST(len(regexp_extract_all(st, '<([a-z0-9]+)>', 1))
+       |            AS BIGINT) AS wt
+       |        FROM s${operators.TextAnalysis.BpeMergeRounds})""".stripMargin
+  }
 
   /** Pairwise shingle-intersection CTE (needs docShCtes). */
   private val interCte: String =
@@ -2577,18 +2612,31 @@ object SparkEntry {
          |FROM r2 LEFT JOIN smp ON r2.source = smp.source
          |ORDER BY r2.source""".stripMargin,
 
+    // Tokens under the learned BPE vocab (bpeCtes), not whitespace words.
     "q_token_budget" ->
-      """WITH d AS (SELECT doc_id,
-        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |           FROM documents),
-        |b AS (SELECT CAST(sum(n_tokens) * 6 // 10 AS BIGINT) AS budget FROM d),
-        |c AS (SELECT doc_id, n_tokens,
-        |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |          AS cum_tokens
-        |      FROM d)
-        |SELECT doc_id, n_tokens, cum_tokens FROM c CROSS JOIN b
-        |WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin,
+      s"""WITH $bpeCtes,
+         |d AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS n_tokens
+         |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |            FROM documents) dwx JOIN tok USING (word)
+         |      GROUP BY doc_id),
+         |b AS (SELECT CAST(sum(n_tokens) * 6 // 10 AS BIGINT) AS budget FROM d),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS cum_tokens
+         |      FROM d)
+         |SELECT doc_id, n_tokens, cum_tokens FROM c CROSS JOIN b
+         |WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_encode" ->
+      s"""WITH $bpeCtes,
+         |dwx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(wl) AS BIGINT) AS n_char_tokens,
+         |       CAST(sum(wt) AS BIGINT) AS n_bpe_tokens
+         |FROM dwx JOIN tok USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Sub-3-word docs stay in the report with zero gram columns (their
     // dup_word_pct is still meaningful), mirroring the Spark side.

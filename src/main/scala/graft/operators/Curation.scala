@@ -313,6 +313,11 @@ object Curation {
     * taken in doc_id order until the cumulative token count crosses the
     * budget — the "cut a training corpus at N tokens" operation.
     *
+    * Tokens are counts under the LEARNED tokenizer
+    * ([[TextAnalysis.bpeVocabFor]], 8 merge rounds), not the whitespace
+    * proxy — the number a real budget cut is denominated in. One extra
+    * word-key join against the type table before the prefix sum.
+    *
     * The running sum is [[Ranking.withRunningTotal]] — range partitions
     * compute local prefix sums in parallel and a broadcast per-partition
     * offset pass supplies the carry, so no single task ever sees more
@@ -322,7 +327,9 @@ object Curation {
     */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(TextAnalysis.bpeVocabFor(spark, dir).select("word", "wt"), "word")
+      .groupBy("doc_id").agg(sum(col("wt")).as("n_tokens"))
     val budget = d.agg(expr("sum(n_tokens) * 6 div 10").as("budget"))
     Ranking.withRunningTotal(d, col("n_tokens"), "cum_tokens", col("doc_id"))
       .crossJoin(broadcast(budget))

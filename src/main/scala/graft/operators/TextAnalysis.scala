@@ -233,6 +233,91 @@ object TextAnalysis {
       .groupBy("pair").agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("n_pairs").desc, col("pair")).limit(30)
 
+  /** Number of BPE merge rounds [[bpeVocabFor]] learns and applies. Bounded
+    * and fixed so the oracle can replay the training as a finite CTE chain;
+    * production tokenizers run tens of thousands of rounds of the same
+    * per-round shape.
+    */
+  private[graft] val BpeMergeRounds = 8
+
+  /** Symbol-extraction regex shared by every merge round: a tokenized word
+    * is its symbols each wrapped in angle brackets (`spark` →
+    * `<s><p><a><r><k>`), characters the corpus never contains, so a literal
+    * `replace` of `<a><b>` → `<ab>` can never match across a symbol
+    * boundary, and left-to-right non-overlapping `replace` semantics (both
+    * engines) are exactly greedy BPE merge application.
+    */
+  private[graft] val BpeSymRe = "<([a-z0-9]+)>"
+
+  /** BPE training + application over the word-type table: [[BpeMergeRounds]]
+    * rounds of (count adjacent symbol pairs weighted by word frequency →
+    * take the most frequent pair, count-desc then pair-asc → merge it
+    * everywhere), then the per-word token count under the learned vocab.
+    * Output: word, n (corpus frequency), wl (chars), wt (BPE tokens).
+    *
+    * This is the step [[bpePairs]] is round 0 of — and the operator that
+    * turns every downstream token-budget number from a whitespace proxy
+    * into counts under an actual learned tokenizer ([[Curation.tokenBudget]]
+    * consumes it).
+    *
+    * Scale shape: training runs on the TYPE table weighted by frequency
+    * (vocab ≪ corpus — the standard trick), so each round is one
+    * map-side-combined aggregation over the type relation plus a 1-row
+    * TakeOrdered; the learned merge is a broadcast 1-row relation feeding a
+    * codegen'd literal `replace` — the model parameter never touches the
+    * driver. `localCheckpoint` per round keeps the 8-round lineage flat
+    * (the [[Ranking]] precedent); a cluster deployment would persist the
+    * round state to the shared memo store instead. Application to the
+    * corpus is one join on the word key — shuffle-sized by the type table,
+    * which AQE broadcasts when small.
+    */
+  private[graft] def bpeVocabFor(spark: SparkSession, dir: String): DataFrame =
+    Materialized.of(spark, s"bpevocab:$dir") {
+      var vocab = unigramCountsFor(spark, dir)
+        .select(col("t").as("word"), col("n"),
+          regexp_replace(col("t"), "(.)", "<$1>").as("st"))
+        .localCheckpoint(true)
+      for (_ <- 1 to BpeMergeRounds) {
+        val pairs = vocab
+          .select(col("n"),
+            expr(s"regexp_extract_all(st, '$BpeSymRe', 1)").as("sy"))
+          .where(size(col("sy")) >= 2)
+          .select(col("n"), explode(expr(
+            """transform(sequence(1, size(sy) - 1),
+              |  i -> named_struct('pa', element_at(sy, i),
+              |                    'pb', element_at(sy, i + 1)))""".stripMargin))
+            .as("p"))
+          .select(col("n"), col("p.pa").as("pa"), col("p.pb").as("pb"))
+        val top = pairs.groupBy("pa", "pb").agg(sum(col("n")).as("np"))
+          .orderBy(col("np").desc, col("pa"), col("pb")).limit(1)
+          .select(
+            concat(lit("<"), col("pa"), lit("><"), col("pb"), lit(">")).as("pat"),
+            concat(lit("<"), col("pa"), col("pb"), lit(">")).as("rep"))
+        vocab = vocab.crossJoin(broadcast(top))
+          .withColumn("st", expr("replace(st, pat, rep)"))
+          .select("word", "n", "st")
+          .localCheckpoint(true)
+      }
+      vocab.select(col("word"), col("n"),
+        length(col("word")).cast("long").as("wl"),
+        size(expr(s"regexp_extract_all(st, '$BpeSymRe', 1)")).cast("long").as("wt"))
+    }
+
+  /** Per-document token counts under the learned BPE vocab: whitespace
+    * words joined to [[bpeVocabFor]], so `n_bpe_tokens` is what the
+    * 8-round tokenizer actually emits (chars = round-0 count shown beside
+    * it). One explode + one key join + one aggregation.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(bpeVocabFor(spark, dir).select("word", "wl", "wt"), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("wl")).as("n_char_tokens"),
+        sum(col("wt")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Zipf rank–frequency table: corpus term frequencies ranked, with the
     * rank×frequency product (≈ constant under Zipf's law — the standard
     * corpus sanity check before training). One hash aggregation; the rank

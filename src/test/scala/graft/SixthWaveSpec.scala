@@ -120,6 +120,47 @@ class SixthWaveSpec extends SparkSpec {
     assert(got.toSeq == model)
   }
 
+  test("bpe encode == Scala 8-round greedy merge model") {
+    val words = docsText.values.flatMap(_.split(" ", -1)).toSeq
+    val vocab = words.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    var st: Map[String, Vector[String]] =
+      vocab.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    for (_ <- 1 to TextAnalysis.BpeMergeRounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, sy) <- st; i <- 0 until sy.length - 1)
+        counts((sy(i), sy(i + 1))) =
+          counts.getOrElse((sy(i), sy(i + 1)), 0L) + vocab(w)
+      if (counts.nonEmpty) {
+        val (pa, pb) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        // left-to-right non-overlapping application == literal replace
+        st = st.map { case (w, sy) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < sy.length) {
+            if (i < sy.length - 1 && sy(i) == pa && sy(i + 1) == pb) {
+              out += (pa + pb); i += 2
+            } else { out += sy(i); i += 1 }
+          }
+          w -> out.result()
+        }
+      }
+    }
+    val wt = st.map { case (w, sy) => w -> sy.length.toLong }
+    val model = docsText.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      id -> ((ws.length.toLong, ws.map(_.length.toLong).sum,
+        ws.map(wt).sum))
+    }
+    val got = TextAnalysis.bpeEncode(spark, sf001).collect()
+    assert(got.length == model.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == model(r.getLong(0)),
+        s"doc ${r.getLong(0)}")
+    }
+    // the learned merges must actually compress vs the char baseline
+    assert(model.values.exists(m => m._3 < m._2))
+  }
+
   test("pq recall (full + ivf-composed) is internally consistent and nontrivial") {
     val r = Similarity.pqRecall(spark, sf001).collect().head
     val (nq, nh, nhi) = (r.getLong(0), r.getLong(1), r.getLong(2))
