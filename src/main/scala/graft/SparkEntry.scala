@@ -194,6 +194,7 @@ object SparkEntry {
     "q_ngram_novelty" -> ((s, d) => Corpus.ngramNovelty(s, d)),
     "q_prefix_dups" -> ((s, d) => Corpus.prefixDups(s, d)),
     "q_para_dedup" -> ((s, d) => Corpus.paraDedup(s, d)),
+    "q_pii_scrub" -> ((s, d) => Scrub.piiScrub(s, d)),
     "q_centroid_drift" -> ((s, d) => Clustering.centroidDrift(s, d)),
     "q_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
     // sixth wave: containment dedup, SCD2, chunking, BPE stats, zone maps,
@@ -2790,6 +2791,54 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN rn = 1 THEN plen ELSE 0 END) AS BIGINT)
          |         AS kept_chars
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Replays the deterministic PII planting (doc_id mod 3/5/7/11 spans)
+    // and the four-family regex scrub; n_residual re-scans the CLEAN text.
+    "q_pii_scrub" -> {
+      val clean = Scrub.Families.foldLeft("dirty") { case (c, (_, re, tok)) =>
+        s"regexp_replace($c, '$re', '$tok', 'g')"
+      }
+      def cnt(src: String, re: String) =
+        s"CAST(len(regexp_extract_all($src, '$re')) AS BIGINT)"
+      def chars(re: String) =
+        s"""CAST(coalesce(list_sum(list_transform(
+           |  regexp_extract_all(dirty, '$re'), x -> len(x))), 0) AS BIGINT)"""
+          .stripMargin
+      val famCols = Scrub.Families.map { case (name, re, _) =>
+        s"${cnt("dirty", re)} AS c_$name" }.mkString(",\n|    ")
+      val charSum = Scrub.Families.map { case (_, re, _) => chars(re) }
+        .mkString(" + ")
+      val residSum = Scrub.Families.map { case (_, re, _) => cnt(clean, re) }
+        .mkString(" + ")
+      s"""WITH dirty0 AS (
+         |  SELECT doc_id, source,
+         |    text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' reach user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call 800-555-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |      CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' token sk-' ||
+         |      substr(md5('key:' || CAST(doc_id AS VARCHAR)), 1, 16)
+         |      ELSE '' END AS dirty
+         |  FROM documents),
+         |m AS (
+         |  SELECT source,
+         |    $famCols,
+         |    $charSum AS c_chars,
+         |    $residSum AS c_residual
+         |  FROM dirty0)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(c_emails) AS BIGINT) AS n_emails,
+         |       CAST(sum(c_phones) AS BIGINT) AS n_phones,
+         |       CAST(sum(c_ips) AS BIGINT) AS n_ips,
+         |       CAST(sum(c_keys) AS BIGINT) AS n_keys,
+         |       CAST(sum(c_chars) AS BIGINT) AS chars_removed,
+         |       CAST(sum(c_residual) AS BIGINT) AS n_residual
+         |FROM m GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q_centroid_drift" ->
       s"""WITH $vecCte,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Similarity, TextAnalysis}
+import graft.operators.{Scrub, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Brute-force models for the round-3 curation/embedding operators:
@@ -10,6 +10,49 @@ import graft.sources.Tables
   * counting.
   */
 class QualityOpsSpec extends SparkSpec {
+
+  test("pii scrub == per-source Scala regex model; residual is zero") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val model = docs.map { case (id, src, text) =>
+      val dirty = text +
+        (if (id % 3 == 0) s" reach user$id@example.com" else "") +
+        (if (id % 5 == 0) f" call 800-555-${id % 10000}%04d" else "") +
+        (if (id % 7 == 0) s" from 10.0.${id % 256}.${id % 250 + 1}" else "") +
+        (if (id % 11 == 0) s" token sk-${md5hex(s"key:$id").take(16)}" else "")
+      val per = Scrub.Families.map { case (_, re, _) =>
+        re.r.findAllIn(dirty).toSeq }
+      val clean = Scrub.Families.foldLeft(dirty) { case (c, (_, re, tok)) =>
+        c.replaceAll(re, java.util.regex.Matcher.quoteReplacement(tok)) }
+      val residual = Scrub.Families.map { case (_, re, _) =>
+        re.r.findAllIn(clean).size.toLong }.sum
+      (src, per.map(_.size.toLong), per.flatten.map(_.length.toLong).sum,
+        residual)
+    }.groupBy(_._1).map { case (src, rows) =>
+      src -> ((rows.size.toLong,
+        rows.toSeq.map(_._2).transpose.map(_.sum),
+        rows.map(_._3).sum, rows.map(_._4).sum))
+    }
+    val got = Scrub.piiScrub(spark, sf001).collect()
+    assert(got.length == model.size)
+    got.foreach { r =>
+      val (nDocs, fams, chars, resid) = model(r.getString(0))
+      assert(r.getLong(1) == nDocs, s"n_docs ${r.getString(0)}")
+      assert(Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        == fams, s"family counts ${r.getString(0)}")
+      assert(r.getLong(6) == chars, s"chars_removed ${r.getString(0)}")
+      assert(r.getLong(7) == resid && resid == 0L,
+        s"residual ${r.getString(0)}")
+    }
+    // every family must have true positives somewhere in the corpus
+    val totals = got.toSeq.map(r => Seq(r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))).transpose.map(_.sum)
+    assert(totals.forall(_ > 0), s"family totals $totals")
+  }
 
   test("quality filter == per-doc Scala model (gates, order of rules, keep flag)") {
     val docs = Tables.load(spark, sf001, "documents")
