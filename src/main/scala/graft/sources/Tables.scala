@@ -29,11 +29,21 @@ object Tables {
     * query layer again.
     *
     * DuckDB parity: the oracle's `epoch_ms(ts)` treats naive timestamps as
-    * UTC; all our sessions pin `spark.sql.session.timeZone=UTC`, and the NTZ
-    * path additionally routes through from_utc_timestamp with the session
-    * zone (NTZ→LTZ cast subtracts the session offset; from_utc_timestamp
-    * adds it back) so the result is correct even on an unpinned session.
+    * UTC; the NTZ/string paths compute the same wall-as-UTC epoch with pure
+    * NTZ arithmetic (`timestampdiff` from the NTZ epoch — no zone is ever
+    * consulted), so the result is session-zone-independent even for wall
+    * times inside a DST gap/overlap window on an unpinned session.
     */
+  /** Epoch micros of an NTZ wall time read as UTC — pure field arithmetic
+    * (wall date × 86400e6 + wall time-of-day micros), exact to the
+    * microsecond, zero zone dependence. `extract(SECONDS)` carries the
+    * fractional part as DECIMAL(8,6), so ×1e6 is lossless.
+    */
+  private def ntzEpochMicros(ntz: Column): Column =
+    unix_date(ntz.cast("date")).cast("long") * lit(86400000000L) +
+      (hour(ntz).cast("long") * lit(3600L) + minute(ntz).cast("long") * lit(60L)) * lit(1000000L) +
+      (date_part(lit("SECONDS"), ntz) * lit(1000000)).cast("long")
+
   def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -49,14 +59,18 @@ object Tables {
       case org.apache.spark.sql.types.TimestampType =>
         df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts",
-          unix_micros(from_utc_timestamp(col("ts").cast("timestamp"),
-            df.sparkSession.conf.get("spark.sql.session.timeZone"))) * lit(1000L))
+        // Wall time treated as UTC via pure field decomposition — unix_date
+        // on the wall date plus wall hour/minute/seconds, no time zone ever
+        // consulted, so the result is session-zone-independent INCLUDING for
+        // wall times inside a DST gap/overlap. (The previous cast-to-LTZ +
+        // from_utc_timestamp round trip applied the zone offset once at wall
+        // time and once at instant, which differ inside a transition window;
+        // timestampdiff/to_utc_timestamp are no fix — both implicitly cast
+        // NTZ operands to LTZ through the session zone first.)
+        df.withColumn("ts", ntzEpochMicros(col("ts")) * lit(1000L))
       case org.apache.spark.sql.types.StringType =>
         df.withColumn("ts",
-          unix_micros(from_utc_timestamp(
-            col("ts").cast("timestamp_ntz").cast("timestamp"),
-            df.sparkSession.conf.get("spark.sql.session.timeZone"))) * lit(1000L))
+          ntzEpochMicros(col("ts").cast("timestamp_ntz")) * lit(1000L))
       case other =>
         throw new IllegalArgumentException(
           s"Tables.normalizeTs: unsupported ts encoding $other")

@@ -230,6 +230,18 @@ object StreamingOps {
     * array<struct<negdot, n_id>>) — negdot = −dot so the ascending
     * array_sort yields dot-descending, n_id-ascending order; run in
     * update/complete mode.
+    *
+    * STATE CAVEAT (same honesty rule as the batch operators' scale notes):
+    * the per-q_id collect_list aggregation has no watermark, so the state
+    * store retains every scored candidate row for every query ever served —
+    * O(queries_served × nprobe·N/C) growth, unbounded in a long-running
+    * server. That is the right shape for this repo's bounded bench/spec
+    * runs (exact ≡-batch comparisons need nothing evicted); a production
+    * deployment must add an event-time column on queries plus
+    * `withWatermark` (serving answers are complete one micro-batch after
+    * arrival, so even a minimal delay bound evicts aggressively), turning
+    * state into O(in-flight queries). [[pqServeStream]] shares this
+    * property.
     */
   def sqServeStream(stream: DataFrame, cents: DataFrame,
       memberSqCodes: DataFrame, scales: DataFrame,

@@ -105,10 +105,17 @@ class ContractOpsSpec extends SparkSpec {
     }
   }
 
-  test("token budget == sequential prefix-sum model") {
+  test("token budget == sequential prefix-sum model (BPE token counts)") {
+    // Per-word token counts come from the learned BPE vocab (its training
+    // is pinned against a brute-force model in SixthWaveSpec); THIS test
+    // pins the budget arithmetic and the prefix-sum cut on top of it.
+    val wt = graft.operators.TextAnalysis.bpeVocabFor(spark, sf0001)
+      .select("word", "wt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val docs = Tables.load(spark, sf0001, "documents")
       .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ", -1).map(wt).sum))
       .sortBy(_._1)
     val budget = docs.map(_._2).sum * 6 / 10
     var cum = 0L

@@ -84,6 +84,33 @@ class TablesSchemaSpec extends SparkSpec {
     } finally spark.conf.set(tzKey, saved)
   }
 
+  test("NTZ epoch is exact for wall times inside a DST gap and overlap") {
+    // 02:30 on 2021-03-14 does not exist in America/New_York (spring
+    // forward) and 01:30 on 2021-11-07 happens twice (fall back). A
+    // zone-offset round trip disagrees with itself on exactly these wall
+    // times; the pure-NTZ timestampdiff path must still produce the
+    // wall-as-UTC epoch, loaded under the very zone with the transition.
+    val walls = Seq("2021-03-14 02:30:00", "2021-11-07 01:30:00")
+    val expected = walls.map(w => java.time.LocalDateTime
+      .parse(w.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L)
+    val dir = Files.createTempDirectory("graft-ts-dst").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "events.parquet").getAbsolutePath
+    walls.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("event_id", "s")
+      .select($"event_id", expr("to_timestamp_ntz(s)").as("ts"))
+      .write.mode("overwrite").parquet(path)
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val got = Tables.load(spark, dir.getAbsolutePath, "events")
+        .orderBy("event_id").select("ts").as[Long].collect().toSeq
+      assert(got === expected)
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("whole-corpus contract: every table loads with the canonical types") {
     // The r7 break cost 39 queries and surfaced as cryptic per-query
     // DATATYPE_MISMATCH errors; this pin makes the NEXT generator drift
