@@ -46,6 +46,7 @@ object DedupStreamBench {
     val q = StreamingDedup.minhashDedupStream(input.toDS().toDF(), "30 seconds")
       .writeStream.format("memory").queryName("dedup_bench_out")
       .outputMode("append").start()
+    val loadBefore = BenchLoad.sample()
     val t0 = System.nanoTime()
     (docs.grouped(batchSize).toSeq :+ Seq(flush)).foreach { b =>
       input.addData(b); q.processAllAvailable()
@@ -55,9 +56,10 @@ object DedupStreamBench {
     val dropped = spark.table("dedup_bench_out").where(!$"kept").count()
     q.stop()
     val rate = nDocs / wall
+    val loadJson = BenchLoad.jsonFields(loadBefore, BenchLoad.sample(), rate)
     println(f"""{"metric":"dedup_docs_per_sec","value":$rate%.1f,""" +
       s""""unit":"docs/sec","docs":$nDocs,"emitted":$emitted,""" +
-      f""""near_dups":$dropped,"wall_sec":$wall%.2f}""")
+      f""""near_dups":$dropped,"wall_sec":$wall%.2f$loadJson}""")
     spark.stop()
   }
 }

@@ -50,6 +50,7 @@ object SqServeBench {
       // own keys, so the reported number is repeat-count-invariant (the
       // old complete-mode total re-emitted ALL previously served queries
       // every batch, degrading with the repeats argument).
+      val loadBefore = BenchLoad.sample()
       val batchSec = (1 to repeats).map { i =>
         // fresh q_ids per repeat so state keeps growing realistically
         // instead of collapsing onto the same keys
@@ -61,10 +62,11 @@ object SqServeBench {
       val med = batchSec.sorted.apply(batchSec.size / 2)
       val sec = batchSec.sum
       val n = repeats * qs.size
+      val loadJson = BenchLoad.jsonFields(loadBefore, BenchLoad.sample(), qs.size / med)
       println(f"""{"metric":"sq_serve_queries_per_sec","value":${qs.size / med}%.1f,""" +
         s""""unit":"q/sec","queries":$n,"batches":$repeats,""" +
         f""""batch_sec_median":$med%.3f,"batch_sec_min":${batchSec.min}%.3f,""" +
-        f""""batch_sec_max":${batchSec.max}%.3f,"wall_sec":$sec%.2f}""")
+        f""""batch_sec_max":${batchSec.max}%.3f,"wall_sec":$sec%.2f$loadJson}""")
     } finally q.stop()
     spark.stop()
   }

@@ -44,6 +44,7 @@ object StreamBench {
     val q = StreamingChainLink.linked(input.toDS(), "60 seconds")
       .writeStream.format("memory").queryName("bench_out")
       .outputMode("append").start()
+    val loadBefore = BenchLoad.sample()
     val t0 = System.nanoTime()
     (arrival.grouped(batchSize).toSeq :+ Seq(flush)).foreach { b =>
       input.addData(b); q.processAllAvailable()
@@ -52,7 +53,8 @@ object StreamBench {
     val emitted = spark.table("bench_out").count()
     q.stop()
     val rate = arrival.size / secs
-    println(f"""{"metric":"stream_msgs_per_sec","value":$rate%.1f,"unit":"msg/sec","msgs":${arrival.size},"emitted":$emitted,"wall_sec":$secs%.2f,"batches":${arrival.size / batchSize + 1}}""")
+    val loadJson = BenchLoad.jsonFields(loadBefore, BenchLoad.sample(), rate)
+    println(f"""{"metric":"stream_msgs_per_sec","value":$rate%.1f,"unit":"msg/sec","msgs":${arrival.size},"emitted":$emitted,"wall_sec":$secs%.2f,"batches":${arrival.size / batchSize + 1}$loadJson}""")
     spark.stop()
   }
 }

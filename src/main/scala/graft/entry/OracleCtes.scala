@@ -1,0 +1,460 @@
+package graft
+package entry
+
+import graft.operators.Analytics
+import graft.sources.Tables
+
+/** Shared DuckDB-oracle CTE fragments and SQL helpers used across the
+  * per-family registries in this package. These replay the engine's own
+  * constructions (portable md5 hashing, integer money, left-fold float
+  * reductions, index builds) in ANSI SQL so the driver's DuckDB compare is
+  * bit-exact — see Tables.scala for the portability rules.
+  */
+object OracleCtes {
+  val msgsCte = Tables.msgsCte
+
+  /** Gap-sessionization CTE chain (30-min break) shared by `q_sessions`
+    * and `q_session_stats`; final relation `s(user_id, em, session_id,
+    * event_id)`.
+    */
+  val sessionsCtes: String =
+    """e AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS em FROM events),
+      |g AS (
+      |  SELECT event_id, user_id, em,
+      |         CASE WHEN em - lag(em, 1) OVER w > 1800000 THEN 1 ELSE 0 END
+      |           AS gap_break
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id)),
+      |s AS (
+      |  SELECT user_id, em, event_id,
+      |         CAST(sum(gap_break) OVER (PARTITION BY user_id ORDER BY em, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS session_id
+      |  FROM g)""".stripMargin
+
+  /** Mirrors `ChainLink.links` exactly, including its exclusion of inverted
+    * (corrupt) intervals from both sides of the containment join.
+    */
+  val linksCte: String =
+    """links AS (
+      |  SELECT p.id AS parent_id, c.id AS child_id
+      |  FROM msgs p JOIN msgs c
+      |    ON p.dst_ip = c.src_ip
+      |   AND p.start_at_ms <= c.start_at_ms
+      |   AND p.end_at_ms >= c.end_at_ms
+      |   AND p.id <> c.id
+      |  WHERE p.end_at_ms >= p.start_at_ms
+      |    AND c.end_at_ms >= c.start_at_ms
+      |)""".stripMargin
+
+  /** Marker-vote lang-id CTE chain; final relation `pr(doc_id, lang,
+    * pred_lang)`. Shared by `lang_id` and `q_lang_confusion`.
+    */
+  val langIdCtes: String =
+    """dw2 AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |sc AS (SELECT doc_id, lang,
+      |         CAST(len(list_filter(w, x -> x = 'the' OR x = 'order' OR x = 'table' OR x = 'window')) AS BIGINT) AS s_en,
+      |         CAST(len(list_filter(w, x -> x = 'slow' OR x = 'agg' OR x = 'merge' OR x = 'vector')) AS BIGINT) AS s_es,
+      |         CAST(len(list_filter(w, x -> x = 'scan' OR x = 'data' OR x = 'query' OR x = 'small')) AS BIGINT) AS s_fr,
+      |         CAST(len(list_filter(w, x -> x = 'customer' OR x = 'hash' OR x = 'join' OR x = 'row')) AS BIGINT) AS s_de,
+      |         CAST(len(list_filter(w, x -> x = 'join' OR x = 'small' OR x = 'customer' OR x = 'column')) AS BIGINT) AS s_zh
+      |       FROM dw2),
+      |pr AS (SELECT doc_id, lang,
+      |         CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+      |              WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+      |              WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+      |              WHEN s_de >= s_zh THEN 'de'
+      |              ELSE 'zh' END AS pred_lang
+      |       FROM sc)""".stripMargin
+
+  /** Word-array + distinct-3-gram-shingle CTEs over documents. */
+  val docShCtes: String =
+    """dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(w) >= 3 THEN
+      |      list_transform(generate_series(1, len(w) - 2),
+      |                     i -> array_to_string(w[i:i+2], ' '))
+      |    ELSE [] END)) AS shingle
+      |  FROM dw),
+      |shdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+      |shc AS (SELECT s.doc_id, s.shingle FROM sh s
+      |        JOIN shdf d ON s.shingle = d.shingle WHERE d.df <= 64),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1)""".stripMargin
+
+  /** BPE training replay: 8 chained merge rounds over the word-type table
+    * (pair counts weighted by frequency, argmax count-desc/pair-asc, literal
+    * replace on the angle-bracket symbol encoding — see
+    * [[graft.operators.TextAnalysis.bpeVocabFor]]). Ends at `tok(word, wl,
+    * wt)`: per-word char and BPE token counts under the learned vocab.
+    * The fixed pair-index series 1..15 covers words to 16 symbols; the
+    * corpus caps at 8.
+    */
+  val bpeCtes: String = {
+    val rounds = (1 to operators.TextAnalysis.BpeMergeRounds).map { k =>
+      s"""p$k AS (SELECT sy[i.i] AS pa, sy[i.i + 1] AS pb, sum(n) AS np
+         |  FROM (SELECT n, regexp_extract_all(st, '<([a-z0-9]+)>', 1) AS sy
+         |        FROM s${k - 1})
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS i) i
+         |  WHERE i.i < len(sy) GROUP BY 1, 2),
+         |t$k AS (SELECT '<' || pa || '><' || pb || '>' AS pat,
+         |               '<' || pa || pb || '>' AS rep
+         |        FROM p$k ORDER BY np DESC, pa, pb LIMIT 1),
+         |s$k AS (SELECT word, n, replace(st, t$k.pat, t$k.rep) AS st
+         |        FROM s${k - 1}, t$k)""".stripMargin
+    }.mkString(",\n")
+    s"""vw AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |             FROM documents) GROUP BY 1),
+       |s0 AS (SELECT word, n,
+       |              regexp_replace(word, '(.)', '<\\1>', 'g') AS st
+       |       FROM vw),
+       |$rounds,
+       |tok AS (SELECT word, CAST(len(word) AS BIGINT) AS wl,
+       |          CAST(len(regexp_extract_all(st, '<([a-z0-9]+)>', 1))
+       |            AS BIGINT) AS wt
+       |        FROM s${operators.TextAnalysis.BpeMergeRounds})""".stripMargin
+  }
+
+  /** Pairwise shingle-intersection CTE (needs docShCtes). */
+  val interCte: String =
+    """inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** 63-bit simhash CTE chain over documents (needs dw from docShCtes). */
+  val simhashCtes: String =
+    """wh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS wh
+      |       FROM (SELECT doc_id, unnest(w) AS word FROM dw)),
+      |bitsum AS (
+      |  SELECT doc_id, b, sum(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b) bs
+      |  GROUP BY 1, 2),
+      |sim AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b
+      |                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |  FROM bitsum GROUP BY 1)""".stripMargin
+
+  /** Normalized double-precision embedding CTE; dot products are left folds
+    * matching Spark's `aggregate` exactly.
+    */
+  val vecCte: String =
+    """v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+      |                          (a, b) -> a + b)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), s -> s[1] * s[2]), (x, y) -> x + y)"
+
+  /** Hash-min sample CTE: the `k` vectors with the smallest portable
+    * 60-bit hash of their id (ties -> min vec_id) -- the ONE home for the
+    * deterministic selection every index oracle replays (IVF centroids,
+    * k-means seeds, PQ codebooks), mirroring `Similarity.centroidsFor` /
+    * `pqCodebookSub`. Drift in K, the hash, or the tie-break now touches
+    * every consumer at once instead of silently desynchronizing one copy.
+    */
+  def hashMinCte(name: String, k: Int,
+      cols: String = "vec_id AS cent_id, e AS ce, nrm AS cn"): String =
+    s"""$name AS (SELECT $cols FROM v
+       |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+       |                AS BIGINT), vec_id
+       |  LIMIT $k)""".stripMargin
+
+  /** Exact full-dimension cosine top-5 CTE chain (`ep` pairs → `ext`
+    * top-5) — the recall-audit baseline replaying
+    * [[operators.Similarity.annTopkFor]]; shared by every `*_recall`
+    * oracle that compares an approximate index against the exact scan.
+    */
+  val exactTopCtes: String =
+    s"""ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+       |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+       |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
+       |       WHERE q.vec_id % 20 = 0),
+       |ext AS (SELECT q_id, n_id FROM (
+       |          SELECT q_id, n_id,
+       |                 row_number() OVER (PARTITION BY q_id
+       |                   ORDER BY cos DESC, n_id) AS rk
+       |          FROM ep) WHERE rk <= 5)""".stripMargin
+
+  /** SQ8 CTE chain replaying [[operators.Similarity.sqCodesFor]] →
+    * [[operators.Similarity.sqTopFor]]: unit-normalize, per-dim maxabs
+    * scales, `round(127·x̂/maxabs)` codes rebuilt into ordered BIGINT
+    * lists, then integer-dot scored query×corpus pairs (`sd`). The int64
+    * sum needs no fold-order discipline — it is exact in both engines.
+    */
+  val sqCtes: String =
+    """vn AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS en FROM v),
+      |sp AS (SELECT vec_id, di.i - 1 AS dim, en[di.i] AS x
+      |       FROM vn CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) di),
+      |ss AS (SELECT dim, max(abs(x)) AS maxabs FROM sp GROUP BY 1),
+      |sc AS (SELECT vec_id,
+      |         list(CAST(round(x * 127.0 / maxabs) AS BIGINT)
+      |              ORDER BY sp.dim) AS qe
+      |       FROM sp JOIN ss ON sp.dim = ss.dim GROUP BY vec_id),
+      |sd AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+      |         CAST(list_reduce(list_transform(list_zip(q.qe, t.qe),
+      |                s -> s[1] * s[2]), (x, y) -> x + y) AS BIGINT) AS dot
+      |       FROM sc q JOIN sc t ON t.vec_id <> q.vec_id
+      |       WHERE q.vec_id % 20 = 0)""".stripMargin
+
+  /** SQ8∘IVF CTE chain (needs vecCte + sqCtes): hash-min coarse centroids,
+    * nearest-centroid assignment, nprobe=2 query probes, candidate pairs,
+    * then integer-dot scores over the SQ8 codes (`sc`) — replaying
+    * [[operators.Similarity.sqIvfTopBuild]]. Ends in
+    * `sqdi(q_id, n_id, dot)`.
+    */
+  lazy val sqIvfCtes: String =
+    s"""${hashMinCte("qcents", 64)},
+       |qasg AS (SELECT vec_id, cent_id FROM (
+       |           SELECT v.vec_id, c.cent_id,
+       |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |                    ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |                    c.cent_id) AS rn
+       |           FROM v CROSS JOIN qcents c) WHERE rn = 1),
+       |qprobes AS (SELECT q_id, cent_id FROM (
+       |              SELECT v.vec_id AS q_id, c.cent_id,
+       |                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |                       ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |                       c.cent_id) AS rn
+       |              FROM v CROSS JOIN qcents c WHERE v.vec_id % 20 = 0)
+       |            WHERE rn <= 2),
+       |sqcand AS (SELECT p.q_id, a.vec_id FROM qprobes p
+       |           JOIN qasg a ON p.cent_id = a.cent_id
+       |           WHERE a.vec_id <> p.q_id),
+       |sqdi AS (SELECT cd.q_id, cd.vec_id AS n_id,
+       |           CAST(list_reduce(list_transform(list_zip(cq.qe, ct.qe),
+       |                  z -> z[1] * z[2]), (ac, el) -> ac + el) AS BIGINT)
+       |             AS dot
+       |         FROM sqcand cd
+       |         JOIN sc cq ON cq.vec_id = cd.q_id
+       |         JOIN sc ct ON ct.vec_id = cd.vec_id)""".stripMargin
+
+  def l2sqSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)"
+
+  /** CTE chain replaying [[graft.operators.Clustering.kmeansCentroids]]
+    * with 2 Lloyd iterations: hash-min seeds → integer-exact micro-unit
+    * mean update → rebuilt centroid lists + left-fold norms, twice. Ends
+    * in `kcents(cent_id, ce, cn)`. Every step (round, trunc-div, double
+    * division, fold) is the bit-identical arithmetic the Spark loop runs.
+    */
+  lazy val kmeansCtes: String = {
+    def assign(cents: String, out: String) =
+      s"""$out AS (SELECT cent_id, e FROM (
+         |       SELECT v.vec_id, c.cent_id, v.e,
+         |              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                c.cent_id) AS rn
+         |       FROM v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def update(asg: String, out: String) =
+      s"""${out}q AS (SELECT cent_id, di.i - 1 AS dim,
+         |            CAST(trunc(CAST(sum(CAST(round(e[di.i] * 1000000.0) AS BIGINT))
+         |                             AS DOUBLE) / count(*)) AS BIGINT) AS cq
+         |     FROM $asg CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) di
+         |     GROUP BY 1, 2),
+         |${out}l AS (SELECT cent_id, list(cq / 1000000.0 ORDER BY dim) AS ce
+         |     FROM ${out}q GROUP BY 1),
+         |$out AS (SELECT cent_id, ce, sqrt(${dotSql("ce", "ce")}) AS cn FROM ${out}l)""".stripMargin
+    s"""${hashMinCte("seeds", 64)},
+       |${assign("seeds", "ka1")},
+       |${update("ka1", "kc1")},
+       |${assign("kc1", "ka2")},
+       |${update("ka2", "kcents")}""".stripMargin
+  }
+
+  /** PQ/ADC CTE chain (needs vecCte): 16 hash-min codebook vectors, 8×8-dim
+    * subspaces, L2² left-fold encode argmin, micro-unit integer ADC sums.
+    * Ends in `adc(q_id, n_id, adc_q)`; shared by `q_pq_search` and the
+    * `q_pq_recall` audit.
+    */
+  lazy val pqCtes: String =
+    s"""${hashMinCte("cb", 16, "vec_id AS code, e AS cbe")},
+       |mi AS (SELECT unnest(generate_series(0, 7)) AS m),
+       |cbs AS (SELECT code, m, cbe[m * 8 + 1 : m * 8 + 8] AS cw
+       |        FROM cb CROSS JOIN mi),
+       |vs AS (SELECT vec_id, m, e[m * 8 + 1 : m * 8 + 8] AS sv
+       |       FROM v CROSS JOIN mi),
+       |codes AS (SELECT vec_id, m, code FROM (
+       |            SELECT vs.vec_id, vs.m, cbs.code,
+       |                   row_number() OVER (PARTITION BY vs.vec_id, vs.m
+       |                     ORDER BY ${l2sqSql("vs.sv", "cbs.cw")}, cbs.code) AS rn
+       |            FROM vs JOIN cbs ON vs.m = cbs.m) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 20 = 0),
+       |qs AS (SELECT q_id, m, qe[m * 8 + 1 : m * 8 + 8] AS qsub
+       |       FROM q CROSS JOIN mi),
+       |dtab AS (SELECT q_id, qs.m, cbs.code,
+       |                CAST(round(${l2sqSql("qs.qsub", "cbs.cw")} * 1000000.0)
+       |                     AS BIGINT) AS dq
+       |         FROM qs JOIN cbs ON qs.m = cbs.m),
+       |adc AS (SELECT d.q_id, c.vec_id AS n_id, CAST(sum(d.dq) AS BIGINT) AS adc_q
+       |        FROM codes c JOIN dtab d ON c.m = d.m AND c.code = d.code
+       |        WHERE c.vec_id <> d.q_id GROUP BY 1, 2)""".stripMargin
+
+  /** IVF probe-restriction CTE chain for the PQ∘IVF search (needs vecCte +
+    * pqCtes): hash-min centroids, nearest-centroid assignment, nprobe=2
+    * query probes, candidate (q_id, vec_id) pairs, and `adci` — the ADC
+    * scoring of [[pqCtes]] restricted to each query's probed buckets.
+    * Replays [[graft.operators.Similarity.pqIvfTopBuild]] exactly.
+    */
+  lazy val pqIvfCtes: String =
+    s"""${hashMinCte("icents", 64)},
+       |iasg AS (SELECT vec_id, cent_id FROM (
+       |           SELECT v.vec_id, c.cent_id,
+       |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |                    ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |                    c.cent_id) AS rn
+       |           FROM v CROSS JOIN icents c) WHERE rn = 1),
+       |iprobes AS (SELECT q_id, cent_id FROM (
+       |              SELECT v.vec_id AS q_id, c.cent_id,
+       |                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |                       ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |                       c.cent_id) AS rn
+       |              FROM v CROSS JOIN icents c WHERE v.vec_id % 20 = 0)
+       |            WHERE rn <= 2),
+       |icand AS (SELECT p.q_id, a.vec_id FROM iprobes p
+       |          JOIN iasg a ON p.cent_id = a.cent_id
+       |          WHERE a.vec_id <> p.q_id),
+       |adci AS (SELECT x.q_id, c.vec_id AS n_id,
+       |                CAST(sum(d.dq) AS BIGINT) AS adc_q
+       |         FROM icand x
+       |         JOIN codes c ON x.vec_id = c.vec_id
+       |         JOIN dtab d ON d.q_id = x.q_id AND d.m = c.m AND d.code = c.code
+       |         GROUP BY 1, 2)""".stripMargin
+
+  /** Per-subspace Lloyd training CTE chain (needs vecCte + pqCtes): 2
+    * k-means iterations over each subspace's subvectors from the hash-min
+    * seed codebook `cbs`, exact integer micro-unit means (the
+    * [[kmeansCtes]] arithmetic applied per (m, code)). Ends in
+    * `tcbs(code, m, cw)` plus the trained-codebook encode/ADC chain
+    * `tadc(q_id, n_id, adc_q)`.
+    */
+  lazy val pqTrainCtes: String = {
+    def assign(cbs: String, out: String) =
+      s"""$out AS (SELECT m, code, sv FROM (
+         |       SELECT vs.vec_id, vs.m, c.code, vs.sv,
+         |              row_number() OVER (PARTITION BY vs.vec_id, vs.m
+         |                ORDER BY ${l2sqSql("vs.sv", "c.cw")}, c.code) AS rn
+         |       FROM vs JOIN $cbs c ON vs.m = c.m) WHERE rn = 1)""".stripMargin
+    def update(asg: String, out: String) =
+      s"""${out}q AS (SELECT m, code, di.i AS dim,
+         |            CAST(trunc(CAST(sum(CAST(round(sv[di.i] * 1000000.0) AS BIGINT))
+         |                             AS DOUBLE) / count(*)) AS BIGINT) AS cq
+         |     FROM $asg CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) di
+         |     GROUP BY 1, 2, 3),
+         |$out AS (SELECT code, m, list(cq / 1000000.0 ORDER BY dim) AS cw
+         |     FROM ${out}q GROUP BY 1, 2)""".stripMargin
+    s"""${assign("cbs", "ta1")},
+       |${update("ta1", "tcb1")},
+       |${assign("tcb1", "ta2")},
+       |${update("ta2", "tcbs")},
+       |tcodes AS (SELECT vec_id, m, code FROM (
+       |             SELECT vs.vec_id, vs.m, c.code,
+       |                    row_number() OVER (PARTITION BY vs.vec_id, vs.m
+       |                      ORDER BY ${l2sqSql("vs.sv", "c.cw")}, c.code) AS rn
+       |             FROM vs JOIN tcbs c ON vs.m = c.m) WHERE rn = 1),
+       |tdtab AS (SELECT q_id, qs.m, c.code,
+       |                 CAST(round(${l2sqSql("qs.qsub", "c.cw")} * 1000000.0)
+       |                      AS BIGINT) AS dq
+       |          FROM qs JOIN tcbs c ON qs.m = c.m),
+       |tadc AS (SELECT d.q_id, c.vec_id AS n_id, CAST(sum(d.dq) AS BIGINT) AS adc_q
+       |         FROM tcodes c JOIN tdtab d ON c.m = d.m AND c.code = d.code
+       |         WHERE c.vec_id <> d.q_id GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Trained PQ∘IVF scoring CTE (needs vecCte + pqCtes + pqIvfCtes +
+    * pqTrainCtes): the [[pqIvfCtes]] bucket restriction with the trained
+    * codes/ADC tables swapped in. Ends in `tadci(q_id, n_id, adc_q)`.
+    * Replays [[graft.operators.Similarity.pqIvfTrainedTopBuild]] exactly.
+    */
+  lazy val pqIvfTrainedCte: String =
+    s"""tadci AS (SELECT x.q_id, c.vec_id AS n_id,
+       |                 CAST(sum(d.dq) AS BIGINT) AS adc_q
+       |          FROM icand x
+       |          JOIN tcodes c ON x.vec_id = c.vec_id
+       |          JOIN tdtab d ON d.q_id = x.q_id AND d.m = c.m
+       |            AND d.code = c.code
+       |          GROUP BY 1, 2)""".stripMargin
+
+  /** Residual-PQ (IVFADC) CTE chain (needs vecCte + pqCtes + pqIvfCtes):
+    * per-vector residuals to the assigned hash-min centroid, a residual
+    * codebook over the same sample ids, residual encode, per-(query,
+    * probed-centroid) ADC tables, bucket-restricted scoring. Ends in
+    * `radc(q_id, n_id, adc_q)`. Replays
+    * [[graft.operators.Similarity.pqResidualTopFor]] exactly.
+    */
+  lazy val pqResCtes: String = {
+    def sub(a: String, b: String) =
+      s"list_transform(list_zip($a, $b), s -> s[1] - s[2])"
+    s"""resv AS (SELECT a.vec_id, a.cent_id, ${sub("v.e", "c.ce")} AS rv
+       |         FROM iasg a JOIN v ON a.vec_id = v.vec_id
+       |         JOIN icents c ON a.cent_id = c.cent_id),
+       |rcb AS (SELECT r.vec_id AS code, r.rv AS cbe
+       |        FROM resv r JOIN cb ON r.vec_id = cb.code),
+       |rcbs AS (SELECT code, m, cbe[m * 8 + 1 : m * 8 + 8] AS cw
+       |         FROM rcb CROSS JOIN mi),
+       |rvs AS (SELECT vec_id, cent_id, m, rv[m * 8 + 1 : m * 8 + 8] AS sv
+       |        FROM resv CROSS JOIN mi),
+       |rcodes AS (SELECT vec_id, cent_id, m, code FROM (
+       |             SELECT rvs.vec_id, rvs.cent_id, rvs.m, rcbs.code,
+       |                    row_number() OVER (PARTITION BY rvs.vec_id, rvs.m
+       |                      ORDER BY ${l2sqSql("rvs.sv", "rcbs.cw")}, rcbs.code) AS rn
+       |             FROM rvs JOIN rcbs ON rvs.m = rcbs.m) WHERE rn = 1),
+       |qres AS (SELECT p.q_id, p.cent_id, ${sub("v.e", "c.ce")} AS qr
+       |         FROM iprobes p JOIN v ON p.q_id = v.vec_id
+       |         JOIN icents c ON p.cent_id = c.cent_id),
+       |rqs AS (SELECT q_id, cent_id, m, qr[m * 8 + 1 : m * 8 + 8] AS qsub
+       |        FROM qres CROSS JOIN mi),
+       |rdtab AS (SELECT q_id, cent_id, rqs.m, rcbs.code,
+       |                 CAST(round(${l2sqSql("rqs.qsub", "rcbs.cw")} * 1000000.0)
+       |                      AS BIGINT) AS dq
+       |          FROM rqs JOIN rcbs ON rqs.m = rcbs.m),
+       |radc AS (SELECT x.q_id, c.vec_id AS n_id,
+       |                CAST(sum(d.dq) AS BIGINT) AS adc_q
+       |         FROM icand x JOIN rcodes c ON x.vec_id = c.vec_id
+       |         JOIN rdtab d ON d.q_id = x.q_id AND d.cent_id = c.cent_id
+       |                     AND d.m = c.m AND d.code = c.code
+       |         GROUP BY 1, 2)""".stripMargin
+  }
+
+  val revenueE4 =
+    """CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)""".stripMargin
+
+  /** q_lsh_cosine oracle: the 16 hyperplane sign vectors are inlined as the
+    * exact same ±1 literals the Spark side uses
+    * ([[Analytics.hyperplaneSigns]]), so signatures agree bit-for-bit.
+    */
+  /** The 16-hyperplane SRP signature expression, inlining the exact same
+    * ±1 literals the Spark side uses ([[Analytics.hyperplaneSigns]]) — ONE
+    * home shared by the q_lsh_cosine and q_sql_cosine_by_label oracles.
+    */
+  lazy val sigTermsSql: String =
+    Analytics.hyperplaneSigns.zipWithIndex.map { case (row, b) =>
+      val lits = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN ${dotSql("e", lits)} > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  lazy val lshCosineSql: String = {
+    s"""WITH $vecCte,
+       |sig AS (SELECT vec_id, e, nrm, CAST($sigTermsSql AS BIGINT) AS sig FROM v),
+       |bands AS (SELECT vec_id, sig, k, (sig >> (4 * k)) & 15 AS band_val
+       |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bands a JOIN bands b
+       |           ON a.k = b.k AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+       |SELECT * FROM (
+       |  SELECT c.vec_a, c.vec_b,
+       |         ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
+       |  FROM cand c
+       |  JOIN v va ON c.vec_a = va.vec_id
+       |  JOIN v vb ON c.vec_b = vb.vec_id)
+       |WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+}

@@ -1,0 +1,564 @@
+package graft
+package entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.sources.Tables
+import OracleCtes._
+
+/** Query + oracle registry: embedding similarity search and quantization: exact/IVF ANN, k-means, PQ and SQ8 families with recall audits.
+  *
+  * Split out of the former SparkEntry monolith (round 9); merged back into
+  * the driver contract by [[graft.SparkEntry]]. Key sets of [[queries]] and
+  * [[oracles]] stay aligned — EntryRegistrySpec enforces it.
+  */
+object SimilarityQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_recall" -> ((s, d) => Dedup.annRecall(s, d)),
+    "q_ann_recall_kmeans" -> ((s, d) => Dedup.annRecallKmeans(s, d)),
+    // similarity search
+    "ann_topk" -> ((s, d) => Similarity.annTopk(s, d)),
+    "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    "ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(s, d)),
+    "q_pq_search" -> ((s, d) => Similarity.pqSearch(s, d)),
+    // clustering
+    "q_kmeans_step" -> ((s, d) => Clustering.kmeansStep(s, d)),
+    "q_lsh_cosine" -> ((s, d) => Analytics.lshCosine(s, d)),
+    "q_vector_quantize" -> ((s, d) => Similarity.vectorQuantize(s, d)),
+    "q_ivf_stats" -> ((s, d) => Similarity.ivfStats(s, d)),
+    "q_ivf_purity" -> ((s, d) => Similarity.ivfLabelPurity(s, d)),
+    "q_centroid_drift" -> ((s, d) => Clustering.centroidDrift(s, d)),
+    "q_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
+    "q_pq_ivf_search" -> ((s, d) => Similarity.pqIvfSearch(s, d)),
+    "q_pq_recall_trained" -> ((s, d) => Similarity.pqRecallTrained(s, d)),
+    "q_pq_res_search" -> ((s, d) => Similarity.pqResSearch(s, d)),
+    "q_pq_res_recall" -> ((s, d) => Similarity.pqResRecall(s, d)),
+    "q_pq_ivf_trained" -> ((s, d) => Similarity.pqIvfTrainedSearch(s, d)),
+    "q_incremental_ivf" -> ((s, d) => Similarity.incrementalIvf(s, d)),
+    // seventh wave: int8 scalar-quantization serving, matryoshka truncation,
+    // deterministic training-order sharding
+    "q_sq_search" -> ((s, d) => Similarity.sqSearch(s, d)),
+    "q_sq_ivf_search" -> ((s, d) => Similarity.sqIvfSearch(s, d)),
+    "q_sq_recall" -> ((s, d) => Similarity.sqRecall(s, d)),
+    "q_mrl_recall" -> ((s, d) => Similarity.mrlRecall(s, d)),
+    "q_embed_stats" -> ((s, d) => Similarity.embedStats(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Recall audit: exact all-pairs vs the IVF-restricted pair set, counted
+    // both ways plus the permille recall — the index quality as a checked
+    // number (replays both mechanisms).
+    "q_ann_recall" ->
+      s"""WITH $vecCte,
+         |ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |       FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |       WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
+         |${hashMinCte("cents", 64)},
+         |probes AS (SELECT vec_id, cent_id FROM (
+         |             SELECT v.vec_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM probes a JOIN probes b
+         |           ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |iv AS (SELECT c.vec_a, c.vec_b FROM cand c
+         |       JOIN v va ON c.vec_a = va.vec_id
+         |       JOIN v vb ON c.vec_b = vb.vec_id
+         |       WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
+         |n AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
+         |             (SELECT count(*) FROM iv) AS n_ivf,
+         |             (SELECT count(*) FROM ex JOIN iv USING (vec_a, vec_b))
+         |               AS n_common)
+         |SELECT n_exact, n_ivf, n_common,
+         |       CAST(CASE WHEN n_exact = 0 THEN 1000
+         |            ELSE n_common * 1000 // n_exact END AS BIGINT)
+         |         AS recall_permille
+         |FROM n""".stripMargin,
+    // Side-by-side recall of the hash-min vs k-means-refined IVF indexes
+    // against the exact all-pairs truth (both pair mechanisms replayed).
+    "q_ann_recall_kmeans" ->
+      s"""WITH $vecCte,
+         |$kmeansCtes,
+         |ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |       FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |       WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
+         |hprobes AS (SELECT vec_id, cent_id FROM (
+         |             SELECT v.vec_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM v CROSS JOIN seeds c) WHERE rn <= 8),
+         |hcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM hprobes a JOIN hprobes b
+         |            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |hm AS (SELECT c.vec_a, c.vec_b FROM hcand c
+         |       JOIN v va ON c.vec_a = va.vec_id
+         |       JOIN v vb ON c.vec_b = vb.vec_id
+         |       WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
+         |kprobes AS (SELECT vec_id, cent_id FROM (
+         |             SELECT v.vec_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM v CROSS JOIN kcents c) WHERE rn <= 8),
+         |kcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM kprobes a JOIN kprobes b
+         |            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |km AS (SELECT c.vec_a, c.vec_b FROM kcand c
+         |       JOIN v va ON c.vec_a = va.vec_id
+         |       JOIN v vb ON c.vec_b = vb.vec_id
+         |       WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
+         |n AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
+         |             (SELECT count(*) FROM ex JOIN hm USING (vec_a, vec_b))
+         |               AS n_hashmin,
+         |             (SELECT count(*) FROM ex JOIN km USING (vec_a, vec_b))
+         |               AS n_kmeans)
+         |SELECT n_exact, n_hashmin, n_kmeans,
+         |       CAST(CASE WHEN n_exact = 0 THEN 1000
+         |            ELSE n_hashmin * 1000 // n_exact END AS BIGINT)
+         |         AS recall_hashmin_permille,
+         |       CAST(CASE WHEN n_exact = 0 THEN 1000
+         |            ELSE n_kmeans * 1000 // n_exact END AS BIGINT)
+         |         AS recall_kmeans_permille
+         |FROM n""".stripMargin,
+    "ann_topk" ->
+      s"""WITH $vecCte,
+         |p AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+         |        ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |      FROM v q JOIN v t ON t.vec_id <> q.vec_id
+         |      WHERE q.vec_id % 20 = 0)
+         |SELECT q_id, n_id, cos, rk FROM (
+         |  SELECT q_id, n_id, cos,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM p)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents", 64)},
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |          SELECT v.vec_id, c.cent_id,
+         |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                   ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                   c.cent_id) AS rn
+         |          FROM v CROSS JOIN cents c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v
+         |      WHERE vec_id % 20 = 0),
+         |probes AS (SELECT q_id, cent_id FROM (
+         |             SELECT q.q_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |                      ${dotSql("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM q CROSS JOIN cents c) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id FROM probes p
+         |         JOIN asg a ON p.cent_id = a.cent_id
+         |         WHERE a.vec_id <> p.q_id)
+         |SELECT q_id, n_id, cos, rk FROM (
+         |  SELECT cand.q_id, v.vec_id AS n_id,
+         |         ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) AS cos,
+         |         row_number() OVER (PARTITION BY cand.q_id ORDER BY
+         |           ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) DESC, v.vec_id) AS rk
+         |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN v ON cand.vec_id = v.vec_id)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // ann_ivf with the k-means-refined centroid table: identical search
+    // mechanics, centroids from the replayed 2-iteration Lloyd loop.
+    "ann_ivf_kmeans" ->
+      s"""WITH $vecCte,
+         |$kmeansCtes,
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |          SELECT v.vec_id, c.cent_id,
+         |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                   ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                   c.cent_id) AS rn
+         |          FROM v CROSS JOIN kcents c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v
+         |      WHERE vec_id % 20 = 0),
+         |probes AS (SELECT q_id, cent_id FROM (
+         |             SELECT q.q_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |                      ${dotSql("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM q CROSS JOIN kcents c) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id FROM probes p
+         |         JOIN asg a ON p.cent_id = a.cent_id
+         |         WHERE a.vec_id <> p.q_id)
+         |SELECT q_id, n_id, cos, rk FROM (
+         |  SELECT cand.q_id, v.vec_id AS n_id,
+         |         ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) AS cos,
+         |         row_number() OVER (PARTITION BY cand.q_id ORDER BY
+         |           ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) DESC, v.vec_id) AS rk
+         |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN v ON cand.vec_id = v.vec_id)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // Replays the PQ pipeline: 16 hash-min codebook vectors, 8×8-dim
+    // subspaces, L2² left-fold encode argmin, micro-unit integer ADC sums.
+    "q_pq_search" ->
+      s"""WITH $vecCte,
+         |$pqCtes
+         |SELECT q_id, n_id, adc_q, rk FROM (
+         |  SELECT q_id, n_id, adc_q,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adc_q, n_id) AS rk
+         |  FROM adc)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "q_kmeans_step" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents", 64, "vec_id AS cluster_id, e AS ce, nrm AS cn")},
+         |asg AS (SELECT vec_id, cluster_id, e FROM (
+         |          SELECT v.vec_id, c.cluster_id, v.e,
+         |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                   ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                   c.cluster_id) AS rn
+         |          FROM v CROSS JOIN cents c) WHERE rn = 1),
+         |pts AS (SELECT cluster_id, di.i - 1 AS dim,
+         |               CAST(round(e[di.i] * 1000000.0) AS BIGINT) AS q
+         |        FROM asg CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) di)
+         |SELECT cluster_id, CAST(dim AS BIGINT) AS dim,
+         |       CAST(trunc(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS centroid_q,
+         |       count(*) AS n_members
+         |FROM pts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_lsh_cosine" -> lshCosineSql,
+    "q_vector_quantize" ->
+      s"""WITH $vecCte,
+         |p AS (SELECT vec_id, di.i - 1 AS dim, e[di.i] AS x
+         |      FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) di),
+         |s AS (SELECT dim, max(abs(x)) AS maxabs FROM p GROUP BY 1)
+         |SELECT vec_id, CAST(p.dim AS BIGINT) AS dim,
+         |       CAST(round(x * 127.0 / maxabs) AS BIGINT) AS q
+         |FROM p JOIN s ON p.dim = s.dim
+         |ORDER BY vec_id, dim""".stripMargin,
+    // Replays the ann_ivf nprobe=1 assignment; per-centroid bucket sizes.
+    "q_ivf_stats" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents", 64)},
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |          SELECT v.vec_id, c.cent_id,
+         |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                   ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                   c.cent_id) AS rn
+         |          FROM v CROSS JOIN cents c) WHERE rn = 1)
+         |SELECT cent_id, count(*) AS n_vecs,
+         |       CAST(count(*) * 1000 // (SELECT count(*) FROM asg) AS BIGINT)
+         |         AS share_permille
+         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Replays the nprobe=1 assignment; per-bucket majority label + purity.
+    "q_ivf_purity" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents", 64)},
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |          SELECT v.vec_id, c.cent_id,
+         |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                   ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                   c.cent_id) AS rn
+         |          FROM v CROSS JOIN cents c) WHERE rn = 1),
+         |cl AS (SELECT a.cent_id, CAST(e.label AS BIGINT) AS label,
+         |         count(*) AS n_lab
+         |       FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT cent_id, label, n_lab,
+         |        row_number() OVER (PARTITION BY cent_id
+         |                           ORDER BY n_lab DESC, label) AS rk,
+         |        CAST(sum(n_lab) OVER (PARTITION BY cent_id) AS BIGINT)
+         |          AS n_total
+         |      FROM cl)
+         |SELECT cent_id, label AS majority_label,
+         |       CAST(n_lab AS BIGINT) AS n_majority, n_total,
+         |       CAST(n_lab * 1000 // n_total AS BIGINT) AS purity_permille
+         |FROM r WHERE rk = 1 ORDER BY cent_id""".stripMargin,
+    "q_centroid_drift" ->
+      s"""WITH $vecCte,
+         |$kmeansCtes
+         |SELECT s.cent_id,
+         |       CAST(floor(1000.0 * ${dotSql("s.ce", "k.ce")}
+         |                  / (s.cn * k.cn)) AS BIGINT) AS cos_permille
+         |FROM seeds s JOIN kcents k ON s.cent_id = k.cent_id
+         |ORDER BY s.cent_id""".stripMargin,
+    "q_pq_recall" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |$pqIvfCtes,
+         |pqt AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY adc_q, n_id) AS rk
+         |          FROM adc) WHERE rk <= 5),
+         |pqit AS (SELECT q_id, n_id FROM (
+         |           SELECT q_id, n_id,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                    ORDER BY adc_q, n_id) AS rk
+         |           FROM adci) WHERE rk <= 5),
+         |ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+         |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
+         |       WHERE q.vec_id % 20 = 0),
+         |ext AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY cos DESC, n_id) AS rk
+         |          FROM ep) WHERE rk <= 5),
+         |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
+         |             (SELECT count(*) FROM ext JOIN pqt USING (q_id, n_id))
+         |               AS n_hits,
+         |             (SELECT count(*) FROM ext JOIN pqit USING (q_id, n_id))
+         |               AS n_hits_ivf)
+         |SELECT n_queries, n_hits, n_hits_ivf,
+         |       n_hits * 1000 // (n_queries * 5) AS recall_permille,
+         |       n_hits_ivf * 1000 // (n_queries * 5) AS recall_ivf_permille
+         |FROM n""".stripMargin,
+    // Replays the PQ∘IVF composition: identical codebook/encode/ADC tables,
+    // scoring restricted to each query's nprobe=2 probed hash-min buckets.
+    "q_pq_ivf_search" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |$pqIvfCtes
+         |SELECT q_id, n_id, adc_q, rk FROM (
+         |  SELECT q_id, n_id, adc_q,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adc_q, n_id) AS rk
+         |  FROM adci)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // Replays the per-subspace Lloyd codebook training and audits the full
+    // seed/trained × full-scan/IVF recall matrix against the exact top-5.
+    "q_pq_recall_trained" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |$pqIvfCtes,
+         |$pqTrainCtes,
+         |$pqIvfTrainedCte,
+         |stop5 AS (SELECT q_id, n_id FROM (
+         |            SELECT q_id, n_id,
+         |                   row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY adc_q, n_id) AS rk
+         |            FROM adc) WHERE rk <= 5),
+         |sitop5 AS (SELECT q_id, n_id FROM (
+         |             SELECT q_id, n_id,
+         |                    row_number() OVER (PARTITION BY q_id
+         |                      ORDER BY adc_q, n_id) AS rk
+         |             FROM adci) WHERE rk <= 5),
+         |ttop5 AS (SELECT q_id, n_id FROM (
+         |            SELECT q_id, n_id,
+         |                   row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY adc_q, n_id) AS rk
+         |            FROM tadc) WHERE rk <= 5),
+         |titop5 AS (SELECT q_id, n_id FROM (
+         |             SELECT q_id, n_id,
+         |                    row_number() OVER (PARTITION BY q_id
+         |                      ORDER BY adc_q, n_id) AS rk
+         |             FROM tadci) WHERE rk <= 5),
+         |ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+         |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
+         |       WHERE q.vec_id % 20 = 0),
+         |ext AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY cos DESC, n_id) AS rk
+         |          FROM ep) WHERE rk <= 5),
+         |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
+         |             (SELECT count(*) FROM ext JOIN stop5 USING (q_id, n_id))
+         |               AS n_hits_seed,
+         |             (SELECT count(*) FROM ext JOIN sitop5 USING (q_id, n_id))
+         |               AS n_hits_seed_ivf,
+         |             (SELECT count(*) FROM ext JOIN ttop5 USING (q_id, n_id))
+         |               AS n_hits_trained,
+         |             (SELECT count(*) FROM ext JOIN titop5 USING (q_id, n_id))
+         |               AS n_hits_trained_ivf)
+         |SELECT n_queries, n_hits_seed, n_hits_seed_ivf, n_hits_trained,
+         |       n_hits_trained_ivf,
+         |       n_hits_seed * 1000 // (n_queries * 5) AS recall_seed_permille,
+         |       n_hits_seed_ivf * 1000 // (n_queries * 5)
+         |         AS recall_seed_ivf_permille,
+         |       n_hits_trained * 1000 // (n_queries * 5)
+         |         AS recall_trained_permille,
+         |       n_hits_trained_ivf * 1000 // (n_queries * 5)
+         |         AS recall_trained_ivf_permille
+         |FROM n""".stripMargin,
+    // Replays residual-PQ∘IVF (IVFADC): residual encode against the
+    // assigned centroid, per-(query, probed-centroid) ADC tables,
+    // bucket-restricted scoring.
+    "q_pq_res_search" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |$pqIvfCtes,
+         |$pqResCtes
+         |SELECT q_id, n_id, adc_q, rk FROM (
+         |  SELECT q_id, n_id, adc_q,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adc_q, n_id) AS rk
+         |  FROM radc)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // Residual vs plain PQ∘IVF recall against the exact top-5 (all three
+    // chains replayed).
+    "q_pq_res_recall" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |$pqIvfCtes,
+         |$pqResCtes,
+         |pqit AS (SELECT q_id, n_id FROM (
+         |           SELECT q_id, n_id,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                    ORDER BY adc_q, n_id) AS rk
+         |           FROM adci) WHERE rk <= 5),
+         |rest AS (SELECT q_id, n_id FROM (
+         |           SELECT q_id, n_id,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                    ORDER BY adc_q, n_id) AS rk
+         |           FROM radc) WHERE rk <= 5),
+         |ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+         |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
+         |       WHERE q.vec_id % 20 = 0),
+         |ext AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY cos DESC, n_id) AS rk
+         |          FROM ep) WHERE rk <= 5),
+         |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
+         |             (SELECT count(*) FROM ext JOIN pqit USING (q_id, n_id))
+         |               AS n_hits_ivf,
+         |             (SELECT count(*) FROM ext JOIN rest USING (q_id, n_id))
+         |               AS n_hits_res)
+         |SELECT n_queries, n_hits_ivf, n_hits_res,
+         |       n_hits_ivf * 1000 // (n_queries * 5) AS recall_ivf_permille,
+         |       n_hits_res * 1000 // (n_queries * 5) AS recall_res_permille
+         |FROM n""".stripMargin,
+    // Replays the trained-codebook PQ∘IVF composition — the production
+    // IVFPQ configuration: Lloyd-trained codes/ADC tables, scoring
+    // restricted to each query's nprobe=2 probed hash-min buckets.
+    "q_pq_ivf_trained" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |$pqIvfCtes,
+         |$pqTrainCtes,
+         |$pqIvfTrainedCte
+         |SELECT q_id, n_id, adc_q, rk FROM (
+         |  SELECT q_id, n_id, adc_q,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adc_q, n_id) AS rk
+         |  FROM tadci)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // Replays incremental IVF maintenance: shard (vec_id % 5 = 0) vs
+    // persisted-quantizer assignment, per-bucket growth, integer-exact
+    // member-mean drift, and the reindex/keep verdict.
+    "q_incremental_ivf" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("icents", 64)},
+         |iasg AS (SELECT vec_id, cent_id FROM (
+         |           SELECT v.vec_id, c.cent_id,
+         |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                    ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                    c.cent_id) AS rn
+         |           FROM v CROSS JOIN icents c) WHERE rn = 1),
+         |wv AS (SELECT a.vec_id, a.cent_id, v.e,
+         |              (a.vec_id % 5 = 0) AS is_new
+         |       FROM iasg a JOIN v ON a.vec_id = v.vec_id),
+         |growth AS (SELECT cent_id,
+         |                  CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END)
+         |                       AS BIGINT) AS n_old,
+         |                  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END)
+         |                       AS BIGINT) AS n_new
+         |           FROM wv GROUP BY 1),
+         |ex AS (SELECT cent_id, is_new, di.i AS dim,
+         |              CAST(round(e[di.i] * 1000000.0) AS BIGINT) AS q
+         |       FROM wv CROSS JOIN
+         |         (SELECT unnest(generate_series(1, 64)) AS i) di),
+         |sums AS (SELECT cent_id, dim,
+         |                sum(CASE WHEN NOT is_new THEN q END) AS so,
+         |                CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END)
+         |                     AS BIGINT) AS no,
+         |                sum(q) AS sa, count(*) AS na
+         |         FROM ex GROUP BY 1, 2),
+         |means AS (SELECT cent_id, dim,
+         |                 CAST(trunc(CAST(so AS DOUBLE) / no) AS BIGINT) AS mo,
+         |                 CAST(trunc(CAST(sa AS DOUBLE) / na) AS BIGINT) AS ma
+         |          FROM sums WHERE no > 0),
+         |arrs AS (SELECT cent_id,
+         |                list(mo / 1000000.0 ORDER BY dim) AS om,
+         |                list(ma / 1000000.0 ORDER BY dim) AS am
+         |         FROM means GROUP BY 1),
+         |drift AS (SELECT cent_id,
+         |                 CAST(floor(1000.0 * ${dotSql("om", "am")} /
+         |                      (sqrt(${dotSql("om", "om")}) *
+         |                       sqrt(${dotSql("am", "am")}))) AS BIGINT) AS cosp
+         |          FROM arrs)
+         |SELECT g.cent_id, g.n_old, g.n_new,
+         |       g.n_new * 1000 // greatest(g.n_old, 1) AS growth_permille,
+         |       coalesce(d.cosp, -1) AS cos_permille,
+         |       CASE WHEN g.n_old = 0
+         |              OR g.n_new * 1000 // greatest(g.n_old, 1) >= 400
+         |              OR coalesce(d.cosp, -1) < 950
+         |            THEN 'reindex' ELSE 'keep' END AS verdict
+         |FROM growth g LEFT JOIN drift d USING (cent_id)
+         |ORDER BY cent_id""".stripMargin,
+    "q_sq_search" ->
+      s"""WITH $vecCte,
+         |$sqCtes
+         |SELECT q_id, n_id, dot, rk FROM (
+         |  SELECT q_id, n_id, dot,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY dot DESC, n_id) AS rk
+         |  FROM sd) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "q_sq_ivf_search" ->
+      s"""WITH $vecCte,
+         |$sqCtes,
+         |$sqIvfCtes
+         |SELECT q_id, n_id, dot, rk FROM (
+         |  SELECT q_id, n_id, dot,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY dot DESC, n_id) AS rk
+         |  FROM sqdi) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "q_sq_recall" ->
+      s"""WITH $vecCte,
+         |$sqCtes,
+         |$sqIvfCtes,
+         |sqt AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY dot DESC, n_id) AS rk
+         |          FROM sd) WHERE rk <= 5),
+         |sqit AS (SELECT q_id, n_id FROM (
+         |           SELECT q_id, n_id,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                    ORDER BY dot DESC, n_id) AS rk
+         |           FROM sqdi) WHERE rk <= 5),
+         |$exactTopCtes,
+         |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
+         |             (SELECT count(*) FROM ext JOIN sqt USING (q_id, n_id))
+         |               AS n_hits,
+         |             (SELECT count(*) FROM ext JOIN sqit USING (q_id, n_id))
+         |               AS n_hits_ivf)
+         |SELECT n_queries, n_hits, n_hits_ivf,
+         |       n_hits * 1000 // (n_queries * 5) AS recall_permille,
+         |       n_hits_ivf * 1000 // (n_queries * 5) AS recall_ivf_permille
+         |FROM n""".stripMargin,
+    "q_mrl_recall" ->
+      s"""WITH $vecCte,
+         |t16 AS (SELECT vec_id, e[1:16] AS e16,
+         |          sqrt(list_reduce(list_transform(e[1:16], x -> x * x),
+         |                           (a, b) -> a + b)) AS n16
+         |        FROM v),
+         |mp AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+         |         ${dotSql("q.e16", "t.e16")} / (q.n16 * t.n16) AS cos
+         |       FROM t16 q JOIN t16 t ON t.vec_id <> q.vec_id
+         |       WHERE q.vec_id % 20 = 0),
+         |mt AS (SELECT q_id, n_id FROM (
+         |         SELECT q_id, n_id,
+         |                row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY cos DESC, n_id) AS rk
+         |         FROM mp) WHERE rk <= 5),
+         |$exactTopCtes,
+         |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
+         |             (SELECT count(*) FROM ext JOIN mt USING (q_id, n_id))
+         |               AS n_hits)
+         |SELECT n_queries, n_hits,
+         |       n_hits * 1000 // (n_queries * 5) AS recall_permille
+         |FROM n""".stripMargin,
+    "q_embed_stats" ->
+      s"""WITH $vecCte,
+         |p AS (SELECT di.i - 1 AS dim,
+         |        CAST(round(e[di.i] * 1000000.0) AS BIGINT) AS q
+         |      FROM v CROSS JOIN
+         |        (SELECT unnest(generate_series(1, 64)) AS i) di)
+         |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+         |       CAST(sum(q) AS BIGINT) AS sum_micro,
+         |       CAST(sum(q * q) AS BIGINT) AS sumsq_micro2,
+         |       CAST(max(abs(q)) AS BIGINT) AS maxabs_micro
+         |FROM p GROUP BY dim ORDER BY dim""".stripMargin,
+  )
+}
