@@ -38,6 +38,10 @@ object RelationalQueries {
     "q_full_outer_daily" -> ((s, d) => Relational.qFullOuterDaily(s, d)),
     "q_intersect_users" -> ((s, d) => Relational.qIntersectUsers(s, d)),
     "q_dense_rank_brand" -> ((s, d) => Relational.qDenseRankBrand(s, d)),
+    // bounded-heap top-k aggregate (custom TypedImperativeAggregate) — the
+    // exchange-light alternative to the window-rank idiom; oracle replays
+    // the window form, proving the two equivalent
+    "q_topk_parts" -> ((s, d) => Relational.qTopkParts(s, d)),
     // SQL personality
     "q_sql_segment_revenue" -> ((s, d) => SqlApi.revenueBySegment(s, d)),
     "q_sql_cosine_by_label" -> ((s, d) => SqlApi.sqlCosineByLabel(s, d)),
@@ -222,6 +226,15 @@ object RelationalQueries {
         |                    ORDER BY p_retailprice DESC) AS BIGINT) AS rk
         |      FROM part)
         |WHERE rk <= 2 ORDER BY p_brand, rk, p_partkey""".stripMargin,
+    "q_topk_parts" ->
+      """SELECT p_brand, rk, price_cents, p_partkey
+        |FROM (SELECT p_brand, p_partkey,
+        |             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |             CAST(row_number() OVER (PARTITION BY p_brand
+        |                    ORDER BY CAST(round(p_retailprice * 100) AS BIGINT) DESC,
+        |                             p_partkey) AS BIGINT) AS rk
+        |      FROM part)
+        |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
     "q_sql_segment_revenue" ->
       s"""SELECT c_mktsegment, $revenueE4 AS revenue_e4, count(*) AS n_items
          |FROM lineitem

@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_phash"),
       new ExpressionInfo(classOf[PortableHash60].getName, "graft_phash"),
       (exprs: Seq[Expression]) => PortableHash60(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => TopKAgg(exprs(0), exprs(1), exprs(2))))
   }
 }
 
@@ -47,5 +51,7 @@ object GraftFunctions {
       "graft_ldot", exprs => LongDot(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_phash", exprs => PortableHash60(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_topk", exprs => TopKAgg(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -571,4 +571,29 @@ object Relational {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .withColumn("avg_k", expr("sum_k div n"))
       .orderBy("event_type")
+
+  /** Top-3 parts per brand by retail price — via the custom
+    * [[graft.functions.TopKAgg]] bounded-heap aggregate instead of the
+    * window-rank idiom ([[qDenseRankBrand]] is the window twin on the same
+    * table). The window plan shuffles and sorts EVERY part row inside its
+    * brand partition; this plan partial-aggregates an O(k) heap map-side,
+    * so the exchange carries ≤ 3 rows per brand no matter the corpus size
+    * — the shape that survives a 100 TB part table. The tag is the
+    * zero-padded partkey so string order == numeric order and score ties
+    * break deterministically; the driver oracle replays the window form,
+    * proving the two idioms equivalent.
+    */
+  def qTopkParts(spark: SparkSession, dir: String): DataFrame = {
+    val top = graft.functions.TopKAgg.topK(
+      cents(col("p_retailprice")),
+      lpad(col("p_partkey").cast("string"), 10, "0"), 3)
+    Tables.load(spark, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(top.as("top"))
+      .select(col("p_brand"), posexplode(col("top")))
+      .select(col("p_brand"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.score").as("price_cents"),
+        col("col.tag").cast("long").as("p_partkey"))
+      .orderBy("p_brand", "rk")
+  }
 }

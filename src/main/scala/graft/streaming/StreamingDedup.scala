@@ -215,6 +215,155 @@ final class DocVerdictProcessor
   }
 }
 
+/** One paragraph occurrence on the stream ([[StreamingDedup.paraDedupStream]]). */
+final case class ParaRecord(
+    doc_id: Long,
+    pos: Int,
+    h: Long,
+    plen: Long,
+    n_paras: Int,
+    ts_ms: Long,
+    event_time: Timestamp)
+
+/** The earliest holder of a paragraph hash — (ts, doc, pos) total order. */
+final case class ParaOwner(ts_ms: Long, doc_id: Long, pos: Int)
+
+private final case class PendingPara(
+    doc_id: Long, pos: Int, plen: Long, n_paras: Int, ts_ms: Long)
+
+/** Stage-1 verdict: is this paragraph occurrence a repeat of one seen
+  * earlier (anywhere in the corpus, including earlier in the same doc)?
+  */
+final case class ParaVerdict(
+    doc_id: Long, removed: Boolean, plen: Long, n_paras: Int,
+    event_time: Timestamp)
+
+/** Terminal per-doc paragraph-dedup stats — same shape as the batch
+  * `q_para_dedup` row.
+  */
+final case class ParaDocStats(
+    doc_id: Long, n_paras: Long, n_removed: Long, kept_chars: Long)
+
+/** Stage 1 of the streaming paragraph dedup — keyed by paragraph hash.
+  * Identical architecture to [[SigIndexProcessor]] (owner = the minimum
+  * (ts, doc_id, pos) ever seen; pending occurrences await watermark
+  * finality on a rolling event-time timer); only the ownership tuple
+  * gains the in-document position so that a paragraph repeated WITHIN one
+  * document keeps exactly its first block, matching the batch winner rule
+  * `min(struct(doc_id, pos))`.
+  */
+final class ParaIndexProcessor
+    extends StatefulProcessor[Long, ParaRecord, ParaVerdict] {
+
+  @transient private var owner: org.apache.spark.sql.streaming.ValueState[ParaOwner] = _
+  @transient private var pending: org.apache.spark.sql.streaming.ListState[PendingPara] = _
+  @transient private var timerAt: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    owner = getHandle.getValueState[ParaOwner]("owner",
+      Encoders.product[ParaOwner], TTLConfig.NONE)
+    pending = getHandle.getListState[PendingPara]("pending",
+      Encoders.product[PendingPara], TTLConfig.NONE)
+    timerAt = getHandle.getValueState[Long]("timer_at",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def beats(aTs: Long, aDoc: Long, aPos: Int, b: ParaOwner): Boolean =
+    aTs < b.ts_ms || (aTs == b.ts_ms && (aDoc < b.doc_id ||
+      (aDoc == b.doc_id && aPos < b.pos)))
+
+  private def armTimer(at: Long): Unit =
+    if (!timerAt.exists() || at < timerAt.get()) {
+      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+      getHandle.registerTimer(at)
+      timerAt.update(at)
+    }
+
+  override def handleInputRows(key: Long, rows: Iterator[ParaRecord],
+      timers: TimerValues): Iterator[ParaVerdict] = {
+    var cur = if (owner.exists()) owner.get() else null
+    rows.foreach { r =>
+      if (cur == null || beats(r.ts_ms, r.doc_id, r.pos, cur))
+        cur = ParaOwner(r.ts_ms, r.doc_id, r.pos)
+      pending.appendValue(PendingPara(r.doc_id, r.pos, r.plen, r.n_paras, r.ts_ms))
+      armTimer(r.ts_ms)
+    }
+    if (cur != null) owner.update(cur)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[ParaVerdict] = {
+    val wm = math.max(expired.getExpiryTimeInMs(), timers.getCurrentWatermarkInMs())
+    val own = owner.get()
+    val out = Seq.newBuilder[ParaVerdict]
+    val keep = Seq.newBuilder[PendingPara]
+    var minSurviving = Long.MaxValue
+    pending.get().foreach { p =>
+      if (p.ts_ms <= wm) {
+        // owner is the min over every record seen (p included), so
+        // owner ≤ p always: removed ⇔ p is not itself the owner tuple
+        val removed =
+          !(own.ts_ms == p.ts_ms && own.doc_id == p.doc_id && own.pos == p.pos)
+        out += ParaVerdict(p.doc_id, removed, p.plen, p.n_paras,
+          new Timestamp(math.max(p.ts_ms, wm + 1)))
+      } else {
+        keep += p
+        if (p.ts_ms < minSurviving) minSurviving = p.ts_ms
+      }
+    }
+    pending.clear()
+    timerAt.clear()
+    val kept = keep.result()
+    if (kept.nonEmpty) {
+      pending.appendList(kept.toArray)
+      armTimer(minSurviving)
+    }
+    out.result().iterator
+  }
+}
+
+/** Stage 2 — keyed by doc_id: fold paragraph verdicts into the per-doc
+  * (n_paras, n_removed, kept_chars) row, emitting once all of the doc's
+  * paragraphs (the `n_paras` carried on every record) have verdicts.
+  */
+final class ParaDocStatsProcessor
+    extends StatefulProcessor[Long, ParaVerdict, ParaDocStats] {
+
+  @transient private var seenCnt: org.apache.spark.sql.streaming.ValueState[Long] = _
+  @transient private var removedCnt: org.apache.spark.sql.streaming.ValueState[Long] = _
+  @transient private var keptChars: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    seenCnt = getHandle.getValueState[Long]("seen_cnt",
+      Encoders.scalaLong, TTLConfig.NONE)
+    removedCnt = getHandle.getValueState[Long]("removed_cnt",
+      Encoders.scalaLong, TTLConfig.NONE)
+    keptChars = getHandle.getValueState[Long]("kept_chars",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[ParaVerdict],
+      timers: TimerValues): Iterator[ParaDocStats] = {
+    var seen = if (seenCnt.exists()) seenCnt.get() else 0L
+    var removed = if (removedCnt.exists()) removedCnt.get() else 0L
+    var chars = if (keptChars.exists()) keptChars.get() else 0L
+    var expected = -1
+    rows.foreach { v =>
+      seen += 1
+      if (v.removed) removed += 1 else chars += v.plen
+      expected = v.n_paras
+    }
+    if (expected >= 0 && seen >= expected) {
+      seenCnt.clear(); removedCnt.clear(); keptChars.clear()
+      Iterator.single(ParaDocStats(key, seen, removed, chars))
+    } else {
+      seenCnt.update(seen); removedCnt.update(removed); keptChars.update(chars)
+      Iterator.empty
+    }
+  }
+}
+
 /** Streaming MinHash-LSH near-dup dedup: the batch `dedup_minhash`
   * candidate machinery (16 portable minhashes, 4×4 banding) as a two-stage
   * chained stateful topology — the same architecture as the chain-link
@@ -285,6 +434,62 @@ object StreamingDedup {
       .transformWithState(new SigIndexProcessor, "event_time", OutputMode.Append)
       .groupByKey(_.doc_id)
       .transformWithState(new DocVerdictProcessor, TimeMode.None, OutputMode.Append)
+  }
+
+  /** The per-paragraph records of a doc stream, mirroring the batch
+    * [[graft.operators.Corpus.paraDedup]] construction bit-for-bit: the
+    * same [[graft.operators.Corpus.ParaWords]]-word blocks, the same
+    * [[graft.operators.Corpus.MinParaWords]] short-tail filter (applied
+    * AFTER posexplode so `pos` matches the batch winner tiebreak), the
+    * same portable hash. `n_paras` (the doc's surviving-block count) rides
+    * every record so stage 2 knows when a doc's verdicts are complete.
+    */
+  def paragraphRecords(docs: DataFrame): DataFrame = {
+    import graft.operators.Corpus.{MinParaWords, ParaWords}
+    val parasArr = expr(
+      s"""transform(
+         |  sequence(0L, (cast(size(w) AS BIGINT) + ${ParaWords - 1}) div $ParaWords - 1),
+         |  i -> array_join(slice(w, cast(i * $ParaWords + 1 AS INT), $ParaWords), ' '))""".stripMargin)
+    docs
+      .select(col("doc_id"), col("ts_ms"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("ts_ms"), parasArr.as("ps"))
+      .withColumn("n_paras",
+        size(filter(col("ps"), p => size(split(p, " ")) >= MinParaWords)))
+      .select(col("doc_id"), col("ts_ms"), col("n_paras"),
+        posexplode(col("ps")).as(Seq("pos", "para")))
+      .where(size(split(col("para"), " ")) >= MinParaWords)
+      .select(col("doc_id"), col("pos"),
+        graft.sources.Tables.portableHash(col("para")).as("h"),
+        length(col("para")).cast("long").as("plen"),
+        col("n_paras"), col("ts_ms"),
+        timestamp_millis(col("ts_ms")).as("event_time"))
+  }
+
+  /** Streaming paragraph-level exact dedup — the batch `q_para_dedup`
+    * (C4-style repeated-span pass) as the same two-stage chained stateful
+    * topology as [[minhashDedupStream]]: stage 1 keys by paragraph hash
+    * and rules each occurrence kept/removed against the hash's earliest
+    * owner in (ts, doc_id, pos) order once the watermark makes it final;
+    * stage 2 folds verdicts into the per-doc (n_paras, n_removed,
+    * kept_chars) row. With ts_ms = doc_id the result equals the batch
+    * operator exactly (StreamingParaDedupSpec, shuffled arrival).
+    *
+    * State: one owner tuple per DISTINCT paragraph hash (the streaming
+    * form of the batch winner relation — same asymptotics as the batch
+    * shuffle key set, sharded by hash), plus in-flight occurrences bounded
+    * by the watermark delay. Per-doc stage-2 state clears on emit.
+    */
+  def paraDedupStream(docs: DataFrame, maxOutOfOrder: String = "30 seconds")
+      : Dataset[ParaDocStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    paragraphRecords(docs)
+      .withWatermark("event_time", maxOutOfOrder)
+      .as[ParaRecord]
+      .groupByKey(_.h)
+      .transformWithState(new ParaIndexProcessor, "event_time", OutputMode.Append)
+      .groupByKey(_.doc_id)
+      .transformWithState(new ParaDocStatsProcessor, TimeMode.None, OutputMode.Append)
   }
 
   /** Idle-flush personality: verdicts emit `idleFlush` after each
