@@ -29,6 +29,7 @@ object CurationQueries {
     "q_pack_sequences" -> ((s, d) => Curation.packSequences(s, d)),
     "q_pack_greedy" -> ((s, d) => Curation.packGreedy(s, d)),
     "q_exemplars" -> ((s, d) => Curation.exemplars(s, d)),
+    "q_dsir_select" -> ((s, d) => Curation.dsirSelect(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -281,5 +282,32 @@ object CurationQueries {
          |                    doc_id) AS BIGINT) AS rk
          |  FROM documents)
          |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+    // Replays the hashed-unigram DSIR scoring: 256 portable-hash buckets,
+    // add-one-smoothed target(en)/raw permille ratios, per-doc integer
+    // mean ratio, top-100 by (score DESC, doc_id).
+    "q_dsir_select" ->
+      s"""WITH tb AS (SELECT doc_id, lang,
+         |              ${Tables.portableHashSql("w")} % ${Curation.DsirB} AS b
+         |            FROM (SELECT doc_id, lang,
+         |                    unnest(string_split(text, ' ')) AS w
+         |                  FROM documents)),
+         |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt_r,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS cnt_t
+         |       FROM tb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r,
+         |               CAST(sum(cnt_t) AS BIGINT) AS tot_t FROM bc),
+         |wts AS (SELECT b,
+         |          CAST((cnt_t + 1) * (tot_r + ${Curation.DsirB}) * 1000 //
+         |               ((cnt_r + 1) * (tot_t + ${Curation.DsirB}))
+         |            AS BIGINT) AS w_pm
+         |        FROM bc, tot),
+         |ds AS (SELECT tb.doc_id, tb.lang,
+         |         CAST(count(*) AS BIGINT) AS n_toks,
+         |         CAST(sum(w_pm) AS BIGINT) AS sw
+         |       FROM tb JOIN wts ON tb.b = wts.b GROUP BY 1, 2)
+         |SELECT doc_id, lang, n_toks,
+         |       CAST(sw // n_toks AS BIGINT) AS score_pm
+         |FROM ds ORDER BY score_pm DESC, doc_id LIMIT 100""".stripMargin,
   )
 }

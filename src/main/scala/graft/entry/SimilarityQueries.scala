@@ -42,6 +42,10 @@ object SimilarityQueries {
     "q_sq_recall" -> ((s, d) => Similarity.sqRecall(s, d)),
     "q_mrl_recall" -> ((s, d) => Similarity.mrlRecall(s, d)),
     "q_embed_stats" -> ((s, d) => Similarity.embedStats(s, d)),
+    // eighth wave: two-stage exact-rerank serving and hard-negative mining
+    "q_rerank" -> ((s, d) => Similarity.rerankSearch(s, d)),
+    "q_rerank_recall" -> ((s, d) => Similarity.rerankRecall(s, d)),
+    "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -560,5 +564,103 @@ object SimilarityQueries {
          |       CAST(sum(q * q) AS BIGINT) AS sumsq_micro2,
          |       CAST(max(abs(q)) AS BIGINT) AS maxabs_micro
          |FROM p GROUP BY dim ORDER BY dim""".stripMargin,
+    // Replays the two-stage pipeline: PQ∘IVF ADC candidates widened to
+    // top-32 per query, then exact full-dimension cosine re-scoring of
+    // just those candidates, top-5 re-emitted.
+    "q_rerank" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |$pqIvfCtes,
+         |widek AS (SELECT q_id, n_id FROM (
+         |            SELECT q_id, n_id,
+         |                   row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY adc_q, n_id) AS rk
+         |            FROM adci) WHERE rk <= 32),
+         |rr AS (SELECT w.q_id, w.n_id,
+         |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |       FROM widek w
+         |       JOIN v q ON w.q_id = q.vec_id
+         |       JOIN v t ON w.n_id = t.vec_id)
+         |SELECT q_id, n_id, cos, rk FROM (
+         |  SELECT q_id, n_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, n_id) AS rk
+         |  FROM rr)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // Raw PQ∘IVF top-5 vs the exact-reranked top-5, both graded against
+    // the exact brute-force truth — what refinement recovers of the ADC
+    // compression loss.
+    "q_rerank_recall" ->
+      s"""WITH $vecCte,
+         |$pqCtes,
+         |$pqIvfCtes,
+         |ivf5 AS (SELECT q_id, n_id FROM (
+         |           SELECT q_id, n_id,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                    ORDER BY adc_q, n_id) AS rk
+         |           FROM adci) WHERE rk <= 5),
+         |widek AS (SELECT q_id, n_id FROM (
+         |            SELECT q_id, n_id,
+         |                   row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY adc_q, n_id) AS rk
+         |            FROM adci) WHERE rk <= 32),
+         |rr AS (SELECT w.q_id, w.n_id,
+         |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |       FROM widek w
+         |       JOIN v q ON w.q_id = q.vec_id
+         |       JOIN v t ON w.n_id = t.vec_id),
+         |rr5 AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY cos DESC, n_id) AS rk
+         |          FROM rr) WHERE rk <= 5),
+         |$exactTopCtes,
+         |n AS (SELECT (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
+         |             (SELECT count(*) FROM ext JOIN ivf5 USING (q_id, n_id))
+         |               AS n_hits_ivf,
+         |             (SELECT count(*) FROM ext JOIN rr5 USING (q_id, n_id))
+         |               AS n_hits_rerank)
+         |SELECT n_queries, n_hits_ivf, n_hits_rerank,
+         |       n_hits_ivf * 1000 // (n_queries * 5) AS recall_ivf_permille,
+         |       n_hits_rerank * 1000 // (n_queries * 5) AS recall_rerank_permille
+         |FROM n""".stripMargin,
+    // Replays the IVF-probed hard-negative mine: nprobe=2 candidates,
+    // different-label filter, exact cosine, top-3 per query.
+    "q_hard_negatives" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("hcents", 64)},
+         |hasg AS (SELECT vec_id, cent_id FROM (
+         |           SELECT v.vec_id, c.cent_id,
+         |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                    ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                    c.cent_id) AS rn
+         |           FROM v CROSS JOIN hcents c) WHERE rn = 1),
+         |hprob AS (SELECT q_id, cent_id FROM (
+         |            SELECT v.vec_id AS q_id, c.cent_id,
+         |                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                     ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                     c.cent_id) AS rn
+         |            FROM v CROSS JOIN hcents c WHERE v.vec_id % 20 = 0)
+         |          WHERE rn <= 2),
+         |hcand AS (SELECT p.q_id, a.vec_id FROM hprob p
+         |          JOIN hasg a ON p.cent_id = a.cent_id
+         |          WHERE a.vec_id <> p.q_id),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+         |        FROM embeddings),
+         |hn AS (SELECT c.q_id, ql.label AS q_label, c.vec_id AS n_id,
+         |         nl.label AS n_label,
+         |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |       FROM hcand c
+         |       JOIN v q ON c.q_id = q.vec_id
+         |       JOIN v t ON c.vec_id = t.vec_id
+         |       JOIN lab ql ON c.q_id = ql.vec_id
+         |       JOIN lab nl ON c.vec_id = nl.vec_id
+         |       WHERE ql.label <> nl.label)
+         |SELECT q_id, q_label, n_id, n_label, cos, rk FROM (
+         |  SELECT q_id, q_label, n_id, n_label, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, n_id) AS rk
+         |  FROM hn)
+         |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
   )
 }

@@ -488,4 +488,51 @@ object Curation {
         expr(s"(pos - 1) * $nShards div ${math.max(n, 1L)}").as("shard"))
       .orderBy("pos")
   }
+
+  /** Hashed-feature bucket count for [[dsirSelect]] — a CONSTANT: the
+    * weight relation is `DsirB` rows at any corpus size (production uses
+    * ~10⁴–10⁵ buckets; 256 is sized so the test corpus still gives every
+    * bucket smoothed mass).
+    */
+  private[graft] val DsirB = 256L
+
+  /** DSIR-style importance selection (hashed-n-gram importance resampling,
+    * Xie et al. 2023): score every document by how target-like its token
+    * distribution is, using hashed unigram features — the standard
+    * "select pretraining data that looks like the domain you care about"
+    * pass. Target here = the `lang = 'en'` slice of the corpus; raw = the
+    * whole corpus.
+    *
+    * Tokens hash into [[DsirB]] buckets (portable 60-bit hash, oracle-
+    * replayable); each bucket gets an add-one-smoothed target/raw
+    * likelihood ratio in permille (pure int64 arithmetic — no float log,
+    * so the oracle hash-matches every score); each document's score is
+    * the integer mean ratio over its tokens. Emits the top-100 documents
+    * by (score DESC, doc_id).
+    *
+    * Scale shape: one token scan → a 256-row weight aggregation
+    * (map-side combinable) → broadcast weights joined back on the bucket
+    * key → per-doc aggregation → distributed TakeOrdered top-100. Linear
+    * in corpus size, constant-size broadcasts, no window over the corpus.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .withColumn("b", Tables.portableHash(col("w")) % DsirB)
+    val bc = toks.groupBy("b").agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))
+    val tot = bc.agg(sum(col("cnt_r")).as("tot_r"), sum(col("cnt_t")).as("tot_t"))
+    val wts = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr(s"(cnt_t + 1) * (tot_r + $DsirB) * 1000 div " +
+          s"((cnt_r + 1) * (tot_t + $DsirB))").as("w_pm"))
+    toks.join(broadcast(wts), "b")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"), sum(col("w_pm")).as("sw"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        expr("sw div n_toks").as("score_pm"))
+      .orderBy(col("score_pm").desc, col("doc_id")).limit(100)
+  }
 }

@@ -502,9 +502,12 @@ object Similarity {
   /** Un-memoized PQ∘IVF builder (plan-audit surface): probes ⋈ assignment
     * on cent_id → candidate (q_id, vec_id) pairs; candidates ⋈ codes on
     * vec_id; broadcast ADC-table join on (q_id, m, code); map-side-combined
-    * integer aggregation; per-query top-5 (adc_q ASC, n_id).
+    * integer aggregation; per-query top-`keep` (adc_q ASC, n_id). `keep`
+    * defaults to the serving top-5; the exact-rerank refine stage widens it
+    * to [[RerankC]] candidates per query.
     */
-  private[graft] def pqIvfTopBuild(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqIvfTopBuild(spark: SparkSession, dir: String,
+      keep: Int = K): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
     val assign = ivfAssignFor(spark, dir)
     val probes = multiProbe(v.where(col("vec_id") % 20 === 0),
@@ -518,7 +521,7 @@ object Similarity {
       .join(broadcast(pqDtabFor(spark, dir)), Seq("q_id", "m", "code"))
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
       .agg(sum(col("dq")).as("adc_q"))
-      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= keep)
   }
 
   /** Trained-codebook PQ∘IVF search — the configuration every production
@@ -976,5 +979,116 @@ object Similarity {
     nQ.crossJoin(nHit)
       .select(col("n_queries"), col("n_hits"),
         expr("n_hits * 1000 div (n_queries * 5)").as("recall_permille"))
+  }
+
+  /** Candidate width of the exact-rerank refine stage: how many ADC-ranked
+    * candidates per query get exact re-scoring. A constant — the refine
+    * cost is O(Q·RerankC) full-dimension dots regardless of corpus size.
+    */
+  private[graft] val RerankC = 32
+
+  /** Memoized WIDE PQ∘IVF candidate relation (≤ RerankC·Q rows): the same
+    * probe ⋈ codes ⋈ ADC join tree as [[pqIvfTopFor]], keeping the top
+    * [[RerankC]] per query instead of 5 — the candidate-generation stage
+    * of the two-stage serving pipeline.
+    */
+  private[graft] def pqIvfWideFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"pqivfwide:$dir")(
+      pqIvfTopBuild(spark, dir, RerankC))
+
+  /** Exact-rerank refine stage — the production two-stage ANN serving
+    * shape (a compressed index generates candidates, full-precision
+    * vectors re-score only those): the [[RerankC]] ADC-ranked PQ∘IVF
+    * candidates per query are re-scored with the exact full-dimension
+    * cosine and the top-5 re-emitted. Cost over the candidate stage is
+    * O(Q·RerankC) exact dots — per-query constant, corpus-size-free —
+    * and the candidate ⋈ vectors join is an equi-join on vec_id against
+    * the corpus relation (shuffles ≤ RerankC·Q candidate rows, never
+    * re-scans the corpus). [[rerankRecall]] quantifies what the refine
+    * stage buys over raw ADC ranking on this corpus.
+    */
+  def rerankSearch(spark: SparkSession, dir: String): DataFrame =
+    rerankTopFor(spark, dir).orderBy("q_id", "rk")
+
+  /** Memoized rerank top-5 relation (≤ 5·Q rows). */
+  private[graft] def rerankTopFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"reranktop:$dir")(
+      rerankTopBuild(spark, dir))
+
+  /** Un-memoized rerank builder (plan-audit surface): wide candidates ⋈
+    * corpus vectors on n_id (equi-join), query vectors broadcast (Q ≪ N),
+    * exact cosine, per-query top-5 (cos DESC, n_id).
+    */
+  private[graft] def rerankTopBuild(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    val q = v.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val cand = pqIvfWideFor(spark, dir).select("q_id", "n_id")
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cand
+      .join(v.select(col("vec_id").as("n_id"), col("e"), col("nrm")), "n_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"),
+        Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
+  }
+
+  /** Recall@5 audit of the two-stage pipeline: raw PQ∘IVF top-5 vs the
+    * exact-reranked top-5, both against the exact brute-force truth — the
+    * number that says what full-precision refinement recovers of the
+    * ADC compression loss. Semi-joins of ≤ 5·Q-row relations; costs
+    * nothing beyond the searches it grades.
+    */
+  def rerankRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopkFor(spark, dir).select(col("q_id"), col("n_id"))
+    val ivf = pqIvfTopFor(spark, dir).select(col("q_id"), col("n_id"))
+    val rr = rerankTopFor(spark, dir).select(col("q_id"), col("n_id"))
+    val nQ = exact.select("q_id").distinct().agg(count(lit(1)).as("n_queries"))
+    val nIvf = exact.join(ivf, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits_ivf"))
+    val nRr = exact.join(rr, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits_rerank"))
+    nQ.crossJoin(nIvf).crossJoin(nRr)
+      .select(col("n_queries"), col("n_hits_ivf"), col("n_hits_rerank"),
+        expr("n_hits_ivf * 1000 div (n_queries * 5)").as("recall_ivf_permille"),
+        expr("n_hits_rerank * 1000 div (n_queries * 5)")
+          .as("recall_rerank_permille"))
+  }
+
+  /** Hard-negative mining for embedding-model training: for each sampled
+    * query, the 3 most-similar corpus vectors carrying a DIFFERENT label —
+    * the near-misses a contrastive trainer wants as negatives (easy
+    * random negatives teach nothing; the hardest ones sit right at the
+    * decision boundary). Candidates come from the same nprobe=2 IVF probe
+    * the ANN search uses, so mining cost is O(Q·N·nprobe/C) exactly like
+    * a search — never an all-pairs scan — and the label filter is a
+    * predicate on the candidate rows after two equi-joins against the
+    * K-row label relation. Emits (q_id, q_label, n_id, n_label, cos, rk).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    val lab = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val probes = multiProbe(v.where(col("vec_id") % 20 === 0),
+        centroidsMemoFor(spark, dir), nprobe = 2)
+      .withColumnRenamed("vec_id", "q_id")
+    val cand = probes.join(ivfAssignFor(spark, dir), "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val q = v.where(col("vec_id") % 20 === 0)
+      .join(lab, "vec_id")
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("label").as("q_label"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cand
+      .join(v.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+      .join(lab, "vec_id")
+      .join(broadcast(q), "q_id")
+      .where(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"),
+        Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= 3)
+      .orderBy("q_id", "rk")
   }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Similarity}
+import graft.sources.Tables
+
+/** Round-9 additions: the exact-rerank refine stage over widened PQ∘IVF
+  * candidates, IVF-probed hard-negative mining, and DSIR-style hashed
+  * importance selection. The DuckDB hash-equivalence lives in the driver
+  * gate; these pin the operator-level invariants.
+  */
+class EighthWaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rerank emits exactly 5 per query, drawn from the wide candidates") {
+    val rr = Similarity.rerankSearch(spark, sf0001).cache()
+    val perQ = rr.groupBy("q_id").count().where(col("count") =!= 5).count()
+    assert(perQ === 0L)
+    val wide = Similarity.pqIvfWideFor(spark, sf0001).select("q_id", "n_id")
+    val outside = rr.select("q_id", "n_id")
+      .join(wide, Seq("q_id", "n_id"), "left_anti").count()
+    assert(outside === 0L, "reranked rows must come from the ADC candidates")
+    // exact-cos ordering within each query
+    val inverted = rr.as("a").join(rr.as("b"),
+        $"a.q_id" === $"b.q_id" && $"a.rk" === $"b.rk" - 1 &&
+        $"a.cos" < $"b.cos").count()
+    assert(inverted === 0L, "cos must be non-increasing in rk")
+    rr.unpersist()
+  }
+
+  test("rerank recovers exactly the truth members present in the candidates") {
+    // The reranked top-5 scores candidates by the same exact cosine that
+    // defines the ground truth, so every truth member that survives
+    // candidate generation MUST be picked (≤5 truth members exist and each
+    // outranks every non-truth candidate). hits_rerank therefore equals
+    // |truth ∩ wide-candidates| — and can never trail the raw ADC top-5.
+    val truth = Similarity.annTopkFor(spark, sf0001).select("q_id", "n_id")
+    val wide = Similarity.pqIvfWideFor(spark, sf0001).select("q_id", "n_id")
+    val truthInWide =
+      truth.join(wide, Seq("q_id", "n_id"), "left_semi").count()
+    val r = Similarity.rerankRecall(spark, sf0001).head()
+    val (hitsIvf, hitsRr) =
+      (r.getAs[Long]("n_hits_ivf"), r.getAs[Long]("n_hits_rerank"))
+    assert(hitsRr === truthInWide)
+    assert(hitsRr >= hitsIvf,
+      s"rerank hits $hitsRr must not trail raw ADC hits $hitsIvf")
+  }
+
+  test("hard negatives: different label, top-3, sampled queries only") {
+    val hn = Similarity.hardNegatives(spark, sf0001).cache()
+    assert(hn.where(col("q_label") === col("n_label")).count() === 0L)
+    assert(hn.where(col("q_id") % 20 =!= 0).count() === 0L)
+    assert(hn.where(col("rk") > 3 || col("rk") < 1).count() === 0L)
+    val over = hn.groupBy("q_id").count().where(col("count") > 3).count()
+    assert(over === 0L)
+    assert(hn.where(abs(col("cos")) > 1.0000001).count() === 0L)
+    // labels must be the corpus labels of the ids they annotate
+    val lab = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("n_id"), col("label").cast("long").as("lab"))
+    val mislabeled = hn.join(lab, "n_id")
+      .where(col("n_label") =!= col("lab")).count()
+    assert(mislabeled === 0L)
+    hn.unpersist()
+  }
+
+  test("DSIR selection enriches the target slice beyond its corpus share") {
+    val sel = Curation.dsirSelect(spark, sf0001).cache()
+    assert(sel.count() === 100L)
+    // scores are positive and the emitted order is deterministic top-100
+    assert(sel.where(col("score_pm") <= 0 || col("n_toks") <= 0).count() === 0L)
+    val docs = Tables.load(spark, sf0001, "documents")
+    val corpusEnPm = {
+      val r = docs.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en"),
+        count(lit(1)).as("n")).head()
+      r.getLong(0) * 1000 / r.getLong(1)
+    }
+    val selEnPm = sel.where(col("lang") === "en").count() * 1000 / 100
+    assert(selEnPm > corpusEnPm,
+      s"selection en share $selEnPm‰ must exceed corpus share $corpusEnPm‰")
+    sel.unpersist()
+  }
+
+  test("DSIR scores are deterministic across rebuilds") {
+    val a = Curation.dsirSelect(spark, sf0001)
+      .select("doc_id", "score_pm").as[(Long, Long)].collect().sorted
+    val b = Curation.dsirSelect(spark, sf0001)
+      .select("doc_id", "score_pm").as[(Long, Long)].collect().sorted
+    assert(a.sameElements(b))
+  }
+}
