@@ -33,6 +33,7 @@ object DedupQueries {
     "q_boilerplate_grams" -> ((s, d) => Corpus.boilerplateGrams(s, d)),
     "q_source_overlap" -> ((s, d) => Corpus.sourceOverlap(s, d)),
     "q_ngram_novelty" -> ((s, d) => Corpus.ngramNovelty(s, d)),
+    "q_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -333,5 +334,51 @@ object DedupQueries {
          |         AS novelty_permille
          |FROM sz LEFT JOIN nv ON sz.doc_id = nv.doc_id
          |ORDER BY sz.doc_id""".stripMargin,
+    // Replays the dedup_embedding pair chain plus the SemDeDup keep rule:
+    // nearest-centroid assignment, centroid cosine per member, the
+    // more-central member of each pair dropped (tie → larger vec_id).
+    "q_semdedup" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents", 64)},
+         |probes AS (SELECT vec_id, cent_id FROM (
+         |             SELECT v.vec_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM probes a JOIN probes b
+         |           ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |dp AS (SELECT c.vec_a, c.vec_b
+         |       FROM cand c
+         |       JOIN v va ON c.vec_a = va.vec_id
+         |       JOIN v vb ON c.vec_b = vb.vec_id
+         |       WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
+         |asg1 AS (SELECT vec_id, cent_id FROM (
+         |           SELECT v.vec_id, c.cent_id,
+         |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                    ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                    c.cent_id) AS rn
+         |           FROM v CROSS JOIN cents c) WHERE rn = 1),
+         |cc AS (SELECT a.vec_id, a.cent_id,
+         |         ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) AS ccos
+         |       FROM asg1 a JOIN v ON a.vec_id = v.vec_id
+         |       JOIN cents c ON a.cent_id = c.cent_id),
+         |losers AS (SELECT DISTINCT
+         |             CASE WHEN ca.ccos > cb.ccos THEN d.vec_a
+         |                  WHEN cb.ccos > ca.ccos THEN d.vec_b
+         |                  ELSE greatest(d.vec_a, d.vec_b) END AS vec_id
+         |           FROM dp d
+         |           JOIN cc ca ON d.vec_a = ca.vec_id
+         |           JOIN cc cb ON d.vec_b = cb.vec_id),
+         |mem AS (SELECT DISTINCT vec_id FROM (
+         |          SELECT vec_a AS vec_id FROM dp
+         |          UNION ALL SELECT vec_b AS vec_id FROM dp))
+         |SELECT m.vec_id, cc.cent_id, cc.ccos,
+         |       CASE WHEN l.vec_id IS NULL THEN 'keep' ELSE 'drop' END
+         |         AS verdict
+         |FROM mem m JOIN cc ON m.vec_id = cc.vec_id
+         |LEFT JOIN losers l ON m.vec_id = l.vec_id
+         |ORDER BY m.vec_id""".stripMargin,
   )
 }

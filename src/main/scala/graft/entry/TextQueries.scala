@@ -33,6 +33,7 @@ object TextQueries {
     "q_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "q_pii_scrub" -> ((s, d) => Scrub.piiScrub(s, d)),
+    "q_cms_hitters" -> ((s, d) => TextAnalysis.cmsHitters(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -280,5 +281,30 @@ object TextQueries {
          |       CAST(sum(c_residual) AS BIGINT) AS n_residual
          |FROM m GROUP BY source ORDER BY source""".stripMargin
     },
+    // Replays the 4×256 count-min build (salted portable hashes) and the
+    // min-over-rows estimates for the exact top-20 tokens.
+    "q_cms_hitters" ->
+      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS w
+         |            FROM documents),
+         |rs AS (SELECT unnest(generate_series(0, ${TextAnalysis.CmsD - 1}))
+         |         AS r),
+         |tb AS (SELECT rs.r,
+         |         ${Tables.portableHashSql("'cms' || rs.r || ':' || tk.w")}
+         |           % ${TextAnalysis.CmsW} AS b
+         |       FROM tk CROSS JOIN rs),
+         |sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+         |       FROM tb GROUP BY 1, 2),
+         |top AS (SELECT w, CAST(count(*) AS BIGINT) AS n_exact
+         |        FROM tk GROUP BY 1 ORDER BY n_exact DESC, w LIMIT 20),
+         |est AS (SELECT t.w, t.n_exact, min(sk.c) AS n_est
+         |        FROM top t CROSS JOIN rs
+         |        JOIN sk ON sk.r = rs.r
+         |          AND sk.b = ${Tables.portableHashSql(
+                       "'cms' || rs.r || ':' || t.w")} % ${TextAnalysis.CmsW}
+         |        GROUP BY 1, 2)
+         |SELECT w, n_exact, CAST(n_est AS BIGINT) AS n_est,
+         |       CAST((n_est - n_exact) * 1000 // n_exact AS BIGINT)
+         |         AS over_permille
+         |FROM est ORDER BY n_exact DESC, w""".stripMargin,
   )
 }

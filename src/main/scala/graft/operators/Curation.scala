@@ -515,24 +515,48 @@ object Curation {
     * key → per-doc aggregation → distributed TakeOrdered top-100. Linear
     * in corpus size, constant-size broadcasts, no window over the corpus.
     */
-  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("w"))
+  /** The trained DSIR weight table over the COMPLETE bucket domain
+    * (0 until DsirB): buckets no corpus token hashed into still get their
+    * add-one-smoothed weight, so a serving-time scorer
+    * ([[graft.streaming.StreamingOps.dsirScoreStream]]) never sees a
+    * missing key when a NEW document's token lands in a bucket the
+    * training corpus left empty. Batch scoring is unaffected — corpus
+    * tokens only ever hit observed buckets by construction.
+    */
+  private[graft] def dsirWeights(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .withColumn("b", Tables.portableHash(col("w")) % DsirB)
     val bc = toks.groupBy("b").agg(
       count(lit(1)).as("cnt_r"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))
     val tot = bc.agg(sum(col("cnt_r")).as("tot_r"), sum(col("cnt_t")).as("tot_t"))
-    val wts = bc.crossJoin(broadcast(tot))
+    spark.range(DsirB).select(col("id").as("b"))
+      .join(bc, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cnt_r"), lit(0L)).as("cnt_r"),
+        coalesce(col("cnt_t"), lit(0L)).as("cnt_t"))
+      .crossJoin(broadcast(tot))
       .select(col("b"),
         expr(s"(cnt_t + 1) * (tot_r + $DsirB) * 1000 div " +
           s"((cnt_r + 1) * (tot_t + $DsirB))").as("w_pm"))
-    toks.join(broadcast(wts), "b")
+  }
+
+  /** Per-document DSIR scores (every doc, unselected) — the relation the
+    * top-100 selection and the streaming scorer both agree with.
+    */
+  private[graft] def dsirScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val wts = dsirWeights(spark, docs)
+    docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .withColumn("b", Tables.portableHash(col("w")) % DsirB)
+      .join(broadcast(wts), "b")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_toks"), sum(col("w_pm")).as("sw"))
       .select(col("doc_id"), col("lang"), col("n_toks"),
         expr("sw div n_toks").as("score_pm"))
-      .orderBy(col("score_pm").desc, col("doc_id")).limit(100)
   }
+
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirScores(spark, dir)
+      .orderBy(col("score_pm").desc, col("doc_id")).limit(100)
 }

@@ -462,4 +462,49 @@ object TextAnalysis {
           .otherwise(lit(0L)))
       .orderBy("doc_id")
   }
+
+  /** Count-min sketch depth (independent hash rows) and width (counters
+    * per row) — CONSTANTS: the sketch is D·W int64 counters at any corpus
+    * size (production widens W to ~2⁄ε; 4×256 is sized to the test
+    * corpus's token cardinality).
+    */
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 256L
+
+  /** Count-min sketch accuracy contract over corpus tokens: build the
+    * D×W sketch (each token increments one counter per hash row, salted
+    * portable hashes), then estimate the exact top-20 tokens' counts as
+    * the MIN over their D counters and report the overestimate in
+    * permille. The CMS guarantee — estimates never undercount, and
+    * overcount by ≤ εN with high probability — becomes a hash-checked
+    * number per heavy hitter, the `q_approx_distinct`/`q_approx_quantile`
+    * accuracy-contract pattern applied to the one classic sketch the
+    * family lacked.
+    *
+    * Scale shape: one token scan ×D (map-side-combined into ≤ D·W
+    * counter rows), a distributed TakeOrdered for the exact top-20, and
+    * broadcast joins of the 1024-row sketch — linear in corpus size,
+    * constant-size state, trivially streamable (the counters are pure
+    * additive state).
+    */
+  def cmsHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val rowIds = array((0 until CmsD).map(lit): _*)
+    def bucket(r: Column, w: Column): Column =
+      Tables.portableHash(concat(lit("cms"), r.cast("string"), lit(":"), w)) % CmsW
+    val sketch = toks.select(explode(rowIds).as("r"), col("w"))
+      .select(col("r").cast("long").as("r"), bucket(col("r"), col("w")).as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("w").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(20)
+    top.select(col("w"), col("n_exact"), explode(rowIds).as("r"))
+      .select(col("w"), col("n_exact"), col("r").cast("long").as("r"))
+      .withColumn("b", bucket(col("r"), col("w")))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy("w", "n_exact").agg(min(col("c")).as("n_est"))
+      .select(col("w"), col("n_exact"), col("n_est"),
+        expr("(n_est - n_exact) * 1000 div n_exact").as("over_permille"))
+      .orderBy(col("n_exact").desc, col("w"))
+  }
 }

@@ -436,4 +436,31 @@ object StreamingOps {
     counts.select(col("window.start").as("window_start"), col("source"),
       col("n_docs"), drift.as("drift_permille"))
   }
+
+  /** Streaming DSIR scoring: arriving documents scored in-row against a
+    * FROZEN trained weight table ([[graft.operators.Curation.dsirWeights]]
+    * — the batch training pass's artifact, complete over all 256 buckets
+    * so no token can miss). The 256-entry bucket→weight map collapses to
+    * ONE broadcast row and each document's integer mean-ratio score is an
+    * in-row array fold over its tokens — stateless, shuffle-free,
+    * bit-identical to the batch [[graft.operators.Curation.dsirScores]]
+    * arithmetic. The continuous form of the `q_dsir_select` scoring stage:
+    * a router drops/keeps/weights documents at ingest by target-likeness.
+    * Columns in: (doc_id, lang, text, event_time).
+    */
+  def dsirScoreStream(stream: DataFrame, weights: DataFrame): DataFrame = {
+    import graft.sources.Tables
+    val wmap = weights.agg(
+      map_from_entries(collect_list(struct(col("b"), col("w_pm")))).as("wm"))
+    stream.crossJoin(broadcast(wmap))
+      .select(col("doc_id"), col("lang"), col("event_time"),
+        split(col("text"), " ").as("ws"), col("wm"))
+      .select(col("doc_id"), col("lang"), col("event_time"),
+        size(col("ws")).cast("long").as("n_toks"),
+        aggregate(col("ws"), lit(0L), (acc, w) =>
+          acc + element_at(col("wm"),
+            Tables.portableHash(w) % graft.operators.Curation.DsirB)).as("sw"))
+      .withColumn("score_pm", expr("sw div n_toks"))
+      .drop("sw")
+  }
 }

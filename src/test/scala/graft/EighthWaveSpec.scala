@@ -88,4 +88,65 @@ class EighthWaveSpec extends SparkSpec {
       .select("doc_id", "score_pm").as[(Long, Long)].collect().sorted
     assert(a.sameElements(b))
   }
+
+  test("streaming DSIR scorer == batch scores on replayed documents") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val wts = Curation.dsirWeights(spark, corpus)
+    val sample = corpus.where(col("doc_id") < 40)
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingOps.dsirScoreStream(
+      in.toDF().toDF("doc_id", "lang", "text", "event_time"), wts)
+    val q = out.writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = sample.splitAt(sample.size / 2)
+      in.addData(b1.map(d => (d._1, d._2, d._3, new java.sql.Timestamp(1000L))))
+      q.processAllAvailable()
+      in.addData(b2.map(d => (d._1, d._2, d._3, new java.sql.Timestamp(2000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("dsir_out")
+      .select("doc_id", "n_toks", "score_pm")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Curation.dsirScores(spark, sf0001)
+      .where(col("doc_id") < 40)
+      .select("doc_id", "n_toks", "score_pm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("SemDeDup condemns at least one member of every near-dup pair") {
+    val sd = Similarity // force object init order stability
+    assert(sd != null)
+    val verdicts = operators.Dedup.semDedup(spark, sf0001).cache()
+    assert(verdicts.where(!col("verdict").isin("keep", "drop")).count() === 0L)
+    assert(verdicts.where(abs(col("ccos")) > 1.0000001).count() === 0L)
+    val pairs = operators.Dedup.dedupEmbedding(spark, sf0001)
+      .select("vec_a", "vec_b")
+    val dropped = verdicts.where(col("verdict") === "drop")
+      .select(col("vec_id")).as[Long].collect().toSet
+    val unresolved = pairs.as[(Long, Long)].collect()
+      .count { case (a, b) => !dropped.contains(a) && !dropped.contains(b) }
+    assert(unresolved === 0, "every pair needs at least one dropped member")
+    // members == union of pair endpoints, exactly once each
+    val members = pairs.select(col("vec_a").as("v"))
+      .union(pairs.select(col("vec_b").as("v"))).distinct().count()
+    assert(verdicts.count() === members)
+    verdicts.unpersist()
+  }
+
+  test("count-min estimates never undercount and cover the exact top-20") {
+    val cms = operators.TextAnalysis.cmsHitters(spark, sf0001).cache()
+    assert(cms.count() === 20L)
+    assert(cms.where(col("n_est") < col("n_exact")).count() === 0L,
+      "CMS must never underestimate")
+    assert(cms.where(col("over_permille") < 0).count() === 0L)
+    cms.unpersist()
+  }
 }
