@@ -406,4 +406,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(globals.isEmpty,
       s"row_number must be partitioned by __graft_pid:\n${globals.mkString("\n")}")
   }
+
+  test("rerank: candidate joins are hash joins, queries broadcast, no cartesian") {
+    val p = plan(Similarity.rerankTopBuild(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the Q-row query side must broadcast:\n$p")
+    // the corpus side arrives via an equi-join on n_id, never re-scored whole
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2)
+  }
+
+  test("dsir: weights broadcast on the bucket key; partial agg present") {
+    val p = plan(operators.Curation.dsirScores(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 256-row weight table must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "per-doc sums must partial-aggregate map-side")
+  }
+
+  test("cms: sketch joins broadcast, counters partial-aggregate, no cartesian") {
+    val p = plan(operators.TextAnalysis.cmsHitters(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1024-row sketch must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+
+  test("semdedup: centroid cosines via broadcast equi-join, no cartesian") {
+    val p = plan(Dedup.semDedup(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the K-row centroid table must broadcast:\n$p")
+  }
 }
