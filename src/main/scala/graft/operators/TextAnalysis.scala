@@ -487,20 +487,26 @@ object TextAnalysis {
     * constant-size state, trivially streamable (the counters are pure
     * additive state).
     */
+  /** The salted CMS bucket expression — ONE home shared by the batch
+    * sketch, the streaming counter twin, and (via portableHashSql) the
+    * oracle, so the three cannot drift.
+    */
+  private[graft] def cmsBucket(r: Column, w: Column): Column =
+    Tables.portableHash(concat(lit("cms"), r.cast("string"), lit(":"), w)) % CmsW
+
   def cmsHitters(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
     val rowIds = array((0 until CmsD).map(lit): _*)
-    def bucket(r: Column, w: Column): Column =
-      Tables.portableHash(concat(lit("cms"), r.cast("string"), lit(":"), w)) % CmsW
     val sketch = toks.select(explode(rowIds).as("r"), col("w"))
-      .select(col("r").cast("long").as("r"), bucket(col("r"), col("w")).as("b"))
+      .select(col("r").cast("long").as("r"),
+        cmsBucket(col("r"), col("w")).as("b"))
       .groupBy("r", "b").agg(count(lit(1)).as("c"))
     val top = toks.groupBy("w").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("w")).limit(20)
     top.select(col("w"), col("n_exact"), explode(rowIds).as("r"))
       .select(col("w"), col("n_exact"), col("r").cast("long").as("r"))
-      .withColumn("b", bucket(col("r"), col("w")))
+      .withColumn("b", cmsBucket(col("r"), col("w")))
       .join(broadcast(sketch), Seq("r", "b"))
       .groupBy("w", "n_exact").agg(min(col("c")).as("n_est"))
       .select(col("w"), col("n_exact"), col("n_est"),

@@ -448,6 +448,30 @@ object StreamingOps {
     * a router drops/keeps/weights documents at ingest by target-likeness.
     * Columns in: (doc_id, lang, text, event_time).
     */
+  /** Streaming count-min sketch maintenance: the windowed form of the
+    * `q_cms_hitters` counter build — every arriving token increments one
+    * counter per hash row ([[graft.operators.TextAnalysis.cmsBucket]],
+    * the SAME salted expression as batch), aggregated per event-time
+    * window. State is purely additive int64 bounded by D·W rows per live
+    * window (1024 longs here) regardless of token rate — the sketch
+    * property that makes CMS the canonical streaming frequency structure.
+    * Estimates are served exactly as in batch: min over the D counters of
+    * a key's buckets. Columns in: (w, event_time).
+    */
+  def cmsStream(toks: DataFrame, windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val rowIds = array((0 until TextAnalysis.CmsD).map(lit): _*)
+    toks.withWatermark("event_time", watermark)
+      .select(col("event_time"), explode(rowIds).as("r"), col("w"))
+      .select(col("event_time"), col("r").cast("long").as("r"),
+        TextAnalysis.cmsBucket(col("r"), col("w")).as("b"))
+      .groupBy(window(col("event_time"), windowLen), col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"),
+        col("r"), col("b"), col("c"))
+  }
+
   def dsirScoreStream(stream: DataFrame, weights: DataFrame): DataFrame = {
     import graft.sources.Tables
     val wmap = weights.agg(

@@ -149,4 +149,39 @@ class EighthWaveSpec extends SparkSpec {
     assert(cms.where(col("over_permille") < 0).count() === 0L)
     cms.unpersist()
   }
+
+  test("streaming CMS counters == batch sketch over the same tokens") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val toks = Tables.load(spark, sf0001, "documents")
+      .where(col("doc_id") < 30)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .as[String].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingOps.cmsStream(
+      in.toDF().toDF("w", "event_time"))
+    val q = out.writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = toks.splitAt(toks.size / 2)
+      in.addData(b1.map(w => (w, new java.sql.Timestamp(1000L))))
+      q.processAllAvailable()
+      in.addData(b2.map(w => (w, new java.sql.Timestamp(2000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("cms_out").select("r", "b", "c")
+      .as[(Long, Long, Long)].collect().toSet
+    // batch sketch over the same token subset, same salted bucket expr
+    val rowIds = array(
+      (0 until operators.TextAnalysis.CmsD).map(lit): _*)
+    val want = toks.toDF("w")
+      .select(explode(rowIds).as("r"), col("w"))
+      .select(col("r").cast("long").as("r"),
+        operators.TextAnalysis.cmsBucket(col("r"), col("w")).as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
 }
