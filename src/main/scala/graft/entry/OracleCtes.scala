@@ -232,6 +232,42 @@ object OracleCtes {
        |         JOIN sc cq ON cq.vec_id = cd.q_id
        |         JOIN sc ct ON ct.vec_id = cd.vec_id)""".stripMargin
 
+  /** Labeled IVF-candidate CTE chain (needs vecCte) ending in
+    * `hcos(q_id, q_label, n_id, n_label, cos)` — replays
+    * [[operators.Similarity.labeledCandCos]]: hash-min centroids,
+    * nearest-centroid assignment, nprobe=2 query probes, candidate pairs,
+    * both labels, exact cosine. Shared by the `q_hard_negatives` and
+    * `q_triplets` oracles.
+    */
+  lazy val hardMineCtes: String =
+    s"""${hashMinCte("hcents", 64)},
+       |hasg AS (SELECT vec_id, cent_id FROM (
+       |           SELECT v.vec_id, c.cent_id,
+       |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |                    ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |                    c.cent_id) AS rn
+       |           FROM v CROSS JOIN hcents c) WHERE rn = 1),
+       |hprob AS (SELECT q_id, cent_id FROM (
+       |            SELECT v.vec_id AS q_id, c.cent_id,
+       |                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |                     ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |                     c.cent_id) AS rn
+       |            FROM v CROSS JOIN hcents c WHERE v.vec_id % 20 = 0)
+       |          WHERE rn <= 2),
+       |hcand AS (SELECT p.q_id, a.vec_id FROM hprob p
+       |          JOIN hasg a ON p.cent_id = a.cent_id
+       |          WHERE a.vec_id <> p.q_id),
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+       |        FROM embeddings),
+       |hcos AS (SELECT c.q_id, ql.label AS q_label, c.vec_id AS n_id,
+       |           nl.label AS n_label,
+       |           ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+       |         FROM hcand c
+       |         JOIN v q ON c.q_id = q.vec_id
+       |         JOIN v t ON c.vec_id = t.vec_id
+       |         JOIN lab ql ON c.q_id = ql.vec_id
+       |         JOIN lab nl ON c.vec_id = nl.vec_id)""".stripMargin
+
   def l2sqSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)"
 

@@ -46,6 +46,7 @@ object SimilarityQueries {
     "q_rerank" -> ((s, d) => Similarity.rerankSearch(s, d)),
     "q_rerank_recall" -> ((s, d) => Similarity.rerankRecall(s, d)),
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q_triplets" -> ((s, d) => Similarity.tripletMine(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -628,39 +629,31 @@ object SimilarityQueries {
     // different-label filter, exact cosine, top-3 per query.
     "q_hard_negatives" ->
       s"""WITH $vecCte,
-         |${hashMinCte("hcents", 64)},
-         |hasg AS (SELECT vec_id, cent_id FROM (
-         |           SELECT v.vec_id, c.cent_id,
-         |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |                    ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |                    c.cent_id) AS rn
-         |           FROM v CROSS JOIN hcents c) WHERE rn = 1),
-         |hprob AS (SELECT q_id, cent_id FROM (
-         |            SELECT v.vec_id AS q_id, c.cent_id,
-         |                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |                     ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |                     c.cent_id) AS rn
-         |            FROM v CROSS JOIN hcents c WHERE v.vec_id % 20 = 0)
-         |          WHERE rn <= 2),
-         |hcand AS (SELECT p.q_id, a.vec_id FROM hprob p
-         |          JOIN hasg a ON p.cent_id = a.cent_id
-         |          WHERE a.vec_id <> p.q_id),
-         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
-         |        FROM embeddings),
-         |hn AS (SELECT c.q_id, ql.label AS q_label, c.vec_id AS n_id,
-         |         nl.label AS n_label,
-         |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
-         |       FROM hcand c
-         |       JOIN v q ON c.q_id = q.vec_id
-         |       JOIN v t ON c.vec_id = t.vec_id
-         |       JOIN lab ql ON c.q_id = ql.vec_id
-         |       JOIN lab nl ON c.vec_id = nl.vec_id
-         |       WHERE ql.label <> nl.label)
+         |$hardMineCtes
          |SELECT q_id, q_label, n_id, n_label, cos, rk FROM (
          |  SELECT q_id, q_label, n_id, n_label, cos,
          |         row_number() OVER (PARTITION BY q_id
          |           ORDER BY cos DESC, n_id) AS rk
-         |  FROM hn)
+         |  FROM hcos WHERE q_label <> n_label)
          |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+    // Replays the triplet mine: rank-1 same-label and rank-1
+    // different-label selections over the shared labeled candidates.
+    "q_triplets" ->
+      s"""WITH $vecCte,
+         |$hardMineCtes,
+         |tpos AS (SELECT q_id, q_label, n_id AS pos_id, cos AS pos_cos
+         |         FROM (SELECT q_id, q_label, n_id, cos,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY cos DESC, n_id) AS rk
+         |               FROM hcos WHERE q_label = n_label) WHERE rk = 1),
+         |tneg AS (SELECT q_id, n_id AS neg_id, cos AS neg_cos
+         |         FROM (SELECT q_id, n_id, cos,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY cos DESC, n_id) AS rk
+         |               FROM hcos WHERE q_label <> n_label) WHERE rk = 1)
+         |SELECT p.q_id, p.q_label, p.pos_id, p.pos_cos,
+         |       n.neg_id, n.neg_cos, p.pos_cos - n.neg_cos AS margin
+         |FROM tpos p JOIN tneg n ON p.q_id = n.q_id
+         |ORDER BY p.q_id""".stripMargin,
   )
 }

@@ -1066,6 +1066,20 @@ object Similarity {
     * K-row label relation. Emits (q_id, q_label, n_id, n_label, cos, rk).
     */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    labeledCandCos(spark, dir)
+      .where(col("n_label") =!= col("q_label"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= 3)
+      .orderBy("q_id", "rk")
+  }
+
+  /** Shared labeled-candidate relation of the mining family: every
+    * (sampled query, IVF-probed candidate) pair with both labels and the
+    * exact cosine — the nprobe=2 candidate generation of the ANN search
+    * with the K-row label relation equi-joined on. [[hardNegatives]] and
+    * [[tripletMine]] are rank selections over this one relation.
+    */
+  private[graft] def labeledCandCos(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
     val lab = graft.sources.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"))
@@ -1079,16 +1093,38 @@ object Similarity {
       .join(lab, "vec_id")
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("label").as("q_label"))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     cand
       .join(v.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
       .join(lab, "vec_id")
       .join(broadcast(q), "q_id")
-      .where(col("label") =!= col("q_label"))
       .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
         col("label").as("n_label"),
         Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
-      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= 3)
-      .orderBy("q_id", "rk")
+  }
+
+  /** Contrastive triplet mining: per sampled anchor, the nearest SAME-label
+    * candidate (the positive) and the nearest DIFFERENT-label candidate
+    * (the hard negative) with the anchor-relative margin — the
+    * (anchor, positive, negative) training example a triplet/InfoNCE loss
+    * consumes, mined at ANN-search cost (both selections are rank-1
+    * windows over the one IVF-probed candidate relation; anchors lacking
+    * either side drop out via the inner join). A small or negative margin
+    * marks exactly the anchors worth training on.
+    */
+  def tripletMine(spark: SparkSession, dir: String): DataFrame = {
+    val cand = labeledCandCos(spark, dir)
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val pos = cand.where(col("n_label") === col("q_label"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") === 1)
+      .select(col("q_id"), col("q_label"),
+        col("n_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = cand.where(col("n_label") =!= col("q_label"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") === 1)
+      .select(col("q_id"), col("n_id").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, "q_id")
+      .select(col("q_id"), col("q_label"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+      .orderBy("q_id")
   }
 }

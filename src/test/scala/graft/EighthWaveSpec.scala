@@ -150,6 +150,28 @@ class EighthWaveSpec extends SparkSpec {
     cms.unpersist()
   }
 
+  test("triplets: positive shares the anchor label, negative does not") {
+    val t = Similarity.tripletMine(spark, sf0001).cache()
+    assert(t.count() > 0)
+    assert(t.select("q_id").distinct().count() === t.count())
+    val lab = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("lab"))
+    val badPos = t.join(lab.withColumnRenamed("vec_id", "pos_id"), "pos_id")
+      .where(col("lab") =!= col("q_label")).count()
+    val badNeg = t.join(lab.withColumnRenamed("vec_id", "neg_id"), "neg_id")
+      .where(col("lab") === col("q_label")).count()
+    assert(badPos === 0L && badNeg === 0L)
+    // margin is exactly pos_cos − neg_cos, and the negative is the #1
+    // hard negative — identical to q_hard_negatives rank 1
+    assert(t.where(col("margin") =!= col("pos_cos") - col("neg_cos"))
+      .count() === 0L)
+    val hn1 = Similarity.hardNegatives(spark, sf0001)
+      .where(col("rk") === 1).select(col("q_id"), col("n_id").as("neg_id"))
+    assert(t.select("q_id", "neg_id").join(hn1, Seq("q_id", "neg_id"),
+      "left_anti").count() === 0L)
+    t.unpersist()
+  }
+
   test("streaming CMS counters == batch sketch over the same tokens") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
