@@ -47,6 +47,9 @@ object SimilarityQueries {
     "q_rerank_recall" -> ((s, d) => Similarity.rerankRecall(s, d)),
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q_triplets" -> ((s, d) => Similarity.tripletMine(s, d)),
+    // ninth wave: neighborhood graph + pseudo-labeling
+    "q_knn_graph" -> ((s, d) => Neighbors.knnGraph(s, d)),
+    "q_label_prop" -> ((s, d) => Neighbors.labelProp(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -655,5 +658,81 @@ object SimilarityQueries {
          |       n.neg_id, n.neg_cos, p.pos_cos - n.neg_cos AS margin
          |FROM tpos p JOIN tneg n ON p.q_id = n.q_id
          |ORDER BY p.q_id""".stripMargin,
+    // Replays the kNN-graph build: nprobe=2 probes for every vector, the
+    // nprobe=1 assignment as the candidate index, exact-cosine top-5
+    // edges, and the reversed-edge self-join for mutuality.
+    "q_knn_graph" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents", 64)},
+         |pr AS (SELECT vec_id, cent_id, rn FROM (
+         |         SELECT v.vec_id, c.cent_id,
+         |                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                  ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                  c.cent_id) AS rn
+         |         FROM v CROSS JOIN cents c) WHERE rn <= 2),
+         |asg AS (SELECT vec_id, cent_id FROM pr WHERE rn = 1),
+         |cand AS (SELECT p.vec_id AS src, a.vec_id AS dst
+         |         FROM pr p JOIN asg a USING (cent_id)
+         |         WHERE a.vec_id <> p.vec_id),
+         |sc AS (SELECT src, dst,
+         |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |       FROM cand JOIN v q ON q.vec_id = src
+         |       JOIN v t ON t.vec_id = dst),
+         |ek AS (SELECT src, dst, rk FROM (
+         |         SELECT src, dst,
+         |                row_number() OVER (PARTITION BY src
+         |                  ORDER BY cos DESC, dst) AS rk
+         |         FROM sc) WHERE rk <= 5)
+         |SELECT e.src AS vec_id, CAST(count(*) AS BIGINT) AS out_deg,
+         |       CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS mutual_deg,
+         |       min(CASE WHEN e.rk = 1 THEN e.dst END) AS top1_id
+         |FROM ek e LEFT JOIN ek r ON r.src = e.dst AND r.dst = e.src
+         |GROUP BY e.src ORDER BY vec_id""".stripMargin,
+    // Replays the kNN pseudo-labeling pass: held-out vec_id % 5 = 0
+    // queries, labeled-pool-only candidates, top-5 by cosine, majority
+    // vote (ties -> smaller label), per-true-label accuracy.
+    "q_label_prop" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents", 64)},
+         |apr AS (SELECT vec_id, cent_id, rn FROM (
+         |          SELECT v.vec_id, c.cent_id,
+         |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                   ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                   c.cent_id) AS rn
+         |          FROM v CROSS JOIN cents c) WHERE rn <= 2),
+         |asg AS (SELECT vec_id, cent_id FROM apr WHERE rn = 1),
+         |cand AS (SELECT p.vec_id AS q_id, a.vec_id AS n_id
+         |         FROM apr p JOIN asg a USING (cent_id)
+         |         WHERE p.vec_id % 5 = 0 AND a.vec_id % 5 <> 0),
+         |sc AS (SELECT q_id, n_id,
+         |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |       FROM cand JOIN v q ON q.vec_id = q_id
+         |       JOIN v t ON t.vec_id = n_id),
+         |nb AS (SELECT q_id, n_id FROM (
+         |         SELECT q_id, n_id,
+         |                row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY cos DESC, n_id) AS rk
+         |         FROM sc) WHERE rk <= 5),
+         |vt AS (SELECT q_id, CAST(l.label AS BIGINT) AS n_label,
+         |              count(*) AS n_votes
+         |       FROM nb JOIN embeddings l ON l.vec_id = nb.n_id
+         |       GROUP BY 1, 2),
+         |pd AS (SELECT q_id, n_label AS pred_label FROM (
+         |         SELECT q_id, n_label,
+         |                row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY n_votes DESC, n_label) AS vr
+         |         FROM vt) WHERE vr = 1),
+         |t AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS label
+         |      FROM embeddings WHERE vec_id % 5 = 0)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_test,
+         |       CAST(sum(CASE WHEN pred_label IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_pred,
+         |       CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_correct,
+         |       CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+         |            * 1000 // count(*) AS BIGINT) AS acc_permille
+         |FROM t LEFT JOIN pd USING (q_id)
+         |GROUP BY label ORDER BY label""".stripMargin,
   )
 }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Neighborhood-graph operators over the embedding corpus: the kNN graph
+  * build and the kNN-classifier pseudo-labeling pass that consumes it —
+  * the auto-labeling step of a training-data pipeline (label a small seed
+  * set by hand, propagate to the unlabeled corpus by nearest labeled
+  * neighbors).
+  *
+  * Both ride the session IVF index ([[Similarity.ivfAssignFor]] /
+  * [[Similarity.centroidsMemoFor]]): candidates are IVF-probed, never
+  * all-pairs, so the candidate volume is O(N · nprobe · N/K) spread over
+  * (bucket) keys — the same shape every ANN search in this engine uses,
+  * and the one that survives a 100 TB corpus (bucket size tracks N/K;
+  * K scales as √N by swapping the centroid table).
+  */
+object Neighbors {
+  /** Neighbors retained per vector in the graph. */
+  private[graft] val GraphK = 5
+
+  /** Directed kNN edge list over the WHOLE corpus: each vector's top-
+    * [[GraphK]] IVF-probed neighbors by exact cosine (ties → min
+    * neighbor id). Memoized — the persisted kNN-graph artifact that
+    * [[knnGraph]] reads and that a production pipeline would refresh
+    * incrementally alongside the IVF assignment itself.
+    *
+    * Probe side is map-only ([[Similarity.multiProbe]], nprobe=2); the
+    * candidate join keys on the probed bucket and meets each candidate's
+    * single assigned bucket, so every (src, dst) pair arises at most once
+    * and no distinct is needed. Top-k is a per-src window over the
+    * candidate set — the exchange carries IVF candidates (≈ nprobe·N/K
+    * per src), not the corpus.
+    */
+  private[graft] def knnEdgesFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"knn:$dir") {
+      val v = Dedup.normedFor(spark, dir)
+      val cents = Similarity.centroidsMemoFor(spark, dir)
+      val asg = Similarity.ivfAssignFor(spark, dir)
+      val probes = Similarity.multiProbe(v, cents, nprobe = 2)
+        .withColumnRenamed("vec_id", "src")
+      val q = v.select(col("vec_id").as("src"), col("e").as("qe"),
+        col("nrm").as("qn"))
+      val wTop = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      probes
+        .join(asg.withColumnRenamed("vec_id", "dst"), "cent_id")
+        .where(col("dst") =!= col("src"))
+        .join(q, "src")
+        .join(v.withColumnRenamed("vec_id", "dst"), "dst")
+        .select(col("src"), col("dst"),
+          Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+        .withColumn("rk", row_number().over(wTop))
+        .where(col("rk") <= GraphK)
+        .select("src", "dst", "rk")
+    }
+
+  /** kNN-graph build + topology readout: per vector, its out-degree
+    * (≤ [[GraphK]] — smaller only when the probed buckets hold fewer
+    * candidates), how many of its edges are MUTUAL (the neighbor lists
+    * each other back — the symmetric core a graph-based dedup or UMAP-ish
+    * layout actually uses), and its single nearest neighbor.
+    *
+    * Mutuality is an edge-list self-join on the reversed key — linear in
+    * edges (≤ [[GraphK]]·N rows), keyed by (src, dst). Output is one row
+    * per vector: integers only.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = knnEdgesFor(spark, dir)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1L).as("m"))
+    e.join(rev, Seq("src", "dst"), "left")
+      .groupBy(col("src").as("vec_id"))
+      .agg(count(lit(1)).as("out_deg"),
+        sum(coalesce(col("m"), lit(0L))).as("mutual_deg"),
+        min(when(col("rk") === 1, col("dst"))).as("top1_id"))
+      .select("vec_id", "out_deg", "mutual_deg", "top1_id")
+      .orderBy("vec_id")
+  }
+
+  /** kNN-classifier pseudo-labeling with a held-out accuracy readout: every
+    * 5th vector (vec_id % 5 = 0) has its label HIDDEN; each hidden vector
+    * is assigned the majority label of its top-[[GraphK]] LABELED
+    * IVF-probed neighbors (vote ties → smaller label; cosine ties → smaller
+    * neighbor id), then scored against the ground truth it never saw.
+    *
+    * Output per true label: test count, how many got ≥1 labeled neighbor,
+    * correct count, and accuracy in permille — the per-class quality gate
+    * that decides whether propagated labels are trustworthy enough to
+    * train on.
+    *
+    * Scale shape: the test side is a fixed fraction of the corpus, probes
+    * are map-only, candidates are IVF-bucketed, and the vote is two
+    * bounded aggregations (≤ [[GraphK]] rows per test vector). Nothing
+    * touches all-pairs; 100× data moves the same per-bucket work.
+    */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    val lab = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val cents = Similarity.centroidsMemoFor(spark, dir)
+    val asg = Similarity.ivfAssignFor(spark, dir)
+
+    val test = v.where(col("vec_id") % 5 === 0)
+    val probes = Similarity.multiProbe(test, cents, nprobe = 2)
+      .withColumnRenamed("vec_id", "q_id")
+    val q = test.select(col("vec_id").as("q_id"), col("e").as("qe"),
+      col("nrm").as("qn"))
+
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val nbrs = probes
+      .join(asg.withColumnRenamed("vec_id", "n_id"), "cent_id")
+      .where(col("n_id") % 5 =!= 0)                       // labeled pool only
+      .join(q, "q_id")
+      .join(v.withColumnRenamed("vec_id", "n_id"), "n_id")
+      .select(col("q_id"), col("n_id"),
+        Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= GraphK)
+
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("n_label"))
+    val pred = nbrs
+      .join(lab.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      .groupBy("q_id", "n_label").agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .where(col("vr") === 1)
+      .select(col("q_id"), col("n_label").as("pred_label"))
+
+    lab.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"), col("label"))
+      .join(pred, Seq("q_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("pred_label").isNotNull, 1L).otherwise(0L)).as("n_pred"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_permille", expr("n_correct * 1000 div n_test"))
+      .orderBy("label")
+  }
+}
