@@ -34,6 +34,8 @@ object TextQueries {
     "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "q_pii_scrub" -> ((s, d) => Scrub.piiScrub(s, d)),
     "q_cms_hitters" -> ((s, d) => TextAnalysis.cmsHitters(s, d)),
+    // ninth wave: BM25 keyword retrieval
+    "q_bm25" -> ((s, d) => Analytics.bm25Search(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -306,5 +308,38 @@ object TextQueries {
          |       CAST((n_est - n_exact) * 1000 // n_exact AS BIGINT)
          |         AS over_permille
          |FROM est ORDER BY n_exact DESC, w""".stripMargin,
+    // Replays the BM25 scoring pipeline: tf/df/dl stats, df-rank-11..15
+    // query terms, the rational-idf x saturated-tf product in the same
+    // IEEE double op order as the Spark side (e0 literals force DOUBLE,
+    // not DECIMAL), floor-scaled to milli-units and int64-summed.
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |               CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |qt AS (SELECT term, df FROM (
+        |         SELECT term, df,
+        |                row_number() OVER (ORDER BY df DESC, term) AS r
+        |         FROM df) WHERE r BETWEEN 11 AND 15),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(floor((((nd - qt.df) + 0.5e0) / (qt.df + 0.5e0)) *
+        |           ((tf.tf * 2.2e0) /
+        |             (tf.tf + 1.2e0 * (0.25e0 +
+        |               0.75e0 * ((dl.dl * nd) / tot)))) *
+        |           1000.0e0) AS BIGINT) AS s
+        |       FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+        |       CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+        |               CAST(sum(s) AS BIGINT) AS score_milli
+        |        FROM sc GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id)
+        |              AS BIGINT) AS rk,
+        |         doc_id, n_hit_terms, score_milli
+        |  FROM agg) WHERE rk <= 10 ORDER BY rk""".stripMargin,
   )
 }

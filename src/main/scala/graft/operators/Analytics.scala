@@ -693,4 +693,64 @@ object Analytics {
       .select(col("user_id"), col("active_days"),
         col("st.n").as("n_streaks"), col("st.mx").as("max_streak"))
       .orderBy("user_id")
+
+  /** BM25 keyword retrieval (Robertson/Okapi, k1 = 1.2, b = 0.75): the
+    * top-10 documents for a deterministic 5-term query — the terms ranked
+    * 11..15 by document frequency (df desc, term asc), i.e. mid-frequency
+    * vocabulary, the realistic keyword-query regime (the df-top-10 behave
+    * like stopwords).
+    *
+    * The idf factor uses the rational surrogate (N − df + 0.5)/(df + 0.5)
+    * — the argument of BM25's log, without the log. The log is monotone,
+    * so single-term ranking is identical; for the summed multi-term score
+    * the surrogate weights rare terms more sharply than log-idf does. The
+    * trade is deliberate: every arithmetic op stays a single IEEE
+    * double op identical in Spark and DuckDB, so the driver hash-verifies
+    * the full scoring pipeline (a transcendental log would be
+    * library-rounding territory). Scores are emitted floor-scaled to
+    * milli-units and summed as exact int64.
+    *
+    * Scale shape: tf/df/dl are the linear inverted-index aggregations;
+    * the query-term table is 5 rows (TakeOrdered, then broadcast by the
+    * join planner); scoring touches only postings of the 5 query terms;
+    * the final top-10 is a TakeOrdered, not a global sort. At 100 TB this
+    * is the batch ranking pass of a BM25 index probe, with the full-corpus
+    * stats computed once and reused.
+    */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
+
+    // TakeOrdered the 15 df-heaviest terms FIRST, then rank within those
+    // 15 rows — the single-partition window only ever sees 15 rows, never
+    // the vocabulary (which is corpus-sized at 100 TB).
+    val wDf = Window.orderBy(col("df").desc, col("term"))
+    val qt = df.orderBy(col("df").desc, col("term")).limit(15)
+      .withColumn("r", row_number().over(wDf))
+      .where(col("r") >= 11 && col("r") <= 15)
+      .select("term", "df")
+
+    val sMilli = floor(
+      (((col("nd") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))) *
+        ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * ((col("dl") * col("nd")) / col("tot"))))) *
+        lit(1000.0)).cast("long")
+    val scored = tf.join(broadcast(qt), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), sMilli.as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("s")).as("score_milli"))
+
+    val wTop = Window.orderBy(col("score_milli").desc, col("doc_id"))
+    scored.orderBy(col("score_milli").desc, col("doc_id")).limit(10)
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .select("rk", "doc_id", "n_hit_terms", "score_milli")
+      .orderBy("rk")
+  }
 }
