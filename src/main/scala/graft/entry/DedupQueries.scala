@@ -34,6 +34,8 @@ object DedupQueries {
     "q_source_overlap" -> ((s, d) => Corpus.sourceOverlap(s, d)),
     "q_ngram_novelty" -> ((s, d) => Corpus.ngramNovelty(s, d)),
     "q_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
+    // ninth wave: sliding-window repeated-substring spans
+    "q_dup_spans" -> ((s, d) => Corpus.dupSpans(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -380,5 +382,40 @@ object DedupQueries {
          |FROM mem m JOIN cc ON m.vec_id = cc.vec_id
          |LEFT JOIN losers l ON m.vec_id = l.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+    // Replays the sliding-window repeated-substring pass: every 8-word
+    // window hashed, corpus-wide occurrence >= 2 marks a span, spans merge
+    // into islands via the lag-gap sweep (gap >= 8 opens a new island,
+    // least(gap, 8) counts the newly covered tokens).
+    "q_dup_spans" ->
+      s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w
+         |            FROM documents),
+         |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM dw),
+         |g AS (SELECT doc_id,
+         |        unnest(list_transform(generate_series(1, len(w) - 7),
+         |          i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+         |                 h := ${Tables.portableHashSql(
+                              "array_to_string(w[i:i+7], ' ')")}))) AS u
+         |      FROM dw WHERE len(w) >= 8),
+         |gr AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
+         |dh AS (SELECT h FROM gr GROUP BY h HAVING count(*) >= 2),
+         |sp AS (SELECT doc_id, pos FROM gr JOIN dh USING (h)),
+         |lg AS (SELECT doc_id, pos,
+         |         pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |           AS gap
+         |       FROM sp),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+         |         CAST(1 + sum(CASE WHEN gap >= 8 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_islands,
+         |         CAST(8 + sum(CASE WHEN gap IS NULL THEN 0
+         |                           ELSE least(gap, 8) END)
+         |              AS BIGINT) AS covered_tokens
+         |       FROM lg GROUP BY 1)
+         |SELECT b.doc_id, b.n_words,
+         |       CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+         |       CAST(coalesce(n_islands, 0) AS BIGINT) AS n_islands,
+         |       CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+         |       CAST(coalesce(covered_tokens, 0) * 1000 // b.n_words
+         |            AS BIGINT) AS dup_permille
+         |FROM b LEFT JOIN ag USING (doc_id) ORDER BY b.doc_id""".stripMargin,
   )
 }

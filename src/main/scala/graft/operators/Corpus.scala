@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.{Materialized, Tables}
 
@@ -289,6 +290,72 @@ object Corpus {
       .agg(count(lit(1)).as("n_paras"),
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
         sum(when(col("kept"), col("plen")).otherwise(0L)).as("kept_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Sliding-window width (words) for [[dupSpans]] duplicate detection. */
+  private[graft] val SpanGram = 8
+
+  /** Repeated-substring span detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the suffix-array
+    * ExactSubstr pass, re-expressed relationally): every SLIDING
+    * [[SpanGram]]-word window is hashed; windows whose text occurs ≥ 2
+    * times anywhere in the corpus (including within the same document)
+    * mark their [pos, pos+7] span as duplicated; per document, overlapping
+    * spans are merged into islands by a gap sweep and the covered-token
+    * total is the amount an ExactSubstr cut pass would remove.
+    *
+    * Differs from [[paraDedup]] exactly the way ExactSubstr differs from
+    * C4: windows SLIDE (any repeated ≥8-word run is caught at every
+    * offset, not just on block boundaries), and the output is span
+    * geometry (islands + covered tokens), not a keep/remove verdict.
+    *
+    * Output per document: n_words, n_dup_grams (duplicated window count),
+    * n_islands (maximal merged spans), covered_tokens, dup_permille.
+    *
+    * Scale shape: the sliding windows are one posexplode (n rows per
+    * n-word doc — same order as tokenization itself); duplicated-hash
+    * detection is a map-side-combined count on the 8-byte hash (the
+    * posting list is only COUNTED, never self-joined, so a boilerplate
+    * span with df=10⁶ costs O(df)); the island sweep is a lag window
+    * PARTITIONED BY doc_id — per-document work bounded by doc length.
+    * Nothing is quadratic; a suffix array would be cheaper per byte but
+    * this shape needs no global sort and parallelizes trivially at 100 TB.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        col("w"))
+    val grams = base.where(col("n_words") >= SpanGram)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0L, cast(size(w) AS BIGINT) - $SpanGram),
+             |  i -> array_join(slice(w, cast(i + 1 AS INT), $SpanGram), ' '))""".stripMargin)))
+      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        Tables.portableHash(col("gram")).as("h"))
+    val dupH = grams.groupBy("h").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select("h")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = grams.join(dupH, "h")
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(wDoc))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        (lit(1L) + sum(when(col("gap") >= SpanGram, 1L).otherwise(0L)))
+          .as("n_islands"),
+        (lit(SpanGram.toLong) + sum(when(col("gap").isNull, 0L)
+          .otherwise(least(col("gap"), lit(SpanGram.toLong)))))
+          .as("covered_tokens"))
+    base.select("doc_id", "n_words")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_permille",
+        expr("covered_tokens * 1000 div n_words"))
       .orderBy("doc_id")
   }
 

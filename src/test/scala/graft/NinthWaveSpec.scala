@@ -51,4 +51,43 @@ class NinthWaveSpec extends SparkSpec {
     val totals = lp.agg(sum("n_pred"), sum("n_test")).as[(Long, Long)].head()
     assert(totals._1 === totals._2, "all test vectors must be predicted")
   }
+
+  test("dup spans: geometry invariants hold for every document") {
+    val ds = Corpus.dupSpans(spark, sf0001).cache()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(ds.count() === n, "roster-preserving: one row per document")
+    val bad = ds.where(
+      col("covered_tokens") > col("n_words") ||
+        col("n_islands") > col("n_dup_grams") ||
+        (col("n_dup_grams") > 0 && col("covered_tokens") < Corpus.SpanGram) ||
+        (col("n_dup_grams") === 0 &&
+          (col("covered_tokens") =!= 0 || col("n_islands") =!= 0)) ||
+        col("dup_permille") > 1000 ||
+        (col("n_words") < Corpus.SpanGram && col("n_dup_grams") =!= 0)).count()
+    assert(bad === 0L)
+    // islands of 8-word windows cover at least 8 tokens each, at most
+    // n_dup_grams + 7 in total per island chain
+    val geom = ds.where(col("n_dup_grams") > 0 &&
+      (col("covered_tokens") < col("n_islands") * Corpus.SpanGram ||
+        col("covered_tokens") > col("n_dup_grams") +
+          col("n_islands") * (Corpus.SpanGram - 1))).count()
+    assert(geom === 0L, "covered in [8*islands, dup_grams + 7*islands]")
+    // the corpus genuinely contains repeated spans (doc 0 is fully
+    // duplicated boilerplate at sf0.001) — the operator must find some
+    assert(ds.agg(sum("n_dup_grams")).as[Long].head() > 0L)
+  }
+
+  test("bm25: exactly 10 ranked docs, hit counts bounded by query size") {
+    val r = Analytics.bm25Search(spark, sf0001).cache()
+    assert(r.count() === 10L)
+    assert(r.select("rk").as[Long].collect().toSeq === (1L to 10L))
+    val bad = r.where(col("n_hit_terms") < 1 || col("n_hit_terms") > 5 ||
+      col("score_milli") <= 0).count()
+    assert(bad === 0L)
+    // scores non-increasing in rank
+    val inv = r.as("a").join(r.as("b"),
+      col("a.rk") === col("b.rk") - 1 &&
+        col("a.score_milli") < col("b.score_milli")).count()
+    assert(inv === 0L)
+  }
 }
