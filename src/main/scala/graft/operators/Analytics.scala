@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
@@ -717,14 +717,31 @@ object Analytics {
     * is the batch ranking pass of a BM25 index probe, with the full-corpus
     * stats computed once and reused.
     */
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+  /** The BM25 per-term milli-score for [[bm25Search]] — one IEEE double
+    * expression shared verbatim by the batch scorer and the streaming
+    * twin ([[graft.streaming.StreamingOps.bm25ScoreStream]]), so the
+    * stream ≡ batch proof covers the arithmetic, not a reimplementation.
+    */
+  private[graft] def bm25Milli(tf: Column, df: Column, dl: Column,
+      nd: Column, tot: Column): Column =
+    floor(
+      (((nd - df) + lit(0.5)) / (df + lit(0.5))) *
+        ((tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) +
+            lit(0.75) * ((dl * nd) / tot)))) *
+        lit(1000.0)).cast("long")
+
+  /** Query-term table (df ranks 11..15) + the (nd, tot) corpus-stats row —
+    * the tiny "index statistics" artifact both BM25 personalities read.
+    */
+  private[graft] def bm25StatsFor(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val words = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val df = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val tot = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
-
     // TakeOrdered the 15 df-heaviest terms FIRST, then rank within those
     // 15 rows — the single-partition window only ever sees 15 rows, never
     // the vocabulary (which is corpus-sized at 100 TB).
@@ -733,20 +750,31 @@ object Analytics {
       .withColumn("r", row_number().over(wDf))
       .where(col("r") >= 11 && col("r") <= 15)
       .select("term", "df")
+    (qt, tot)
+  }
 
-    val sMilli = floor(
-      (((col("nd") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))) *
-        ((col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) +
-            lit(0.75) * ((col("dl") * col("nd")) / col("tot"))))) *
-        lit(1000.0)).cast("long")
-    val scored = tf.join(broadcast(qt), "term")
+  /** Per-document BM25 aggregate (docs with ≥ 1 query-term hit): the
+    * relation [[bm25Search]] ranks and the streaming scorer must
+    * reproduce row-for-row.
+    */
+  private[graft] def bm25ScoredFor(spark: SparkSession, dir: String): DataFrame = {
+    val (qt, tot) = bm25StatsFor(spark, dir)
+    val words = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    tf.join(broadcast(qt), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"), sMilli.as("s"))
+      .select(col("doc_id"),
+        bm25Milli(col("tf"), col("df"), col("dl"), col("nd"), col("tot"))
+          .as("s"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("s")).as("score_milli"))
+  }
 
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val scored = bm25ScoredFor(spark, dir)
     val wTop = Window.orderBy(col("score_milli").desc, col("doc_id"))
     scored.orderBy(col("score_milli").desc, col("doc_id")).limit(10)
       .withColumn("rk", row_number().over(wTop).cast("long"))

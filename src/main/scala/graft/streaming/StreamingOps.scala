@@ -487,4 +487,46 @@ object StreamingOps {
       .withColumn("score_pm", expr("sw div n_toks"))
       .drop("sw")
   }
+
+  /** Stateless streaming BM25 scorer: each arriving document is scored
+    * against a PRECOMPUTED index-statistics artifact — the 5-term query
+    * table and the (nd, tot) corpus stats from
+    * [[graft.operators.Analytics.bm25StatsFor]] — exactly how a serving
+    * tier scores fresh documents against a nightly-built index. Both
+    * relations collapse to one broadcast row (a term→df map + two
+    * scalars); per row the score is a bounded array scan (5 terms ×
+    * doc length), no state, no shuffle, so throughput is input-bound at
+    * any parallelism.
+    *
+    * Emits doc_id, dl, n_hit_terms, score_milli per document (zero-hit
+    * documents carry 0/0). The arithmetic is
+    * [[graft.operators.Analytics.bm25Milli]] — the SAME Column expression
+    * the batch ranker uses — and StreamingBm25Spec proves the stream
+    * output ≡ the batch scored relation row-for-row on the test corpus.
+    */
+  def bm25ScoreStream(stream: DataFrame, qt: DataFrame, tot: DataFrame)
+      : DataFrame = {
+    val qmap = qt.agg(
+      map_from_entries(collect_list(struct(col("term"), col("df"))))
+        .as("qm"))
+    val scores = transform(map_entries(col("qm")), e =>
+      struct(
+        size(filter(col("ws"), w => w === e.getField("key"))).cast("long")
+          .as("tf"),
+        e.getField("value").as("df")))
+    stream.crossJoin(broadcast(qmap)).crossJoin(broadcast(tot))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+        col("qm"), col("nd"), col("tot"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        scores.as("sc"), col("nd"), col("tot"))
+      .select(col("doc_id"), col("dl"),
+        size(filter(col("sc"), s => s.getField("tf") > 0)).cast("long")
+          .as("n_hit_terms"),
+        aggregate(col("sc"), lit(0L), (acc, s) =>
+          acc + when(s.getField("tf") > 0,
+            graft.operators.Analytics.bm25Milli(
+              s.getField("tf"), s.getField("df"), col("dl"),
+              col("nd"), col("tot"))).otherwise(0L))
+          .as("score_milli"))
+  }
 }

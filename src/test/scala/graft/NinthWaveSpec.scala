@@ -90,4 +90,35 @@ class NinthWaveSpec extends SparkSpec {
         col("a.score_milli") < col("b.score_milli")).count()
     assert(inv === 0L)
   }
+
+  test("streaming BM25 scorer == batch scored relation on replayed docs") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val (qt, tot) = Analytics.bm25StatsFor(spark, sf0001)
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingOps.bm25ScoreStream(
+      in.toDF().toDF("doc_id", "text"), qt, tot)
+    val q = out.writeStream.format("memory").queryName("bm25_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("bm25_out").where(col("n_hit_terms") > 0)
+      .select("doc_id", "n_hit_terms", "score_milli")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Analytics.bm25ScoredFor(spark, sf0001)
+      .select("doc_id", "n_hit_terms", "score_milli")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // zero-hit docs pass through (roster-preserving serving path)
+    assert(sp.table("bm25_out").count() === docs.size.toLong)
+  }
 }
