@@ -440,4 +440,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"the K-row centroid table must broadcast:\n$p")
   }
+
+  test("knn graph: candidates meet via a cent_id hash join, never nested loop") {
+    val p = plan(operators.Neighbors.knnGraph(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"kNN must stay IVF-bucketed:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("bm25: query terms + totals broadcast; postings partial-aggregate") {
+    val p = plan(operators.Analytics.bm25Search(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row query-term table must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "tf/df/dl stats must partial-aggregate map-side")
+    // final ranking is a TakeOrdered, not a global sort of the corpus
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrdered:\n$p")
+  }
+
+  test("dup spans: hash-count dedup detection, doc-partitioned sweep only") {
+    val p = plan(operators.Corpus.dupSpans(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the occurrence count must partial-aggregate (posting lists counted,
+    // never self-joined)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+    // every window sits behind a doc_id partitioning, never global
+    val globals = p.linesIterator.filter(l =>
+      l.trim.startsWith("Window") && !l.contains("doc_id")).toSeq
+    assert(globals.isEmpty,
+      s"island sweep must partition by doc_id:\n${globals.mkString("\n")}")
+  }
 }
