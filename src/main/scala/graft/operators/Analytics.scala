@@ -733,23 +733,30 @@ object Analytics {
 
   /** Query-term table (df ranks 11..15) + the (nd, tot) corpus-stats row —
     * the tiny "index statistics" artifact both BM25 personalities read.
+    * Memoized ([[graft.sources.Materialized]]): the nightly-built stats a
+    * serving tier loads, so repeat queries and the streaming scorer never
+    * re-scan the corpus for 6 rows of statistics.
     */
   private[graft] def bm25StatsFor(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val words = Tables.load(spark, dir, "documents")
+    def words = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val df = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tot = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
-    // TakeOrdered the 15 df-heaviest terms FIRST, then rank within those
-    // 15 rows — the single-partition window only ever sees 15 rows, never
-    // the vocabulary (which is corpus-sized at 100 TB).
-    val wDf = Window.orderBy(col("df").desc, col("term"))
-    val qt = df.orderBy(col("df").desc, col("term")).limit(15)
-      .withColumn("r", row_number().over(wDf))
-      .where(col("r") >= 11 && col("r") <= 15)
-      .select("term", "df")
+    val qt = graft.sources.Materialized.of(spark, s"bm25qt:$dir") {
+      val df = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      // TakeOrdered the 15 df-heaviest terms FIRST, then rank within those
+      // 15 rows — the single-partition window only ever sees 15 rows, never
+      // the vocabulary (which is corpus-sized at 100 TB).
+      val wDf = Window.orderBy(col("df").desc, col("term"))
+      df.orderBy(col("df").desc, col("term")).limit(15)
+        .withColumn("r", row_number().over(wDf))
+        .where(col("r") >= 11 && col("r") <= 15)
+        .select("term", "df")
+    }
+    val tot = graft.sources.Materialized.of(spark, s"bm25tot:$dir") {
+      words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
+    }
     (qt, tot)
   }
 
