@@ -50,7 +50,35 @@ object SimilarityQueries {
     // ninth wave: neighborhood graph + pseudo-labeling
     "q_knn_graph" -> ((s, d) => Neighbors.knnGraph(s, d)),
     "q_label_prop" -> ((s, d) => Neighbors.labelProp(s, d)),
+    "q_knn_clusters" -> ((s, d) => Neighbors.knnClusters(s, d)),
   )
+
+  /** Shared kNN-graph CTE chain (probes → assignment → candidates → exact
+    * cosine → top-5 edge list `ek`) replaying
+    * [[graft.operators.Neighbors.knnEdgesFor]]; consumed by `q_knn_graph`
+    * and `q_knn_clusters` so the edge-relation replay has ONE home.
+    */
+  private lazy val knnCtes: String =
+    s"""${hashMinCte("cents", 64)},
+       |pr AS (SELECT vec_id, cent_id, rn FROM (
+       |         SELECT v.vec_id, c.cent_id,
+       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |                  ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |                  c.cent_id) AS rn
+       |         FROM v CROSS JOIN cents c) WHERE rn <= 2),
+       |asg AS (SELECT vec_id, cent_id FROM pr WHERE rn = 1),
+       |cand AS (SELECT p.vec_id AS src, a.vec_id AS dst
+       |         FROM pr p JOIN asg a USING (cent_id)
+       |         WHERE a.vec_id <> p.vec_id),
+       |sc AS (SELECT src, dst,
+       |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+       |       FROM cand JOIN v q ON q.vec_id = src
+       |       JOIN v t ON t.vec_id = dst),
+       |ek AS (SELECT src, dst, rk FROM (
+       |         SELECT src, dst,
+       |                row_number() OVER (PARTITION BY src
+       |                  ORDER BY cos DESC, dst) AS rk
+       |         FROM sc) WHERE rk <= 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Recall audit: exact all-pairs vs the IVF-restricted pair set, counted
@@ -663,26 +691,7 @@ object SimilarityQueries {
     // edges, and the reversed-edge self-join for mutuality.
     "q_knn_graph" ->
       s"""WITH $vecCte,
-         |${hashMinCte("cents", 64)},
-         |pr AS (SELECT vec_id, cent_id, rn FROM (
-         |         SELECT v.vec_id, c.cent_id,
-         |                row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |                  ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |                  c.cent_id) AS rn
-         |         FROM v CROSS JOIN cents c) WHERE rn <= 2),
-         |asg AS (SELECT vec_id, cent_id FROM pr WHERE rn = 1),
-         |cand AS (SELECT p.vec_id AS src, a.vec_id AS dst
-         |         FROM pr p JOIN asg a USING (cent_id)
-         |         WHERE a.vec_id <> p.vec_id),
-         |sc AS (SELECT src, dst,
-         |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
-         |       FROM cand JOIN v q ON q.vec_id = src
-         |       JOIN v t ON t.vec_id = dst),
-         |ek AS (SELECT src, dst, rk FROM (
-         |         SELECT src, dst,
-         |                row_number() OVER (PARTITION BY src
-         |                  ORDER BY cos DESC, dst) AS rk
-         |         FROM sc) WHERE rk <= 5)
+         |$knnCtes
          |SELECT e.src AS vec_id, CAST(count(*) AS BIGINT) AS out_deg,
          |       CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
          |            AS BIGINT) AS mutual_deg,
@@ -734,5 +743,28 @@ object SimilarityQueries {
          |            * 1000 // count(*) AS BIGINT) AS acc_permille
          |FROM t LEFT JOIN pd USING (q_id)
          |GROUP BY label ORDER BY label""".stripMargin,
+    // Replays mutual-kNN clustering: the shared edge chain, mutual edges
+    // via the reversed self-join, transitive closure by recursive CTE,
+    // min-reachable-id labels (clipped at own id), singleton fallback.
+    "q_knn_clusters" ->
+      s"""WITH RECURSIVE $vecCte,
+         |$knnCtes,
+         |me AS (SELECT a.src AS s, a.dst AS t FROM ek a
+         |       JOIN ek b ON b.src = a.dst AND b.dst = a.src),
+         |reach AS (
+         |  SELECT s, t FROM me
+         |  UNION
+         |  SELECT r.s, me.t FROM reach r JOIN me ON r.t = me.s),
+         |mn AS (SELECT s, min(t) AS m FROM reach GROUP BY 1),
+         |cl AS (SELECT emb.vec_id,
+         |         CASE WHEN mn.m IS NULL THEN emb.vec_id
+         |              WHEN mn.m < emb.vec_id THEN mn.m
+         |              ELSE emb.vec_id END AS cluster_id
+         |       FROM embeddings emb LEFT JOIN mn ON emb.vec_id = mn.s),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM cl GROUP BY 1)
+         |SELECT cl.vec_id, cl.cluster_id, sz.cluster_size
+         |FROM cl JOIN sz USING (cluster_id)
+         |ORDER BY cl.vec_id""".stripMargin,
   )
 }

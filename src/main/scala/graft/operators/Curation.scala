@@ -144,45 +144,11 @@ object Curation {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.dedupNgram(spark, dir).select("doc_a", "doc_b")
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").cache()
-    // Each round goes through Iterative.round: eager localCheckpoint keeps
-    // round plans FLAT (they reference the previous round twice, so plans
-    // would otherwise double per round), and the release handle frees the
-    // superseded round's blocks — Dataset.unpersist can't (they belong to
-    // the RDD, not the CacheManager).
-    val (init, freeInit) = Iterative.round(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")))
-    var labels = init
-    var freeCur = freeInit
-    var changed = 1L
-    while (changed > 0) {
-      // Two propagation steps per materialized round (bounded plan growth),
-      // with roundLazy folding the materialization into the changed-count
-      // job — ⌈diameter/2⌉ single-action rounds. Terminating on step-2
-      // changes is sound: step 2 propagates exactly step 1's changes, so a
-      // quiet step 2 means step 1's moves had no downstream effect.
-      val step1 = labels.join(
-          edges.join(labels, edges("src") === labels("node"))
-            .groupBy(col("dst").as("node1")).agg(min("label").as("m1")),
-          labels("node") === col("node1"), "left")
-        .select(labels("node").as("node"), labels("label").as("l0"),
-          least(labels("label"), coalesce(col("m1"), labels("label"))).as("l1"))
-      val f1 = step1.where(col("l1") =!= col("l0"))
-        .select(col("node").as("fnode"), col("l1").as("fl"))
-      val (next, freeNext) = Iterative.roundLazy(
-        step1.join(
-            edges.join(f1, edges("src") === col("fnode"))
-              .groupBy(col("dst").as("node2")).agg(min(col("fl")).as("m2")),
-            col("node") === col("node2"), "left")
-          .select(col("node"), col("l1").as("mid"),
-            least(col("l1"), coalesce(col("m2"), col("l1"))).as("label")))
-      changed = next.where(col("label") =!= col("mid")).count()
-      freeCur()
-      freeCur = freeNext
-      labels = next.select("node", "label")
-    }
-    edges.unpersist()
+      .toDF("src", "dst")
+    // The min-label fixpoint lives in Iterative.connectedComponents (shared
+    // with the mutual-kNN clustering); the plan-flattening localCheckpoint
+    // discipline is documented there.
+    val labels = Iterative.connectedComponents(edges)
     val assigned = Tables.load(spark, dir, "documents").select("doc_id")
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -38,4 +38,50 @@ private[operators] object Iterative {
     }.getOrElse(() => ())
     (ck, free)
   }
+
+  /** Min-label-propagation connected components over a SYMMETRIC edge list
+    * (columns `src`, `dst`; both directions present) — the Pregel-shaped
+    * fixpoint shared by [[Curation.dedupClusters]] and
+    * [[Neighbors.knnClusters]]. Returns (node, label) for every node with
+    * ≥ 1 edge; label = min node id of the component. Each materialized
+    * round runs TWO propagation steps (bounded plan growth), so the loop
+    * does ⌈diameter/2⌉ single-action rounds; terminating on step-2 changes
+    * is sound because step 2 propagates exactly step 1's moves. At 100 TB
+    * the same loop runs with the alternating large-star/small-star
+    * optimization (Kiveris et al., SoCC'14) — identical fixpoint-and-min
+    * semantics.
+    */
+  def connectedComponents(edgesIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, least, min}
+    val edges = edgesIn.select("src", "dst").cache()
+    val (init, freeInit) = round(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
+    var labels = init
+    var freeCur = freeInit
+    var changed = 1L
+    while (changed > 0) {
+      val step1 = labels.join(
+          edges.join(labels, edges("src") === labels("node"))
+            .groupBy(col("dst").as("node1")).agg(min("label").as("m1")),
+          labels("node") === col("node1"), "left")
+        .select(labels("node").as("node"), labels("label").as("l0"),
+          least(labels("label"), coalesce(col("m1"), labels("label"))).as("l1"))
+      val f1 = step1.where(col("l1") =!= col("l0"))
+        .select(col("node").as("fnode"), col("l1").as("fl"))
+      val (next, freeNext) = roundLazy(
+        step1.join(
+            edges.join(f1, edges("src") === col("fnode"))
+              .groupBy(col("dst").as("node2")).agg(min(col("fl")).as("m2")),
+            col("node") === col("node2"), "left")
+          .select(col("node"), col("l1").as("mid"),
+            least(col("l1"), coalesce(col("m2"), col("l1"))).as("label")))
+      changed = next.where(col("label") =!= col("mid")).count()
+      freeCur()
+      freeCur = freeNext
+      labels = next.select("node", "label")
+    }
+    edges.unpersist()
+    labels
+  }
 }

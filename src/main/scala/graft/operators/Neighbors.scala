@@ -80,6 +80,42 @@ object Neighbors {
       .orderBy("vec_id")
   }
 
+  /** Semantic clustering by connected components of the MUTUAL-kNN graph:
+    * two vectors join a cluster only when each lists the other in its
+    * top-[[GraphK]] — the symmetric core that filters out one-sided hub
+    * edges, the standard way a kNN graph is hardened before community
+    * detection. Components come from the shared min-label Pregel fixpoint
+    * ([[Iterative.connectedComponents]]); every vector gets a cluster id
+    * (singletons label themselves) and its cluster size.
+    *
+    * This is the embedding-space analog of [[Curation.dedupClusters]]
+    * (same kernel, different edge relation): where dedup clusters group
+    * TEXTS that share shingles, these group VECTORS whose neighborhoods
+    * agree — the grouping a curation pipeline uses for cluster-balanced
+    * sampling or SemDeDup-style per-cluster budgets.
+    *
+    * Scale shape: the edge list is ≤ [[GraphK]]·N rows, mutuality is one
+    * set intersect on (src, dst), and each CC round is one shuffle; round
+    * count = component diameter (small for mutual-kNN graphs, whose
+    * components are locally dense).
+    */
+  def knnClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = knnEdgesFor(spark, dir).select("src", "dst")
+    val mutual = e.intersect(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = Iterative.connectedComponents(mutual)
+    val assigned = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id")
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"))
+    val sizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, "cluster_id")
+      .select("vec_id", "cluster_id", "cluster_size")
+      .orderBy("vec_id")
+  }
+
   /** kNN-classifier pseudo-labeling with a held-out accuracy readout: every
     * 5th vector (vec_id % 5 = 0) has its label HIDDEN; each hidden vector
     * is assigned the majority label of its top-[[GraphK]] LABELED

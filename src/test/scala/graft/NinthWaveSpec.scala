@@ -77,6 +77,30 @@ class NinthWaveSpec extends SparkSpec {
     assert(ds.agg(sum("n_dup_grams")).as[Long].head() > 0L)
   }
 
+  test("knn clusters: partition of the corpus labeled by component minimum") {
+    val kc = Neighbors.knnClusters(spark, sf0001).cache()
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(kc.count() === n)
+    // cluster_id is the component minimum: it equals min(vec_id) within
+    // its cluster, and sizes are consistent
+    val byCluster = kc.groupBy("cluster_id")
+      .agg(min(col("vec_id")).as("mn"), count(lit(1)).as("n"),
+        min(col("cluster_size")).as("sz0"), max(col("cluster_size")).as("sz1"))
+    assert(byCluster.where(col("mn") =!= col("cluster_id") ||
+      col("sz0") =!= col("n") || col("sz1") =!= col("n")).count() === 0L)
+    // clusters only merge MUTUAL edges: every non-singleton member pair is
+    // connected through the mutual subgraph, so a cluster can never exceed
+    // the mutual-edge endpoint set
+    val e = Neighbors.knnEdgesFor(spark, sf0001).select("src", "dst")
+    val mutual = e.intersect(e.select(col("dst").as("src"), col("src").as("dst")))
+    val endpoints = mutual.select(col("src").as("v")).distinct()
+    val nonSingleton = kc.where(col("cluster_size") > 1)
+      .select(col("vec_id").as("v"))
+    assert(nonSingleton.join(endpoints, Seq("v"), "left_anti").count() === 0L,
+      "non-singleton members must touch a mutual edge")
+    kc.unpersist()
+  }
+
   test("bm25: exactly 10 ranked docs, hit counts bounded by query size") {
     val r = Analytics.bm25Search(spark, sf0001).cache()
     assert(r.count() === 10L)
