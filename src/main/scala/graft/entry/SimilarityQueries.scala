@@ -51,6 +51,7 @@ object SimilarityQueries {
     "q_knn_graph" -> ((s, d) => Neighbors.knnGraph(s, d)),
     "q_label_prop" -> ((s, d) => Neighbors.labelProp(s, d)),
     "q_knn_clusters" -> ((s, d) => Neighbors.knnClusters(s, d)),
+    "q_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
   )
 
   /** Shared kNN-graph CTE chain (probes → assignment → candidates → exact
@@ -766,5 +767,53 @@ object SimilarityQueries {
          |SELECT cl.vec_id, cl.cluster_id, sz.cluster_size
          |FROM cl JOIN sz USING (cluster_id)
          |ORDER BY cl.vec_id""".stripMargin,
+    // Replays the PCA power iteration: milli-quantized int64 second-moment
+    // matrix (order-free exact sums), then PcaIters unrolled
+    // multiply+normalize stages whose ordered-list left folds reproduce
+    // the Spark driver's pinned j-then-i double arithmetic bit-for-bit.
+    "q_pca_power" -> {
+      // MATERIALIZED is load-bearing: each stage is referenced twice, so
+      // DuckDB's default CTE inlining would re-evaluate the whole upstream
+      // chain 2^k times (the same exponential-plan hazard
+      // Iterative.round's localCheckpoint guards against on the Spark
+      // side).
+      def mult(vin: String, w: String) =
+        s"""$w AS MATERIALIZED (SELECT c.i AS d,
+           |  list_reduce(list(c.c * $vin.vv ORDER BY c.j),
+           |              (x, y) -> x + y) AS wv
+           |FROM cov c JOIN $vin ON c.j = $vin.d GROUP BY c.i)""".stripMargin
+      def norm(w: String, vout: String) =
+        s"""$vout AS MATERIALIZED (SELECT d, wv / (
+           |  SELECT sqrt(list_reduce(list(wv * wv ORDER BY d),
+           |                          (x, y) -> x + y)) FROM $w) AS vv
+           |FROM $w)""".stripMargin
+      val iters = (1 to operators.Similarity.PcaIters).map { k =>
+        s"${mult(s"v${k - 1}", s"w$k")},\n${norm(s"w$k", s"v$k")}"
+      }.mkString(",\n")
+      val last = s"v${operators.Similarity.PcaIters}"
+      val lastW = s"w${operators.Similarity.PcaIters}"
+      s"""WITH $vecCte,
+         |xq AS (SELECT vec_id, di.i - 1 AS d,
+         |         CAST(round(e[di.i] * 1000.0e0) AS BIGINT) AS x
+         |       FROM v CROSS JOIN
+         |         (SELECT unnest(generate_series(1, 64)) AS i) di),
+         |cov AS MATERIALIZED (SELECT a.d AS i, b.d AS j,
+         |          CAST(sum(a.x * b.x) AS BIGINT) AS c
+         |        FROM xq a JOIN xq b USING (vec_id) GROUP BY 1, 2),
+         |v0 AS (SELECT unnest(generate_series(0, 63)) AS d, 0.125e0 AS vv),
+         |$iters,
+         |tr AS (SELECT CAST(sum(CASE WHEN i = j THEN c ELSE 0 END)
+         |                AS BIGINT) AS trace FROM cov),
+         |lm AS (SELECT sqrt(list_reduce(list(wv * wv ORDER BY d),
+         |                               (x, y) -> x + y)) AS lam
+         |       FROM $lastW)
+         |SELECT CAST($last.d AS BIGINT) AS dim,
+         |       CAST(floor($last.vv * 1000000.0e0) AS BIGINT) AS eig_micros,
+         |       CAST(floor(lam) AS BIGINT) AS lambda_floor,
+         |       CAST(floor((lam * 1000.0e0) / trace) AS BIGINT)
+         |         AS ev_permille
+         |FROM $last CROSS JOIN lm CROSS JOIN tr
+         |ORDER BY dim""".stripMargin
+    },
   )
 }

@@ -1127,4 +1127,76 @@ object Similarity {
         (col("pos_cos") - col("neg_cos")).as("margin"))
       .orderBy("q_id")
   }
+
+  /** Power-iteration rounds for [[pcaPower]]. */
+  private[graft] val PcaIters = 8
+
+  /** Principal component of the embedding cloud by distributed covariance +
+    * power iteration — the measurement behind embedding whitening and
+    * anisotropy checks (a transformer embedding space is typically
+    * dominated by one rogue direction; λ₁/trace says how badly).
+    *
+    * Determinism contract: embeddings are milli-quantized
+    * (`round(x·1000)` int64, the [[embedStats]] idiom one scale down), so
+    * every second-moment entry C_ij = Σ x_i·x_j is an EXACT int64 sum —
+    * aggregation-order-free in both engines. The 64×64 power iteration
+    * ([[PcaIters]] rounds from the uniform unit vector) then runs in
+    * driver-local IEEE doubles with a pinned left-to-right fold order,
+    * which the DuckDB oracle replays verbatim via ordered-list folds — so
+    * even the eigenvector is hash-verified. (Quantized products stay below
+    * 2⁵³ per term; the int64 SUM is exact to ±9·10¹⁸ — beyond ~10⁹ vectors
+    * the double CONVERSION of C_ij rounds, which shifts the estimate by
+    * <1e-6 relative and matters to nobody at that scale.)
+    *
+    * Scale shape: the covariance is ONE pass — a per-vector 64×64
+    * self-pair explode that partial-aggregates map-side to ≤4096 rows per
+    * partition, then a 4096-row final aggregate; the iteration touches
+    * only that 4096-entry matrix. 100× data changes the scan, nothing
+    * else.
+    *
+    * Output per dimension: the principal-axis coordinate in floor-micros,
+    * plus the (constant) λ₁ floor and explained-share permille.
+    */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val xq = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "d", "x")
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        round(col("x") * 1000.0).cast("long").as("xq"))
+    val cov = xq.as("a").join(xq.as("b"), "vec_id")
+      .select(col("a.d").as("i"), col("b.d").as("j"),
+        (col("a.xq") * col("b.xq")).as("p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("c"))
+    val entries = cov.collect()  // exactly 64×64 rows at ANY corpus size
+    val c = Array.ofDim[Double](64, 64)
+    var trace = 0L
+    entries.foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+      c(i)(j) = v.toDouble
+      if (i == j) trace += v
+    }
+    var v = Array.fill(64)(0.125) // 1/sqrt(64), exact in binary
+    var lam = 0.0
+    for (_ <- 1 to PcaIters) {
+      // pinned fold order (j then i ascending) — the oracle's ordered-list
+      // left folds reproduce these exact doubles
+      val w = Array.tabulate(64) { i =>
+        var s = 0.0; var j = 0
+        while (j < 64) { s += c(i)(j) * v(j); j += 1 }; s
+      }
+      var n2 = 0.0; var i = 0
+      while (i < 64) { n2 += w(i) * w(i); i += 1 }
+      lam = math.sqrt(n2)
+      v = w.map(_ / lam)
+    }
+    val lamFloor = math.floor(lam).toLong
+    val evPermille = math.floor((lam * 1000.0) / trace.toDouble).toLong
+    import spark.implicits._
+    v.zipWithIndex.toSeq
+      .map { case (x, d) =>
+        (d.toLong, math.floor(x * 1000000.0).toLong, lamFloor, evPermille) }
+      .toDF("dim", "eig_micros", "lambda_floor", "ev_permille")
+      .orderBy("dim")
+  }
 }

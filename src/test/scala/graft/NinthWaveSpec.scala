@@ -101,6 +101,24 @@ class NinthWaveSpec extends SparkSpec {
     kc.unpersist()
   }
 
+  test("pca power: unit principal axis, positive spectrum share") {
+    val p = Similarity.pcaPower(spark, sf0001).cache()
+    assert(p.count() === 64L)
+    assert(p.select("dim").as[Long].collect().toSeq === (0L until 64L))
+    // eigenvector is unit-norm: sum of squared micro coordinates ≈ 1e12
+    // (floor-quantization drifts each coordinate by < 1 micro either way,
+    // so norm² moves by at most ~2·Σ|v_i|·1e6 + 64 ≈ 2e8)
+    val n2 = p.select((col("eig_micros") * col("eig_micros")).as("s"))
+      .agg(sum("s")).as[Long].head()
+    assert(n2 < 1000200000000L && n2 > 999800000000L, s"norm²=$n2")
+    // λ₁ positive; explained share in (0, 1000]; constant across rows
+    val bad = p.where(col("lambda_floor") <= 0 ||
+      col("ev_permille") <= 0 || col("ev_permille") > 1000).count()
+    assert(bad === 0L)
+    assert(p.select("lambda_floor", "ev_permille").distinct().count() === 1L)
+    p.unpersist()
+  }
+
   test("bm25: exactly 10 ranked docs, hit counts bounded by query size") {
     val r = Analytics.bm25Search(spark, sf0001).cache()
     assert(r.count() === 10L)
