@@ -52,6 +52,7 @@ object SimilarityQueries {
     "q_label_prop" -> ((s, d) => Neighbors.labelProp(s, d)),
     "q_knn_clusters" -> ((s, d) => Neighbors.knnClusters(s, d)),
     "q_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
+    "q_whiten_check" -> ((s, d) => Similarity.whitenCheck(s, d)),
   )
 
   /** Shared kNN-graph CTE chain (probes → assignment → candidates → exact
@@ -80,6 +81,43 @@ object SimilarityQueries {
        |                row_number() OVER (PARTITION BY src
        |                  ORDER BY cos DESC, dst) AS rk
        |         FROM sc) WHERE rk <= 5)""".stripMargin
+
+  private val pcaLast = s"v${operators.Similarity.PcaIters}"
+  private val pcaLastW = s"w${operators.Similarity.PcaIters}"
+
+  /** Shared PCA CTE chain (milli codes `xq` → int64 second-moment `cov` →
+    * PcaIters unrolled multiply+normalize stages ending at [[pcaLast]]),
+    * replaying [[graft.operators.Similarity.pcaAxisFor]]; consumed by
+    * `q_pca_power` and `q_whiten_check`. MATERIALIZED is load-bearing:
+    * each stage is referenced twice, so DuckDB's default CTE inlining
+    * would re-evaluate the whole upstream chain 2^k times (the same
+    * exponential-plan hazard Iterative.round's localCheckpoint guards
+    * against on the Spark side).
+    */
+  private lazy val pcaCtes: String = {
+    def mult(vin: String, w: String) =
+      s"""$w AS MATERIALIZED (SELECT c.i AS d,
+         |  list_reduce(list(c.c * $vin.vv ORDER BY c.j),
+         |              (x, y) -> x + y) AS wv
+         |FROM cov c JOIN $vin ON c.j = $vin.d GROUP BY c.i)""".stripMargin
+    def norm(w: String, vout: String) =
+      s"""$vout AS MATERIALIZED (SELECT d, wv / (
+         |  SELECT sqrt(list_reduce(list(wv * wv ORDER BY d),
+         |                          (x, y) -> x + y)) FROM $w) AS vv
+         |FROM $w)""".stripMargin
+    val iters = (1 to operators.Similarity.PcaIters).map { k =>
+      s"${mult(s"v${k - 1}", s"w$k")},\n${norm(s"w$k", s"v$k")}"
+    }.mkString(",\n")
+    s"""xq AS MATERIALIZED (SELECT vec_id, di.i - 1 AS d,
+       |         CAST(round(e[di.i] * 1000.0e0) AS BIGINT) AS x
+       |       FROM v CROSS JOIN
+       |         (SELECT unnest(generate_series(1, 64)) AS i) di),
+       |cov AS MATERIALIZED (SELECT a.d AS i, b.d AS j,
+       |          CAST(sum(a.x * b.x) AS BIGINT) AS c
+       |        FROM xq a JOIN xq b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT unnest(generate_series(0, 63)) AS d, 0.125e0 AS vv),
+       |$iters""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // Recall audit: exact all-pairs vs the IVF-restricted pair set, counted
@@ -771,49 +809,56 @@ object SimilarityQueries {
     // matrix (order-free exact sums), then PcaIters unrolled
     // multiply+normalize stages whose ordered-list left folds reproduce
     // the Spark driver's pinned j-then-i double arithmetic bit-for-bit.
-    "q_pca_power" -> {
-      // MATERIALIZED is load-bearing: each stage is referenced twice, so
-      // DuckDB's default CTE inlining would re-evaluate the whole upstream
-      // chain 2^k times (the same exponential-plan hazard
-      // Iterative.round's localCheckpoint guards against on the Spark
-      // side).
-      def mult(vin: String, w: String) =
-        s"""$w AS MATERIALIZED (SELECT c.i AS d,
-           |  list_reduce(list(c.c * $vin.vv ORDER BY c.j),
-           |              (x, y) -> x + y) AS wv
-           |FROM cov c JOIN $vin ON c.j = $vin.d GROUP BY c.i)""".stripMargin
-      def norm(w: String, vout: String) =
-        s"""$vout AS MATERIALIZED (SELECT d, wv / (
-           |  SELECT sqrt(list_reduce(list(wv * wv ORDER BY d),
-           |                          (x, y) -> x + y)) FROM $w) AS vv
-           |FROM $w)""".stripMargin
-      val iters = (1 to operators.Similarity.PcaIters).map { k =>
-        s"${mult(s"v${k - 1}", s"w$k")},\n${norm(s"w$k", s"v$k")}"
-      }.mkString(",\n")
-      val last = s"v${operators.Similarity.PcaIters}"
-      val lastW = s"w${operators.Similarity.PcaIters}"
+    "q_pca_power" ->
       s"""WITH $vecCte,
-         |xq AS (SELECT vec_id, di.i - 1 AS d,
-         |         CAST(round(e[di.i] * 1000.0e0) AS BIGINT) AS x
-         |       FROM v CROSS JOIN
-         |         (SELECT unnest(generate_series(1, 64)) AS i) di),
-         |cov AS MATERIALIZED (SELECT a.d AS i, b.d AS j,
-         |          CAST(sum(a.x * b.x) AS BIGINT) AS c
-         |        FROM xq a JOIN xq b USING (vec_id) GROUP BY 1, 2),
-         |v0 AS (SELECT unnest(generate_series(0, 63)) AS d, 0.125e0 AS vv),
-         |$iters,
+         |$pcaCtes,
          |tr AS (SELECT CAST(sum(CASE WHEN i = j THEN c ELSE 0 END)
          |                AS BIGINT) AS trace FROM cov),
          |lm AS (SELECT sqrt(list_reduce(list(wv * wv ORDER BY d),
          |                               (x, y) -> x + y)) AS lam
-         |       FROM $lastW)
-         |SELECT CAST($last.d AS BIGINT) AS dim,
-         |       CAST(floor($last.vv * 1000000.0e0) AS BIGINT) AS eig_micros,
+         |       FROM $pcaLastW)
+         |SELECT CAST($pcaLast.d AS BIGINT) AS dim,
+         |       CAST(floor($pcaLast.vv * 1000000.0e0) AS BIGINT)
+         |         AS eig_micros,
          |       CAST(floor(lam) AS BIGINT) AS lambda_floor,
          |       CAST(floor((lam * 1000.0e0) / trace) AS BIGINT)
          |         AS ev_permille
-         |FROM $last CROSS JOIN lm CROSS JOIN tr
-         |ORDER BY dim""".stripMargin
-    },
+         |FROM $pcaLast CROSS JOIN lm CROSS JOIN tr
+         |ORDER BY dim""".stripMargin,
+    // Replays the anisotropy check: raw stage over the xq milli codes;
+    // whitened stage subtracts the v8-axis projection per vector (same
+    // list_zip left-fold dot and op order as VectorOps.dot), re-quantizes,
+    // and both stages reduce to exact int64 moment sums.
+    "q_whiten_check" ->
+      s"""WITH $vecCte,
+         |$pcaCtes,
+         |va AS MATERIALIZED (SELECT list(vv ORDER BY d) AS vl
+         |                    FROM $pcaLast),
+         |pj AS (SELECT v.vec_id, v.e, va.vl,
+         |         list_reduce(list_transform(list_zip(v.e, va.vl),
+         |           s -> s[1] * s[2]), (x, y) -> x + y) AS proj
+         |       FROM v CROSS JOIN va),
+         |wq AS (SELECT vec_id, di.i - 1 AS d,
+         |         CAST(round((e[di.i] - proj * vl[di.i]) * 1000.0e0)
+         |              AS BIGINT) AS x
+         |       FROM pj CROSS JOIN
+         |         (SELECT unnest(generate_series(1, 64)) AS i) di),
+         |rs AS (SELECT d, CAST(sum(x) AS BIGINT) AS s FROM xq GROUP BY 1),
+         |rmu AS (SELECT CAST(sum(s * s) AS BIGINT) AS mu_sq FROM rs),
+         |rtot AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+         |                CAST(sum(x * x) AS BIGINT) AS sum_sq FROM xq),
+         |ws AS (SELECT d, CAST(sum(x) AS BIGINT) AS s FROM wq GROUP BY 1),
+         |wmu AS (SELECT CAST(sum(s * s) AS BIGINT) AS mu_sq FROM ws),
+         |wtot AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+         |                CAST(sum(x * x) AS BIGINT) AS sum_sq FROM wq)
+         |SELECT 'raw' AS stage, n_vecs, sum_sq, mu_sq,
+         |       CAST(mu_sq * 1000 // (n_vecs * sum_sq) AS BIGINT)
+         |         AS aniso_permille
+         |FROM rtot CROSS JOIN rmu
+         |UNION ALL
+         |SELECT 'whitened', n_vecs, sum_sq, mu_sq,
+         |       CAST(mu_sq * 1000 // (n_vecs * sum_sq) AS BIGINT)
+         |FROM wtot CROSS JOIN wmu
+         |ORDER BY stage""".stripMargin,
   )
 }

@@ -1157,46 +1157,107 @@ object Similarity {
     * Output per dimension: the principal-axis coordinate in floor-micros,
     * plus the (constant) λ₁ floor and explained-share permille.
     */
-  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
-    val xq = Tables.load(spark, dir, "embeddings")
+  /** Milli-quantized int64 codes for the moment accumulation. */
+  private[graft] def pcaXqFor(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")))
       .toDF("vec_id", "d", "x")
       .select(col("vec_id"), col("d").cast("long").as("d"),
         round(col("x") * 1000.0).cast("long").as("xq"))
-    val cov = xq.as("a").join(xq.as("b"), "vec_id")
-      .select(col("a.d").as("i"), col("b.d").as("j"),
-        (col("a.xq") * col("b.xq")).as("p"))
-      .groupBy("i", "j").agg(sum(col("p")).as("c"))
-    val entries = cov.collect()  // exactly 64×64 rows at ANY corpus size
-    val c = Array.ofDim[Double](64, 64)
-    var trace = 0L
-    entries.foreach { r =>
-      val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
-      c(i)(j) = v.toDouble
-      if (i == j) trace += v
-    }
-    var v = Array.fill(64)(0.125) // 1/sqrt(64), exact in binary
-    var lam = 0.0
-    for (_ <- 1 to PcaIters) {
-      // pinned fold order (j then i ascending) — the oracle's ordered-list
-      // left folds reproduce these exact doubles
-      val w = Array.tabulate(64) { i =>
-        var s = 0.0; var j = 0
-        while (j < 64) { s += c(i)(j) * v(j); j += 1 }; s
+
+  /** The memoized principal-axis artifact: one row per dimension with the
+    * converged power-iteration coordinate (double — parquet round-trips
+    * bits exactly, MaterializedSpec), plus the constant λ₁ and trace. The
+    * persisted "whitening model" [[pcaPower]] reports and
+    * [[whitenCheck]] applies.
+    */
+  private[graft] def pcaAxisFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"pcaaxis:$dir") {
+      val xq = pcaXqFor(spark, dir)
+      val cov = xq.as("a").join(xq.as("b"), "vec_id")
+        .select(col("a.d").as("i"), col("b.d").as("j"),
+          (col("a.xq") * col("b.xq")).as("p"))
+        .groupBy("i", "j").agg(sum(col("p")).as("c"))
+      val entries = cov.collect()  // exactly 64×64 rows at ANY corpus size
+      val c = Array.ofDim[Double](64, 64)
+      var trace = 0L
+      entries.foreach { r =>
+        val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+        c(i)(j) = v.toDouble
+        if (i == j) trace += v
       }
-      var n2 = 0.0; var i = 0
-      while (i < 64) { n2 += w(i) * w(i); i += 1 }
-      lam = math.sqrt(n2)
-      v = w.map(_ / lam)
+      var v = Array.fill(64)(0.125) // 1/sqrt(64), exact in binary
+      var lam = 0.0
+      for (_ <- 1 to PcaIters) {
+        // pinned fold order (j then i ascending) — the oracle's ordered-
+        // list left folds reproduce these exact doubles
+        val w = Array.tabulate(64) { i =>
+          var s = 0.0; var j = 0
+          while (j < 64) { s += c(i)(j) * v(j); j += 1 }; s
+        }
+        var n2 = 0.0; var i = 0
+        while (i < 64) { n2 += w(i) * w(i); i += 1 }
+        lam = math.sqrt(n2)
+        v = w.map(_ / lam)
+      }
+      import spark.implicits._
+      v.zipWithIndex.toSeq
+        .map { case (x, d) => (d.toLong, x, lam, trace) }
+        .toDF("dim", "vv", "lam", "trace")
     }
-    val lamFloor = math.floor(lam).toLong
-    val evPermille = math.floor((lam * 1000.0) / trace.toDouble).toLong
-    import spark.implicits._
-    v.zipWithIndex.toSeq
-      .map { case (x, d) =>
-        (d.toLong, math.floor(x * 1000000.0).toLong, lamFloor, evPermille) }
-      .toDF("dim", "eig_micros", "lambda_floor", "ev_permille")
+
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    pcaAxisFor(spark, dir)
+      .select(col("dim"),
+        floor(col("vv") * lit(1000000.0)).cast("long").as("eig_micros"),
+        floor(col("lam")).cast("long").as("lambda_floor"),
+        floor((col("lam") * lit(1000.0)) / col("trace")).cast("long")
+          .as("ev_permille"))
       .orderBy("dim")
+
+  /** Anisotropy before/after principal-direction removal — the check that
+    * says whether the embedding cloud is dominated by one rogue direction
+    * (Mu & Viswanath 2018's all-but-the-top, Ethayarajh 2019's anisotropy
+    * measurements) and how much nulling it out helps.
+    *
+    * Anisotropy proxy: ‖Σx‖² / (n · Σ‖x‖²) in permille — 0 for a
+    * perfectly centered cloud, 1000 when every vector is the same ray.
+    * Both stages aggregate MILLI-QUANTIZED int64 codes, so all corpus
+    * sums are exact and order-free; the `whitened` stage first subtracts
+    * each vector's projection on the [[pcaAxisFor]] axis in IEEE doubles
+    * (per-row map, pinned fold order) and re-quantizes.
+    *
+    * Scale shape: one pass per stage (map + two bounded aggregations:
+    * per-dim sums → 64 rows, and one grand total); the axis is a 64-row
+    * broadcast literal. The moment build itself is [[pcaAxisFor]]'s
+    * session memo, paid once.
+    */
+  def whitenCheck(spark: SparkSession, dir: String): DataFrame = {
+    val axis = pcaAxisFor(spark, dir).orderBy("dim")
+      .select("vv").collect().map(_.getDouble(0))
+    val vLit = array(axis.map(lit): _*)
+    val raw = pcaXqFor(spark, dir).select(col("vec_id"), col("d"), col("xq"))
+    val whit = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("proj", graft.functions.VectorOps.dot(col("e"), vLit))
+      .select(col("vec_id"),
+        posexplode(zip_with(col("e"), vLit,
+          (x, vi) => x - col("proj") * vi)))
+      .toDF("vec_id", "d", "x")
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        round(col("x") * 1000.0).cast("long").as("xq"))
+    def stage(name: String, q: DataFrame): DataFrame = {
+      val dimSums = q.groupBy("d").agg(sum(col("xq")).as("s"))
+      val mu = dimSums.agg(sum(col("s") * col("s")).as("mu_sq"))
+      val tot = q.agg(
+        (countDistinct(col("vec_id"))).as("n_vecs"),
+        sum(col("xq") * col("xq")).as("sum_sq"))
+      tot.crossJoin(broadcast(mu))
+        .select(lit(name).as("stage"), col("n_vecs"), col("sum_sq"),
+          col("mu_sq"),
+          expr("mu_sq * 1000 div (n_vecs * sum_sq)").as("aniso_permille"))
+    }
+    stage("raw", raw).unionAll(stage("whitened", whit)).orderBy("stage")
   }
 }

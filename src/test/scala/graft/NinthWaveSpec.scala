@@ -119,6 +119,28 @@ class NinthWaveSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("whiten check: removing the principal axis never raises anisotropy") {
+    val w = Similarity.whitenCheck(spark, sf0001).cache()
+    assert(w.count() === 2L)
+    val rows = w.orderBy("stage")
+      .select("stage", "n_vecs", "sum_sq", "mu_sq", "aniso_permille")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq("raw", "whitened"))
+    val Array(raw, wh) = rows
+    assert(raw._2 === wh._2, "same vector count in both stages")
+    assert(raw._3 > 0 && wh._3 > 0 && raw._4 >= 0 && wh._4 >= 0)
+    // projection removal cannot increase total energy, and the anisotropy
+    // ratio must not rise (the removed direction carries >= its share of
+    // the mean): compare exact rationals mu/(n*sum) without integer-div
+    // loss
+    assert(wh._3 <= raw._3, "energy can only shrink")
+    // ‖μ'‖² = ‖μ‖² − (v·μ)² ≤ ‖μ‖² exactly in the reals; re-quantization
+    // adds noise orders below the gap on this corpus (pinned by the
+    // driver oracle either way)
+    assert(wh._4 <= raw._4, s"mean mass must not grow: raw=$raw wh=$wh")
+    w.unpersist()
+  }
+
   test("bm25: exactly 10 ranked docs, hit counts bounded by query size") {
     val r = Analytics.bm25Search(spark, sf0001).cache()
     assert(r.count() === 10L)
