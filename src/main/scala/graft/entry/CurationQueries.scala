@@ -25,6 +25,8 @@ object CurationQueries {
     "q_pack_bins" -> ((s, d) => Corpus.packBins(s, d)),
     "q_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
     "q_train_order" -> ((s, d) => Curation.trainOrder(s, d)),
+    // ninth wave: easy-first curriculum phases
+    "q_curriculum" -> ((s, d) => Curation.curriculum(s, d)),
     "q_mixture_budget" -> ((s, d) => Curation.mixtureBudget(s, d)),
     "q_pack_sequences" -> ((s, d) => Curation.packSequences(s, d)),
     "q_pack_greedy" -> ((s, d) => Curation.packGreedy(s, d)),
@@ -309,5 +311,26 @@ object CurationQueries {
          |SELECT doc_id, lang, n_toks,
          |       CAST(sw // n_toks AS BIGINT) AS score_pm
          |FROM ds ORDER BY score_pm DESC, doc_id LIMIT 100""".stripMargin,
+    // Replays the curriculum cut: lexical-diversity permille, global rank
+    // (dp, doc_id), equal-rank quartile phases, per-phase summary.
+    "q_curriculum" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+         |      FROM d),
+         |r AS (SELECT doc_id, n_words,
+         |        n_distinct * 1000 // n_words AS dp,
+         |        row_number() OVER (ORDER BY n_distinct * 1000 // n_words,
+         |                           doc_id) AS rn,
+         |        count(*) OVER () AS n
+         |      FROM m)
+         |SELECT CAST((rn - 1) * ${operators.Curation.CurrPhases} // n
+         |            AS BIGINT) AS phase,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+         |       CAST(min(dp) AS BIGINT) AS min_dp,
+         |       CAST(max(dp) AS BIGINT) AS max_dp
+         |FROM r GROUP BY 1 ORDER BY phase""".stripMargin,
   )
 }

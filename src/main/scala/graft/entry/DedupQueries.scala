@@ -34,9 +34,39 @@ object DedupQueries {
     "q_source_overlap" -> ((s, d) => Corpus.sourceOverlap(s, d)),
     "q_ngram_novelty" -> ((s, d) => Corpus.ngramNovelty(s, d)),
     "q_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
-    // ninth wave: sliding-window repeated-substring spans
+    // ninth wave: sliding-window repeated-substring spans, keep-longest
+    // cluster canonicalization
     "q_dup_spans" -> ((s, d) => Corpus.dupSpans(s, d)),
+    "q_cluster_canon" -> ((s, d) => Curation.clusterCanon(s, d)),
   )
+
+  /** Shared connected-component CTE chain (Jaccard pairs → symmetric
+    * edges → recursive reach → min-label `cl` + sizes `sz`) replaying
+    * [[graft.operators.Curation.dedupClusters]]; consumed by
+    * `q_dedup_clusters` and `q_cluster_canon`. Callers must open with
+    * `WITH RECURSIVE`.
+    */
+  private lazy val ccCtes: String =
+    s"""$docShCtes, $interCte,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE inter * 3 >= sa.n_sh + sb.n_sh),
+       |e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       |      UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT s, t FROM e
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+       |mn AS (SELECT s, min(t) AS m FROM reach GROUP BY 1),
+       |cl AS (SELECT d.doc_id,
+       |         CASE WHEN mn.m IS NULL THEN d.doc_id
+       |              WHEN mn.m < d.doc_id THEN mn.m
+       |              ELSE d.doc_id END AS cluster_id
+       |       FROM documents d LEFT JOIN mn ON d.doc_id = mn.s),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size
+       |       FROM cl GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -211,28 +241,29 @@ object DedupQueries {
     // CTE) vs Spark's min-label-propagation fixpoint — two genuinely
     // different mechanisms agreeing on component labels.
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $docShCtes, $interCte,
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM inter
-         |  JOIN sizes sa ON doc_a = sa.doc_id
-         |  JOIN sizes sb ON doc_b = sb.doc_id
-         |  WHERE inter * 3 >= sa.n_sh + sb.n_sh),
-         |e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
-         |      UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT s, t FROM e
-         |  UNION
-         |  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
-         |mn AS (SELECT s, min(t) AS m FROM reach GROUP BY 1),
-         |cl AS (SELECT d.doc_id,
-         |         CASE WHEN mn.m IS NULL THEN d.doc_id
-         |              WHEN mn.m < d.doc_id THEN mn.m
-         |              ELSE d.doc_id END AS cluster_id
-         |       FROM documents d LEFT JOIN mn ON d.doc_id = mn.s),
-         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+      s"""WITH RECURSIVE $ccCtes
          |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size
          |FROM cl JOIN sz USING (cluster_id)
          |ORDER BY cl.doc_id""".stripMargin,
+    // Replays keep-longest canonical selection on top of the cluster
+    // relation: rank-1 by (n_chars DESC, doc_id) per cluster == Spark's
+    // min(-n_chars, doc_id) struct aggregate.
+    "q_cluster_canon" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |ln AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+         |       FROM documents),
+         |j AS (SELECT cl.doc_id, cl.cluster_id, sz.cluster_size, ln.n_chars
+         |      FROM cl JOIN sz USING (cluster_id) JOIN ln USING (doc_id)),
+         |cn AS (SELECT cluster_id, doc_id AS canon_doc FROM (
+         |         SELECT cluster_id, doc_id,
+         |                row_number() OVER (PARTITION BY cluster_id
+         |                  ORDER BY n_chars DESC, doc_id) AS rk
+         |         FROM j) WHERE rk = 1)
+         |SELECT j.doc_id, j.cluster_id, j.cluster_size, j.n_chars,
+         |       cn.canon_doc,
+         |       CAST(j.doc_id = cn.canon_doc AS BIGINT) AS is_canon
+         |FROM j JOIN cn USING (cluster_id)
+         |ORDER BY j.doc_id""".stripMargin,
     "q_containment" ->
       s"""WITH $docShCtes, $interCte
          |SELECT doc_a, doc_b, inter,

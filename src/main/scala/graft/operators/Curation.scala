@@ -525,4 +525,68 @@ object Curation {
   def dsirSelect(spark: SparkSession, dir: String): DataFrame =
     dsirScores(spark, dir)
       .orderBy(col("score_pm").desc, col("doc_id")).limit(100)
+
+  /** Curriculum phases for [[curriculum]]. */
+  private[graft] val CurrPhases = 4L
+
+  /** Curriculum schedule: documents ranked easy→hard by lexical-diversity
+    * permille (distinct words per 1000 words — low diversity reads easy,
+    * high diversity is dense) and cut into [[CurrPhases]] equal-rank
+    * phases, the shape a curriculum-ordered training run feeds phase by
+    * phase (Bengio et al. 2009's easy-first schedule at corpus scale).
+    * Emits the per-phase summary a schedule owner signs off on: doc count,
+    * token budget, and the difficulty band.
+    *
+    * The global rank is [[Ranking.withGlobalRowNumber]] (range partition +
+    * broadcast offsets), not a single-task window, so the phase cut
+    * distributes like any sort at 100 TB; everything downstream is one
+    * 4-row aggregate.
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+      .withColumn("dp", expr("n_distinct * 1000 div n_words"))
+    val (ranked, n) = Ranking.withGlobalRowNumber(
+      d, "rn", col("dp"), col("doc_id"))
+    ranked
+      .withColumn("phase",
+        expr(s"(rn - 1) * $CurrPhases div ${math.max(n, 1L)}"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_tokens"),
+        min(col("dp")).as("min_dp"), max(col("dp")).as("max_dp"))
+      .orderBy("phase")
+  }
+
+  /** Canonical-member selection per near-dup cluster — the step AFTER
+    * clustering that [[dedupClusters]] stops short of: inside every
+    * cluster, keep the LONGEST member (chars; ties → smallest doc_id), the
+    * RefinedWeb/C4-style keep-longest rule (the longest duplicate is the
+    * least-truncated crawl of the shared content). Emits every document
+    * with its cluster, the cluster's canonical doc, and its own verdict —
+    * the relation a rewrite pass joins against to drop non-canonicals.
+    *
+    * One window over clusters (partition key = cluster_id, group size =
+    * cluster size — bounded by the dedup graph, not the corpus) on top of
+    * the memo-backed cluster relation.
+    */
+  def clusterCanon(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+    val len = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val withLen = clusters.join(len, "doc_id")
+    // keep-longest winner per cluster via a min-struct aggregate (map-side
+    // combinable — no per-cluster sort): min(-n_chars, doc_id) == the
+    // longest member, ties to the smallest id
+    val canon = withLen.groupBy("cluster_id")
+      .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id"))).as("c"))
+      .select(col("cluster_id"), col("c.doc_id").as("canon_doc"))
+    withLen.join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_chars"), col("canon_doc"),
+        when(col("doc_id") === col("canon_doc"), 1L).otherwise(0L)
+          .as("is_canon"))
+      .orderBy("doc_id")
+  }
 }

@@ -155,6 +155,46 @@ class NinthWaveSpec extends SparkSpec {
     assert(inv === 0L)
   }
 
+  test("cluster canon: exactly one canonical per cluster, the longest") {
+    val cc = Curation.clusterCanon(spark, sf0001).cache()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(cc.count() === n)
+    // one canonical per cluster, and it is a member of the cluster
+    val perCluster = cc.groupBy("cluster_id")
+      .agg(sum("is_canon").as("nc"), count(lit(1)).as("sz0"),
+        min("cluster_size").as("sz1"))
+    assert(perCluster.where(col("nc") =!= 1 || col("sz0") =!= col("sz1"))
+      .count() === 0L)
+    // no member is longer than its canonical (ties broken by smaller id)
+    val canonLen = cc.where(col("is_canon") === 1)
+      .select(col("cluster_id"), col("n_chars").as("canon_chars"),
+        col("doc_id").as("cdoc"))
+    val bad = cc.join(canonLen, "cluster_id")
+      .where(col("n_chars") > col("canon_chars") ||
+        (col("n_chars") === col("canon_chars") && col("doc_id") < col("cdoc")))
+      .count()
+    assert(bad === 0L, "canonical must be the keep-longest winner")
+    cc.unpersist()
+  }
+
+  test("curriculum: 4 phases partition the corpus with ordered bands") {
+    val cu = Curation.curriculum(spark, sf0001).cache()
+    assert(cu.select("phase").as[Long].collect().toSeq === Seq(0L, 1L, 2L, 3L))
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(cu.agg(sum("n_docs")).as[Long].head() === n)
+    // equal-rank cut: phase sizes differ by at most 1... (n div 4 granularity)
+    val sizes = cu.select("n_docs").as[Long].collect()
+    assert(sizes.max - sizes.min <= 1L, sizes.mkString(","))
+    // difficulty bands are non-overlapping and ascending across phases
+    val rows = cu.orderBy("phase").select("min_dp", "max_dp")
+      .as[(Long, Long)].collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._1, s"bands must ascend: $a then $b")
+      case _ => ()
+    }
+    cu.unpersist()
+  }
+
   test("streaming BM25 scorer == batch scored relation on replayed docs") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
