@@ -18,9 +18,12 @@ ROOT = Path(__file__).resolve().parent.parent
 
 
 def query_count() -> int:
-    src = (ROOT / "src/main/scala/graft/SparkEntry.scala").read_text()
-    n = len(re.findall(r'^\s*"[A-Za-z0-9_]+" -> \(\(s, d\)', src, re.M))
-    assert n > 0, "no SparkEntry.queries entries matched — pattern drift?"
+    # Post-split (round 9), the query bindings live in the per-family
+    # registries under graft/entry; SparkEntry.scala only merges the maps.
+    n = 0
+    for f in (ROOT / "src/main/scala/graft/entry").glob("*Queries.scala"):
+        n += len(re.findall(r'^\s*"[A-Za-z0-9_]+" -> \(\(s, d\)', f.read_text(), re.M))
+    assert n > 0, "no queries entries matched — pattern drift?"
     return n
 
 

@@ -40,8 +40,8 @@ class EntryRegistrySpec extends AnyFunSuite {
     }
   }
 
-  test("query count is preserved (155 as of round 9)") {
-    assert(SparkEntry.queries.size >= 155)
+  test("query count is preserved (172 as of round 9)") {
+    assert(SparkEntry.queries.size >= 172)
     assert(SparkEntry.queries.size == SparkEntry.oracleSql.size)
   }
 }
