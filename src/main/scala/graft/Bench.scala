@@ -110,6 +110,8 @@ object Bench {
       "_build_sq_member" -> (() => { operators.Similarity.memberSqCodesFor(spark, sfDir).count(); () }),
       "_build_sq_ivf_top" -> (() => { operators.Similarity.sqIvfTopFor(spark, sfDir).count(); () }),
       "_build_knn_edges" -> (() => { operators.Neighbors.knnEdgesFor(spark, sfDir).count(); () }),
+      "_build_cc_labels" -> (() => { operators.Curation.ccLabelsFor(spark, sfDir).count(); () }),
+      "_build_knn_cc" -> (() => { operators.Neighbors.knnCcFor(spark, sfDir).count(); () }),
       "_build_bm25_stats" -> (() => {
         val (qt, tot) = operators.Analytics.bm25StatsFor(spark, sfDir)
         qt.count(); tot.count(); ()

@@ -141,14 +141,22 @@ object Curation {
     * MapReduce and Beyond", SoCC'14) — the fixpoint-and-min semantics here
     * are identical.
     */
+  /** Memoized converged near-dup component labels — the min-label fixpoint
+    * lives in [[Iterative.connectedComponents]] (shared with the mutual-kNN
+    * clustering; plan-flattening localCheckpoint discipline documented
+    * there) and runs ONCE per corpus, not once per consumer
+    * (`q_dedup_clusters`, `q_cluster_canon`).
+    */
+  private[graft] def ccLabelsFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"cclab:$dir") {
+      val pairs = Dedup.dedupNgram(spark, dir).select("doc_a", "doc_b")
+      Iterative.connectedComponents(
+        pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst"))
+    }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.dedupNgram(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-    // The min-label fixpoint lives in Iterative.connectedComponents (shared
-    // with the mutual-kNN clustering); the plan-flattening localCheckpoint
-    // discipline is documented there.
-    val labels = Iterative.connectedComponents(edges)
+    val labels = ccLabelsFor(spark, dir)
     val assigned = Tables.load(spark, dir, "documents").select("doc_id")
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

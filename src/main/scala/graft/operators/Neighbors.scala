@@ -99,11 +99,18 @@ object Neighbors {
     * count = component diameter (small for mutual-kNN graphs, whose
     * components are locally dense).
     */
+  /** Memoized converged mutual-kNN component labels — the fixpoint runs
+    * once per corpus (same discipline as [[Curation.ccLabelsFor]]).
+    */
+  private[graft] def knnCcFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"knncc:$dir") {
+      val e = knnEdgesFor(spark, dir).select("src", "dst")
+      Iterative.connectedComponents(e.intersect(
+        e.select(col("dst").as("src"), col("src").as("dst"))))
+    }
+
   def knnClusters(spark: SparkSession, dir: String): DataFrame = {
-    val e = knnEdgesFor(spark, dir).select("src", "dst")
-    val mutual = e.intersect(
-      e.select(col("dst").as("src"), col("src").as("dst")))
-    val labels = Iterative.connectedComponents(mutual)
+    val labels = knnCcFor(spark, dir)
     val assigned = graft.sources.Tables.load(spark, dir, "embeddings")
       .select("vec_id")
       .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
