@@ -53,6 +53,7 @@ object SimilarityQueries {
     "q_knn_clusters" -> ((s, d) => Neighbors.knnClusters(s, d)),
     "q_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
     "q_whiten_check" -> ((s, d) => Similarity.whitenCheck(s, d)),
+    "q_ann_mrr" -> ((s, d) => Similarity.annMrr(s, d)),
   )
 
   /** Shared kNN-graph CTE chain (probes → assignment → candidates → exact
@@ -81,6 +82,36 @@ object SimilarityQueries {
        |                row_number() OVER (PARTITION BY src
        |                  ORDER BY cos DESC, dst) AS rk
        |         FROM sc) WHERE rk <= 5)""".stripMargin
+
+  /** Parameterized IVF top-5 CTE chain (assignment → nprobe=2 probes →
+    * candidates → ranked top-5 `${p}top`) over centroid table `cents`;
+    * expects `v` and the query CTE `q (q_id, qe, qn)` upstream. Shared by
+    * the `q_ann_mrr` replay for both index variants.
+    */
+  private def ivfTop5Ctes(cents: String, p: String): String =
+    s"""${p}asg AS (SELECT vec_id, cent_id FROM (
+       |  SELECT v.vec_id, c.cent_id,
+       |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |           ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |           c.cent_id) AS rn
+       |  FROM v CROSS JOIN $cents c) WHERE rn = 1),
+       |${p}probes AS (SELECT q_id, cent_id FROM (
+       |  SELECT q.q_id, c.cent_id,
+       |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |           ${dotSql("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+       |           c.cent_id) AS rn
+       |  FROM q CROSS JOIN $cents c) WHERE rn <= 2),
+       |${p}cand AS (SELECT pb.q_id, a.vec_id FROM ${p}probes pb
+       |            JOIN ${p}asg a ON pb.cent_id = a.cent_id
+       |            WHERE a.vec_id <> pb.q_id),
+       |${p}top AS (SELECT q_id, n_id, rk FROM (
+       |  SELECT cd.q_id, v.vec_id AS n_id,
+       |         row_number() OVER (PARTITION BY cd.q_id ORDER BY
+       |           ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) DESC,
+       |           v.vec_id) AS rk
+       |  FROM ${p}cand cd JOIN q ON cd.q_id = q.q_id
+       |  JOIN v ON cd.vec_id = v.vec_id)
+       |WHERE rk <= 5)""".stripMargin
 
   private val pcaLast = s"v${operators.Similarity.PcaIters}"
   private val pcaLastW = s"w${operators.Similarity.PcaIters}"
@@ -860,5 +891,37 @@ object SimilarityQueries {
          |       CAST(mu_sq * 1000 // (n_vecs * sum_sq) AS BIGINT)
          |FROM wtot CROSS JOIN wmu
          |ORDER BY stage""".stripMargin,
+    // Replays MRR@5 vs the exact rank-1 neighbor for both IVF variants:
+    // reciprocal ranks as integer 1000 // rk, averaged over queries.
+    "q_ann_mrr" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents", 64)},
+         |$kmeansCtes,
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v
+         |      WHERE vec_id % 20 = 0),
+         |${ivfTop5Ctes("cents", "h")},
+         |${ivfTop5Ctes("kcents", "k")},
+         |ex1 AS (SELECT q_id, n_id FROM (
+         |  SELECT q.q_id, t.vec_id AS n_id,
+         |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |           ${dotSql("q.qe", "t.e")} / (q.qn * t.nrm) DESC,
+         |           t.vec_id) AS rk
+         |  FROM q JOIN v t ON t.vec_id <> q.q_id) WHERE rk = 1),
+         |m AS (SELECT
+         |  (SELECT count(*) FROM ex1) AS n_queries,
+         |  (SELECT count(*) FROM ex1 JOIN htop USING (q_id, n_id))
+         |    AS hits_ivf,
+         |  (SELECT CAST(coalesce(sum(1000 // rk), 0) AS BIGINT)
+         |   FROM ex1 JOIN htop USING (q_id, n_id)) AS rr_ivf,
+         |  (SELECT count(*) FROM ex1 JOIN ktop USING (q_id, n_id))
+         |    AS hits_km,
+         |  (SELECT CAST(coalesce(sum(1000 // rk), 0) AS BIGINT)
+         |   FROM ex1 JOIN ktop USING (q_id, n_id)) AS rr_km)
+         |SELECT CAST(n_queries AS BIGINT) AS n_queries,
+         |       CAST(hits_ivf AS BIGINT) AS hits_ivf,
+         |       CAST(rr_ivf // n_queries AS BIGINT) AS mrr_ivf_milli,
+         |       CAST(hits_km AS BIGINT) AS hits_km,
+         |       CAST(rr_km // n_queries AS BIGINT) AS mrr_km_milli
+         |FROM m""".stripMargin,
   )
 }

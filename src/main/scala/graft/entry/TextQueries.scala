@@ -34,8 +34,9 @@ object TextQueries {
     "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "q_pii_scrub" -> ((s, d) => Scrub.piiScrub(s, d)),
     "q_cms_hitters" -> ((s, d) => TextAnalysis.cmsHitters(s, d)),
-    // ninth wave: BM25 keyword retrieval
+    // ninth wave: BM25 keyword retrieval, per-language tokenizer fertility
     "q_bm25" -> ((s, d) => Analytics.bm25Search(s, d)),
+    "q_bpe_fertility" -> ((s, d) => TextAnalysis.bpeFertility(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -341,5 +342,25 @@ object TextQueries {
         |              AS BIGINT) AS rk,
         |         doc_id, n_hit_terms, score_milli
         |  FROM agg) WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    // Replays per-language fertility over the learned BPE vocab: the
+    // q_bpe_encode per-doc relation joined to lang, aggregated per slice.
+    "q_bpe_fertility" ->
+      s"""WITH $bpeCtes,
+         |dwx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents),
+         |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |          CAST(sum(wl) AS BIGINT) AS n_char_tokens,
+         |          CAST(sum(wt) AS BIGINT) AS n_bpe_tokens
+         |        FROM dwx JOIN tok USING (word) GROUP BY doc_id)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS sum_words,
+         |       CAST(sum(n_bpe_tokens) AS BIGINT) AS sum_bpe,
+         |       CAST(sum(n_char_tokens) AS BIGINT) AS sum_chars,
+         |       CAST(sum(n_bpe_tokens) * 1000 // sum(n_words) AS BIGINT)
+         |         AS fertility_permille,
+         |       CAST(sum(n_char_tokens) * 1000 // sum(n_bpe_tokens)
+         |            AS BIGINT) AS chars_per_token_milli
+         |FROM enc JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
   )
 }

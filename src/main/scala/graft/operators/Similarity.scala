@@ -1128,6 +1128,35 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** MRR@5 audit of both IVF indexes against the exact nearest neighbor —
+    * the rank-sensitive companion to the recall audits: recall@5 says the
+    * true neighbor is SOMEWHERE in the top-5, MRR says how high. The
+    * relevant item is the exact rank-1 neighbor ([[annTopkFor]]); its
+    * reciprocal rank inside [[annIvf]] / [[annIvfKmeans]] top-5s is summed
+    * as `1000 div rank` (integer-exact, no float) and averaged over
+    * queries. One row out; every input is a memo-backed relation, so the
+    * audit costs three joins over Q-row tables.
+    */
+  def annMrr(spark: SparkSession, dir: String): DataFrame = {
+    val ex1 = annTopkFor(spark, dir).where(col("rk") === 1)
+      .select(col("q_id"), col("n_id"))
+    def rrOf(appr: DataFrame, hits: String, rr: String): DataFrame =
+      ex1.join(appr.select(col("q_id"), col("n_id"), col("rk")),
+          Seq("q_id", "n_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("rk").isNotNull, 1L).otherwise(0L)).as(hits),
+          sum(when(col("rk").isNotNull, expr("1000 div rk")).otherwise(0L))
+            .as(rr))
+    val h = rrOf(annIvf(spark, dir), "hits_ivf", "rr_ivf")
+    val k = rrOf(annIvfKmeans(spark, dir), "hits_km", "rr_km")
+      .drop("n_queries")
+    h.crossJoin(broadcast(k))
+      .select(col("n_queries"), col("hits_ivf"),
+        expr("rr_ivf div n_queries").as("mrr_ivf_milli"),
+        col("hits_km"),
+        expr("rr_km div n_queries").as("mrr_km_milli"))
+  }
+
   /** Power-iteration rounds for [[pcaPower]]. */
   private[graft] val PcaIters = 8
 

@@ -318,6 +318,28 @@ object TextAnalysis {
         sum(col("wt")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Tokenizer fertility by language — tokens-per-word and chars-per-token
+    * from the LEARNED BPE vocab ([[bpeVocabFor]]), per language slice: the
+    * standard multilingual-tokenizer equity report (a language whose
+    * fertility runs high pays more sequence length for the same content,
+    * and its token budget underestimates its text). Composes the
+    * [[bpeEncode]] per-doc relation with the documents `lang` column; one
+    * join + one languages-sized aggregation.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir)
+      .join(Tables.load(spark, dir, "documents").select("doc_id", "lang"),
+        "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("n_bpe_tokens")).as("sum_bpe"),
+        sum(col("n_char_tokens")).as("sum_chars"))
+      .withColumn("fertility_permille", expr("sum_bpe * 1000 div sum_words"))
+      .withColumn("chars_per_token_milli",
+        expr("sum_chars * 1000 div sum_bpe"))
+      .orderBy("lang")
+
   /** Zipf rank–frequency table: corpus term frequencies ranked, with the
     * rank×frequency product (≈ constant under Zipf's law — the standard
     * corpus sanity check before training). One hash aggregation; the rank

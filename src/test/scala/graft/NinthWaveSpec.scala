@@ -195,6 +195,38 @@ class NinthWaveSpec extends SparkSpec {
     cu.unpersist()
   }
 
+  test("ann mrr: bounded by hits, hits bounded by queries") {
+    val m = Similarity.annMrr(spark, sf0001).cache()
+    assert(m.count() === 1L)
+    val r = m.select("n_queries", "hits_ivf", "mrr_ivf_milli", "hits_km",
+      "mrr_km_milli").as[(Long, Long, Long, Long, Long)].head()
+    assert(r._1 > 0)
+    // each hit contributes (200, 1000] milli-RR; misses contribute 0
+    for ((hits, mrr) <- Seq((r._2, r._3), (r._4, r._5))) {
+      assert(hits <= r._1)
+      assert(mrr * r._1 <= hits * 1000, s"mrr too high: $r")
+      // integer-div floor loses < n_queries milli in total
+      assert(hits === 0 || mrr * r._1 + r._1 > hits * 200, s"mrr too low: $r")
+    }
+    m.unpersist()
+  }
+
+  test("bpe fertility: per-lang sums reconcile with the per-doc encoding") {
+    val f = TextAnalysis.bpeFertility(spark, sf0001).cache()
+    val enc = TextAnalysis.bpeEncode(spark, sf0001)
+      .join(spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(sum("n_bpe_tokens").as("b"), sum("n_words").as("w"))
+    val joined = f.join(enc, "lang")
+      .where(col("sum_bpe") =!= col("b") || col("sum_words") =!= col("w"))
+    assert(joined.count() === 0L)
+    // BPE always emits >= 1 and <= word-length tokens per word
+    val bad = f.where(col("fertility_permille") < 1000 ||
+      col("sum_bpe") > col("sum_chars")).count()
+    assert(bad === 0L)
+    f.unpersist()
+  }
+
   test("streaming BM25 scorer == batch scored relation on replayed docs") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
