@@ -34,10 +34,67 @@ object TextQueries {
     "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "q_pii_scrub" -> ((s, d) => Scrub.piiScrub(s, d)),
     "q_cms_hitters" -> ((s, d) => TextAnalysis.cmsHitters(s, d)),
-    // ninth wave: BM25 keyword retrieval, per-language tokenizer fertility
+    // ninth wave: BM25 keyword retrieval, per-language tokenizer fertility,
+    // fluency-vs-rules calibration, dataset card
     "q_bm25" -> ((s, d) => Analytics.bm25Search(s, d)),
     "q_bpe_fertility" -> ((s, d) => TextAnalysis.bpeFertility(s, d)),
+    "q_quality_calib" -> ((s, d) => TextAnalysis.qualityCalib(s, d)),
+    "q_dataset_card" -> ((s, d) => Corpus.datasetCard(s, d)),
   )
+
+  /** Shared quality-rule CTE chain ending at `qrule (doc_id, n_words,
+    * mwl10, top_pct, stopword_n, fail_reason)` — replays
+    * [[graft.operators.TextAnalysis.qualityFilter]]; consumed by
+    * `q_quality_filter`, `q_quality_calib`, and `q_dataset_card`.
+    */
+  private lazy val qualRuleCtes: String =
+    """qdw AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS w
+      |        FROM documents),
+      |qtf AS (SELECT doc_id, t, count(*) AS n
+      |        FROM (SELECT doc_id, unnest(w) AS t FROM qdw) GROUP BY 1, 2),
+      |qtp AS (SELECT doc_id, max(n) AS top_n FROM qtf GROUP BY 1),
+      |qm AS (SELECT doc_id, len(w) AS n_words, nc - len(w) + 1 AS word_chars,
+      |              len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of'
+      |                                   OR x = 'and')) AS stopword_n
+      |       FROM qdw),
+      |qj AS (SELECT qm.doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |              CAST((10 * word_chars) // n_words AS BIGINT) AS mwl10,
+      |              CAST((100 * top_n) // n_words AS BIGINT) AS top_pct,
+      |              CAST(stopword_n AS BIGINT) AS stopword_n
+      |       FROM qm JOIN qtp USING (doc_id)),
+      |qrule AS (SELECT *, CASE WHEN n_words < 20 THEN 'too_short'
+      |                        WHEN n_words > 90 THEN 'too_long'
+      |                        WHEN mwl10 < 30 OR mwl10 > 80 THEN 'word_len'
+      |                        WHEN top_pct > 15 THEN 'repetition'
+      |                        WHEN stopword_n = 0 THEN 'no_stopword'
+      |                        ELSE 'ok' END AS fail_reason
+      |         FROM qj)""".stripMargin
+
+  /** Shared corpus-LM fluency CTE chain ending at `flu (doc_id, n_bigrams,
+    * sum_score, mean_score)` — replays
+    * [[graft.operators.TextAnalysis.docFluency]]; consumed by
+    * `q_doc_fluency` and `q_quality_calib`.
+    */
+  private lazy val fluencyCtes: String =
+    """fdw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |fdb AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b
+      |        FROM fdw, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      |        WHERE len(w) >= 2),
+      |fbg AS (SELECT a, b, count(*) AS n_ab FROM fdb GROUP BY 1, 2),
+      |fuc AS (SELECT t, count(*) AS n
+      |        FROM (SELECT unnest(w) AS t FROM fdw) GROUP BY 1),
+      |ftot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM fuc),
+      |fsc AS (SELECT fdb.doc_id,
+      |          CAST(fbg.n_ab * ftot.n_total * 100
+      |               // (ua.n * ub.n) AS BIGINT) AS s
+      |        FROM fdb JOIN fbg ON fdb.a = fbg.a AND fdb.b = fbg.b
+      |             JOIN fuc ua ON fdb.a = ua.t
+      |             JOIN fuc ub ON fdb.b = ub.t
+      |             CROSS JOIN ftot),
+      |flu AS (SELECT doc_id, count(*) AS n_bigrams,
+      |          CAST(sum(s) AS BIGINT) AS sum_score,
+      |          CAST(sum(s) // count(*) AS BIGINT) AS mean_score
+      |        FROM fsc GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_stats" ->
@@ -85,30 +142,10 @@ object TextQueries {
          |FROM ming m JOIN sim USING (doc_id) JOIN pre USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "q_quality_filter" ->
-      """WITH dw AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS w
-        |            FROM documents),
-        |tf AS (SELECT doc_id, t, count(*) AS n
-        |       FROM (SELECT doc_id, unnest(w) AS t FROM dw) GROUP BY 1, 2),
-        |tp AS (SELECT doc_id, max(n) AS top_n FROM tf GROUP BY 1),
-        |m AS (SELECT doc_id, len(w) AS n_words, nc - len(w) + 1 AS word_chars,
-        |             len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of'
-        |                                  OR x = 'and')) AS stopword_n
-        |      FROM dw),
-        |j AS (SELECT m.doc_id, CAST(n_words AS BIGINT) AS n_words,
-        |             CAST((10 * word_chars) // n_words AS BIGINT) AS mwl10,
-        |             CAST((100 * top_n) // n_words AS BIGINT) AS top_pct,
-        |             CAST(stopword_n AS BIGINT) AS stopword_n
-        |      FROM m JOIN tp USING (doc_id)),
-        |r AS (SELECT *, CASE WHEN n_words < 20 THEN 'too_short'
-        |                     WHEN n_words > 90 THEN 'too_long'
-        |                     WHEN mwl10 < 30 OR mwl10 > 80 THEN 'word_len'
-        |                     WHEN top_pct > 15 THEN 'repetition'
-        |                     WHEN stopword_n = 0 THEN 'no_stopword'
-        |                     ELSE 'ok' END AS fail_reason
-        |      FROM j)
-        |SELECT doc_id, n_words, mwl10, top_pct, stopword_n, fail_reason,
-        |       CAST(fail_reason = 'ok' AS BIGINT) AS keep
-        |FROM r ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualRuleCtes
+         |SELECT doc_id, n_words, mwl10, top_pct, stopword_n, fail_reason,
+         |       CAST(fail_reason = 'ok' AS BIGINT) AS keep
+         |FROM qrule ORDER BY doc_id""".stripMargin,
     "q_zipf_terms" ->
       """WITH f AS (SELECT t AS term, count(*) AS freq
         |           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
@@ -165,25 +202,56 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Mean integer bigram-PMI per doc — the corpus-grounded fluency gate.
     "q_doc_fluency" ->
-      """WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |db AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b
-        |       FROM dw, unnest(generate_series(1, len(w) - 1)) AS t(i)
-        |       WHERE len(w) >= 2),
-        |bg AS (SELECT a, b, count(*) AS n_ab FROM db GROUP BY 1, 2),
-        |ug AS (SELECT unnest(w) AS t FROM dw),
-        |uc AS (SELECT t, count(*) AS n FROM ug GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM uc),
-        |sc AS (SELECT db.doc_id,
-        |         CAST(bg.n_ab * tot.n_total * 100
-        |              // (ua.n * ub.n) AS BIGINT) AS s
-        |       FROM db JOIN bg ON db.a = bg.a AND db.b = bg.b
-        |            JOIN uc ua ON db.a = ua.t
-        |            JOIN uc ub ON db.b = ub.t
-        |            CROSS JOIN tot)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |       CAST(sum(s) AS BIGINT) AS sum_score,
-        |       CAST(sum(s) // count(*) AS BIGINT) AS mean_score
-        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $fluencyCtes
+         |SELECT doc_id, n_bigrams, sum_score, mean_score
+         |FROM flu ORDER BY doc_id""".stripMargin,
+    // Replays the fluency-vs-rules calibration: inner join on fluency
+    // coverage, global rank by (mean_score, doc_id), equal-rank deciles.
+    "q_quality_calib" ->
+      s"""WITH $fluencyCtes,
+         |$qualRuleCtes,
+         |rk AS (SELECT flu.doc_id, mean_score,
+         |         CAST(fail_reason = 'ok' AS BIGINT) AS keep,
+         |         row_number() OVER (ORDER BY mean_score, flu.doc_id) AS rn,
+         |         count(*) OVER () AS n
+         |       FROM flu JOIN qrule USING (doc_id))
+         |SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(keep) AS BIGINT) AS n_keep,
+         |       CAST(sum(keep) * 1000 // count(*) AS BIGINT)
+         |         AS keep_permille,
+         |       CAST(min(mean_score) AS BIGINT) AS min_score,
+         |       CAST(max(mean_score) AS BIGINT) AS max_score
+         |FROM rk GROUP BY 1 ORDER BY decile""".stripMargin,
+    // Replays the dataset card: md5 exact-dup groups, quality keeps,
+    // per-source token shares and language coverage.
+    "q_dataset_card" ->
+      s"""WITH $qualRuleCtes,
+         |cd AS (SELECT doc_id, source, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         md5(text) AS cmd5
+         |       FROM documents),
+         |dup AS (SELECT cmd5, CAST(1 AS BIGINT) AS is_dup
+         |        FROM cd GROUP BY cmd5 HAVING count(*) >= 2),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(cd.n_words) AS BIGINT) AS n_tokens,
+         |          CAST(sum(CASE WHEN fail_reason = 'ok' THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS n_keep,
+         |          CAST(sum(coalesce(is_dup, 0)) AS BIGINT) AS n_dup_member,
+         |          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |        FROM cd LEFT JOIN dup USING (cmd5)
+         |        JOIN qrule USING (doc_id)
+         |        GROUP BY source),
+         |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+         |SELECT source, n_docs, n_tokens,
+         |       CAST(n_tokens * 1000 // tot AS BIGINT)
+         |         AS token_share_permille,
+         |       CAST(n_keep * 1000 // n_docs AS BIGINT)
+         |         AS quality_keep_permille,
+         |       CAST(n_dup_member * 1000 // n_docs AS BIGINT)
+         |         AS dup_member_permille,
+         |       n_langs
+         |FROM per CROSS JOIN tt ORDER BY source""".stripMargin,
     // Per-class confusion matrix of the lang-id heuristic (replays the
     // same marker-vote CTEs) with permille class shares.
     "q_lang_confusion" ->

@@ -359,6 +359,42 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Dataset-card summary per source — the release-notes table a corpus
+    * ships with: document and token counts, token share, exact-duplicate
+    * membership rate (md5-content groups of size ≥ 2), rule-based quality
+    * pass rate, and language coverage. Pure composition of pinned operator
+    * semantics (exact-dup grouping ≡ `dedup_exact`, keep ≡
+    * `q_quality_filter`); two corpus-keyed joins + one sources-sized
+    * aggregate + a broadcast total.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        md5(col("text")).as("cmd5"))
+    val dupH = docs.groupBy("cmd5").agg(count(lit(1)).as("nc"))
+      .where(col("nc") >= 2).select(col("cmd5"), lit(1L).as("is_dup"))
+    val keep = TextAnalysis.qualityFilter(spark, dir)
+      .select(col("doc_id"), col("keep"))
+    val per = docs
+      .join(dupH, Seq("cmd5"), "left")
+      .join(keep, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(col("keep")).as("n_keep"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_member"),
+        countDistinct(col("lang")).as("n_langs"))
+    val total = per.agg(sum(col("n_tokens")).as("tot"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000 div tot").as("token_share_permille"),
+        expr("n_keep * 1000 div n_docs").as("quality_keep_permille"),
+        expr("n_dup_member * 1000 div n_docs").as("dup_member_permille"),
+        col("n_langs"))
+      .orderBy("source")
+  }
+
   /** Number of training shards [[packBins]] stripes into. */
   private[graft] val PackShards = 16
 

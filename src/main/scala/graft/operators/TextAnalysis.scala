@@ -318,6 +318,33 @@ object TextAnalysis {
         sum(col("wt")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Calibration of the corpus-LM fluency score against the rule-based
+    * quality gate: documents ranked by [[docFluency]] mean score into
+    * deciles (distributed global rank), each decile reporting how often
+    * the [[qualityFilter]] rules say `keep`. The report that says whether
+    * a learned/statistical quality score AGREES with the hand rules — and
+    * where in the score range they diverge — before anyone swaps a
+    * threshold for a classifier. Inner-joined on fluency coverage (docs
+    * with ≥ 2 words); deciles via [[Ranking.withGlobalRowNumber]].
+    */
+  def qualityCalib(spark: SparkSession, dir: String): DataFrame = {
+    val flu = docFluency(spark, dir).select(col("doc_id"), col("mean_score"))
+    val keep = qualityFilter(spark, dir).select(col("doc_id"), col("keep"))
+    val d = flu.join(keep, "doc_id")
+    val (ranked, n) = Ranking.withGlobalRowNumber(
+      d, "rn", col("mean_score"), col("doc_id"))
+    ranked
+      .withColumn("decile", expr(s"(rn - 1) * 10 div ${math.max(n, 1L)}"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"),
+        min(col("mean_score")).as("min_score"),
+        max(col("mean_score")).as("max_score"))
+      .withColumn("keep_permille", expr("n_keep * 1000 div n_docs"))
+      .select("decile", "n_docs", "n_keep", "keep_permille",
+        "min_score", "max_score")
+      .orderBy("decile")
+  }
+
   /** Tokenizer fertility by language — tokens-per-word and chars-per-token
     * from the LEARNED BPE vocab ([[bpeVocabFor]]), per language slice: the
     * standard multilingual-tokenizer equity report (a language whose

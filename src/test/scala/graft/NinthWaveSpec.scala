@@ -227,6 +227,38 @@ class NinthWaveSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("quality calib: deciles partition fluency coverage, bands ascend") {
+    val c = TextAnalysis.qualityCalib(spark, sf0001).cache()
+    assert(c.select("decile").as[Long].collect().toSeq === (0L to 9L))
+    val flu = TextAnalysis.docFluency(spark, sf0001).count()
+    assert(c.agg(sum("n_docs")).as[Long].head() === flu)
+    val bad = c.where(col("n_keep") > col("n_docs") ||
+      col("min_score") > col("max_score") ||
+      col("keep_permille") =!= expr("n_keep * 1000 div n_docs")).count()
+    assert(bad === 0L)
+    val rows = c.orderBy("decile").select("min_score", "max_score")
+      .as[(Long, Long)].collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1, s"bands must ascend: $a $b")
+      case _ => ()
+    }
+    c.unpersist()
+  }
+
+  test("dataset card: shares sum to ~1000, rates bounded, roster complete") {
+    val dc = Corpus.datasetCard(spark, sf0001).cache()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(dc.count() === docs.select("source").distinct().count())
+    assert(dc.agg(sum("n_docs")).as[Long].head() === docs.count())
+    // integer-floored shares sum to 1000 - (sources-1)..1000
+    val share = dc.agg(sum("token_share_permille")).as[Long].head()
+    assert(share <= 1000 && share > 1000 - dc.count())
+    val bad = dc.where(col("quality_keep_permille") > 1000 ||
+      col("dup_member_permille") > 1000 || col("n_langs") < 1).count()
+    assert(bad === 0L)
+    dc.unpersist()
+  }
+
   test("streaming BM25 scorer == batch scored relation on replayed docs") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
