@@ -40,6 +40,7 @@ object TextQueries {
     "q_bpe_fertility" -> ((s, d) => TextAnalysis.bpeFertility(s, d)),
     "q_quality_calib" -> ((s, d) => TextAnalysis.qualityCalib(s, d)),
     "q_dataset_card" -> ((s, d) => Corpus.datasetCard(s, d)),
+    "q_chunk_embed" -> ((s, d) => TextAnalysis.chunkEmbedIndex(s, d)),
   )
 
   /** Shared quality-rule CTE chain ending at `qrule (doc_id, n_words,
@@ -252,6 +253,50 @@ object TextQueries {
          |         AS dup_member_permille,
          |       n_langs
          |FROM per CROSS JOIN tt ORDER BY source""".stripMargin,
+    // Replays the feature-hash chunk embedding + IVF assignment: signed
+    // token hashing into 64 buckets (exact int sums), hash-min centroid
+    // sample, sparse integer dots, cosine argmax with (cent_id) tie-break.
+    "q_chunk_embed" ->
+      s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w
+         |            FROM documents),
+         |st AS (SELECT doc_id, w,
+         |          unnest(generate_series(1, greatest(len(w) - 10, 1), 30))
+         |            AS s
+         |       FROM dw),
+         |ck AS (SELECT doc_id, CAST((s - 1) // 30 AS BIGINT) AS chunk_idx,
+         |          doc_id * 1000 + CAST((s - 1) // 30 AS BIGINT) AS cid,
+         |          w[s : s + 39] AS cw
+         |       FROM st),
+         |tk AS (SELECT cid, unnest(cw) AS w FROM ck),
+         |ft AS (SELECT cid,
+         |          ${Tables.portableHashSql("'fh:' || w")} % ${TextAnalysis.FhDims}
+         |            AS b,
+         |          CAST(sum(CASE WHEN ${Tables.portableHashSql("'fs:' || w")}
+         |                          % 2 = 1
+         |                        THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |       FROM tk GROUP BY 1, 2),
+         |n2 AS (SELECT cid, CAST(sum(v * v) AS BIGINT) AS n2
+         |       FROM ft GROUP BY 1),
+         |cents AS (SELECT cid AS cent_id FROM (SELECT DISTINCT cid FROM ft)
+         |          ORDER BY ${Tables.portableHashSql("CAST(cid AS VARCHAR)")},
+         |            cid
+         |          LIMIT ${TextAnalysis.FhCentroids}),
+         |cf AS (SELECT cent_id, b, v AS cv
+         |       FROM ft JOIN cents ON ft.cid = cents.cent_id),
+         |dots AS (SELECT f.cid, c.cent_id,
+         |           CAST(sum(f.v * c.cv) AS BIGINT) AS dot
+         |         FROM ft f JOIN cf c USING (b) GROUP BY 1, 2),
+         |asg AS (SELECT cid, cent_id, dot, n2q FROM (
+         |          SELECT d.cid, d.cent_id, d.dot, q.n2 AS n2q,
+         |                 row_number() OVER (PARTITION BY d.cid ORDER BY
+         |                   d.dot / (sqrt(q.n2) * sqrt(c.n2)) DESC,
+         |                   d.cent_id) AS rk
+         |          FROM dots d JOIN n2 q ON d.cid = q.cid
+         |          JOIN n2 c ON d.cent_id = c.cid) WHERE rk = 1)
+         |SELECT ck.doc_id, ck.chunk_idx, asg.cid, asg.cent_id, asg.dot,
+         |       asg.n2q
+         |FROM asg JOIN ck ON asg.cid = ck.cid
+         |ORDER BY asg.cid""".stripMargin,
     // Per-class confusion matrix of the lang-id heuristic (replays the
     // same marker-vote CTEs) with permille class shares.
     "q_lang_confusion" ->

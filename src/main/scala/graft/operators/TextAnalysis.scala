@@ -191,9 +191,12 @@ object TextAnalysis {
     * relation is deterministic and append-stable (re-chunking a grown
     * corpus never renumbers old chunks).
     */
-  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
-    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+  /** Shared chunk-window derivation (doc_id, chunk_idx, start_word, cw) —
+    * consumed by [[chunkDocs]] and [[chunkEmbedIndex]].
+    */
+  private[graft] def chunkWindowsFor(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"),
         // starts run to len − (chunk − stride): the last window may be
         // truncated but always reaches the final word (stop at len − 39
@@ -206,10 +209,69 @@ object TextAnalysis {
         ((col("s") - 1) / ChunkStride).cast("long").as("chunk_idx"),
         col("s").cast("long").as("start_word"),
         slice(col("w"), col("s"), lit(ChunkLen)).as("cw"))
+
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkWindowsFor(spark, dir)
       .select(col("doc_id"), col("chunk_idx"), col("start_word"),
         size(col("cw")).cast("long").as("n_words"),
         Tables.portableHash(concat_ws(" ", col("cw"))).as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
+
+  /** Feature-hash buckets for [[chunkEmbedIndex]] chunk vectors. */
+  private[graft] val FhDims = 64L
+
+  /** Centroid-sample size for the chunk-vector index. */
+  private[graft] val FhCentroids = 16
+
+  /** The text→vector→index glue pass of a retrieval pipeline: every chunk
+    * window is embedded by signed FEATURE HASHING (each token adds ±1 to
+    * one of [[FhDims]] buckets — Weinberger et al. 2009's hashing trick, a
+    * deterministic stand-in for a learned encoder the way the multimodal
+    * decode is stubbed), and the chunk vectors are IVF-indexed against a
+    * [[FhCentroids]]-chunk hash-min centroid sample with exact sparse
+    * integer dot products. Emits every chunk with its assigned centroid,
+    * the int64 dot, and the int64 squared norms — all corpus sums exact
+    * and order-free, so the whole embed+index pipeline hash-verifies.
+    *
+    * Scale shape: feature extraction is one explode + a map-side-combined
+    * (chunk, bucket) aggregation; the centroid side is [[FhCentroids]]
+    * chunks' features (broadcast-sized); scoring joins on the bucket key
+    * so the shuffle carries sparse features, never dense vectors; the
+    * argmax is a per-chunk window over ≤ [[FhCentroids]] candidates.
+    */
+  def chunkEmbedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ck = chunkWindowsFor(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("doc_id") * 1000 + col("chunk_idx")).as("cid"), col("cw"))
+    val ft = ck.select(col("cid"), explode(col("cw")).as("w"))
+      .select(col("cid"),
+        (Tables.portableHash(concat(lit("fh:"), col("w"))) % FhDims).as("b"),
+        when(Tables.portableHash(concat(lit("fs:"), col("w"))) % 2 === 1, 1L)
+          .otherwise(-1L).as("s"))
+      .groupBy("cid", "b").agg(sum(col("s")).as("v"))
+    val n2 = ft.groupBy("cid").agg(sum(col("v") * col("v")).as("n2"))
+    val cents = ft.select("cid").distinct()
+      .orderBy(Tables.portableHash(col("cid").cast("string")), col("cid"))
+      .limit(FhCentroids)
+      .select(col("cid").as("cent_id"))
+    val cf = ft.join(broadcast(cents), ft("cid") === cents("cent_id"))
+      .select(col("cent_id"), col("b"), col("v").as("cv"))
+    val dots = ft.join(broadcast(cf), "b")
+      .groupBy("cid", "cent_id").agg(sum(col("v") * col("cv")).as("dot"))
+    val wTop = Window.partitionBy(col("cid"))
+      .orderBy((col("dot") / (sqrt(col("n2q")) * sqrt(col("n2c")))).desc,
+        col("cent_id"))
+    val n2c = n2.join(broadcast(cents), n2("cid") === cents("cent_id"))
+      .select(col("cent_id"), col("n2").as("n2c"))
+    dots
+      .join(n2.select(col("cid"), col("n2").as("n2q")), "cid")
+      .join(broadcast(n2c), "cent_id")
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") === 1)
+      .join(ck.select("doc_id", "chunk_idx", "cid"), "cid")
+      .select(col("doc_id"), col("chunk_idx"), col("cid"),
+        col("cent_id"), col("dot"), col("n2q"))
+      .orderBy("cid")
   }
 
   /** Adjacent byte-pair frequencies — the statistic the first BPE merge

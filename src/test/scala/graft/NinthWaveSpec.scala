@@ -259,6 +259,22 @@ class NinthWaveSpec extends SparkSpec {
     dc.unpersist()
   }
 
+  test("chunk embed: every chunk assigned, centroids self-assign perfectly") {
+    val ce = TextAnalysis.chunkEmbedIndex(spark, sf0001).cache()
+    val chunks = TextAnalysis.chunkDocs(spark, sf0001).count()
+    assert(ce.count() === chunks, "every chunk must get an assignment")
+    assert(ce.select("cid").distinct().count() === chunks)
+    // a centroid chunk's best match is itself (cos = 1, the maximum),
+    // so every cent_id must appear self-assigned with dot == n2q
+    val selfRows = ce.where(col("cid") === col("cent_id"))
+    assert(selfRows.count() === TextAnalysis.FhCentroids.toLong)
+    assert(selfRows.where(col("dot") =!= col("n2q")).count() === 0L)
+    // dots bounded by Cauchy-Schwarz: dot^2 <= n2q * n2c is implied by
+    // construction; here check the cheap invariant n2q > 0
+    assert(ce.where(col("n2q") <= 0).count() === 0L)
+    ce.unpersist()
+  }
+
   test("streaming BM25 scorer == batch scored relation on replayed docs") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
