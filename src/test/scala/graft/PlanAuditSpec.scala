@@ -461,6 +461,28 @@ class PlanAuditSpec extends SparkSpec {
       s"top-10 must be TakeOrdered:\n$p")
   }
 
+  test("chunk embed: sparse features meet centroids via broadcast on b") {
+    val p = plan(operators.TextAnalysis.chunkEmbedIndex(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 16-centroid feature table must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "feature sums must partial-aggregate map-side")
+  }
+
+  test("pca: moment matrix partial-aggregates; no cartesian") {
+    val xq = operators.Similarity.pcaXqFor(spark, sf0001)
+    val cov = xq.as("a").join(xq.as("b"), "vec_id")
+      .groupBy(org.apache.spark.sql.functions.col("a.d"),
+        org.apache.spark.sql.functions.col("b.d"))
+      .count()
+    val p = plan(cov)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "the 4096-key moment aggregation must map-side combine")
+  }
+
   test("dup spans: hash-count dedup detection, doc-partitioned sweep only") {
     val p = plan(operators.Corpus.dupSpans(spark, sf0001))
     assert(!p.contains("CartesianProduct") &&
