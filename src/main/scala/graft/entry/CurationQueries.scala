@@ -25,8 +25,10 @@ object CurationQueries {
     "q_pack_bins" -> ((s, d) => Corpus.packBins(s, d)),
     "q_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
     "q_train_order" -> ((s, d) => Curation.trainOrder(s, d)),
-    // ninth wave: easy-first curriculum phases
+    // ninth wave: easy-first curriculum phases, shard reproducibility
+    // manifest
     "q_curriculum" -> ((s, d) => Curation.curriculum(s, d)),
+    "q_shard_manifest" -> ((s, d) => Curation.shardManifest(s, d)),
     "q_mixture_budget" -> ((s, d) => Curation.mixtureBudget(s, d)),
     "q_pack_sequences" -> ((s, d) => Curation.packSequences(s, d)),
     "q_pack_greedy" -> ((s, d) => Curation.packGreedy(s, d)),
@@ -332,5 +334,30 @@ object CurationQueries {
          |       CAST(min(dp) AS BIGINT) AS min_dp,
          |       CAST(max(dp) AS BIGINT) AS max_dp
          |FROM r GROUP BY 1 ORDER BY phase""".stripMargin,
+    // Replays the per-shard manifest over the train-order permutation:
+    // bounded mod-1000003 content checksums, contiguity via pos range.
+    "q_shard_manifest" ->
+      s"""WITH h AS (SELECT doc_id,
+         |             CAST('0x' || substr(md5('order:r8:' || doc_id), 1, 15)
+         |                  AS BIGINT) AS hk
+         |           FROM documents),
+         |r AS (SELECT doc_id, hk,
+         |        row_number() OVER (ORDER BY hk, doc_id) AS pos,
+         |        count(*) OVER () AS n
+         |      FROM h),
+         |o AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |        (pos - 1) * 16 // n AS shard FROM r),
+         |d AS (SELECT doc_id,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |        ${Tables.portableHashSql("text")} % 1000003 AS thm
+         |      FROM documents)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+         |       CAST(sum(thm) % 1000003 AS BIGINT) AS checksum,
+         |       CAST(min(pos) AS BIGINT) AS min_pos,
+         |       CAST(max(pos) AS BIGINT) AS max_pos
+         |FROM o JOIN d USING (doc_id)
+         |GROUP BY shard ORDER BY shard""".stripMargin,
   )
 }

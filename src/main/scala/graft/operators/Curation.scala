@@ -534,6 +534,33 @@ object Curation {
     dsirScores(spark, dir)
       .orderBy(col("score_pm").desc, col("doc_id")).limit(100)
 
+  /** Reproducibility manifest per training shard — the artifact a training
+    * run pins so "the data changed" is detectable without re-reading it:
+    * for each [[trainOrder]] shard, the doc count, token load, a
+    * content checksum (sum of per-doc 60-bit text hashes mod 1 000 003 —
+    * bounded so the int64 sum can never wrap, unlike summing raw hashes),
+    * and the global-position range proving shard contiguity. Any document
+    * edit, drop, or reorder changes exactly the affected shard's row.
+    *
+    * One join on doc_id + a 16-row aggregate over the already-ranked
+    * permutation; the checksum is map-side-combinable.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val ord = trainOrder(spark, dir).select("doc_id", "pos", "shard")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        (Tables.portableHash(col("text")) % 1000003L).as("thm"))
+    ord.join(docs, "doc_id")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_tokens"),
+        (sum(col("thm")) % 1000003L).as("checksum"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"))
+      .orderBy("shard")
+  }
+
   /** Curriculum phases for [[curriculum]]. */
   private[graft] val CurrPhases = 4L
 

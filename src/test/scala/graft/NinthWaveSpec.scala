@@ -275,6 +275,28 @@ class NinthWaveSpec extends SparkSpec {
     ce.unpersist()
   }
 
+  test("shard manifest: contiguous non-overlapping ranges cover the corpus") {
+    val m = Curation.shardManifest(spark, sf0001).cache()
+    assert(m.count() === 16L)
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(m.agg(sum("n_docs")).as[Long].head() === n)
+    // each shard's position range is exactly its doc count (contiguous)
+    assert(m.where(col("max_pos") - col("min_pos") + 1 =!= col("n_docs"))
+      .count() === 0L)
+    // ranges chain: shard k+1 starts right after shard k ends
+    val rows = m.orderBy("shard").select("min_pos", "max_pos")
+      .as[(Long, Long)].collect()
+    assert(rows.head._1 === 1L && rows.last._2 === n)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._1 === a._2 + 1, s"gap between $a and $b")
+      case _ => ()
+    }
+    // checksums are within the modulus
+    assert(m.where(col("checksum") < 0 || col("checksum") >= 1000003L)
+      .count() === 0L)
+    m.unpersist()
+  }
+
   test("streaming BM25 scorer == batch scored relation on replayed docs") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
