@@ -66,8 +66,16 @@ object Scrub {
               substring(md5(concat(lit("key:"), col("doc_id").cast("string"))),
                 1, 16))).otherwise(lit(""))).as("dirty"))
 
-  private def matchCount(c: Column, re: String): Column =
+  private[graft] def matchCount(c: Column, re: String): Column =
     size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+
+  /** The scrub transform itself (all four family regexes folded) — shared
+    * with the streaming funnel so batch and stream redact identically.
+    */
+  private[graft] def scrubbed(c: Column): Column =
+    Families.foldLeft(c) { case (x, (_, re, tok)) =>
+      regexp_replace(x, re, tok)
+    }
 
   private def matchChars(c: Column, re: String): Column =
     coalesce(aggregate(regexp_extract_all(c, lit(re), lit(0)),
@@ -80,9 +88,7 @@ object Scrub {
     */
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
     val d = dirtyText(spark, dir)
-    val clean = Families.foldLeft(col("dirty")) { case (c, (_, re, tok)) =>
-      regexp_replace(c, re, tok)
-    }
+    val clean = scrubbed(col("dirty"))
     val counted = d.select(
       col("source") +:
         Families.map { case (name, re, _) =>

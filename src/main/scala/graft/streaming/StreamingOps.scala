@@ -367,11 +367,11 @@ object StreamingOps {
     * — no shuffle, no state, unbounded throughput.
     * Columns in: (doc_id, text, event_time).
     */
-  def qualityGateStream(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("event_time"),
+  def qualityGateStream(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(col("doc_id"), col("event_time"),
         length(col("text")).cast("long").as("nc"),
-        split(col("text"), " ").as("w"))
-      .select(col("doc_id"), col("event_time"),
+        split(col("text"), " ").as("w")) ++ carry.map(col): _*)
+      .select(Seq(col("doc_id"), col("event_time"),
         size(col("w")).cast("long").as("n_words"),
         (col("nc") - size(col("w")).cast("long") + 1L).as("word_chars"),
         size(filter(col("w"), x =>
@@ -379,12 +379,13 @@ object StreamingOps {
           .cast("long").as("stopword_n"),
         array_max(transform(array_distinct(col("w")),
           x => size(filter(col("w"), y => y === x))))
-          .cast("long").as("top_n"))
+          .cast("long").as("top_n")) ++ carry.map(col): _*)
       .withColumn("mwl10", expr("(10 * word_chars) div n_words"))
       .withColumn("top_pct", expr("(100 * top_n) div n_words"))
-      .select(col("doc_id"), col("event_time"), col("n_words"),
+      .select(Seq(col("doc_id"), col("event_time"), col("n_words"),
         col("mwl10"), col("top_pct"), col("stopword_n"),
-        graft.operators.TextAnalysis.qualityVerdict.as("fail_reason"))
+        graft.operators.TextAnalysis.qualityVerdict.as("fail_reason")) ++
+        carry.map(col): _*)
       .withColumn("keep", (col("fail_reason") === "ok").cast("long"))
 
   /** Streaming shard router — the landing step of the streaming curation
@@ -486,6 +487,38 @@ object StreamingOps {
             Tables.portableHash(w) % graft.operators.Curation.DsirB)).as("sw"))
       .withColumn("score_pm", expr("sw div n_toks"))
       .drop("sw")
+  }
+
+  /** The COMPOSED streaming curation funnel — the continuous form of the
+    * batch pipeline the individually-proven stages add up to:
+    * quality gate (stateless) → PII scrub (stateless map, the SAME
+    * [[graft.operators.Scrub.scrubbed]] regex fold as batch) →
+    * exact-dedup first-occurrence on the CLEAN text (watermark-bounded
+    * state) → shard route (stateless). Documents failing the gate are
+    * dropped; later exact duplicates are dropped; survivors emerge with
+    * their redaction count, content hash, and landing shard — the row a
+    * continuous ingestion job writes to its landing table.
+    *
+    * Winner identity under ties follows ARRIVAL order (stream semantics;
+    * the batch keep-first rule uses min doc_id), so the funnel's
+    * equivalence contract is set-level: the surviving clean-content set,
+    * the per-doc redaction counts, and the shard routing are all proven ≡
+    * batch in NinthWaveSpec.
+    * Columns in: (doc_id, text, event_time).
+    */
+  def curationFunnelStream(docs: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.Scrub
+    val kept = qualityGateStream(docs, carry = Seq("text"))
+      .where(col("keep") === 1)
+    val scrubbed = kept.select(col("doc_id"), col("event_time"),
+      Scrub.scrubbed(col("text")).as("text"),
+      Scrub.Families.map { case (_, re, _) =>
+        Scrub.matchCount(col("text"), re)
+      }.reduce(_ + _).as("n_pii"))
+    val unique = dedupExactStream(scrubbed, watermark)
+    shardRouteStream(unique.select(col("doc_id"), col("event_time"),
+      col("text"), col("n_pii"), col("content_md5")))
   }
 
   /** Stateless streaming BM25 scorer: each arriving document is scored

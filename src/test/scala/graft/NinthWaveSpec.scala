@@ -297,6 +297,52 @@ class NinthWaveSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("composed curation funnel stream: survivors == batch composition") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // planted-PII corpus so the scrub stage has real work to do
+    val dirty = operators.Scrub.dirtyText(spark, sf0001)
+      .select(col("doc_id"), col("dirty").as("text"))
+      .as[(Long, String)].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingOps.curationFunnelStream(
+      in.toDF().toDF("doc_id", "text", "event_time"))
+    val q = out.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = dirty.splitAt(dirty.size / 2)
+      in.addData(b1.map(d => (d._1, d._2, new java.sql.Timestamp(1000L))))
+      q.processAllAvailable()
+      in.addData(b2.map(d => (d._1, d._2, new java.sql.Timestamp(2000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("funnel_out").cache()
+    // batch composition over the same stage functions on a static frame:
+    // gate -> scrub -> distinct clean-content set
+    val batchDf = operators.Scrub.dirtyText(spark, sf0001)
+      .select(col("doc_id"), col("dirty").as("text"),
+        lit(new java.sql.Timestamp(0L)).as("event_time"))
+    val expectMd5 = graft.streaming.StreamingOps
+      .qualityGateStream(batchDf, carry = Seq("text"))
+      .where(col("keep") === 1)
+      .select(md5(operators.Scrub.scrubbed(col("text"))).as("m"))
+      .distinct().as[String].collect().toSet
+    val gotMd5 = got.select("content_md5").as[String].collect()
+    assert(gotMd5.toSet === expectMd5, "surviving clean-content set")
+    assert(gotMd5.length === gotMd5.toSet.size, "no duplicate survivors")
+    // routing is the documented per-row hash of the winner's doc_id
+    val badShard = got.where(col("shard") =!=
+      pmod(graft.sources.Tables.portableHash(
+        concat(lit("order:r8:"), col("doc_id").cast("string"))), lit(16L)))
+      .count()
+    assert(badShard === 0L)
+    // the planted PII was actually scrubbed and counted
+    assert(got.agg(sum("n_pii")).as[Long].head() > 0L)
+    got.unpersist()
+  }
+
   test("streaming BM25 scorer == batch scored relation on replayed docs") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
