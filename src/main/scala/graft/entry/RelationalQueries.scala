@@ -18,6 +18,7 @@ object RelationalQueries {
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_top_orders" -> ((s, d) => Relational.q3TopOrders(s, d)),
     "q5_nation_revenue" -> ((s, d) => Relational.q5NationRevenue(s, d)),
+    "q7_volume" -> ((s, d) => Relational.q7Volume(s, d)),
     "q_semi_high_qty" -> ((s, d) => Relational.qSemiHighQty(s, d)),
     "q_anti_no_orders" -> ((s, d) => Relational.qAntiNoOrders(s, d)),
     "q_window_top3" -> ((s, d) => Relational.qWindowTop3(s, d)),
@@ -85,6 +86,23 @@ object RelationalQueries {
          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
          |JOIN nation ON s_nationkey = n_nationkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Replays Q7 volume shipping: the two-nation disjunctive predicate,
+    // ship-year rollup, integer-e4 money.
+    "q7_volume" ->
+      s"""WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+         |            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         |cn AS (SELECT c_custkey, n_name AS cust_nation
+         |       FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         |SELECT supp_nation, cust_nation,
+         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |       $revenueE4 AS revenue_e4, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN cn ON o_custkey = c_custkey
+         |JOIN sn ON l_suppkey = s_suppkey
+         |WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+         |   OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_semi_high_qty" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

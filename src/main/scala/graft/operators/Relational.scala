@@ -83,6 +83,42 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q7 volume shipping: revenue flowing between two fixed nations
+    * (either direction), by supplier nation × customer nation × ship
+    * year. The classic multi-join with a disjunctive nation predicate;
+    * both nation lookups broadcast, the pair filter applies before the
+    * aggregation so only cross-border rows reach the year rollup, and
+    * money stays integer-e4. First consumer of `l_shipdate` on the query
+    * surface.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_1", "NATION_2")
+    val n = Tables.load(spark, dir, "nation").select("n_nationkey", "n_name")
+    val s = Tables.load(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .where((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100L) - cents(col("l_discount")))).as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Semi-join (EXISTS): orders having at least one high-quantity lineitem,
     * counted per priority. left_semi avoids materializing the join fan-out.
     */

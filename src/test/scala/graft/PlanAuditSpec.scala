@@ -38,6 +38,16 @@ class PlanAuditSpec extends SparkSpec {
       "nation should broadcast")
   }
 
+  test("q7: both nation lookups broadcast; pair filter above the joins") {
+    val p = plan(Relational.q7Volume(spark, sf001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"supplier/customer nation lookups must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "year rollup must partial-aggregate")
+  }
+
   test("chain-link join is an equi-join on (ip, bucket), never a nested loop") {
     val p = plan(ChainLink.links(Tables.msgs(spark, sf001)))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
