@@ -239,17 +239,42 @@ object TextAnalysis {
     * so the shuffle carries sparse features, never dense vectors; the
     * argmax is a per-chunk window over ≤ [[FhCentroids]] candidates.
     */
-  def chunkEmbedIndex(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ck = chunkWindowsFor(spark, dir)
-      .select(col("doc_id"), col("chunk_idx"),
-        (col("doc_id") * 1000 + col("chunk_idx")).as("cid"), col("cw"))
-    val ft = ck.select(col("cid"), explode(col("cw")).as("w"))
+  /** Sparse signed feature-hash vectors per chunk — (cid, b, v). */
+  private[graft] def chunkFeaturesFor(spark: SparkSession, dir: String): DataFrame =
+    chunkWindowsFor(spark, dir)
+      .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"), col("cw"))
+      .select(col("cid"), explode(col("cw")).as("w"))
       .select(col("cid"),
         (Tables.portableHash(concat(lit("fh:"), col("w"))) % FhDims).as("b"),
         when(Tables.portableHash(concat(lit("fs:"), col("w"))) % 2 === 1, 1L)
           .otherwise(-1L).as("s"))
       .groupBy("cid", "b").agg(sum(col("s")).as("v"))
+
+  /** The chunk-vector index artifact: (centroid sparse features `(cent_id,
+    * b, cv)`, centroid squared norms `(cent_id, n2c)`) — what the
+    * streaming ingest embedder loads as its broadcast index.
+    */
+  private[graft] def chunkCentIndexFor(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val ft = chunkFeaturesFor(spark, dir)
+    val cents = ft.select("cid").distinct()
+      .orderBy(Tables.portableHash(col("cid").cast("string")), col("cid"))
+      .limit(FhCentroids)
+      .select(col("cid").as("cent_id"))
+    val cf = ft.join(broadcast(cents), ft("cid") === cents("cent_id"))
+      .select(col("cent_id"), col("b"), col("v").as("cv"))
+    val n2c = ft.groupBy("cid").agg(sum(col("v") * col("v")).as("n2c"))
+      .join(broadcast(cents), col("cid") === col("cent_id"))
+      .select("cent_id", "n2c")
+    (cf, n2c)
+  }
+
+  def chunkEmbedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ck = chunkWindowsFor(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("doc_id") * 1000 + col("chunk_idx")).as("cid"), col("cw"))
+    val ft = chunkFeaturesFor(spark, dir)
     val n2 = ft.groupBy("cid").agg(sum(col("v") * col("v")).as("n2"))
     val cents = ft.select("cid").distinct()
       .orderBy(Tables.portableHash(col("cid").cast("string")), col("cid"))

@@ -521,6 +521,84 @@ object StreamingOps {
       col("text"), col("n_pii"), col("content_md5")))
   }
 
+  /** Stateless streaming chunk embed+assign — the text-side ingest
+    * embedder: each arriving document is cut into the SAME sliding chunk
+    * windows as the batch [[graft.operators.TextAnalysis.chunkEmbedIndex]],
+    * feature-hashed (signed token hashing, identical expressions), and
+    * assigned to the nearest centroid of a PRECOMPUTED index — the
+    * centroid feature table and its squared norms collapse to one
+    * broadcast row of (cent_id → sparse features) structs. Per row the
+    * work is a bounded fold (chunks × tokens × centroids); no state, no
+    * shuffle.
+    *
+    * Emits (doc_id, chunk_idx, cid, cent_id, dot, n2q) per chunk —
+    * proven row-identical to the batch assignment in NinthWaveSpec when
+    * fed the same corpus against the batch-built centroids.
+    * Columns in: (doc_id, text, event_time). `centFeatures` columns:
+    * (cent_id, b, cv) (the batch `cf` relation); `centNorms`:
+    * (cent_id, n2c).
+    */
+  def chunkAssignStream(docs: DataFrame, centFeatures: DataFrame,
+      centNorms: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis.{ChunkLen, ChunkStride}
+    import graft.sources.Tables
+    // one broadcast row: per centroid, its 64-long dense vector rebuilt
+    // from the sparse features (missing buckets -> 0), plus its norm
+    val dense = centFeatures.groupBy("cent_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("cv"))))
+        .as("fm"))
+      .join(centNorms, "cent_id")
+      // no sort: collect order is irrelevant (and structs holding maps
+      // aren't orderable) — the final (−cos, cent_id) array_sort decides
+      .agg(collect_list(struct(col("cent_id"), col("fm"), col("n2c")))
+        .as("cents"))
+    val chunks = docs
+      .select(col("doc_id"), col("event_time"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("event_time"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(1, greatest(size(w) - ${ChunkLen - ChunkStride}, 1),
+             |           $ChunkStride),
+             |  s -> slice(w, s, $ChunkLen))""".stripMargin)))
+      .toDF("doc_id", "event_time", "chunk_idx", "cw")
+      .select(col("doc_id"), col("event_time"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("doc_id") * 1000 + col("chunk_idx")).as("cid"), col("cw"))
+    // sparse chunk features as a map: bucket -> signed count
+    val fm = chunks.select(col("doc_id"), col("chunk_idx"), col("cid"),
+      col("event_time"),
+      aggregate(col("cw"),
+        map().cast("map<bigint,bigint>"),
+        (m, w) => {
+          val b = Tables.portableHash(concat(lit("fh:"), w)) %
+            graft.operators.TextAnalysis.FhDims
+          val s = when(Tables.portableHash(concat(lit("fs:"), w)) % 2 === 1,
+            1L).otherwise(-1L)
+          map_concat(map_filter(m, (k, _) => k =!= b),
+            map(b, coalesce(element_at(m, b), lit(0L)) + s))
+        }).as("fm"))
+    val n2q = aggregate(map_values(col("fm")), lit(0L), (a, v) => a + v * v)
+    // per-chunk argmax entirely IN THE ROW (multiProbe's array_sort trick
+    // on (−cos, cent_id) — no window, no aggregation, stream stays
+    // stateless): score all centroids in one transform, sort, take [1]
+    fm.crossJoin(broadcast(dense))
+      .withColumn("n2q", n2q)
+      .withColumn("sc", transform(col("cents"), c => struct(
+        aggregate(map_keys(col("fm")), lit(0L), (a, k) =>
+          a + element_at(col("fm"), k) *
+            coalesce(element_at(c.getField("fm"), k), lit(0L))).as("dot"),
+        c.getField("cent_id").as("cent_id"),
+        c.getField("n2c").as("n2c"))))
+      .withColumn("best", element_at(array_sort(transform(col("sc"), s =>
+        struct((-(s.getField("dot") /
+          (sqrt(col("n2q")) * sqrt(s.getField("n2c"))))).as("negcos"),
+          s.getField("cent_id").as("cent_id"),
+          s.getField("dot").as("dot")))), 1))
+      .select(col("doc_id"), col("chunk_idx"), col("cid"),
+        col("best.cent_id").as("cent_id"), col("best.dot").as("dot"),
+        col("n2q"))
+  }
+
   /** Stateless streaming BM25 scorer: each arriving document is scored
     * against a PRECOMPUTED index-statistics artifact — the 5-term query
     * table and the (nd, tot) corpus stats from

@@ -343,6 +343,35 @@ class NinthWaveSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("streaming chunk assign == batch embed+index on replayed docs") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val (cf, n2c) = TextAnalysis.chunkCentIndexFor(spark, sf0001)
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingOps.chunkAssignStream(
+      in.toDF().toDF("doc_id", "text", "event_time"), cf, n2c)
+    val q = out.writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      in.addData(b1.map(d => (d._1, d._2, new java.sql.Timestamp(1000L))))
+      q.processAllAvailable()
+      in.addData(b2.map(d => (d._1, d._2, new java.sql.Timestamp(2000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("chunk_out")
+      .select("doc_id", "chunk_idx", "cid", "cent_id", "dot", "n2q")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val want = TextAnalysis.chunkEmbedIndex(spark, sf0001)
+      .select("doc_id", "chunk_idx", "cid", "cent_id", "dot", "n2q")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("streaming BM25 scorer == batch scored relation on replayed docs") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
