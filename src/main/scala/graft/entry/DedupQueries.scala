@@ -38,6 +38,7 @@ object DedupQueries {
     // cluster canonicalization
     "q_dup_spans" -> ((s, d) => Corpus.dupSpans(s, d)),
     "q_cluster_canon" -> ((s, d) => Curation.clusterCanon(s, d)),
+    "q_dedup_agreement" -> ((s, d) => Dedup.dedupAgreement(s, d)),
   )
 
   /** Shared connected-component CTE chain (Jaccard pairs → symmetric
@@ -448,5 +449,44 @@ object DedupQueries {
          |       CAST(coalesce(covered_tokens, 0) * 1000 // b.n_words
          |            AS BIGINT) AS dup_permille
          |FROM b LEFT JOIN ag USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    // Replays the three pair relations (Jaccard >= 0.5, hamming <= 3,
+    // containment >= 0.9), tags and unions them, and computes the
+    // pair-set agreement matrix.
+    "q_dedup_agreement" ->
+      s"""WITH $docShCtes, $interCte, $simhashCtes,
+         |jacp AS (SELECT doc_a, doc_b FROM inter
+         |         JOIN sizes sa ON doc_a = sa.doc_id
+         |         JOIN sizes sb ON doc_b = sb.doc_id
+         |         WHERE inter * 3 >= sa.n_sh + sb.n_sh),
+         |ctp AS (SELECT doc_a, doc_b FROM inter
+         |        JOIN sizes sa ON doc_a = sa.doc_id
+         |        JOIN sizes sb ON doc_b = sb.doc_id
+         |        WHERE inter * 10 >= least(sa.n_sh, sb.n_sh) * 9),
+         |bands AS (SELECT doc_id, simhash, k,
+         |            (simhash >> (16 * k)) & 65535 AS band_val
+         |          FROM sim CROSS JOIN
+         |            (SELECT unnest(generate_series(0, 3)) AS k) ks),
+         |shp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM bands a JOIN bands b
+         |          ON a.k = b.k AND a.band_val = b.band_val
+         |          AND a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |tg AS (SELECT 'containment' AS m, doc_a, doc_b FROM ctp
+         |       UNION ALL SELECT 'ngram', doc_a, doc_b FROM jacp
+         |       UNION ALL SELECT 'simhash', doc_a, doc_b FROM shp),
+         |sz AS (SELECT m, CAST(count(*) AS BIGINT) AS n FROM tg GROUP BY 1),
+         |cm AS (SELECT x.m AS ma, y.m AS mb,
+         |         CAST(count(*) AS BIGINT) AS nc
+         |       FROM tg x JOIN tg y
+         |         ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b AND x.m < y.m
+         |       GROUP BY 1, 2)
+         |SELECT a.m AS method_a, b.m AS method_b, a.n AS n_a, b.n AS n_b,
+         |       CAST(coalesce(cm.nc, 0) AS BIGINT) AS n_common,
+         |       CAST(coalesce(cm.nc, 0) * 1000 //
+         |            greatest(a.n + b.n - coalesce(cm.nc, 0), 1) AS BIGINT)
+         |         AS jaccard_permille
+         |FROM sz a JOIN sz b ON a.m < b.m
+         |LEFT JOIN cm ON cm.ma = a.m AND cm.mb = b.m
+         |ORDER BY 1, 2""".stripMargin,
   )
 }

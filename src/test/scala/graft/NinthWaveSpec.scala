@@ -343,6 +343,19 @@ class NinthWaveSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("dedup agreement: 3 method pairs, overlaps bounded by set sizes") {
+    val ag = operators.Dedup.dedupAgreement(spark, sf0001).cache()
+    assert(ag.count() === 3L)
+    val bad = ag.where(col("n_common") > least(col("n_a"), col("n_b")) ||
+      col("jaccard_permille") > 1000 ||
+      col("method_a") >= col("method_b")).count()
+    assert(bad === 0L)
+    // the planted near-dup corpus must produce non-empty pair sets for
+    // every method (otherwise the agreement matrix is vacuous)
+    assert(ag.where(col("n_a") === 0 || col("n_b") === 0).count() === 0L)
+    ag.unpersist()
+  }
+
   test("streaming chunk assign == batch embed+index on replayed docs") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
