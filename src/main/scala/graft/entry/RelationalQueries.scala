@@ -26,6 +26,7 @@ object RelationalQueries {
     "q_distinct_users" -> ((s, d) => Relational.qDistinctUsers(s, d)),
     "q_rollup_revenue" -> ((s, d) => Relational.qRollupRevenue(s, d)),
     "q_lag_events" -> ((s, d) => Relational.qLagEvents(s, d)),
+    "q_event_debounce" -> ((s, d) => Relational.qEventDebounce(s, d)),
     // third-wave relational staples
     "q_cube_revenue" -> ((s, d) => Relational.qCubeRevenue(s, d)),
     "q_ntile_quartile" -> ((s, d) => Relational.qNtileQuartile(s, d)),
@@ -103,6 +104,22 @@ object RelationalQueries {
          |WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
          |   OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Replays the burst-leader debounce: 60 s gap rule per
+    // (user, event_type) timeline, per-type keep/drop rollup.
+    "q_event_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |             epoch_ms(ts) AS tms FROM events),
+        |g AS (SELECT event_type,
+        |        tms - lag(tms) OVER (PARTITION BY user_id, event_type
+        |                             ORDER BY tms, event_id) AS gap
+        |      FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN gap IS NULL OR gap >= 60000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST((count(*) - sum(CASE WHEN gap IS NULL OR gap >= 60000
+        |                                 THEN 1 ELSE 0 END)) * 1000
+        |            // count(*) AS BIGINT) AS drop_permille
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_semi_high_qty" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

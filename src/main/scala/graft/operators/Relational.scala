@@ -202,6 +202,32 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Burst-leading-event dedup (telemetry debounce): within each
+    * (user, event_type) timeline, an event is KEPT iff it is ≥ 60 s after
+    * its predecessor — i.e. the first event of each activity burst — and
+    * repeats inside a burst are dropped, the standard click/telemetry
+    * de-noising pass before any funnel or retention metric. (True
+    * timeout-debounce relative to the last KEPT event needs a stateful
+    * scan; the burst-leader rule is the window-expressible form and the
+    * one analytics pipelines actually run.) Per event type: event count,
+    * kept count, drop permille. One keyed window, one aggregation.
+    */
+  def qEventDebounce(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tms"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        Tables.epochMs.as("tms"))
+      .withColumn("gap", col("tms") - lag(col("tms"), 1).over(w))
+      .withColumn("kept",
+        when(col("gap").isNull || col("gap") >= 60000L, 1L).otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("kept")).as("n_kept"))
+      .withColumn("drop_permille",
+        expr("(n_events - n_kept) * 1000 div n_events"))
+      .orderBy("event_type")
+  }
+
   /** Distinct aggregation: exact distinct users + event count per type. */
   def qDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")

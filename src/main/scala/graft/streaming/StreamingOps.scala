@@ -37,6 +37,27 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value_cents"))
 
+  /** Streaming telemetry debounce — the continuous twin of the batch
+    * `q_event_debounce` burst-leader rule: per (user, event_type), events
+    * within 60 s of their predecessor merge into one session window
+    * (native `session_window`, half-open [start, last+gap) — an event at
+    * exactly +gap starts a new burst, matching the batch `gap >= 60000`
+    * keep rule exactly), and each burst emits its LEADING event (min
+    * (event_time, event_id)) plus the burst size once the watermark closes
+    * it. State is one open burst per active (user, type).
+    * Columns in: (user_id, event_type, event_id, event_time).
+    */
+  def debounceStream(events: DataFrame, gap: String = "60 seconds",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"),
+        col("event_type"))
+      .agg(min(struct(col("event_time"), col("event_id"))).as("lead"),
+        count(lit(1)).as("n_in_burst"))
+      .select(col("user_id"), col("event_type"),
+        col("lead.event_id").as("lead_event_id"),
+        col("lead.event_time").as("lead_time"), col("n_in_burst"))
+
   /** Streaming gap-based sessionization via Spark's native `session_window`:
     * per-user sessions close after `gap` of inactivity, emitted once the
     * watermark passes the session end — the streaming form of the batch

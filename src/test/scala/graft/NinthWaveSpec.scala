@@ -356,6 +356,45 @@ class NinthWaveSpec extends SparkSpec {
     ag.unpersist()
   }
 
+  test("streaming debounce leaders == batch burst-leader rule") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val ev = graft.sources.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        graft.sources.Tables.epochMs.as("tms"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+      .sortBy(e => (e._4, e._3))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingOps.debounceStream(
+      in.toDF().toDF("user_id", "event_type", "event_id", "event_time"))
+    val q = out.writeStream.format("memory").queryName("deb_out")
+      .outputMode("append").start()
+    try {
+      in.addData(ev.map(e =>
+        (e._1, e._2, e._3, new java.sql.Timestamp(e._4))))
+      q.processAllAvailable()
+      // advance the watermark far past every burst so all sessions close
+      in.addData((0L, "zz_flush", -1L,
+        new java.sql.Timestamp(ev.map(_._4).max + 10L * 600000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("deb_out").where(col("event_type") =!= "zz_flush")
+      .select("lead_event_id").as[Long].collect().toSet
+    // batch burst leaders: gap >= 60000 (or first) per (user, type)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tms"), col("event_id"))
+    val want = graft.sources.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        graft.sources.Tables.epochMs.as("tms"))
+      .withColumn("gap", col("tms") - lag(col("tms"), 1).over(w))
+      .where(col("gap").isNull || col("gap") >= 60000L)
+      .select("event_id").as[Long].collect().toSet
+    assert(got === want)
+  }
+
   test("streaming chunk assign == batch embed+index on replayed docs") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
