@@ -38,6 +38,17 @@ class PlanAuditSpec extends SparkSpec {
       "nation should broadcast")
   }
 
+  test("debounce: the lag window is keyed, never a global single partition") {
+    val p = plan(Relational.qEventDebounce(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    val globals = p.linesIterator.filter(l =>
+      l.trim.startsWith("Window") && !l.contains("user_id")).toSeq
+    assert(globals.isEmpty,
+      s"debounce must partition by (user_id, event_type):\n${globals.mkString("\n")}")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "per-type rollup must partial-aggregate")
+  }
+
   test("q7: both nation lookups broadcast; pair filter above the joins") {
     val p = plan(Relational.q7Volume(spark, sf001))
     assert(!p.contains("CartesianProduct") &&
