@@ -42,7 +42,8 @@ import re
 import statistics
 import sys
 
-FOOTER = {"value", "repeat", "n_queries", "n_builds", "n_errors"}
+FOOTER = {"value", "repeat", "n_queries", "n_builds", "n_errors",
+          "build_total", "query_total"}
 TOL = 2.0     # outlier = ratio beyond TOL * p75 of the machine-wide band
 ELEV = 2.5    # "elevated" neighbor threshold for window detection
 WINDOW = 3    # positions on each side scanned for elevated neighbors
@@ -64,6 +65,28 @@ def load(path):
         if m.group(1) not in FOOTER and not m.group(1).startswith("_build_"):
             out.append((m.group(1), float(m.group(2))))
     return out
+
+
+def totals(path):
+    """(build_total, query_total) from a bench artifact's footer, if the
+    run published them (graft.Bench emits both since round 10). Build
+    drift (one-time index materializations) and query drift mean
+    different things; the report separates them when both runs carry the
+    split."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        d = {"tail": text}
+    src = d.get("tail") if isinstance(d, dict) and "tail" in d else text
+    if isinstance(d, dict) and "build_total" in d and "query_total" in d:
+        return float(d["build_total"]), float(d["query_total"])
+    bt = re.search(r'"build_total":([0-9.]+)', src or "")
+    qt = re.search(r'"query_total":([0-9.]+)', src or "")
+    if bt and qt:
+        return float(bt.group(1)), float(qt.group(1))
+    return None
 
 
 def classify(ref_pairs, cur_pairs):
@@ -126,6 +149,12 @@ def main():
     lines += ["",
               f"Flagged {len(flagged)} of {res['n']}; "
               f"{len(regressions)} isolated query regression(s)."]
+    tr, tc = totals(args[0]), totals(args[1])
+    if tr and tc:
+        lines += ["",
+                  f"Builds-vs-queries split: builds {tr[0]:.1f}s -> "
+                  f"{tc[0]:.1f}s ({tc[0] / tr[0]:.2f}x), queries "
+                  f"{tr[1]:.1f}s -> {tc[1]:.1f}s ({tc[1] / tr[1]:.2f}x)."]
     text = "\n".join(lines) + "\n"
     if report:
         with open(report, "w") as f:

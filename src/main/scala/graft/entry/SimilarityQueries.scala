@@ -883,12 +883,16 @@ object SimilarityQueries {
          |wtot AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
          |                CAST(sum(x * x) AS BIGINT) AS sum_sq FROM wq)
          |SELECT 'raw' AS stage, n_vecs, sum_sq, mu_sq,
-         |       CAST(mu_sq * 1000 // (n_vecs * sum_sq) AS BIGINT)
+         |       CAST(floor(CAST(mu_sq AS DOUBLE) * 1000.0e0 /
+         |            (CAST(n_vecs AS DOUBLE) * CAST(sum_sq AS DOUBLE)))
+         |         AS BIGINT)
          |         AS aniso_permille
          |FROM rtot CROSS JOIN rmu
          |UNION ALL
          |SELECT 'whitened', n_vecs, sum_sq, mu_sq,
-         |       CAST(mu_sq * 1000 // (n_vecs * sum_sq) AS BIGINT)
+         |       CAST(floor(CAST(mu_sq AS DOUBLE) * 1000.0e0 /
+         |            (CAST(n_vecs AS DOUBLE) * CAST(sum_sq AS DOUBLE)))
+         |         AS BIGINT)
          |FROM wtot CROSS JOIN wmu
          |ORDER BY stage""".stripMargin,
     // Replays MRR@5 vs the exact rank-1 neighbor for both IVF variants:

@@ -264,7 +264,8 @@ object TextQueries {
          |            AS s
          |       FROM dw),
          |ck AS (SELECT doc_id, CAST((s - 1) // 30 AS BIGINT) AS chunk_idx,
-         |          doc_id * 1000 + CAST((s - 1) // 30 AS BIGINT) AS cid,
+         |          doc_id * ${TextAnalysis.ChunkIdSpan}
+         |            + CAST((s - 1) // 30 AS BIGINT) AS cid,
          |          w[s : s + 39] AS cw
          |       FROM st),
          |tk AS (SELECT cid, unnest(cw) AS w FROM ck),

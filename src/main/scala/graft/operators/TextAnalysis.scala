@@ -217,6 +217,15 @@ object TextAnalysis {
         Tables.portableHash(concat_ws(" ", col("cw"))).as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Chunk-id encoding span: cid = doc_id · span + chunk_idx. 1e6 bounds
+    * documents at 1e6 chunks (≈30M words at stride [[ChunkStride]]) before
+    * two documents' chunk ids could collide — the former 1000 span
+    * collided at ~30k-word documents, silently merging feature vectors
+    * across documents in [[chunkFeaturesFor]] (ADVICE r9). doc_id · 1e6
+    * stays in int64 up to ~9.2e12 documents.
+    */
+  private[graft] val ChunkIdSpan = 1000000L
+
   /** Feature-hash buckets for [[chunkEmbedIndex]] chunk vectors. */
   private[graft] val FhDims = 64L
 
@@ -242,7 +251,7 @@ object TextAnalysis {
   /** Sparse signed feature-hash vectors per chunk — (cid, b, v). */
   private[graft] def chunkFeaturesFor(spark: SparkSession, dir: String): DataFrame =
     chunkWindowsFor(spark, dir)
-      .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"), col("cw"))
+      .select((col("doc_id") * ChunkIdSpan + col("chunk_idx")).as("cid"), col("cw"))
       .select(col("cid"), explode(col("cw")).as("w"))
       .select(col("cid"),
         (Tables.portableHash(concat(lit("fh:"), col("w"))) % FhDims).as("b"),
@@ -273,7 +282,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val ck = chunkWindowsFor(spark, dir)
       .select(col("doc_id"), col("chunk_idx"),
-        (col("doc_id") * 1000 + col("chunk_idx")).as("cid"), col("cw"))
+        (col("doc_id") * ChunkIdSpan + col("chunk_idx")).as("cid"), col("cw"))
     val ft = chunkFeaturesFor(spark, dir)
     val n2 = ft.groupBy("cid").agg(sum(col("v") * col("v")).as("n2"))
     val cents = ft.select("cid").distinct()
@@ -358,13 +367,24 @@ object TextAnalysis {
     * corpus is one join on the word key — shuffle-sized by the type table,
     * which AQE broadcasts when small.
     */
-  private[graft] def bpeVocabFor(spark: SparkSession, dir: String): DataFrame =
-    Materialized.of(spark, s"bpevocab:$dir") {
+  /** The learned MERGE TABLE itself — (ord, pat, rep), one row per
+    * training round in application order — memoized as its own artifact.
+    * This is the tokenizer's model file: the streaming ingest funnel
+    * broadcasts it and replays the same `replace` fold per arriving word
+    * ([[graft.streaming.StreamingOps.curationFunnelStream]]), and
+    * [[bpeVocabFor]] replays it over the type table. Training runs here
+    * (the rounds are the cost; the vocab replay is one pass), and the
+    * merges accumulate as a UNION of the per-round 1-row winners — the
+    * model parameter never touches the driver.
+    */
+  private[graft] def bpeMergesFor(spark: SparkSession, dir: String): DataFrame =
+    Materialized.of(spark, s"bpemerges:$dir") {
       var vocab = unigramCountsFor(spark, dir)
         .select(col("t").as("word"), col("n"),
           regexp_replace(col("t"), "(.)", "<$1>").as("st"))
         .localCheckpoint(true)
-      for (_ <- 1 to BpeMergeRounds) {
+      var merges: DataFrame = null
+      for (k <- 1 to BpeMergeRounds) {
         val pairs = vocab
           .select(col("n"),
             expr(s"regexp_extract_all(st, '$BpeSymRe', 1)").as("sy"))
@@ -377,18 +397,55 @@ object TextAnalysis {
           .select(col("n"), col("p.pa").as("pa"), col("p.pb").as("pb"))
         val top = pairs.groupBy("pa", "pb").agg(sum(col("n")).as("np"))
           .orderBy(col("np").desc, col("pa"), col("pb")).limit(1)
-          .select(
+          .select(lit(k.toLong).as("ord"),
             concat(lit("<"), col("pa"), lit("><"), col("pb"), lit(">")).as("pat"),
             concat(lit("<"), col("pa"), col("pb"), lit(">")).as("rep"))
-        vocab = vocab.crossJoin(broadcast(top))
+          .localCheckpoint(true)
+        merges = if (merges == null) top else merges.unionAll(top)
+        vocab = vocab.crossJoin(broadcast(top.select("pat", "rep")))
           .withColumn("st", expr("replace(st, pat, rep)"))
           .select("word", "n", "st")
           .localCheckpoint(true)
+      }
+      merges
+    }
+
+  private[graft] def bpeVocabFor(spark: SparkSession, dir: String): DataFrame =
+    Materialized.of(spark, s"bpevocab:$dir") {
+      val merges = bpeMergesFor(spark, dir)
+      // replay the learned merges in order over the type table — one
+      // projection pass, 8 chained 1-row broadcast crossJoins; an absent
+      // round (corpus too small to yield a pair) empties the vocab,
+      // matching the former in-loop semantics exactly
+      var vocab = unigramCountsFor(spark, dir)
+        .select(col("t").as("word"), col("n"),
+          regexp_replace(col("t"), "(.)", "<$1>").as("st"))
+      for (k <- 1 to BpeMergeRounds) {
+        vocab = vocab.crossJoin(broadcast(
+            merges.where(col("ord") === k).select("pat", "rep")))
+          .withColumn("st", expr("replace(st, pat, rep)"))
+          .select("word", "n", "st")
       }
       vocab.select(col("word"), col("n"),
         length(col("word")).cast("long").as("wl"),
         size(expr(s"regexp_extract_all(st, '$BpeSymRe', 1)")).cast("long").as("wt"))
     }
+
+  /** Per-row BPE token count under a broadcast merge array — the SHARED
+    * Column expression the streaming funnel and its batch twin both use:
+    * split `textCol` on spaces, wrap each word's chars in symbol brackets,
+    * left-fold the ordered merges with literal `replace` (exactly the
+    * [[bpeVocabFor]] application), and count the resulting symbols.
+    * `msCol` is an array<struct<ord,pat,rep>> column (one broadcast row
+    * from [[bpeMergesFor]], ordered by `ord`).
+    */
+  private[graft] def bpeTokenCountExpr(textCol: String, msCol: String): org.apache.spark.sql.Column =
+    expr(
+      s"""aggregate(split($textCol, ' '), 0L, (acc, w) ->
+         |  acc + size(regexp_extract_all(
+         |    aggregate($msCol, regexp_replace(w, '(.)', '<$$1>'),
+         |              (st, m) -> replace(st, m.pat, m.rep)),
+         |    '$BpeSymRe', 1)))""".stripMargin)
 
   /** Per-document token counts under the learned BPE vocab: whitespace
     * words joined to [[bpeVocabFor]], so `n_bpe_tokens` is what the

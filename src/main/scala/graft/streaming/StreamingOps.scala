@@ -525,11 +525,22 @@ object StreamingOps {
     * equivalence contract is set-level: the surviving clean-content set,
     * the per-doc redaction counts, and the shard routing are all proven ≡
     * batch in NinthWaveSpec.
+    *
+    * `merges` is the learned BPE merge table
+    * ([[graft.operators.TextAnalysis.bpeMergesFor]] — the tokenizer's
+    * model artifact): it collapses to ONE broadcast row and every routed
+    * survivor carries `n_tokens`, its token count under that tokenizer,
+    * computed by the SAME per-word replace-fold the batch vocab replay
+    * applies ([[graft.operators.TextAnalysis.bpeTokenCountExpr]]) —
+    * stateless, so the token accounting a shard consumer needs rides the
+    * ingest row instead of a later corpus pass.
     * Columns in: (doc_id, text, event_time).
     */
-  def curationFunnelStream(docs: DataFrame,
+  def curationFunnelStream(docs: DataFrame, merges: DataFrame,
       watermark: String = "10 minutes"): DataFrame = {
     import graft.operators.Scrub
+    val msRow = merges.agg(array_sort(
+      collect_list(struct(col("ord"), col("pat"), col("rep")))).as("ms"))
     val kept = qualityGateStream(docs, carry = Seq("text"))
       .where(col("keep") === 1)
     val scrubbed = kept.select(col("doc_id"), col("event_time"),
@@ -539,7 +550,11 @@ object StreamingOps {
       }.reduce(_ + _).as("n_pii"))
     val unique = dedupExactStream(scrubbed, watermark)
     shardRouteStream(unique.select(col("doc_id"), col("event_time"),
-      col("text"), col("n_pii"), col("content_md5")))
+      col("text"), col("n_pii"), col("content_md5"))
+      .crossJoin(broadcast(msRow))
+      .withColumn("n_tokens",
+        graft.operators.TextAnalysis.bpeTokenCountExpr("text", "ms"))
+      .drop("ms"))
   }
 
   /** Stateless streaming chunk embed+assign — the text-side ingest
@@ -554,7 +569,11 @@ object StreamingOps {
     *
     * Emits (doc_id, chunk_idx, cid, cent_id, dot, n2q) per chunk —
     * proven row-identical to the batch assignment in NinthWaveSpec when
-    * fed the same corpus against the batch-built centroids.
+    * fed the same corpus against the batch-built centroids. The candidate
+    * set is STRUCTURALLY the batch one: only centroids sharing ≥1 hit
+    * feature bucket compete, and a chunk overlapping no centroid is
+    * dropped (as the batch inner join on `b` drops it) — not an artifact
+    * of test corpora where full overlap is near-certain.
     * Columns in: (doc_id, text, event_time). `centFeatures` columns:
     * (cent_id, b, cv) (the batch `cf` relation); `centNorms`:
     * (cent_id, n2c).
@@ -584,7 +603,8 @@ object StreamingOps {
       .toDF("doc_id", "event_time", "chunk_idx", "cw")
       .select(col("doc_id"), col("event_time"),
         col("chunk_idx").cast("long").as("chunk_idx"),
-        (col("doc_id") * 1000 + col("chunk_idx")).as("cid"), col("cw"))
+        (col("doc_id") * graft.operators.TextAnalysis.ChunkIdSpan
+           + col("chunk_idx")).as("cid"), col("cw"))
     // sparse chunk features as a map: bucket -> signed count
     val fm = chunks.select(col("doc_id"), col("chunk_idx"), col("cid"),
       col("event_time"),
@@ -601,10 +621,22 @@ object StreamingOps {
     val n2q = aggregate(map_values(col("fm")), lit(0L), (a, v) => a + v * v)
     // per-chunk argmax entirely IN THE ROW (multiProbe's array_sort trick
     // on (−cos, cent_id) — no window, no aggregation, stream stays
-    // stateless): score all centroids in one transform, sort, take [1]
+    // stateless): score the bucket-overlapping candidates in one
+    // transform, sort, take [1]
     fm.crossJoin(broadcast(dense))
       .withColumn("n2q", n2q)
-      .withColumn("sc", transform(col("cents"), c => struct(
+      // STRUCTURAL contract with the batch assignment: a centroid is a
+      // candidate iff it shares ≥1 hit feature bucket with the chunk
+      // (the batch `dots` relation is an inner join on `b`, so a chunk
+      // sharing no bucket with any centroid is ABSENT from batch output,
+      // and a negative-cosine overlapping centroid must beat a cos-0
+      // non-overlapping one). Bucket presence — not dot ≠ 0 — is the
+      // test: both sides keep zero-sum buckets (ADVICE r9).
+      .withColumn("cands", filter(col("cents"), c =>
+        exists(map_keys(col("fm")), k =>
+          element_at(c.getField("fm"), k).isNotNull)))
+      .where(size(col("cands")) > 0)
+      .withColumn("sc", transform(col("cands"), c => struct(
         aggregate(map_keys(col("fm")), lit(0L), (a, k) =>
           a + element_at(col("fm"), k) *
             coalesce(element_at(c.getField("fm"), k), lit(0L))).as("dot"),

@@ -76,4 +76,87 @@ class CheckpointRecoverySpec extends SparkSpec {
       assert(byId(mm.id) == spec(mm.id), s"mismatch for ${mm.id}")
     }
   }
+
+  test("restart from checkpoint: composed curation funnel, exactly-once survivors") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-funnel-ckpt").toString
+    val (inDir, ckptDir, outDir) = (s"$root/in", s"$root/ckpt", s"$root/out")
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+
+    val merges = operators.TextAnalysis.bpeMergesFor(spark, sf0001)
+    val dirty = operators.Scrub.dirtyText(spark, sf0001)
+      .select(col("doc_id"), col("dirty").as("text"))
+      .as[(Long, String)].collect().toSeq
+    val (p1, p2base) = dirty.splitAt(dirty.size / 2)
+    // cross-phase duplicates: phase 2 replays 10 phase-1 TEXTS under new
+    // ids — surviving exactly-once requires the dedup state to come back
+    // from the checkpoint, not just the sink commit log
+    val p2 = p2base ++ p1.take(10).map { case (id, t) => (id + 100000L, t) }
+
+    def writeBatch(n: Int, batch: Seq[(Long, String)], tsMs: Long): Unit =
+      sp.createDataset(batch.map { case (i, t) =>
+          (i, t, new java.sql.Timestamp(tsMs)) })
+        .toDF("doc_id", "text", "event_time")
+        .coalesce(1).write.mode("overwrite").json(f"$inDir/batch_$n%03d")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event_time",
+        org.apache.spark.sql.types.TimestampType)))
+    def runOnce(): Unit = {
+      val src = sp.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$inDir/*")
+      val q = graft.streaming.StreamingOps.curationFunnelStream(src, merges)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // phase 1 -> "failure" (query terminates) -> phase 2 resumes from ckpt
+    writeBatch(0, p1, 1000L)
+    runOnce()
+    writeBatch(1, p2, 2000L)
+    runOnce()
+
+    val got = sp.read.parquet(outDir).cache()
+    // exactly-once on clean content: the replayed texts must not re-emit
+    val md5s = got.select("content_md5").as[String].collect()
+    assert(md5s.length === md5s.distinct.length,
+      "duplicate survivors after restart")
+    // surviving clean-content set == batch composition over ALL input
+    val batchDf = sp.createDataset(p1 ++ p2)
+      .toDF("doc_id", "text")
+      .withColumn("event_time", lit(new java.sql.Timestamp(0L)))
+    val want = graft.streaming.StreamingOps
+      .qualityGateStream(batchDf, carry = Seq("text"))
+      .where(col("keep") === 1)
+      .select(md5(operators.Scrub.scrubbed(col("text"))).as("m"))
+      .distinct().as[String].collect().toSet
+    assert(md5s.toSet === want, "surviving clean-content set across restart")
+    // the shipped token accounting survives the restart too
+    val msRow = merges.agg(array_sort(
+      collect_list(struct(col("ord"), col("pat"), col("rep")))).as("ms"))
+    val wantTok = graft.streaming.StreamingOps
+      .qualityGateStream(batchDf, carry = Seq("text"))
+      .where(col("keep") === 1)
+      .select(operators.Scrub.scrubbed(col("text")).as("text"))
+      .distinct().crossJoin(broadcast(msRow))
+      .select(md5(col("text")).as("m"),
+        operators.TextAnalysis.bpeTokenCountExpr("text", "ms").as("nt"))
+      .as[(String, Long)].collect().toMap
+    val gotTok = got.select("content_md5", "n_tokens")
+      .as[(String, Long)].collect().toMap
+    assert(gotTok === wantTok, "per-survivor token counts across restart")
+    got.unpersist()
+  }
 }

@@ -307,8 +307,9 @@ class NinthWaveSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     val in = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val merges = operators.TextAnalysis.bpeMergesFor(spark, sf0001)
     val out = graft.streaming.StreamingOps.curationFunnelStream(
-      in.toDF().toDF("doc_id", "text", "event_time"))
+      in.toDF().toDF("doc_id", "text", "event_time"), merges)
     val q = out.writeStream.format("memory").queryName("funnel_out")
       .outputMode("append").start()
     try {
@@ -340,7 +341,90 @@ class NinthWaveSpec extends SparkSpec {
     assert(badShard === 0L)
     // the planted PII was actually scrubbed and counted
     assert(got.agg(sum("n_pii")).as[Long].head() > 0L)
+    // routed shards carry n_tokens: the stream's in-row BPE fold over the
+    // CLEAN text must equal the same fold evaluated in batch over each
+    // surviving clean-content string (keyed by content_md5 — winner
+    // identity is arrival-order, so the doc_id may differ)
+    val msRow = merges.agg(array_sort(
+      collect_list(struct(col("ord"), col("pat"), col("rep")))).as("ms"))
+    val wantTok = graft.streaming.StreamingOps
+      .qualityGateStream(batchDf, carry = Seq("text"))
+      .where(col("keep") === 1)
+      .select(operators.Scrub.scrubbed(col("text")).as("text"))
+      .distinct()
+      .crossJoin(broadcast(msRow))
+      .select(md5(col("text")).as("m"),
+        operators.TextAnalysis.bpeTokenCountExpr("text", "ms").as("nt"))
+      .as[(String, Long)].collect().toMap
+    val gotTok = got.select("content_md5", "n_tokens")
+      .as[(String, Long)].collect().toMap
+    assert(gotTok === wantTok, "per-survivor BPE token counts")
+    assert(gotTok.values.forall(_ > 0L), "every survivor carries tokens")
     got.unpersist()
+  }
+
+  test("BPE fold expr == vocab-join token counts on the raw corpus") {
+    // the in-row merge-replay fold (what the funnel ships) must reproduce
+    // bpeEncode's n_bpe_tokens — the vocab-JOIN mechanism — per document
+    val merges = operators.TextAnalysis.bpeMergesFor(spark, sf0001)
+    val msRow = merges.agg(array_sort(
+      collect_list(struct(col("ord"), col("pat"), col("rep")))).as("ms"))
+    val gotDf = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+      .crossJoin(broadcast(msRow))
+      .select(col("doc_id"),
+        operators.TextAnalysis.bpeTokenCountExpr("text", "ms").as("nt"))
+    val got = gotDf.as[(Long, Long)].collect().toMap
+    val want = operators.TextAnalysis.bpeEncode(spark, sf0001)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // the merge table is the full 8-round model, in application order
+    assert(merges.select("ord").as[Long].collect().sorted.toSeq ===
+      (1L to operators.TextAnalysis.BpeMergeRounds.toLong))
+  }
+
+  test("chunk assign stream: bucket-overlap candidate contract") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      sp.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // recompute the engine's fh/fs hashes JVM-side to craft words with
+    // known buckets and signs (independent mechanism: MessageDigest)
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def bucket(w: String): Long = h60(s"fh:$w") % TextAnalysis.FhDims
+    def sign(w: String): Long = if (h60(s"fs:$w") % 2 == 1) 1L else -1L
+    val words = (1 to 400).map(i => s"w$i")
+    // centroid 1 lives ONLY in bucket bA; a negative-sign word hits bA
+    val wNeg = words.find(w => sign(w) == -1L).get
+    val bA = bucket(wNeg)
+    val wOther = words.filter(w => bucket(w) != bA).take(5)
+    val cf = Seq((1L, bA, 1L)).toDF("cent_id", "b", "cv")
+    val n2c = Seq((1L, 1L)).toDF("cent_id", "n2c")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingOps.chunkAssignStream(
+      in.toDF().toDF("doc_id", "text", "event_time"), cf, n2c)
+    val q = out.writeStream.format("memory").queryName("chunk_contract")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // doc 1: no word touches bucket bA -> overlaps NO centroid ->
+        // must be ABSENT (the batch inner join on b drops it)
+        (1L, wOther.mkString(" "), new java.sql.Timestamp(1000L)),
+        // doc 2: hits bA with net NEGATIVE dot -> centroid 1 is the only
+        // candidate and must win DESPITE cos < 0 (a cos-0 non-candidate
+        // may not outrank it)
+        (2L, wNeg, new java.sql.Timestamp(1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sp.table("chunk_contract")
+      .select("doc_id", "cent_id", "dot").as[(Long, Long, Long)].collect()
+    assert(!got.exists(_._1 == 1L), "no-overlap chunk must be dropped")
+    assert(got.collect { case (2L, c, d) => (c, d) }.toSeq ===
+      Seq((1L, -1L)), "negative-cos overlapping centroid must be chosen")
   }
 
   test("dedup agreement: 3 method pairs, overlaps bounded by set sizes") {
