@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Derive the sf1.0 bench decade (10x sf0.1) at testdata_sf1.0/ — dev
+tooling for the scaling curve, not part of the shipped library.
+
+The driver generates sf{0.001,0.01,0.1} (TESTDATA.md, read-only); the
+fourth decade is derived from sf0.1 as 10 DISJOINT REPLICAS so every
+distribution the operators care about scales the way "10x more of the
+same data" scales:
+
+* Keyed tables (customer/orders/lineitem/part/supplier): replica k
+  offsets every key by k*rows, preserving foreign-key relations WITHIN a
+  replica — joins fan out 10x, no cross-replica edges (the co-occurrence
+  graph becomes 10 disjoint copies, exactly like 10 more days of orders).
+* events: ids/users offset; timestamps shift by k*32 days, so interval-
+  containment chains (16 shared IPs!) stay within their replica epoch —
+  per-epoch temporal density, and hence chain structure, matches sf0.1.
+* documents: replica 0 verbatim; replica k>0 remaps every word type to a
+  same-length md5-derived token (function of (word, k) only). Word/doc
+  length, frequency profile, and WITHIN-replica duplicate structure are
+  preserved; cross-replica near-duplication is destroyed — 10x more
+  independent docs with the same duplication rate, not a 10x-duplicated
+  corpus (which would blow pair-enumeration outputs quadratically).
+* embeddings: vec_id offset; replica k rotates dimensions by 7k mod 64 —
+  an isometry, so each replica reproduces sf0.1's neighborhood structure
+  exactly while cross-replica cosines decorrelate. float32 preserved via
+  pyarrow (DuckDB would widen to double).
+* region/nation: constant dimension tables, copied as-is (TPC-H style).
+
+Deterministic (md5 + fixed rotations), no RNG. Usage:
+  python3 scripts/gen_sf1.py [src_sf_dir] [dst_dir]
+"""
+import shutil
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+R = 10
+SRC = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+DST = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1.0")
+EPOCH_US = 32 * 24 * 3600 * 1000000  # 32-day replica epoch shift
+
+STRIDE = {"customer": 15000, "orders": 150000, "part": 20000,
+          "supplier": 1000, "events": 100000, "events_user": 1500,
+          "documents": 5000, "embeddings": 2000}
+
+
+def main():
+    DST.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE k AS SELECT unnest(generate_series(0, {R - 1})) AS k")
+    for t in ("region", "nation"):
+        shutil.copyfile(SRC / f"{t}.parquet", DST / f"{t}.parquet")
+        print(f"{t}: copied")
+
+    def emit(t, select):
+        con.execute(
+            f"COPY ({select} FROM read_parquet('{SRC}/{t}.parquet')"
+            f" CROSS JOIN k) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+        n = pq.ParquetFile(DST / f"{t}.parquet").metadata.num_rows
+        print(f"{t}: {n} rows")
+
+    emit("customer", f"""SELECT c_custkey + k*{STRIDE['customer']} AS c_custkey,
+        c_name, c_nationkey, c_acctbal, c_mktsegment""")
+    emit("orders", f"""SELECT o_orderkey + k*{STRIDE['orders']} AS o_orderkey,
+        o_custkey + k*{STRIDE['customer']} AS o_custkey,
+        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority""")
+    emit("lineitem", f"""SELECT
+        l_orderkey + k*{STRIDE['orders']} AS l_orderkey,
+        l_partkey + k*{STRIDE['part']} AS l_partkey,
+        l_suppkey + k*{STRIDE['supplier']} AS l_suppkey,
+        l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+        l_returnflag, l_linestatus, l_shipdate""")
+    emit("part", f"""SELECT p_partkey + k*{STRIDE['part']} AS p_partkey,
+        p_name, p_brand, p_type, p_size, p_retailprice""")
+    emit("supplier", f"""SELECT s_suppkey + k*{STRIDE['supplier']} AS s_suppkey,
+        s_name, s_nationkey, s_acctbal""")
+    emit("events", f"""SELECT event_id + k*{STRIDE['events']} AS event_id,
+        ts + to_microseconds(k * CAST({EPOCH_US} AS BIGINT)) AS ts,
+        user_id + k*{STRIDE['events_user']} AS user_id,
+        event_type, value, props""")
+    emit("documents", f"""SELECT doc_id + k*{STRIDE['documents']} AS doc_id,
+        CASE WHEN k = 0 THEN text ELSE array_to_string(
+          list_transform(string_split(text, ' '),
+            w -> substr(md5(w || '|' || k), 1, length(w))), ' ')
+        END AS text,
+        lang, source, n_chars""")
+
+    # embeddings via pyarrow: preserve float32 lists + int32 label
+    src = pq.read_table(SRC / "embeddings.parquet")
+    dim = len(src.column("embedding")[0])
+    emb = np.array(src.column("embedding").to_pylist(), dtype=np.float32)
+    vid = src.column("vec_id").to_numpy()
+    lab = src.column("label").to_numpy()
+    parts = []
+    for k in range(R):
+        rot = np.roll(emb, (7 * k) % dim, axis=1)
+        parts.append(pa.table({
+            "vec_id": pa.array(vid + k * STRIDE["embeddings"], pa.int64()),
+            "embedding": pa.array(list(rot), pa.list_(pa.float32())),
+            "label": pa.array(lab, pa.int32()),
+        }))
+    pq.write_table(pa.concat_tables(parts), DST / "embeddings.parquet")
+    print(f"embeddings: {R * len(vid)} rows")
+
+    # schema parity check vs the source decade (modulo pandas metadata)
+    for t in ("customer", "orders", "lineitem", "part", "supplier",
+              "events", "documents", "embeddings", "region", "nation"):
+        a = pq.read_schema(SRC / f"{t}.parquet").remove_metadata()
+        b = pq.read_schema(DST / f"{t}.parquet").remove_metadata()
+        assert a.equals(b), f"schema drift in {t}:\n{a}\nvs\n{b}"
+    print("schemas match sf0.1")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,8 @@ object CurationQueries {
     "q_pack_greedy" -> ((s, d) => Curation.packGreedy(s, d)),
     "q_exemplars" -> ((s, d) => Curation.exemplars(s, d)),
     "q_dsir_select" -> ((s, d) => Curation.dsirSelect(s, d)),
+    // tenth wave: batch composition of the funnel's artifact chain
+    "q_shard_tokens" -> ((s, d) => Curation.shardTokens(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -359,5 +361,52 @@ object CurationQueries {
          |       CAST(max(pos) AS BIGINT) AS max_pos
          |FROM o JOIN d USING (doc_id)
          |GROUP BY shard ORDER BY shard""".stripMargin,
+    // Replays the funnel's batch artifact chain: PII planting + 4-family
+    // scrub (as q_pii_scrub), per-word merge replay from bpeCtes' t1..t8
+    // winners (the same fold bpeTokenCountExpr ships), portable-hash
+    // shard routing — then 16-key aggregation.
+    "q_shard_tokens" -> {
+      val scrubChain = Scrub.Families.foldLeft("dirty") {
+        case (c, (_, re, tok)) => s"regexp_replace($c, '$re', '$tok', 'g')"
+      }
+      val mergeChain = (1 to TextAnalysis.BpeMergeRounds).foldLeft(
+        "regexp_replace(word, '(.)', '<\\1>', 'g')") { (acc, k) =>
+        s"replace($acc, t$k.pat, t$k.rep)"
+      }
+      val tList = (1 to TextAnalysis.BpeMergeRounds)
+        .map(k => s"t$k").mkString(", ")
+      s"""WITH $bpeCtes,
+         |dirty0 AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' reach user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call 800-555-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |      CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' token sk-' ||
+         |      substr(md5('key:' || CAST(doc_id AS VARCHAR)), 1, 16)
+         |      ELSE '' END AS dirty
+         |  FROM documents),
+         |scr AS (SELECT doc_id, $scrubChain AS text FROM dirty0),
+         |wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM scr),
+         |encw AS (SELECT doc_id,
+         |           CAST(len(regexp_extract_all($mergeChain,
+         |             '<([a-z0-9]+)>', 1)) AS BIGINT) AS wt
+         |         FROM wds, $tList),
+         |ntd AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS nt
+         |        FROM encw GROUP BY 1),
+         |shx AS (SELECT doc_id, nt,
+         |          ${Tables.portableHashSql(
+                      "'order:r8:' || CAST(doc_id AS VARCHAR)")} % 16 AS shard
+         |        FROM ntd)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |       CAST(sum(nt) // count(*) AS BIGINT) AS tokens_per_doc
+         |FROM shx GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 }

@@ -41,6 +41,8 @@ object TextQueries {
     "q_quality_calib" -> ((s, d) => TextAnalysis.qualityCalib(s, d)),
     "q_dataset_card" -> ((s, d) => Corpus.datasetCard(s, d)),
     "q_chunk_embed" -> ((s, d) => TextAnalysis.chunkEmbedIndex(s, d)),
+    // tenth wave: the learned merge table as a driver-checked artifact
+    "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
   )
 
   /** Shared quality-rule CTE chain ending at `qrule (doc_id, n_words,
@@ -351,6 +353,16 @@ object TextQueries {
          |       CAST(sum(wt) AS BIGINT) AS n_bpe_tokens
          |FROM dwx JOIN tok USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The merge table IS the oracle's per-round argmax chain: bpeCtes
+    // already derives t1..t8 (winning pat/rep per round); the query just
+    // reads them out in order.
+    "q_bpe_merges" ->
+      s"""WITH $bpeCtes
+         |SELECT * FROM (
+         |  ${(1 to TextAnalysis.BpeMergeRounds).map(k =>
+              s"SELECT CAST($k AS BIGINT) AS ord, pat, rep FROM t$k")
+              .mkString("\n|  UNION ALL ")}
+         |) ORDER BY ord""".stripMargin,
     // Replays the deterministic PII planting (doc_id mod 3/5/7/11 spans)
     // and the four-family regex scrub; n_residual re-scans the CLEAN text.
     "q_pii_scrub" -> {

@@ -624,4 +624,34 @@ object Curation {
           .as("is_canon"))
       .orderBy("doc_id")
   }
+
+  /** Landing-shard token accounting — the BATCH composition of the
+    * streaming curation funnel's artifact chain (scrub → BPE token count
+    * → shard route), over the same planted-PII corpus as `q_pii_scrub`:
+    * per landing shard, how many documents land there and how many BPE
+    * tokens they carry under the learned merge table
+    * ([[TextAnalysis.bpeMergesFor]] — the same broadcast fold the funnel
+    * ships per row). The per-shard budget readout a training job reads
+    * before scheduling shard consumers.
+    *
+    * Scale shape: the merge table collapses to one broadcast row, the
+    * scrub+fold is map-only, and the aggregation has 16 keys — one
+    * map-side-combined pass at any corpus size.
+    */
+  def shardTokens(spark: SparkSession, dir: String): DataFrame = {
+    val msRow = TextAnalysis.bpeMergesFor(spark, dir)
+      .agg(array_sort(collect_list(struct(col("ord"), col("pat"), col("rep"))))
+        .as("ms"))
+    Scrub.dirtyText(spark, dir)
+      .select(col("doc_id"), Scrub.scrubbed(col("dirty")).as("text"))
+      .crossJoin(broadcast(msRow))
+      .select(col("doc_id"),
+        TextAnalysis.bpeTokenCountExpr("text", "ms").as("nt"))
+      .withColumn("shard", pmod(Tables.portableHash(
+        concat(lit("order:r8:"), col("doc_id").cast("string"))), lit(16L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("tokens_per_doc", expr("n_tokens div n_docs"))
+      .orderBy("shard")
+  }
 }

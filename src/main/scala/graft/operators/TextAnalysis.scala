@@ -431,6 +431,15 @@ object TextAnalysis {
         size(expr(s"regexp_extract_all(st, '$BpeSymRe', 1)")).cast("long").as("wt"))
     }
 
+  /** The learned merge table as a query surface: (ord, pat, rep) in
+    * application order — the tokenizer model artifact itself, driver-
+    * checked against the oracle's per-round argmax replay. K rows total
+    * ([[BpeMergeRounds]]); the training cost lives in the memoized
+    * [[bpeMergesFor]] build.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesFor(spark, dir).orderBy("ord")
+
   /** Per-row BPE token count under a broadcast merge array — the SHARED
     * Column expression the streaming funnel and its batch twin both use:
     * split `textCol` on spaces, wrap each word's chars in symbol brackets,
