@@ -468,7 +468,7 @@ object OracleCtes {
     * home shared by the q_lsh_cosine and q_sql_cosine_by_label oracles.
     */
   lazy val sigTermsSql: String =
-    Analytics.hyperplaneSigns.zipWithIndex.map { case (row, b) =>
+    Analytics.hyperplaneSigns.take(16).zipWithIndex.map { case (row, b) =>
       val lits = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
       s"(CASE WHEN ${dotSql("e", lits)} > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")

@@ -593,35 +593,53 @@ object Analytics {
     * same literals (see `SparkEntry.oracleSql("q_lsh_cosine")`).
     */
   private[graft] val hyperplaneSigns: Array[Array[Double]] =
-    Array.tabulate(16, 64) { (b, d) =>
+    Array.tabulate(64, 64) { (b, d) =>
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(s"hp${b}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if ((digest(0) & 1) == 1) 1.0 else -1.0
     }
 
-  /** Random-hyperplane (SRP) LSH over embeddings: 16 sign bits → 4 bands of
-    * 4 bits → candidates share a band → verified with exact cosine ≥ 0.45.
+  /** Bits per LSH band, corpus-adaptive: max(4, ⌈log₂(N/256)⌉) capped at
+    * 16 — sized so each band's bucket count tracks N and expected bucket
+    * size stays ≲256, keeping candidate volume LINEAR in N (the "widen
+    * the bands as the corpus grows" rule made structural: with the bits
+    * fixed at 4, bucket size ∝ N turned the candidate join quadratic —
+    * measured 0.65 s → 58.7 s at the sf1.0 decade, exponent 1.95). Stays
+    * 4 through sf0.1 (⌈log₂(2000/256)⌉ = 3), so oracle-scale results and
+    * the oracle's literal 4-bit replay are unchanged. The plane table is
+    * pregenerated to 64 rows (4 bands × 16 bits max); rows 0–15 are
+    * byte-identical to the old 16-row table (same per-(plane, dim) md5
+    * seeding), so small-corpus signatures are unchanged too.
+    */
+  private[graft] def lshBandBits(n: Long): Int =
+    math.min(16, math.max(4,
+      math.ceil(math.log(n.toDouble / 256.0) / math.log(2.0)).toInt))
+
+  /** Random-hyperplane (SRP) LSH over embeddings: 4·[[lshBandBits]] sign
+    * bits → 4 bands → candidates share a band → verified with exact
+    * cosine ≥ 0.45.
     *
     * The scale path for cosine near-dup detection when no IVF index exists:
-    * signature computation is a map (16 codegen'd dot products), banding is
+    * signature computation is a map (codegen'd dot products), banding is
     * `explode(4)`, and the candidate join keys on (band, band_val) so the
     * shuffle carries signatures, not vectors. Band width trades recall vs
-    * candidate volume — 4 bits is sized for the test corpus; at 100 TB you
-    * widen to 16-bit bands (and 64+ planes) to keep buckets sparse. The
-    * 0.45 verify threshold is sized to the synthetic corpus (near-random
-    * vectors top out near cos 0.51), so the contract returns a non-empty,
-    * oracle-pinned pair set at every test scale.
+    * candidate volume — [[lshBandBits]] widens it with the corpus to keep
+    * buckets sparse. The 0.45 verify threshold is sized to the synthetic
+    * corpus (near-random vectors top out near cos 0.51), so the contract
+    * returns a non-empty, oracle-pinned pair set at every test scale.
     */
   def lshCosine(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
+    val bb = lshBandBits(Similarity.corpusN(spark, dir))
+    val nPlanes = 4 * bb
     val signLits = hyperplaneSigns.map(row => array(row.toIndexedSeq.map(lit(_)): _*))
-    val sigCol = (0 until 16).map { b =>
+    val sigCol = (0 until nPlanes).map { b =>
       when(VectorOps.dot(col("e"), signLits(b)) > 0d, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sig = v.select(col("vec_id"), col("e"), col("nrm"), sigCol.as("sig"))
     val bands = sig.select(col("vec_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("k"))
-      .withColumn("band_val", expr("(sig >> (4 * k)) & 15"))
+      .withColumn("band_val", expr(s"(sig >> ($bb * k)) & ${(1L << bb) - 1L}"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -39,8 +39,11 @@ object Clustering {
     * bit-identical in DuckDB, so the oracle replays the whole loop.
     * Clusters that lose all members drop out (deterministically, in both
     * engines). Cost per iteration: one N×K broadcast argmax + one
-    * map-side-combined shuffle of (cluster, dim, q) — O(N·d); K stays
-    * constant so the loop scales linearly with the corpus.
+    * map-side-combined shuffle of (cluster, dim, q) — O(N·d). K follows
+    * [[Similarity.centroidKFor]] (64 through sf0.1, then ~1.4·√N), so the
+    * assignment cost is O(N·K) = Θ(N^1.5) at scale — the same balance the
+    * pair builds pay; the 100 TB refinement is mini-batch Lloyd over a
+    * fixed-size sample (⚙ SCALING.md).
     */
   /** The 2-iteration refined centroid table, memoized per session — shared
     * by `ann_ivf_kmeans` and `q_ann_recall_kmeans` (64 rows; the Lloyd

@@ -23,7 +23,8 @@ import graft.sources.Tables
   *     refines the same seeds with Lloyd iterations.
   *
   * All cosines are double-precision left folds (bit-identical to the oracle).
-  * Queries are the deterministic sample `vec_id % 20 == 0`.
+  * Queries are the deterministic panel `vec_id % panelStep(N) == 0`
+  * (step 20 through sf0.1, then sized to cap the panel at ~100 queries).
   */
 object Similarity {
 
@@ -41,7 +42,7 @@ object Similarity {
     */
   private[graft] def annTopkBuild(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
-    val q = v.where(col("vec_id") % 20 === 0)
+    val q = v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     val pairs = broadcast(q).join(v, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -73,26 +74,67 @@ object Similarity {
       .orderBy("vec_id", "dim")
   }
 
-  /** Number of coarse centroids — a CONSTANT, independent of corpus size.
-    * That constancy is the scale property: the centroid broadcast is K rows
-    * at any corpus size and assignment is O(N·K) cosines. (The old
-    * `vec_id % 50` subset grew C ∝ N, making assignment O(N²/50) and the
-    * broadcast unbounded.) Production tunes K ≈ √N up to a few 10⁴; 64 is
-    * sized to the test corpora.
+  /** Floor of the coarse-centroid count. K is corpus-ADAPTIVE above the
+    * floor — [[centroidKFor]] grows it as ~1.4·√N — because the two costs
+    * K trades between are assignment (O(N·K) broadcast cosines) and
+    * within-bucket pair enumeration (Θ(nprobe²·N²/K)): K ∝ √N balances
+    * them at Θ(N^1.5), the single-level-IVF optimum. A FIXED K (the
+    * pre-round-10 design) silently turns every pair build quadratic —
+    * measured at the sf1.0 decade as `_build_ivf_pairs` 2.5 s → 171 s
+    * (last-decade exponent 1.83). The constant 1.4 is pinned so K stays
+    * exactly 64 through sf0.1 (1.4·√2000 ≈ 63): every driver-checked
+    * result at oracle scales is unchanged, and the oracle's literal
+    * `LIMIT 64` remains the exact value of this formula there. Beyond
+    * ~1e7 vectors the √N single-level table outgrows its broadcast; the
+    * deploy path is the two-level quantizer (⚙ SCALING.md).
     */
   private[graft] val CentroidK = 64
 
-  /** Fixed-K deterministic coarse centroid relation: the [[CentroidK]]
-    * vectors with the smallest portable 60-bit hash of their id (ties →
-    * min vec_id) — a uniform hash-min sample the DuckDB oracle replays
-    * with the same `ORDER BY hash LIMIT K`. Spark plans this as a
-    * distributed TakeOrdered (per-partition top-K, K-row driver merge),
-    * never a global sort.
+  /** Corpus-adaptive centroid count: max([[CentroidK]], ⌈1.4·√N⌉). */
+  private[graft] def centroidKFor(n: Long): Int =
+    math.max(CentroidK, math.ceil(1.4 * math.sqrt(n.toDouble)).toInt)
+
+  /** Memoized-per-session corpus row count (one parquet-metadata count per
+    * (session, dir)) — feeds [[centroidKFor]] and [[panelStep]] so every
+    * consumer derives the SAME sizes without re-counting.
+    */
+  private val nCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]
+  private[graft] def corpusN(spark: SparkSession, dir: String): Long =
+    nCache.computeIfAbsent(
+      (System.identityHashCode(spark), dir),
+      _ => Dedup.normedFor(spark, dir).count())
+
+  /** Audit/serving query-panel stride: every `step`-th vector with
+    * step = max(20, ⌈N/100⌉), capping the panel at ~100 queries. The old
+    * fixed `% 20` grew the panel ∝ N, making every exact ground-truth
+    * scan (the O(Q·N) baselines behind the recall/MRR audits) quadratic —
+    * measured at sf1.0 as `_build_ann_topk` 1.0 s → 28 s. The max() keeps
+    * step = 20 through sf0.1 (⌈2000/100⌉ = 20), so oracle-scale results
+    * and the oracles' literal `% 20` are unchanged; beyond that the panel
+    * is a fixed-size audit sample — the industry norm for index QA.
+    */
+  private[graft] def panelStep(n: Long): Long = math.max(20L, (n + 99L) / 100L)
+
+  /** The deterministic query panel of `df` (rows keyed by vec_id), sized
+    * by the corpus count of `dir`. ONE stride per corpus — every audit
+    * family member must draw the same panel or their joins go vacuous.
+    */
+  private[graft] def queryPanel(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame =
+    df.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0)
+
+  /** Deterministic coarse centroid relation: the [[centroidKFor]] vectors
+    * with the smallest portable 60-bit hash of their id (ties → min
+    * vec_id) — a uniform hash-min sample the DuckDB oracle replays with
+    * the same `ORDER BY hash LIMIT K`. Spark plans this as a distributed
+    * TakeOrdered (per-partition top-K, K-row driver merge), never a
+    * global sort.
     */
   private[graft] def centroidsFor(v: DataFrame): DataFrame =
     v.select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"),
         Tables.portableHash(col("vec_id").cast("string")).as("hk"))
-      .orderBy(col("hk"), col("cent_id")).limit(CentroidK)
+      .orderBy(col("hk"), col("cent_id")).limit(centroidKFor(v.count()))
       .select("cent_id", "ce", "cn")
 
   /** Top-`nprobe` centroids per vector — MAP-ONLY. The centroid table
@@ -166,9 +208,9 @@ object Similarity {
     val assign = ivfAssignFor(spark, dir)
 
     // query sample + its 2 nearest centroid lists (map-only probe)
-    val q = v.where(col("vec_id") % 20 === 0)
+    val q = v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val probes = multiProbe(v.where(col("vec_id") % 20 === 0), cents, nprobe = 2)
+    val probes = multiProbe(v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0), cents, nprobe = 2)
       .withColumnRenamed("vec_id", "q_id")
 
     // search only the probed buckets
@@ -199,9 +241,9 @@ object Similarity {
     val cents = Clustering.kmeansCentroidsFor(spark, dir)
     val assign = kmAssignFor(spark, dir)
 
-    val q = v.where(col("vec_id") % 20 === 0)
+    val q = v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val probes = multiProbe(v.where(col("vec_id") % 20 === 0), cents, nprobe = 2)
+    val probes = multiProbe(v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0), cents, nprobe = 2)
       .withColumnRenamed("vec_id", "q_id")
 
     val candidates = probes
@@ -346,7 +388,7 @@ object Similarity {
   private[graft] def pqDtabFor(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"pqdtab:$dir") {
       val v = Dedup.normedFor(spark, dir)
-      val q = v.where(col("vec_id") % 20 === 0)
+      val q = v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0)
         .select(col("vec_id").as("q_id"), col("e").as("qe"))
       pqAdcTable(q, pqCodebookSub(v))
     }
@@ -441,7 +483,7 @@ object Similarity {
   private[graft] def pqTrainedDtabFor(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"pqtdtab:$dir") {
       val v = Dedup.normedFor(spark, dir)
-      val q = v.where(col("vec_id") % 20 === 0)
+      val q = v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0)
         .select(col("vec_id").as("q_id"), col("e").as("qe"))
       pqAdcTable(q, pqTrainedCodebookFor(spark, dir))
     }
@@ -510,7 +552,7 @@ object Similarity {
       keep: Int = K): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
     val assign = ivfAssignFor(spark, dir)
-    val probes = multiProbe(v.where(col("vec_id") % 20 === 0),
+    val probes = multiProbe(v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0),
         centroidsMemoFor(spark, dir), nprobe = 2)
       .withColumnRenamed("vec_id", "q_id")
     val cand = probes.join(assign, "cent_id")
@@ -550,7 +592,7 @@ object Similarity {
   private[graft] def pqIvfTrainedTopBuild(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
     val assign = ivfAssignFor(spark, dir)
-    val probes = multiProbe(v.where(col("vec_id") % 20 === 0),
+    val probes = multiProbe(v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0),
         centroidsMemoFor(spark, dir), nprobe = 2)
       .withColumnRenamed("vec_id", "q_id")
     val cand = probes.join(assign, "cent_id")
@@ -632,7 +674,7 @@ object Similarity {
         .select(col("vec_id"), col("m"),
           element_at(best, 1).getField("code").as("code"))
         .join(assign, "vec_id")
-      val qprobes = multiProbe(v.where(col("vec_id") % 20 === 0),
+      val qprobes = multiProbe(v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0),
           centsFull, nprobe = 2, keep = Seq("e"))
         .withColumnRenamed("vec_id", "q_id")
         .join(broadcast(cents), "cent_id")
@@ -838,7 +880,7 @@ object Similarity {
     graft.sources.Materialized.of(spark, s"sqtop:$dir") {
       import graft.functions.VectorOps.ldot
       val codes = sqCodesFor(spark, dir)
-      val q = codes.where(col("vec_id") % 20 === 0)
+      val q = codes.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0)
         .select(col("vec_id").as("q_id"), col("qe").as("qq"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("dot").desc, col("n_id"))
@@ -881,10 +923,10 @@ object Similarity {
   private[graft] def sqIvfTopBuild(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps.ldot
     val v = Dedup.normedFor(spark, dir)
-    val probes = multiProbe(v.where(col("vec_id") % 20 === 0),
+    val probes = multiProbe(v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0),
         centroidsMemoFor(spark, dir), nprobe = 2)
       .withColumnRenamed("vec_id", "q_id")
-    val qq = sqCodesFor(spark, dir).where(col("vec_id") % 20 === 0)
+    val qq = sqCodesFor(spark, dir).where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0)
       .select(col("vec_id").as("q_id"), col("qe").as("qq"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("dot").desc, col("n_id"))
@@ -962,7 +1004,7 @@ object Similarity {
     val t = Dedup.normedFor(spark, dir)
       .select(col("vec_id"), slice(col("e"), 1, 16).as("e16"))
       .withColumn("n16", sqrt(dot(col("e16"), col("e16"))))
-    val q = t.where(col("vec_id") % 20 === 0)
+    val q = t.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0)
       .select(col("vec_id").as("q_id"), col("e16").as("q16"),
         col("n16").as("qn"))
     val w = Window.partitionBy(col("q_id"))
@@ -1021,7 +1063,7 @@ object Similarity {
     */
   private[graft] def rerankTopBuild(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
-    val q = v.where(col("vec_id") % 20 === 0)
+    val q = v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     val cand = pqIvfWideFor(spark, dir).select("q_id", "n_id")
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
@@ -1083,13 +1125,13 @@ object Similarity {
     val v = Dedup.normedFor(spark, dir)
     val lab = graft.sources.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val probes = multiProbe(v.where(col("vec_id") % 20 === 0),
+    val probes = multiProbe(v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0),
         centroidsMemoFor(spark, dir), nprobe = 2)
       .withColumnRenamed("vec_id", "q_id")
     val cand = probes.join(ivfAssignFor(spark, dir), "cent_id")
       .where(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id")
-    val q = v.where(col("vec_id") % 20 === 0)
+    val q = v.where(col("vec_id") % panelStep(corpusN(spark, dir)) === 0)
       .join(lab, "vec_id")
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("label").as("q_label"))

@@ -90,7 +90,7 @@ object SqlApi {
     * ([[Analytics.hyperplaneSigns]]) — signatures agree bit-for-bit.
     */
   private def sigSql: String =
-    Analytics.hyperplaneSigns.zipWithIndex.map { case (row, b) =>
+    Analytics.hyperplaneSigns.take(16).zipWithIndex.map { case (row, b) =>
       val lits = row.map(v => if (v > 0) "1.0D" else "-1.0D")
         .mkString("array(", ",", ")")
       s"(CASE WHEN graft_dot(e, $lits) > 0D THEN ${1L << b}L ELSE 0L END)"
