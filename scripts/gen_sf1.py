@@ -57,10 +57,21 @@ def main():
         shutil.copyfile(SRC / f"{t}.parquet", DST / f"{t}.parquet")
         print(f"{t}: copied")
 
+    # Row groups sized to ONE sf0.1 table's rows each (~10 per file):
+    # the driver fixtures are single-row-group, which is fine at their
+    # size but would starve scan parallelism at 10x (Spark splits
+    # parquet at row-group granularity) — a local-fixture artifact, not
+    # how a real 10x corpus (many files) behaves. Per-partition work
+    # thus matches sf0.1; scale shows up as partition count.
+    RG = {"customer": 15000, "orders": 150000, "lineitem": 600000,
+          "part": 20000, "supplier": 1000, "events": 100000,
+          "documents": 5000}
+
     def emit(t, select):
         con.execute(
             f"COPY ({select} FROM read_parquet('{SRC}/{t}.parquet')"
-            f" CROSS JOIN k) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+            f" CROSS JOIN k) TO '{DST}/{t}.parquet'"
+            f" (FORMAT PARQUET, ROW_GROUP_SIZE {RG[t]})")
         n = pq.ParquetFile(DST / f"{t}.parquet").metadata.num_rows
         print(f"{t}: {n} rows")
 
@@ -104,7 +115,8 @@ def main():
             "embedding": pa.array(list(rot), pa.list_(pa.float32())),
             "label": pa.array(lab, pa.int32()),
         }))
-    pq.write_table(pa.concat_tables(parts), DST / "embeddings.parquet")
+    pq.write_table(pa.concat_tables(parts), DST / "embeddings.parquet",
+                   row_group_size=STRIDE["embeddings"])
     print(f"embeddings: {R * len(vid)} rows")
 
     # schema parity check vs the source decade (modulo pandas metadata)
