@@ -21,6 +21,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Row-group-granular splits for small CPU-dense parquet (Engine.session
+      // has the full rationale) — without it the sf1.0 documents/embeddings
+      // scans run 1-2 tasks wide and every text/embedding build serializes.
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Fingerprint the RAW testdata schemas (pre-normalization) so every

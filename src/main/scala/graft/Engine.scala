@@ -29,6 +29,16 @@ object Engine {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Scan-split floor: Spark's split size is max(openCostInBytes,
+      // totalBytes/parallelism) capped at maxPartitionBytes, and the 4 MiB
+      // default floor leaves a snappy-parquet text/embedding table of a few
+      // MiB — which decompresses and explodes into orders of magnitude more
+      // work than its file size suggests — on 1-2 tasks. 128 KiB lets small
+      // CPU-dense tables split down to their row groups while leaving large
+      // tables governed by bytes-per-core exactly as before. The 100 TB
+      // deployment tunes the same lever from the other end
+      // (spark.sql.files.maxPartitionBytes, SCALING.md).
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()

@@ -13,6 +13,8 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same scan-split floor as Engine.session/Bench (see Engine.session).
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
