@@ -142,7 +142,7 @@ object DedupQueries {
     // min cent_id), same exact-cosine verification.
     "dedup_embedding" ->
       s"""WITH $vecCte,
-         |${hashMinCte("cents", 64)},
+         |${hashMinCte("cents")},
          |probes AS (SELECT vec_id, cent_id FROM (
          |             SELECT v.vec_id, c.cent_id,
          |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -373,7 +373,7 @@ object DedupQueries {
     // more-central member of each pair dropped (tie → larger vec_id).
     "q_semdedup" ->
       s"""WITH $vecCte,
-         |${hashMinCte("cents", 64)},
+         |${hashMinCte("cents")},
          |probes AS (SELECT vec_id, cent_id FROM (
          |             SELECT v.vec_id, c.cent_id,
          |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY

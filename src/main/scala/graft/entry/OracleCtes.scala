@@ -149,19 +149,56 @@ object OracleCtes {
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), s -> s[1] * s[2]), (x, y) -> x + y)"
 
-  /** Hash-min sample CTE: the `k` vectors with the smallest portable
+  /** The four corpus-adaptive index sizes as DuckDB scalar subqueries over
+    * `v` — the SQL mirrors of the Scala formulas, so the oracles replay
+    * the ADAPTIVE index build at ANY scale instead of pinning the
+    * oracle-scale constants (round 10: the correctness gate itself is now
+    * scale-invariant; a full 183-query check runs green at sf1.0, where
+    * K = 198, the panel stride is 200, and the LSH bands carry 7 bits).
+    *
+    * Parity notes, per formula:
+    * - centroid K mirrors [[graft.operators.Similarity.centroidKFor]]
+    *   (max(64, ⌈1.4·√N⌉)): sqrt and one multiply are correctly-rounded
+    *   IEEE doubles in both engines and 1.4 parses to the same double, so
+    *   the ceil agrees bit-for-bit.
+    * - panel stride mirrors [[graft.operators.Similarity.panelStep]]
+    *   (max(20, ⌈N/100⌉)) in pure BIGINT arithmetic — exact by
+    *   construction.
+    * - audit stride mirrors [[graft.operators.Dedup.exactPairsFor]]'s
+    *   population cap (max(1, ⌈N/2000⌉)) — same integer form.
+    * - LSH band bits mirrors [[graft.operators.Analytics.lshBandBits]]
+    *   (smallest b in [4,16] with 256·2^b ≥ N) — both sides use the
+    *   integer comparison, no float log anywhere.
+    */
+  val centroidKSql: String =
+    "(SELECT greatest(64, CAST(ceil(1.4 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM v)"
+  val panelStepSql: String =
+    "(SELECT greatest(20, (count(*) + 99) // 100) FROM v)"
+  val auditStrideSql: String =
+    "(SELECT greatest(1, (count(*) + 1999) // 2000) FROM v)"
+  val lshBitsSql: String =
+    "(SELECT coalesce(min(b), 16) FROM generate_series(4, 16) t(b) " +
+      "WHERE 256 * (CAST(1 AS BIGINT) << b) >= (SELECT count(*) FROM v))"
+
+  /** Hash-min sample CTE: the `kSql` vectors with the smallest portable
     * 60-bit hash of their id (ties -> min vec_id) -- the ONE home for the
     * deterministic selection every index oracle replays (IVF centroids,
     * k-means seeds, PQ codebooks), mirroring `Similarity.centroidsFor` /
     * `pqCodebookSub`. Drift in K, the hash, or the tie-break now touches
     * every consumer at once instead of silently desynchronizing one copy.
+    * `kSql` defaults to the corpus-adaptive [[centroidKSql]]; the PQ
+    * codebook passes a literal "16" (structural: 4-bit codes, not a
+    * corpus-sized index). Rank-filter form rather than LIMIT so the count
+    * can be a scalar subquery.
     */
-  def hashMinCte(name: String, k: Int,
+  def hashMinCte(name: String, kSql: String = centroidKSql,
       cols: String = "vec_id AS cent_id, e AS ce, nrm AS cn"): String =
-    s"""$name AS (SELECT $cols FROM v
-       |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-       |                AS BIGINT), vec_id
-       |  LIMIT $k)""".stripMargin
+    s"""$name AS (SELECT $cols FROM (
+       |    SELECT *, row_number() OVER (ORDER BY
+       |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+       |           AS BIGINT), vec_id) AS hmrk
+       |    FROM v)
+       |  WHERE hmrk <= $kSql)""".stripMargin
 
   /** Exact full-dimension cosine top-5 CTE chain (`ep` pairs → `ext`
     * top-5) — the recall-audit baseline replaying
@@ -172,7 +209,7 @@ object OracleCtes {
     s"""ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
        |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
        |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
-       |       WHERE q.vec_id % 20 = 0),
+       |       WHERE q.vec_id % $panelStepSql = 0),
        |ext AS (SELECT q_id, n_id FROM (
        |          SELECT q_id, n_id,
        |                 row_number() OVER (PARTITION BY q_id
@@ -186,7 +223,7 @@ object OracleCtes {
     * sum needs no fold-order discipline — it is exact in both engines.
     */
   val sqCtes: String =
-    """vn AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS en FROM v),
+    s"""vn AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS en FROM v),
       |sp AS (SELECT vec_id, di.i - 1 AS dim, en[di.i] AS x
       |       FROM vn CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) di),
       |ss AS (SELECT dim, max(abs(x)) AS maxabs FROM sp GROUP BY 1),
@@ -198,7 +235,7 @@ object OracleCtes {
       |         CAST(list_reduce(list_transform(list_zip(q.qe, t.qe),
       |                s -> s[1] * s[2]), (x, y) -> x + y) AS BIGINT) AS dot
       |       FROM sc q JOIN sc t ON t.vec_id <> q.vec_id
-      |       WHERE q.vec_id % 20 = 0)""".stripMargin
+      |       WHERE q.vec_id % $panelStepSql = 0)""".stripMargin
 
   /** SQ8∘IVF CTE chain (needs vecCte + sqCtes): hash-min coarse centroids,
     * nearest-centroid assignment, nprobe=2 query probes, candidate pairs,
@@ -207,7 +244,7 @@ object OracleCtes {
     * `sqdi(q_id, n_id, dot)`.
     */
   lazy val sqIvfCtes: String =
-    s"""${hashMinCte("qcents", 64)},
+    s"""${hashMinCte("qcents")},
        |qasg AS (SELECT vec_id, cent_id FROM (
        |           SELECT v.vec_id, c.cent_id,
        |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -219,7 +256,7 @@ object OracleCtes {
        |                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |                       ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
        |                       c.cent_id) AS rn
-       |              FROM v CROSS JOIN qcents c WHERE v.vec_id % 20 = 0)
+       |              FROM v CROSS JOIN qcents c WHERE v.vec_id % $panelStepSql = 0)
        |            WHERE rn <= 2),
        |sqcand AS (SELECT p.q_id, a.vec_id FROM qprobes p
        |           JOIN qasg a ON p.cent_id = a.cent_id
@@ -240,7 +277,7 @@ object OracleCtes {
     * `q_triplets` oracles.
     */
   lazy val hardMineCtes: String =
-    s"""${hashMinCte("hcents", 64)},
+    s"""${hashMinCte("hcents")},
        |hasg AS (SELECT vec_id, cent_id FROM (
        |           SELECT v.vec_id, c.cent_id,
        |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -252,7 +289,7 @@ object OracleCtes {
        |                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |                     ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
        |                     c.cent_id) AS rn
-       |            FROM v CROSS JOIN hcents c WHERE v.vec_id % 20 = 0)
+       |            FROM v CROSS JOIN hcents c WHERE v.vec_id % $panelStepSql = 0)
        |          WHERE rn <= 2),
        |hcand AS (SELECT p.q_id, a.vec_id FROM hprob p
        |          JOIN hasg a ON p.cent_id = a.cent_id
@@ -294,7 +331,7 @@ object OracleCtes {
          |${out}l AS (SELECT cent_id, list(cq / 1000000.0 ORDER BY dim) AS ce
          |     FROM ${out}q GROUP BY 1),
          |$out AS (SELECT cent_id, ce, sqrt(${dotSql("ce", "ce")}) AS cn FROM ${out}l)""".stripMargin
-    s"""${hashMinCte("seeds", 64)},
+    s"""${hashMinCte("seeds")},
        |${assign("seeds", "ka1")},
        |${update("ka1", "kc1")},
        |${assign("kc1", "ka2")},
@@ -307,7 +344,7 @@ object OracleCtes {
     * `q_pq_recall` audit.
     */
   lazy val pqCtes: String =
-    s"""${hashMinCte("cb", 16, "vec_id AS code, e AS cbe")},
+    s"""${hashMinCte("cb", "16", "vec_id AS code, e AS cbe")},
        |mi AS (SELECT unnest(generate_series(0, 7)) AS m),
        |cbs AS (SELECT code, m, cbe[m * 8 + 1 : m * 8 + 8] AS cw
        |        FROM cb CROSS JOIN mi),
@@ -318,7 +355,7 @@ object OracleCtes {
        |                   row_number() OVER (PARTITION BY vs.vec_id, vs.m
        |                     ORDER BY ${l2sqSql("vs.sv", "cbs.cw")}, cbs.code) AS rn
        |            FROM vs JOIN cbs ON vs.m = cbs.m) WHERE rn = 1),
-       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 20 = 0),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % $panelStepSql = 0),
        |qs AS (SELECT q_id, m, qe[m * 8 + 1 : m * 8 + 8] AS qsub
        |       FROM q CROSS JOIN mi),
        |dtab AS (SELECT q_id, qs.m, cbs.code,
@@ -336,7 +373,7 @@ object OracleCtes {
     * Replays [[graft.operators.Similarity.pqIvfTopBuild]] exactly.
     */
   lazy val pqIvfCtes: String =
-    s"""${hashMinCte("icents", 64)},
+    s"""${hashMinCte("icents")},
        |iasg AS (SELECT vec_id, cent_id FROM (
        |           SELECT v.vec_id, c.cent_id,
        |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -348,7 +385,7 @@ object OracleCtes {
        |                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |                       ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
        |                       c.cent_id) AS rn
-       |              FROM v CROSS JOIN icents c WHERE v.vec_id % 20 = 0)
+       |              FROM v CROSS JOIN icents c WHERE v.vec_id % $panelStepSql = 0)
        |            WHERE rn <= 2),
        |icand AS (SELECT p.q_id, a.vec_id FROM iprobes p
        |          JOIN iasg a ON p.cent_id = a.cent_id
@@ -473,11 +510,29 @@ object OracleCtes {
       s"(CASE WHEN ${dotSql("e", lits)} > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** All 64 hyperplane sign terms — the q_lsh_cosine oracle's signature,
+    * masked down to 4·[[lshBitsSql]] bits by the band expression exactly
+    * as the Spark side builds only 4·lshBandBits(N) terms; the surplus
+    * high bits never reach a band value, so the two signatures band
+    * identically at every scale. Terms are emitted in ascending bit
+    * order, so partial sums stay within BIGINT even with bit 63's
+    * negative two's-complement literal (b = 63 is reachable only past
+    * ~8.4M vectors, where both engines wrap identically).
+    */
+  lazy val sigTerms64Sql: String =
+    Analytics.hyperplaneSigns.zipWithIndex.map { case (row, b) =>
+      val lits = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN ${dotSql("e", lits)} > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
   lazy val lshCosineSql: String = {
     s"""WITH $vecCte,
-       |sig AS (SELECT vec_id, e, nrm, CAST($sigTermsSql AS BIGINT) AS sig FROM v),
-       |bands AS (SELECT vec_id, sig, k, (sig >> (4 * k)) & 15 AS band_val
-       |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
+       |bb AS (SELECT $lshBitsSql AS bits),
+       |sig AS (SELECT vec_id, e, nrm, CAST($sigTerms64Sql AS BIGINT) AS sig FROM v),
+       |bands AS (SELECT vec_id, sig, k,
+       |            (sig >> (bits * k)) & ((CAST(1 AS BIGINT) << bits) - 1) AS band_val
+       |          FROM sig CROSS JOIN bb
+       |          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |         FROM bands a JOIN bands b
        |           ON a.k = b.k AND a.band_val = b.band_val AND a.vec_id < b.vec_id)

@@ -62,7 +62,7 @@ object SimilarityQueries {
     * and `q_knn_clusters` so the edge-relation replay has ONE home.
     */
   private lazy val knnCtes: String =
-    s"""${hashMinCte("cents", 64)},
+    s"""${hashMinCte("cents")},
        |pr AS (SELECT vec_id, cent_id, rn FROM (
        |         SELECT v.vec_id, c.cent_id,
        |                row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -158,8 +158,10 @@ object SimilarityQueries {
       s"""WITH $vecCte,
          |ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |       FROM v a JOIN v b ON a.vec_id < b.vec_id
-         |       WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
-         |${hashMinCte("cents", 64)},
+         |       WHERE a.vec_id % $auditStrideSql = 0
+         |         AND b.vec_id % $auditStrideSql = 0
+         |         AND ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
+         |${hashMinCte("cents")},
          |probes AS (SELECT vec_id, cent_id FROM (
          |             SELECT v.vec_id, c.cent_id,
          |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -189,7 +191,9 @@ object SimilarityQueries {
          |$kmeansCtes,
          |ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |       FROM v a JOIN v b ON a.vec_id < b.vec_id
-         |       WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
+         |       WHERE a.vec_id % $auditStrideSql = 0
+         |         AND b.vec_id % $auditStrideSql = 0
+         |         AND ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
          |hprobes AS (SELECT vec_id, cent_id FROM (
          |             SELECT v.vec_id, c.cent_id,
          |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -234,7 +238,7 @@ object SimilarityQueries {
          |p AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
          |        ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
          |      FROM v q JOIN v t ON t.vec_id <> q.vec_id
-         |      WHERE q.vec_id % 20 = 0)
+         |      WHERE q.vec_id % $panelStepSql = 0)
          |SELECT q_id, n_id, cos, rk FROM (
          |  SELECT q_id, n_id, cos,
          |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
@@ -242,7 +246,7 @@ object SimilarityQueries {
          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "ann_ivf" ->
       s"""WITH $vecCte,
-         |${hashMinCte("cents", 64)},
+         |${hashMinCte("cents")},
          |asg AS (SELECT vec_id, cent_id FROM (
          |          SELECT v.vec_id, c.cent_id,
          |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -250,7 +254,7 @@ object SimilarityQueries {
          |                   c.cent_id) AS rn
          |          FROM v CROSS JOIN cents c) WHERE rn = 1),
          |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v
-         |      WHERE vec_id % 20 = 0),
+         |      WHERE vec_id % $panelStepSql = 0),
          |probes AS (SELECT q_id, cent_id FROM (
          |             SELECT q.q_id, c.cent_id,
          |                    row_number() OVER (PARTITION BY q.q_id ORDER BY
@@ -279,7 +283,7 @@ object SimilarityQueries {
          |                   c.cent_id) AS rn
          |          FROM v CROSS JOIN kcents c) WHERE rn = 1),
          |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v
-         |      WHERE vec_id % 20 = 0),
+         |      WHERE vec_id % $panelStepSql = 0),
          |probes AS (SELECT q_id, cent_id FROM (
          |             SELECT q.q_id, c.cent_id,
          |                    row_number() OVER (PARTITION BY q.q_id ORDER BY
@@ -308,7 +312,7 @@ object SimilarityQueries {
          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "q_kmeans_step" ->
       s"""WITH $vecCte,
-         |${hashMinCte("cents", 64, "vec_id AS cluster_id, e AS ce, nrm AS cn")},
+         |${hashMinCte("cents", centroidKSql, "vec_id AS cluster_id, e AS ce, nrm AS cn")},
          |asg AS (SELECT vec_id, cluster_id, e FROM (
          |          SELECT v.vec_id, c.cluster_id, v.e,
          |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -335,7 +339,7 @@ object SimilarityQueries {
     // Replays the ann_ivf nprobe=1 assignment; per-centroid bucket sizes.
     "q_ivf_stats" ->
       s"""WITH $vecCte,
-         |${hashMinCte("cents", 64)},
+         |${hashMinCte("cents")},
          |asg AS (SELECT vec_id, cent_id FROM (
          |          SELECT v.vec_id, c.cent_id,
          |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -349,7 +353,7 @@ object SimilarityQueries {
     // Replays the nprobe=1 assignment; per-bucket majority label + purity.
     "q_ivf_purity" ->
       s"""WITH $vecCte,
-         |${hashMinCte("cents", 64)},
+         |${hashMinCte("cents")},
          |asg AS (SELECT vec_id, cent_id FROM (
          |          SELECT v.vec_id, c.cent_id,
          |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -395,7 +399,7 @@ object SimilarityQueries {
          |ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
          |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
          |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
-         |       WHERE q.vec_id % 20 = 0),
+         |       WHERE q.vec_id % $panelStepSql = 0),
          |ext AS (SELECT q_id, n_id FROM (
          |          SELECT q_id, n_id,
          |                 row_number() OVER (PARTITION BY q_id
@@ -452,7 +456,7 @@ object SimilarityQueries {
          |ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
          |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
          |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
-         |       WHERE q.vec_id % 20 = 0),
+         |       WHERE q.vec_id % $panelStepSql = 0),
          |ext AS (SELECT q_id, n_id FROM (
          |          SELECT q_id, n_id,
          |                 row_number() OVER (PARTITION BY q_id
@@ -510,7 +514,7 @@ object SimilarityQueries {
          |ep AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
          |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
          |       FROM v q JOIN v t ON t.vec_id <> q.vec_id
-         |       WHERE q.vec_id % 20 = 0),
+         |       WHERE q.vec_id % $panelStepSql = 0),
          |ext AS (SELECT q_id, n_id FROM (
          |          SELECT q_id, n_id,
          |                 row_number() OVER (PARTITION BY q_id
@@ -544,7 +548,7 @@ object SimilarityQueries {
     // member-mean drift, and the reindex/keep verdict.
     "q_incremental_ivf" ->
       s"""WITH $vecCte,
-         |${hashMinCte("icents", 64)},
+         |${hashMinCte("icents")},
          |iasg AS (SELECT vec_id, cent_id FROM (
          |           SELECT v.vec_id, c.cent_id,
          |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -642,7 +646,7 @@ object SimilarityQueries {
          |mp AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
          |         ${dotSql("q.e16", "t.e16")} / (q.n16 * t.n16) AS cos
          |       FROM t16 q JOIN t16 t ON t.vec_id <> q.vec_id
-         |       WHERE q.vec_id % 20 = 0),
+         |       WHERE q.vec_id % $panelStepSql = 0),
          |mt AS (SELECT q_id, n_id FROM (
          |         SELECT q_id, n_id,
          |                row_number() OVER (PARTITION BY q_id
@@ -773,7 +777,7 @@ object SimilarityQueries {
     // vote (ties -> smaller label), per-true-label accuracy.
     "q_label_prop" ->
       s"""WITH $vecCte,
-         |${hashMinCte("cents", 64)},
+         |${hashMinCte("cents")},
          |apr AS (SELECT vec_id, cent_id, rn FROM (
          |          SELECT v.vec_id, c.cent_id,
          |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -899,10 +903,10 @@ object SimilarityQueries {
     // reciprocal ranks as integer 1000 // rk, averaged over queries.
     "q_ann_mrr" ->
       s"""WITH $vecCte,
-         |${hashMinCte("cents", 64)},
+         |${hashMinCte("cents")},
          |$kmeansCtes,
          |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v
-         |      WHERE vec_id % 20 = 0),
+         |      WHERE vec_id % $panelStepSql = 0),
          |${ivfTop5Ctes("cents", "h")},
          |${ivfTop5Ctes("kcents", "k")},
          |ex1 AS (SELECT q_id, n_id FROM (

@@ -599,21 +599,26 @@ object Analytics {
       if ((digest(0) & 1) == 1) 1.0 else -1.0
     }
 
-  /** Bits per LSH band, corpus-adaptive: max(4, ⌈log₂(N/256)⌉) capped at
-    * 16 — sized so each band's bucket count tracks N and expected bucket
-    * size stays ≲256, keeping candidate volume LINEAR in N (the "widen
-    * the bands as the corpus grows" rule made structural: with the bits
-    * fixed at 4, bucket size ∝ N turned the candidate join quadratic —
-    * measured 0.65 s → 58.7 s at the sf1.0 decade, exponent 1.95). Stays
-    * 4 through sf0.1 (⌈log₂(2000/256)⌉ = 3), so oracle-scale results and
-    * the oracle's literal 4-bit replay are unchanged. The plane table is
-    * pregenerated to 64 rows (4 bands × 16 bits max); rows 0–15 are
-    * byte-identical to the old 16-row table (same per-(plane, dim) md5
-    * seeding), so small-corpus signatures are unchanged too.
+  /** Bits per LSH band, corpus-adaptive: the smallest b in [4, 16] with
+    * 256·2^b ≥ N (= max(4, ⌈log₂(N/256)⌉) capped at 16, in pure integer
+    * arithmetic — no float log, so the DuckDB oracle's integer replay
+    * agrees exactly even when N/256 lands on a power of two) — sized so
+    * each band's bucket count tracks N and expected bucket size stays
+    * ≲256, keeping candidate volume LINEAR in N (the "widen the bands as
+    * the corpus grows" rule made structural: with the bits fixed at 4,
+    * bucket size ∝ N turned the candidate join quadratic — measured
+    * 0.65 s → 58.7 s at the sf1.0 decade, exponent 1.95). Stays 4
+    * through sf0.1 (256·16 ≥ 2000), so oracle-scale results are
+    * unchanged; 7 at sf1.0. The plane table is pregenerated to 64 rows
+    * (4 bands × 16 bits max); rows 0–15 are byte-identical to the old
+    * 16-row table (same per-(plane, dim) md5 seeding), so small-corpus
+    * signatures are unchanged too.
     */
-  private[graft] def lshBandBits(n: Long): Int =
-    math.min(16, math.max(4,
-      math.ceil(math.log(n.toDouble / 256.0) / math.log(2.0)).toInt))
+  private[graft] def lshBandBits(n: Long): Int = {
+    var b = 4
+    while (b < 16 && (256L << b) < n) b += 1
+    b
+  }
 
   /** Random-hyperplane (SRP) LSH over embeddings: 4·[[lshBandBits]] sign
     * bits → 4 bands → candidates share a band → verified with exact

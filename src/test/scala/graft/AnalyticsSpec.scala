@@ -124,4 +124,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.keySet.exists(_ >= 2), "fixture should reach stage 2+")
   }
+
+  test("lshBandBits: integer form equals ceil-log2 closed form, clamped to [4,16]") {
+    // The SQL oracle mirrors the same integer comparison (smallest b in
+    // [4,16] with 256*2^b >= N), so this pins the Scala side to the
+    // mathematical definition across the decades and the clamp edges.
+    def closedForm(n: Long): Int = {
+      // exact integer ceil-log2 of ceil(n/256), clamped
+      val m = (n + 255L) / 256L
+      var b = 0
+      while ((1L << b) < m) b += 1
+      math.min(16, math.max(4, b))
+    }
+    val interesting = Seq(1L, 200L, 2000L, 2048L, 4095L, 4096L, 4097L,
+      20000L, 200000L, 256L << 4, (256L << 4) + 1, 256L << 7,
+      (256L << 7) + 1, 256L << 16, (256L << 16) + 1, Long.MaxValue / 4)
+    for (n <- interesting ++ (1L to 10000L by 37L))
+      assert(graft.operators.Analytics.lshBandBits(n) == closedForm(n),
+        s"n=$n")
+    // the pinned values the oracles and the curve rely on
+    assert(graft.operators.Analytics.lshBandBits(200L) == 4)    // sf0.01
+    assert(graft.operators.Analytics.lshBandBits(2000L) == 4)   // sf0.1
+    assert(graft.operators.Analytics.lshBandBits(20000L) == 7)  // sf1.0
+  }
+
+  test("adaptive index sizes: pinned at oracle scales, growing beyond") {
+    import graft.operators.Similarity.{centroidKFor, panelStep}
+    assert(centroidKFor(200L) == 64 && panelStep(200L) == 20L)    // sf0.01
+    assert(centroidKFor(2000L) == 64 && panelStep(2000L) == 20L)  // sf0.1
+    assert(centroidKFor(20000L) == 198 && panelStep(20000L) == 200L) // sf1.0
+    // the exact-audit stride (Dedup.exactPairsFor's cap formula)
+    def stride(n: Long) = math.max(1L, (n + 1999L) / 2000L)
+    assert(stride(2000L) == 1L && stride(20000L) == 10L)
+  }
 }
