@@ -126,7 +126,7 @@ object ChainQueries {
     // Spark side's iterative max-relaxation — independent mechanisms.
     "q_trace_depth" ->
       s"""WITH RECURSIVE $msgsCte, $linksCte,
-         |strict AS (
+         |strict AS MATERIALIZED (
          |  SELECT l.parent_id, l.child_id FROM links l
          |  JOIN msgs p ON l.parent_id = p.id
          |  JOIN msgs c ON l.child_id = c.id

@@ -262,7 +262,7 @@ object CurationQueries {
         |       (cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
     "q_pack_greedy" ->
-      """WITH RECURSIVE t AS (
+      """WITH RECURSIVE t AS MATERIALIZED (
         |  SELECT doc_id, doc_id % 16 AS shard,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |         row_number() OVER (PARTITION BY doc_id % 16

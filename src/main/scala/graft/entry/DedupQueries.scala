@@ -54,7 +54,7 @@ object DedupQueries {
        |  JOIN sizes sa ON doc_a = sa.doc_id
        |  JOIN sizes sb ON doc_b = sb.doc_id
        |  WHERE inter * 3 >= sa.n_sh + sb.n_sh),
-       |e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       |e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM pairs
        |      UNION SELECT doc_b, doc_a FROM pairs),
        |reach AS (
        |  SELECT s, t FROM e

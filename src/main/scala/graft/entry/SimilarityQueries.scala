@@ -63,7 +63,7 @@ object SimilarityQueries {
     */
   private lazy val knnCtes: String =
     s"""${hashMinCte("cents")},
-       |pr AS (SELECT vec_id, cent_id, rn FROM (
+       |pr AS MATERIALIZED (SELECT vec_id, cent_id, rn FROM (
        |         SELECT v.vec_id, c.cent_id,
        |                row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |                  ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
@@ -77,7 +77,7 @@ object SimilarityQueries {
        |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
        |       FROM cand JOIN v q ON q.vec_id = src
        |       JOIN v t ON t.vec_id = dst),
-       |ek AS (SELECT src, dst, rk FROM (
+       |ek AS MATERIALIZED (SELECT src, dst, rk FROM (
        |         SELECT src, dst,
        |                row_number() OVER (PARTITION BY src
        |                  ORDER BY cos DESC, dst) AS rk
@@ -823,7 +823,7 @@ object SimilarityQueries {
     "q_knn_clusters" ->
       s"""WITH RECURSIVE $vecCte,
          |$knnCtes,
-         |me AS (SELECT a.src AS s, a.dst AS t FROM ek a
+         |me AS MATERIALIZED (SELECT a.src AS s, a.dst AS t FROM ek a
          |       JOIN ek b ON b.src = a.dst AND b.dst = a.src),
          |reach AS (
          |  SELECT s, t FROM me
