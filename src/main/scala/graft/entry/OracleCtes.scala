@@ -496,20 +496,6 @@ object OracleCtes {
     """CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
       |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)""".stripMargin
 
-  /** q_lsh_cosine oracle: the 16 hyperplane sign vectors are inlined as the
-    * exact same ±1 literals the Spark side uses
-    * ([[Analytics.hyperplaneSigns]]), so signatures agree bit-for-bit.
-    */
-  /** The 16-hyperplane SRP signature expression, inlining the exact same
-    * ±1 literals the Spark side uses ([[Analytics.hyperplaneSigns]]) — ONE
-    * home shared by the q_lsh_cosine and q_sql_cosine_by_label oracles.
-    */
-  lazy val sigTermsSql: String =
-    Analytics.hyperplaneSigns.take(16).zipWithIndex.map { case (row, b) =>
-      val lits = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"(CASE WHEN ${dotSql("e", lits)} > 0 THEN ${1L << b} ELSE 0 END)"
-    }.mkString(" + ")
-
   /** All 64 hyperplane sign terms — the q_lsh_cosine oracle's signature,
     * masked down to 4·[[lshBitsSql]] bits by the band expression exactly
     * as the Spark side builds only 4·lshBandBits(N) terms; the surplus

@@ -278,15 +278,19 @@ object RelationalQueries {
          |GROUP BY c_mktsegment
          |ORDER BY c_mktsegment""".stripMargin,
     // Replays sqlCosineByLabel's SRP-LSH banding exactly (same inlined
-    // hyperplane literals as q_lsh_cosine), restricted to equal labels.
+    // 64-plane hyperplane literals as q_lsh_cosine, same adaptive band
+    // bits), restricted to equal labels.
     "q_sql_cosine_by_label" -> {
       s"""WITH $vecCte,
          |v2 AS (SELECT v.vec_id, e.label, v.e, v.nrm
          |       FROM v JOIN embeddings e ON v.vec_id = e.vec_id),
-         |sig AS (SELECT vec_id, label, e, nrm, CAST($sigTermsSql AS BIGINT) AS sig
+         |bb AS (SELECT $lshBitsSql AS bits),
+         |sig AS (SELECT vec_id, label, e, nrm, CAST($sigTerms64Sql AS BIGINT) AS sig
          |        FROM v2),
-         |bands AS (SELECT vec_id, label, sig, k, (sig >> (4 * k)) & 15 AS band_val
-         |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
+         |bands AS (SELECT vec_id, label, sig, k,
+         |            (sig >> (bits * k)) & ((CAST(1 AS BIGINT) << bits) - 1) AS band_val
+         |          FROM sig CROSS JOIN bb
+         |          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
          |cand AS (SELECT DISTINCT a.label AS label, a.vec_id AS vec_a,
          |                b.vec_id AS vec_b
          |         FROM bands a JOIN bands b

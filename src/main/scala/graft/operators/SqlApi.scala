@@ -90,7 +90,7 @@ object SqlApi {
     * ([[Analytics.hyperplaneSigns]]) — signatures agree bit-for-bit.
     */
   private def sigSql: String =
-    Analytics.hyperplaneSigns.take(16).zipWithIndex.map { case (row, b) =>
+    Analytics.hyperplaneSigns.zipWithIndex.map { case (row, b) =>
       val lits = row.map(v => if (v > 0) "1.0D" else "-1.0D")
         .mkString("array(", ",", ")")
       s"(CASE WHEN graft_dot(e, $lits) > 0D THEN ${1L << b}L ELSE 0L END)"
@@ -99,15 +99,19 @@ object SqlApi {
   /** Top similar pair per label via `graft_dot` in SQL — the custom codegen
     * expression exposed through the SQL function registry.
     *
-    * Candidates come from the 16-bit SRP-LSH banding (4 bands × 4 bits, the
-    * same signature family as [[Analytics.lshCosine]]) restricted to equal
-    * labels, then exact-cosine verified and ranked — so the join keys on
-    * (label, band, band_val) and the plan carries signatures, not an
-    * all-pairs blowup quadratic in label-group size. Like every ANN search,
-    * the CONTRACT is index-restricted top-1: the DuckDB oracle replays the
-    * identical banding (inlined hyperplane literals), so both sides agree
-    * bit-for-bit. [[sqlCosineByLabelExact]] keeps the all-pairs semantics
-    * as the test-scale baseline.
+    * Candidates come from SRP-LSH banding (4 bands × [[Analytics.lshBandBits]]
+    * bits, the same corpus-adaptive signature family as
+    * [[Analytics.lshCosine]] — the `bb` CTE computes the bits with the
+    * identical integer comparison IN SQL, so the query stays a pure
+    * `spark.sql` string) restricted to equal labels, then exact-cosine
+    * verified and ranked — so the join keys on (label, band, band_val)
+    * and the plan carries signatures, not an all-pairs blowup quadratic
+    * in label-group size. Like every ANN search, the CONTRACT is
+    * index-restricted top-1: the DuckDB oracle replays the identical
+    * banding (inlined hyperplane literals, same adaptive-bits
+    * subquery), so both sides agree bit-for-bit at every scale.
+    * [[sqlCosineByLabelExact]] keeps the all-pairs semantics as the
+    * test-scale baseline.
     */
   def sqlCosineByLabel(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -118,12 +122,20 @@ object SqlApi {
          |         sqrt(graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
          |                        CAST(embedding AS ARRAY<DOUBLE>))) AS nrm
          |  FROM embeddings),
+         |bb AS (
+         |  SELECT coalesce(min(b), 16L) AS bits
+         |  FROM (SELECT explode(sequence(4, 16)) AS b)
+         |  WHERE 256 * shiftleft(CAST(1 AS BIGINT), b) >=
+         |        (SELECT count(*) FROM v)),
          |sig AS (
          |  SELECT vec_id, label, e, nrm, CAST($sigSql AS BIGINT) AS sig
          |  FROM v),
          |bands AS (
          |  SELECT vec_id, label, sig, k,
-         |         shiftright(sig, 4 * k) & 15 AS band_val
+         |         shiftright(sig, CAST((SELECT bits FROM bb) * k AS INT)) &
+         |           (shiftleft(CAST(1 AS BIGINT),
+         |                      CAST((SELECT bits FROM bb) AS INT)) - 1)
+         |           AS band_val
          |  FROM sig
          |  LATERAL VIEW explode(sequence(0, 3)) ks AS k),
          |cand AS (
