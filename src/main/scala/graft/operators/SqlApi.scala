@@ -89,6 +89,14 @@ object SqlApi {
     * md5-derived ±1 hyperplane literals the DuckDB oracle inlines
     * ([[Analytics.hyperplaneSigns]]) — signatures agree bit-for-bit.
     */
+  /** All 64 hyperplane sign terms, unconditionally — a per-term
+    * `b < 4·bits` guard was tried and REVERTED: 64 scalar-subquery
+    * guards plan as 64 un-reused subquery expressions and measured 2×
+    * SLOWER than just signing every plane. Surplus high bits never
+    * reach a `band_val`, so the full signature is result-identical;
+    * the ~3× sig cost over the old 16-plane form (~1.1 s at sf0.1) is
+    * the price of scale-adaptive banding in a pure-SQL personality.
+    */
   private def sigSql: String =
     Analytics.hyperplaneSigns.zipWithIndex.map { case (row, b) =>
       val lits = row.map(v => if (v > 0) "1.0D" else "-1.0D")
