@@ -83,7 +83,7 @@ object Similarity {
     * measured at the sf1.0 decade as `_build_ivf_pairs` 2.5 s → 171 s
     * (last-decade exponent 1.83); with adaptive K AND the verify-before-
     * distinct pair shape ([[Dedup.ivfPairs]]) the same build measures
-    * ~3 s at sf1.0 — a sub-linear last decade. The constant 1.4 is pinned so K stays
+    * ~4 s at sf1.0 — a sub-linear last decade. The constant 1.4 is pinned so K stays
     * exactly 64 through sf0.1 (1.4·√2000 ≈ 63): every driver-checked
     * result at oracle scales is unchanged, and the oracle's literal
     * `LIMIT 64` remains the exact value of this formula there. Beyond

@@ -85,24 +85,29 @@ object SqlApi {
         |ORDER BY returnflag, linestatus""".stripMargin)
   }
 
-  /** The 16 SRP sign expressions as SQL over `graft_dot`, inlining the same
-    * md5-derived ±1 hyperplane literals the DuckDB oracle inlines
+  /** The 64-row hyperplane table as one FOLDABLE array-of-structs literal
+    * (`(b, s)` = plane index, ±1 sign vector), inlining the same
+    * md5-derived literals the DuckDB oracle inlines
     * ([[Analytics.hyperplaneSigns]]) — signatures agree bit-for-bit.
+    *
+    * The signature is computed RELATIONALLY (explode the plane table,
+    * one small `graft_dot` per (vector, plane) row, sum the bits into
+    * an aggregate) rather than as a single 64-term projection
+    * expression: the aggregate materializes each signature ONCE, where
+    * the mega-expression form recomputed it per downstream reference
+    * (band fan-out × both sides of the self-join) and measured 31.7 s
+    * at sf1.0 vs 4.5 s for this form. Two earlier forms are documented
+    * failures: 16 inline terms (not corpus-adaptive) and a per-term
+    * `b < 4·bits` scalar-subquery guard (64 un-reused subqueries, 2×
+    * slower again). Surplus high bits never reach a `band_val`, so
+    * signing all 64 planes is result-identical at every scale.
     */
-  /** All 64 hyperplane sign terms, unconditionally — a per-term
-    * `b < 4·bits` guard was tried and REVERTED: 64 scalar-subquery
-    * guards plan as 64 un-reused subquery expressions and measured 2×
-    * SLOWER than just signing every plane. Surplus high bits never
-    * reach a `band_val`, so the full signature is result-identical;
-    * the ~3× sig cost over the old 16-plane form (~1.1 s at sf0.1) is
-    * the price of scale-adaptive banding in a pure-SQL personality.
-    */
-  private def sigSql: String =
+  private def planesSql: String =
     Analytics.hyperplaneSigns.zipWithIndex.map { case (row, b) =>
       val lits = row.map(v => if (v > 0) "1.0D" else "-1.0D")
         .mkString("array(", ",", ")")
-      s"(CASE WHEN graft_dot(e, $lits) > 0D THEN ${1L << b}L ELSE 0L END)"
-    }.mkString(" + ")
+      s"named_struct('b', $b, 's', $lits)"
+    }.mkString("array(", ",", ")")
 
   /** Top similar pair per label via `graft_dot` in SQL — the custom codegen
     * expression exposed through the SQL function registry.
@@ -135,9 +140,16 @@ object SqlApi {
          |  FROM (SELECT explode(sequence(4, 16)) AS b)
          |  WHERE 256 * shiftleft(CAST(1 AS BIGINT), b) >=
          |        (SELECT count(*) FROM v)),
+         |sigb AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN graft_dot(e, p.s) > 0D
+         |                       THEN shiftleft(CAST(1 AS BIGINT), p.b)
+         |                       ELSE 0L END) AS BIGINT) AS sig
+         |  FROM v LATERAL VIEW explode($planesSql) pp AS p
+         |  GROUP BY vec_id),
          |sig AS (
-         |  SELECT vec_id, label, e, nrm, CAST($sigSql AS BIGINT) AS sig
-         |  FROM v),
+         |  SELECT v.vec_id, v.label, v.e, v.nrm, sigb.sig
+         |  FROM v JOIN sigb ON v.vec_id = sigb.vec_id),
          |bands AS (
          |  SELECT vec_id, label, sig, k,
          |         shiftright(sig, CAST((SELECT bits FROM bb) * k AS INT)) &
