@@ -151,10 +151,15 @@ def main():
               f"{len(regressions)} isolated query regression(s)."]
     tr, tc = totals(args[0]), totals(args[1])
     if tr and tc:
+        # A zero reference total (e.g. a truncated tail that matched only
+        # one side's footer) must degrade to "n/a", not abort the gate
+        # with a ZeroDivisionError after the per-query verdicts are done.
+        def x(cur, ref):
+            return f"{cur / ref:.2f}x" if ref > 0 else "n/a"
         lines += ["",
                   f"Builds-vs-queries split: builds {tr[0]:.1f}s -> "
-                  f"{tc[0]:.1f}s ({tc[0] / tr[0]:.2f}x), queries "
-                  f"{tr[1]:.1f}s -> {tc[1]:.1f}s ({tc[1] / tr[1]:.2f}x)."]
+                  f"{tc[0]:.1f}s ({x(tc[0], tr[0])}), queries "
+                  f"{tr[1]:.1f}s -> {tc[1]:.1f}s ({x(tc[1], tr[1])})."]
     text = "\n".join(lines) + "\n"
     if report:
         with open(report, "w") as f:

@@ -122,9 +122,12 @@ object Bench {
         qt.count(); tot.count(); ()
       }),
     )
-    val buildResults =
-      if (only.isDefined) Seq.empty
-      else builds.map { case (name, body) => name -> time(name)(body()) }
+    // The ONLY filter selects builds too (by their _build_* names) — the
+    // sfN tail probes time the heavy index materializations directly.
+    // A query-only ONLY set therefore skips all builds, as before.
+    val buildResults = builds
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, body) => name -> time(name)(body()) }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

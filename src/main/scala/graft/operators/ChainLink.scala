@@ -326,82 +326,217 @@ object ChainLink {
     * is irreflexive and transitive ⇒ acyclic, making longest-path
     * well-defined.
     *
-    * Implementation is MAX-PLUS PATH DOUBLING (pointer doubling on the
-    * path relation): maintain J(src, dst, len) = the longest known path
-    * per (src, dst) pair, seeded with the edges at len 1, and each round
-    * square it — J ← max-per-pair(J ∪ {(a.src, b.dst, a.len + b.len) :
-    * a.dst = b.src}). After round k, J holds the longest path for every
-    * pair at distance ≤ 2^k (max-plus lengths compose exactly in a DAG:
-    * any walk is a path, so a longest ≤2^{k+1} path splits at its
-    * midpoint into two longest ≤2^k halves), so the loop runs ⌈log₂
-    * depth⌉ shuffles instead of the former depth/2 relaxation rounds —
-    * the difference between 6 and 60 barriers on a 100 TB trace store
-    * whose chains are 10× deeper. The round terminates when max(len)
-    * falls short of the doubling horizon 2^k: no path of length 2^k
-    * exists ⟹ none longer does, with no extra probe round. depth(v) is
-    * then one aggregation: max len over pairs ending at v.
+    * Implementation is a LEVEL-SYNCHRONOUS Δ-FRONTIER RELAXATION on
+    * (node, best_len) — O(V) state per round, never a pairwise relation:
+    * depth(v) only needs the longest path ENDING at v, so the working
+    * set is one row per node seen as a child, seeded at len 1, and each
+    * round relaxes depth(v) ← max(depth(u) + 1) over edges u→v where u
+    * improved LAST round (the Δ frontier). Monotone and exact in a DAG:
+    * every candidate depth(u)+1 is realized by an actual path (no cycle
+    * can pass through v), values only grow, and the critical chain
+    * improves one level per round, so the loop converges in max-depth
+    * rounds with O(V) rows per round. That replaces the former max-plus
+    * doubling closure, whose (src, dst, len) reachability relation is
+    * O(reachable pairs) — 919k rows vs 359k strict edges at sf0.1
+    * (2.6×), data-shape-dependent and quadratic on a bushy DAG even
+    * though its loop is log-rounds. Frontier state never exceeds E rows
+    * and shrinks monotonically after the widest level.
     *
-    * The working relation is the DAG's reachability closure with one row
-    * per (ancestor, descendant) — 919k rows vs 359k strict edges at
-    * sf0.1 (measured 2.6× blow-up; interval containment keeps ancestor
-    * sets shallow), shuffled on src/dst keys with no skew pivot. Round
-    * count is logged to stderr (`[graft-depth]`). The oracle is a
-    * recursive-CTE longest path — an independent mechanism.
+    * The depth-rounds trade-off is explicit: level-synchronous pays one
+    * barrier per DEPTH LEVEL, the closure pays ⌈log₂ depth⌉ barriers but
+    * O(pairs) state. Trace DAGs under interval containment are shallow
+    * (depth ≈ 12 here, bounded by nesting of call intervals), so O(V)
+    * state wins; if a corpus ever presents a chain deeper than
+    * [[FrontierRoundCap]], the loop falls back to the retained doubling
+    * closure ([[depthsClosure]]) — 100+ driver barriers would dominate
+    * the wall clock before state size does. Round count is logged to
+    * stderr (`[graft-depth]`). The oracle is a recursive-CTE longest
+    * path — an independent mechanism.
     */
+  /** Depth-level budget for the frontier DP before falling back to the
+    * doubling closure: deeper than this, per-level barriers cost more
+    * than the closure's pair-state (96 levels ≈ 192 tiny jobs).
+    */
+  private[graft] val FrontierRoundCap = 96
+
   /** Memoized converged depth relation (id, d) for every node of the
-    * strict DAG — the persisted artifact of the doubling loop, built once
-    * per corpus (same discipline as [[strictLinksFor]] and
-    * [[graft.operators.Curation.ccLabelsFor]]; a production trace store
-    * refreshes this alongside the link relation). The loop runs on LONG
-    * node keys (the numeric tail of the `msg_<event_id>` ids
-    * [[Tables.msgs]] mints — half the shuffle width of the id strings)
-    * and each round composes only the Δ FRONTIER with the closure: a
-    * pair improved in round k has a witness ≤2^k path whose prefix half
-    * is longer than 2^{k-2}, i.e. the prefix side of every productive
-    * composition was itself improved LAST round — so the join's left
-    * side is the (shrinking) `len > horizon/2` slice, not the whole
-    * closure.
+    * strict DAG that has an incoming edge — the persisted artifact of
+    * the relaxation loop, built once per corpus (same discipline as
+    * [[strictLinksFor]] and [[graft.operators.Curation.ccLabelsFor]]; a
+    * production trace store refreshes this alongside the link relation).
+    * The loop runs on LONG node keys (the numeric tail of the
+    * `msg_<event_id>` ids [[Tables.msgs]] mints — half the shuffle width
+    * of the id strings).
     */
   private[graft] def depthsFor(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"tracedepth:$dir") {
       val strict = strictLinksFor(spark, dir)
-      val (init, freeInit) = Iterative.round(
-        strict.select(
+      // Partition width for the solver loop, from the strict memo's scan
+      // statistics (driver-side metadata, no job): ~64 MB of edge rows
+      // per partition — thousands of partitions at 100 TB, a handful
+      // here. The loop's ~depth sequential barriers each pay a fixed
+      // per-stage cost, so width must track the RELATION, not the
+      // session's query-sized default.
+      val nP = BigInt(4).max(
+        strict.queryExecution.optimizedPlan.stats.sizeInBytes / (64L << 20))
+        .min(BigInt(1 << 16)).toInt
+      // The solver loop runs in a CLONED session (shared context, private
+      // SQLConf): relation-sized shuffle width, AQE off (its per-stage
+      // re-plan is pure overhead at O(V) rows and ~10 barriers); the
+      // parent session's conf — and every concurrently running query —
+      // is untouched. The checkpoint pins the edge scan once instead of
+      // re-deriving it from the links memo every level.
+      val ck = strict.select(
           substring(col("parent_id"), 5, 18).cast("long").as("src"),
           substring(col("child_id"), 5, 18).cast("long").as("dst"))
-          .withColumn("len", lit(1L)))
-      var paths = init
-      var freeCur = freeInit
-      var horizon = 1L   // after k rounds J is exact for lengths ≤ 2^k
-      var maxLen = 1L
-      var rounds = 0
-      while (maxLen >= horizon) {
-        rounds += 1
-        val delta = paths.where(col("len") > lit(horizon / 2L))
-        horizon *= 2L
-        val hops = delta.as("a").join(
-            paths.select(col("src").as("mid"), col("dst").as("bdst"),
-              col("len").as("blen")),
-            col("a.dst") === col("mid"))
-          .select(col("a.src").as("src"), col("bdst").as("dst"),
-            (col("a.len") + col("blen")).as("len"))
-        val (next, freeNext) = Iterative.roundLazy(
-          paths.unionAll(hops).groupBy("src", "dst")
-            .agg(max(col("len")).as("len")))
-        val mx = next.agg(max(col("len"))).head()
-        maxLen = if (mx.isNullAt(0)) 0L else mx.getLong(0) // empty DAG → done
-        freeCur()
-        freeCur = freeNext
-        paths = next
-      }
-      System.err.println(
-        s"[graft-depth] closure in $rounds doubling rounds, max depth $maxLen")
-      // NOTE: paths' checkpoint blocks stay pinned until the memo write
-      // below consumes them (freeing here would truncate the lineage);
-      // they are released with the session.
-      paths.groupBy(col("dst")).agg(max(col("len")).as("d"))
-        .select(concat(lit("msg_"), col("dst")).as("id"), col("d"))
+        .coalesce(nP).localCheckpoint(true)
+      val solver = spark.newSession()
+      solver.conf.set("spark.sql.shuffle.partitions", nP.toString)
+      solver.conf.set("spark.sql.adaptive.enabled", "false")
+      val edges = solver.createDataFrame(ck.rdd, ck.schema)
+      depthsFrontier(edges).getOrElse(depthsClosure(edges))
+        .select(concat(lit("msg_"), col("node")).as("id"), col("d"))
     }
+
+  /** Frontier-size threshold below which the relaxation join broadcasts
+    * the frontier side (≈16 MB of (long, long) rows): the edge relation
+    * then never shuffles — one map-side join + partial-agg per level. A
+    * 100 TB graph's early rounds exceed this and take the shuffle path;
+    * late rounds (shrinking Δ) drop under it automatically.
+    */
+  private[graft] val FrontierBroadcastRows = 1000000L
+
+  /** The Δ-frontier relaxation; None if `cap` levels did not converge
+    * (pathologically deep chain → caller falls back to
+    * [[depthsClosure]]). Each level is ONE exchange: candidates come off
+    * a count-gated broadcast join of the Δ slice with the edge scan (no
+    * edge shuffle while the frontier fits [[FrontierBroadcastRows]]; a
+    * 100 TB graph's early wide rounds take the shuffle path instead),
+    * and the merge into the running state is a tag-union into a single
+    * groupBy — no sort-merge join, no second shuffle. The improved-count
+    * that drives termination and the broadcast gate rides the SAME job
+    * as an [[org.apache.spark.sql.Observation]] metric (falling back to
+    * a narrow count of the checkpointed blocks if the checkpoint action
+    * ever stops reporting observed metrics), so a level is exactly one
+    * materializing action. Level fusion (k levels per checkpoint) was
+    * tried and REJECTED: the state is referenced twice per level, and
+    * measured wall clock DOUBLED at k=6 vs k=1 — exchange reuse does not
+    * recover the re-executed aggregation chain above the shared shuffle.
+    */
+  /** Await an [[org.apache.spark.sql.Observation]]'s single long metric,
+    * falling back to `orElse` if the observed action's metrics never
+    * arrive (defensive: checkpoint actions report observed metrics today,
+    * but termination must not hinge on that listener contract).
+    */
+  private def observedCount(obs: org.apache.spark.sql.Observation,
+      orElse: => Long): Long =
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(5, "s"))
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    } catch { case _: java.util.concurrent.TimeoutException => orElse }
+
+  private[graft] def depthsFrontier(edges: DataFrame,
+      cap: Int = FrontierRoundCap): Option[DataFrame] = {
+    // state (node, d, imp): best-known depth + improved-last-level flag
+    val obs0 = org.apache.spark.sql.Observation("graft-depth-init")
+    val (init, freeInit) = Iterative.round(
+      edges.select(col("dst").as("node")).distinct()
+        .withColumn("d", lit(1L)).withColumn("imp", lit(true))
+        .observe(obs0, count(lit(1)).as("n")))
+    var state = init
+    var freeCur = freeInit
+    // round-0 Δ = every node with an in-edge
+    var active = observedCount(obs0, init.count())
+    var levels = 0
+    while (active != 0L && levels < cap) {
+      levels += 1
+      val f = state.where(col("imp")).select("node", "d")
+      val fs = if (active <= FrontierBroadcastRows) broadcast(f) else f
+      val cand = fs.as("f")
+        .join(edges.as("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node"), (col("f.d") + 1L).as("d"))
+      val merged = state.select(col("node"), col("d"), lit(false).as("nw"))
+        .unionAll(cand.select(col("node"), col("d"), lit(true).as("nw")))
+        .groupBy("node")
+        .agg(max(when(!col("nw"), col("d"))).as("od"),
+          max(when(col("nw"), col("d"))).as("nd"))
+        .select(col("node"),
+          greatest(coalesce(col("od"), lit(0L)),
+            coalesce(col("nd"), lit(0L))).as("d"),
+          (coalesce(col("nd"), lit(0L)) >
+            coalesce(col("od"), lit(0L))).as("imp"))
+      val obs = org.apache.spark.sql.Observation(s"graft-depth-$levels")
+      // Materialize the merged state BEFORE freeing the blocks it was
+      // computed from (freeing first would truncate live lineage).
+      val (next, freeNext) = Iterative.round(
+        merged.observe(obs, sum(when(col("imp"), 1L).otherwise(0L)).as("n")))
+      freeCur()
+      freeCur = freeNext
+      state = next
+      active = observedCount(obs, next.where(col("imp")).count())
+    }
+    if (active != 0L) {
+      System.err.println(
+        s"[graft-depth] frontier DP exceeded $cap levels — " +
+          "falling back to doubling closure")
+      freeCur()
+      None
+    } else {
+      // max depth == converged level count: the critical chain improves
+      // by exactly one level per round, and the final (unproductive)
+      // round is not counted past it — init alone (depth 1 everywhere)
+      // converges at levels == 1 only when no second level exists. Empty
+      // DAG: active started 0, levels == 0 == depth.
+      System.err.println(
+        s"[graft-depth] frontier DP converged: max depth $levels")
+      // NOTE: state's checkpoint blocks stay pinned until the memo write
+      // consumes them; they are released with the session.
+      Some(state.select("node", "d"))
+    }
+  }
+
+  /** Deep-chain fallback: the max-plus PATH-DOUBLING closure. Maintain
+    * J(src, dst, len) = longest known path per pair, seeded with edges
+    * at len 1; each round squares it against its own `len > horizon/2` Δ
+    * slice (a longest ≤2^{k+1} path splits at its midpoint into two
+    * longest ≤2^k halves whose prefix was improved last round), so the
+    * loop is ⌈log₂ depth⌉ barriers at O(reachable pairs) state —
+    * preferable only when depth ≫ [[FrontierRoundCap]].
+    */
+  private[graft] def depthsClosure(edges: DataFrame): DataFrame = {
+    val (init, freeInit) = Iterative.round(edges.withColumn("len", lit(1L)))
+    var paths = init
+    var freeCur = freeInit
+    var horizon = 1L   // after k rounds J is exact for lengths ≤ 2^k
+    var maxLen = 1L
+    var rounds = 0
+    while (maxLen >= horizon) {
+      rounds += 1
+      val delta = paths.where(col("len") > lit(horizon / 2L))
+      horizon *= 2L
+      val hops = delta.as("a").join(
+          paths.select(col("src").as("mid"), col("dst").as("bdst"),
+            col("len").as("blen")),
+          col("a.dst") === col("mid"))
+        .select(col("a.src").as("src"), col("bdst").as("dst"),
+          (col("a.len") + col("blen")).as("len"))
+      val (next, freeNext) = Iterative.roundLazy(
+        paths.unionAll(hops).groupBy("src", "dst")
+          .agg(max(col("len")).as("len")))
+      val mx = next.agg(max(col("len"))).head()
+      maxLen = if (mx.isNullAt(0)) 0L else mx.getLong(0) // empty DAG → done
+      freeCur()
+      freeCur = freeNext
+      paths = next
+    }
+    System.err.println(
+      s"[graft-depth] closure in $rounds doubling rounds, max depth $maxLen")
+    // NOTE: paths' checkpoint blocks stay pinned until the memo write
+    // consumes them (freeing here would truncate the lineage); they are
+    // released with the session.
+    paths.groupBy(col("dst").as("node")).agg(max(col("len")).as("d"))
+  }
 
   def traceDepth(spark: SparkSession, dir: String): DataFrame =
     Tables.msgs(spark, dir).select(col("id"))

@@ -98,14 +98,17 @@ object Similarity {
 
   /** Memoized-per-session corpus row count (one parquet-metadata count per
     * (session, dir)) — feeds [[centroidKFor]] and [[panelStep]] so every
-    * consumer derives the SAME sizes without re-counting.
+    * consumer derives the SAME sizes without re-counting. Lives in
+    * [[graft.sources.Materialized.scalarOf]] (session-identity-keyed,
+    * swept with the session), not a process-global map: the old
+    * `identityHashCode(spark)`-keyed ConcurrentHashMap was never evicted,
+    * could collide across sessions, and would serve a stale N to a new
+    * session over a rewritten corpus — desyncing the adaptive index
+    * formulas from the oracle's live counts.
     */
-  private val nCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]
   private[graft] def corpusN(spark: SparkSession, dir: String): Long =
-    nCache.computeIfAbsent(
-      (System.identityHashCode(spark), dir),
-      _ => Dedup.normedFor(spark, dir).count())
+    graft.sources.Materialized.scalarOf(spark, s"corpusn:$dir")(
+      Dedup.normedFor(spark, dir).count())
 
   /** Audit/serving query-panel stride: every `step`-th vector with
     * step = max(20, ⌈N/100⌉), capping the panel at ~100 queries. The old

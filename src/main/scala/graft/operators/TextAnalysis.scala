@@ -407,6 +407,18 @@ object TextAnalysis {
           .select("word", "n", "st")
           .localCheckpoint(true)
       }
+      // Refuse to serve a degenerate model: a corpus too small to yield a
+      // pair in some round leaves that round's 1-row winner EMPTY, and the
+      // two consumers then disagree — the vocab replay's per-round
+      // crossJoin empties the vocab, while the array-fold encoder
+      // ([[bpeTokenCountExpr]]) silently skips the absent round and keeps
+      // counting. Fail loudly here (8 cheap checkpointed rows) instead of
+      // letting batch and streaming token counts diverge downstream.
+      val got = merges.count()
+      require(got == BpeMergeRounds.toLong,
+        s"BPE training produced $got of $BpeMergeRounds merge rounds — " +
+          "corpus too small for the fixed-round model; vocab replay and " +
+          "array-fold encoding would diverge on the absent rounds")
       merges
     }
 

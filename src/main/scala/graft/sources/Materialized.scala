@@ -80,6 +80,7 @@ object Materialized {
   private final class SessionState {
     val memos = new ConcurrentHashMap[String, DataFrame]()
     val locks = new ConcurrentHashMap[String, Object]()
+    val scalars = new ConcurrentHashMap[String, AnyRef]()
   }
   private val sessions = new java.util.IdentityHashMap[SparkSession, SessionState]()
   private val baseDirs = new java.util.IdentityHashMap[SparkSession, Path]()
@@ -176,6 +177,31 @@ object Materialized {
         }
         state.memos.put(key, table)
         table
+      }
+    }
+  }
+
+  /** Session-scoped SCALAR memo (corpus counts, adaptive widths): same
+    * lifecycle as the table memos — keyed by session IDENTITY (not an
+    * identityHashCode-derived key, which can collide across sessions) and
+    * evicted by [[forSession]]'s sweep when the session stops. A
+    * process-global map would pin every (session, dir) entry forever and
+    * serve a stale value to a new session over a rewritten corpus; here a
+    * fresh session recomputes, and within one session the value stays
+    * consistent with the table memos the same formulas feed.
+    */
+  def scalarOf[T](spark: SparkSession, key: String)(build: => T): T = {
+    val state = forSession(spark)
+    val existing = state.scalars.get(key)
+    if (existing != null) return existing.asInstanceOf[T]
+    val lock = state.locks.computeIfAbsent(s"scalar:$key", _ => new Object)
+    lock.synchronized {
+      val raced = state.scalars.get(key)
+      if (raced != null) raced.asInstanceOf[T]
+      else {
+        val v = build
+        state.scalars.put(key, v.asInstanceOf[AnyRef])
+        v
       }
     }
   }
