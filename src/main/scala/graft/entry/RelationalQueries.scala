@@ -49,6 +49,12 @@ object RelationalQueries {
     "q_sql_cosine_by_label" -> ((s, d) => SqlApi.sqlCosineByLabel(s, d)),
     "q_sql_small_qty" -> ((s, d) => SqlApi.smallQtyParts(s, d)),
     "q_sql_grouping_sets" -> ((s, d) => SqlApi.groupingSetsMarginals(s, d)),
+    // SQL-text twins of DataFrame operators: same engine through
+    // spark.sql over registered views (links = the memoized artifact)
+    "q_sql_degree_hist" -> ((s, d) => SqlApi.sqlDegreeHist(s, d)),
+    "q_sql_sessions" -> ((s, d) => SqlApi.sqlSessions(s, d)),
+    "q_sql_anti_no_orders" -> ((s, d) => SqlApi.sqlAntiNoOrders(s, d)),
+    "q_sql_pivot_events" -> ((s, d) => SqlApi.sqlPivotEvents(s, d)),
     "q_scd2" -> ((s, d) => Relational.qScd2(s, d)),
     "q_zonemap_prune" -> ((s, d) => Relational.qZonemapPrune(s, d)),
     "q_bloom_semi" -> ((s, d) => RuntimeFilter.bloomSemiRevenue(s, d)),
@@ -400,6 +406,43 @@ object RelationalQueries {
         |SELECT p_partkey, price_c, sz FROM m
         |WHERE coalesce(prevmax, -1) < sz AND pmax = sz
         |ORDER BY price_c, p_partkey""".stripMargin,
+    // SQL-text twins — the Spark side runs spark.sql text; the oracles
+    // replay the same relational content in DuckDB's dialect.
+    "q_sql_degree_hist" ->
+      s"""WITH $msgsCte, $linksCte,
+         |par AS (SELECT child_id AS id, count(DISTINCT parent_id) AS parent_cnt
+         |        FROM links GROUP BY 1),
+         |chi AS (SELECT parent_id AS id, count(DISTINCT child_id) AS child_cnt
+         |        FROM links GROUP BY 1)
+         |SELECT coalesce(p.parent_cnt, 0) AS parent_cnt,
+         |       coalesce(c.child_cnt, 0) AS child_cnt,
+         |       count(*) AS n
+         |FROM msgs m
+         |LEFT JOIN par p ON m.id = p.id
+         |LEFT JOIN chi c ON m.id = c.id
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
+    "q_sql_sessions" ->
+      s"""WITH $sessionsCtes
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |       min(em) AS session_start_ms, max(em) AS session_end_ms
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sql_anti_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000.0)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_sql_pivot_events" ->
+      """SELECT user_id % 8 AS bucket,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pivot_events" ->
       """SELECT user_id % 8 AS bucket,
         |       count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -179,13 +179,20 @@ object ChainLink {
   def linkedFor(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"linked:$dir") {
       val m = Tables.msgs(spark, dir)
-      val l = linksFor(spark, dir) // reused by both aggregations
-      val parents = l.groupBy(col("child_id").as("id"))
-        .agg(sort_array(collect_set(col("parent_id"))).as("parents"))
-      val children = l.groupBy(col("parent_id").as("id"))
-        .agg(sort_array(collect_set(col("child_id"))).as("children"))
-      m.join(parents, Seq("id"), "left")
-        .join(children, Seq("id"), "left")
+      val l = linksFor(spark, dir)
+      // ONE shuffle for both degree directions: tag-union the two edge
+      // orientations and fold them in a single groupBy (collect_set skips
+      // the other orientation's nulls), then ONE join back to msgs —
+      // formerly two groupBys over the link set plus two sort-merge
+      // joins against the message scan.
+      val both = l.select(col("child_id").as("id"),
+          col("parent_id").as("p"), lit(null).cast("string").as("c"))
+        .unionAll(l.select(col("parent_id").as("id"),
+          lit(null).cast("string").as("p"), col("child_id").as("c")))
+        .groupBy("id")
+        .agg(sort_array(collect_set(col("p"))).as("parents"),
+          sort_array(collect_set(col("c"))).as("children"))
+      m.join(both, Seq("id"), "left")
         .select(m("id"), m("src_ip"), m("dst_ip"), m("start_at_ms"),
           m("latency_msec"), m("end_at_ms"),
           coalesce(col("parents"), array().cast("array<string>")).as("parents"),

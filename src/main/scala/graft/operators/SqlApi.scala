@@ -203,4 +203,94 @@ object SqlApi {
         |SELECT label, vec_a, vec_b, cos FROM r WHERE rk = 1
         |ORDER BY label""".stripMargin)
   }
+
+  /** The MEMOIZED link relation as a SQL view: the SQL user queries the
+    * materialized trace-graph artifact (a parquet scan), not a per-query
+    * rebuild of the banded interval join — the same discipline every
+    * DataFrame consumer gets through [[ChainLink.linksFor]].
+    */
+  private def linksView(spark: SparkSession, dir: String): Unit =
+    ChainLink.linksFor(spark, dir).createOrReplaceTempView("links")
+
+  /** Degree histogram in SQL text over the `links` + `msgs` views — the
+    * SQL twin of [[ChainLink.degreeHistogram]] (two distinct-count CTEs,
+    * outer-joined back to every message so zero-degree nodes survive).
+    */
+  def sqlDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    Tables.msgs(spark, dir).createOrReplaceTempView("msgs")
+    linksView(spark, dir)
+    spark.sql(
+      """WITH par AS (SELECT child_id AS id,
+        |               count(DISTINCT parent_id) AS parent_cnt
+        |             FROM links GROUP BY 1),
+        |     chi AS (SELECT parent_id AS id,
+        |               count(DISTINCT child_id) AS child_cnt
+        |             FROM links GROUP BY 1)
+        |SELECT coalesce(p.parent_cnt, 0) AS parent_cnt,
+        |       coalesce(c.child_cnt, 0) AS child_cnt,
+        |       count(*) AS n
+        |FROM msgs m
+        |LEFT JOIN par p ON m.id = p.id
+        |LEFT JOIN chi c ON m.id = c.id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Gap sessionization in SQL text (named WINDOW clause + running sum) —
+    * the SQL twin of [[ChainLink.sessionize]], identical output.
+    */
+  def sqlSessions(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "events")
+    spark.sql(
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts DIV 1000000 AS em FROM events),
+        |g AS (
+        |  SELECT event_id, user_id, em,
+        |         CASE WHEN em - lag(em, 1) OVER w > 1800000 THEN 1 ELSE 0 END
+        |           AS gap_break
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id)),
+        |s AS (
+        |  SELECT user_id, em, event_id,
+        |         CAST(sum(gap_break) OVER (PARTITION BY user_id
+        |                ORDER BY em, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(em) AS session_start_ms, max(em) AS session_end_ms
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Correlated NOT EXISTS in SQL text — the SQL twin of
+    * [[Relational.qAntiNoOrders]]; Catalyst decorrelates it into the same
+    * left-anti join the DataFrame form declares.
+    */
+  def sqlAntiNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(view(spark, dir, _))
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000.0)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** PIVOT syntax in SQL text — the SQL twin of
+    * [[Analytics.pivotEventCounts]] (same buckets, same pinned value
+    * list; empty cells coalesced to 0 as `na.fill` does there).
+    */
+  def sqlPivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "events")
+    spark.sql(
+      """SELECT bucket,
+        |       coalesce(click, 0L) AS click, coalesce(error, 0L) AS error,
+        |       coalesce(purchase, 0L) AS purchase,
+        |       coalesce(signup, 0L) AS signup, coalesce(view, 0L) AS view
+        |FROM (SELECT user_id % 8 AS bucket, event_type FROM events)
+        |PIVOT (count(*) FOR event_type
+        |       IN ('click', 'error', 'purchase', 'signup', 'view'))
+        |ORDER BY bucket""".stripMargin)
+  }
 }
