@@ -26,7 +26,10 @@ same data" scales:
   pyarrow (DuckDB would widen to double).
 * region/nation: constant dimension tables, copied as-is (TPC-H style).
 
-Deterministic (md5 + fixed rotations), no RNG. Usage:
+Deterministic (md5 + fixed rotations), no RNG. The strides are derived
+from the SOURCE decade's row counts, so the script CHAINS: sf0.1 ->
+testdata_sf1.0 (default), then testdata_sf1.0 -> testdata_sf10 for the
+fifth-decade probe. Usage:
   python3 scripts/gen_sf1.py [src_sf_dir] [dst_dir]
 """
 import shutil
@@ -41,11 +44,11 @@ import pyarrow.parquet as pq
 R = 10
 SRC = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
 DST = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1.0")
-EPOCH_US = 32 * 24 * 3600 * 1000000  # 32-day replica epoch shift
+BASE_US = 32 * 24 * 3600 * 1000000  # 32-day epoch quantum
 
-STRIDE = {"customer": 15000, "orders": 150000, "part": 20000,
-          "supplier": 1000, "events": 100000, "events_user": 1500,
-          "documents": 5000, "embeddings": 2000}
+
+def rows_of(t):
+    return pq.ParquetFile(SRC / f"{t}.parquet").metadata.num_rows
 
 
 def main():
@@ -57,15 +60,39 @@ def main():
         shutil.copyfile(SRC / f"{t}.parquet", DST / f"{t}.parquet")
         print(f"{t}: copied")
 
-    # Row groups sized to ONE sf0.1 table's rows each (~10 per file):
-    # the driver fixtures are single-row-group, which is fine at their
-    # size but would starve scan parallelism at 10x (Spark splits
+    # Key strides = source row counts (keys are contiguous per table, so
+    # replica k's offset k*rows keeps them disjoint at ANY source decade);
+    # the user-id stride is the one non-table key space.
+    STRIDE = {t: rows_of(t) for t in
+              ("customer", "orders", "part", "supplier", "events",
+               "documents", "embeddings")}
+    STRIDE["events_user"] = con.execute(
+        f"SELECT max(user_id) + 1 FROM read_parquet('{SRC}/events.parquet')"
+    ).fetchone()[0]
+
+    # Replica epoch stride: the next 32-day multiple STRICTLY above the
+    # source's full time span, so replicas never overlap in time — with
+    # the fixed 32-day shift, deriving sf10 from sf1.0 (itself spanning
+    # ~10 epochs) collided replica (k, j) with (k', j') whenever
+    # k + j == k' + j', doubling per-(ip, time) density and deepening
+    # containment chains (the sf10 probe measured max trace depth 15 vs
+    # the designed 9). sf0.1 spans < 32 days, so the sf1.0 derivation is
+    # byte-identical to the old constant.
+    span_us = con.execute(
+        "SELECT CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT)"
+        f" FROM read_parquet('{SRC}/events.parquet')").fetchone()[0]
+    epoch_us = BASE_US * (span_us // BASE_US + 1)
+    print(f"epoch stride: {epoch_us // (24 * 3600 * 1000000)} days "
+          f"(source span {span_us // (24 * 3600 * 1000000)} days)")
+
+    # Row groups at ~1/10 of the SOURCE table's rows (~100 per output
+    # file): the driver fixtures are single-row-group, which is fine at
+    # their size but would starve scan parallelism at 10x (Spark splits
     # parquet at row-group granularity) — a local-fixture artifact, not
-    # how a real 10x corpus (many files) behaves. Per-partition work
-    # thus matches sf0.1; scale shows up as partition count.
-    RG = {"customer": 15000, "orders": 150000, "lineitem": 600000,
-          "part": 20000, "supplier": 1000, "events": 100000,
-          "documents": 5000}
+    # how a real 10x corpus (many files) behaves.
+    RG = {t: max(1000, rows_of(t) // 10) for t in
+          ("customer", "orders", "lineitem", "part", "supplier",
+           "events", "documents")}
 
     def emit(t, select):
         con.execute(
@@ -91,7 +118,7 @@ def main():
     emit("supplier", f"""SELECT s_suppkey + k*{STRIDE['supplier']} AS s_suppkey,
         s_name, s_nationkey, s_acctbal""")
     emit("events", f"""SELECT event_id + k*{STRIDE['events']} AS event_id,
-        ts + to_microseconds(k * CAST({EPOCH_US} AS BIGINT)) AS ts,
+        ts + to_microseconds(k * CAST({epoch_us} AS BIGINT)) AS ts,
         user_id + k*{STRIDE['events_user']} AS user_id,
         event_type, value, props""")
     emit("documents", f"""SELECT doc_id + k*{STRIDE['documents']} AS doc_id,

@@ -18,6 +18,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Same AQE start-wide-coalesce-back lever as Engine.session — the
+      // sf10 probe's spill-bound link/LSH shuffles need more than 32
+      // initial partitions; small shuffles coalesce back for free.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -27,6 +32,13 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_EXPLAIN_DIR also routes BUILD plans: Materialized dumps
+    // each memo builder's un-memoized plan there at build time (a
+    // post-hoc explain of a memo is just a parquet scan), so the 42
+    // _build_* cost centers carry plan evidence alongside the query
+    // plans. Must be set BEFORE the first build/warm query runs.
+    sys.env.get("SPARK_GRAFT_EXPLAIN_DIR").foreach(d =>
+      spark.conf.set("spark.graft.materialized.explainDir", d))
     // Fingerprint the RAW testdata schemas (pre-normalization) so every
     // published bench self-evidences which data contract it ran against —
     // round 7's local bench was silently recorded against stale parquet

@@ -39,6 +39,15 @@ object Engine {
       // deployment tunes the same lever from the other end
       // (spark.sql.files.maxPartitionBytes, SCALING.md).
       .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
+      // AQE plans shuffles WIDE and coalesces them after seeing the real
+      // sizes: 8× the static width as the starting partition count keeps
+      // big intermediate shuffles (the link enrichment's 2·|links| fold,
+      // the LSH band join) under the per-task memory that triggers
+      // hash-agg spill at the sf10 decade, while small shuffles coalesce
+      // right back to a handful of partitions — the standard scale lever,
+      // free when AQE is on.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shufflePartitions * 8).toString)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()

@@ -15,6 +15,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // Same scan-split floor as Engine.session/Bench (see Engine.session).
       .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
+      // Same AQE start-wide-coalesce-back lever as Engine.session/Bench.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -641,21 +641,29 @@ object Analytics {
     val sigCol = (0 until nPlanes).map { b =>
       when(VectorOps.dot(col("e"), signLits(b)) > 0d, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sig = v.select(col("vec_id"), col("e"), col("nrm"), sigCol.as("sig"))
-    val bands = sig.select(col("vec_id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("k"))
+    // The vectors ride ON the band rows (4 rows/vector) and the exact
+    // cosine is scored INSIDE the band self-join, filtering BEFORE the
+    // distinct — so the O(Σ bucket²) candidate volume exists only as a
+    // projection and the pair-keyed exchange sees survivors of the 0.45
+    // verify. The former shape deduped the full candidate set and then
+    // attached both arrays with two sort-merge joins at candidate
+    // cardinality — the sf10 probe measured that at 44× the sf1.0 wall.
+    // A multi-band duplicate pair scores its cosine once per shared band
+    // (deterministic → identical rows, removed by the distinct); that
+    // recompute is linear in candidates, the attach-after sorts were not.
+    // Same lesson as [[graft.operators.Dedup.ivfPairs]] (round 10).
+    val bands = v.select(col("vec_id"), col("e"), col("nrm"),
+        sigCol.as("sig"), explode(sequence(lit(0), lit(3))).as("k"))
       .withColumn("band_val", expr(s"(sig >> ($bb * k)) & ${(1L << bb) - 1L}"))
-    val cand = bands.as("a").join(bands.as("b"),
+      .select("vec_id", "e", "nrm", "k", "band_val")
+    bands.as("a").join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    cand
-      .join(sig.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), "vec_a")
-      .join(sig.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        (VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (VectorOps.dot(col("a.e"), col("b.e")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
       .where(col("cos") >= 0.45)
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 

@@ -63,7 +63,14 @@ object ChainLink {
     else math.max(1L, math.max(stats.getLong(0), (stats.getLong(1) + 63) / 64))
   }
 
-  def links(msgsRaw: DataFrame): DataFrame = {
+  def links(msgsRaw: DataFrame): DataFrame =
+    linksWithStrict(msgsRaw).select("parent_id", "child_id")
+
+  /** The banded join with the strict-containment flag attached —
+    * [[linksFor]] memoizes THIS relation, so the strict edge set
+    * ([[strictLinksFor]]) is a filter over the same stored table.
+    */
+  private def linksWithStrict(msgsRaw: DataFrame): DataFrame = {
     val msgs = msgsRaw.where(col("end_at_ms") >= col("start_at_ms"))
     val w = bandWidth(msgs)
 
@@ -86,7 +93,12 @@ object ChainLink {
       .where(col("p_start") <= col("c_start") &&
         col("p_end") >= col("c_end") &&
         col("parent_id") =!= col("child_id"))
-      .select("parent_id", "child_id")
+      // strict-containment flag computed WHILE both intervals are in
+      // scope: deriving it post hoc costs two joins back to msgs at link
+      // cardinality (the sf10 probe measured that at 50 s for 35M links)
+      .select(col("parent_id"), col("child_id"),
+        (!(col("p_start") === col("c_start") &&
+          col("p_end") === col("c_end"))).as("strict"))
   }
 
   /** What-if health report for the banded interval join under a CANDIDATE
@@ -168,10 +180,16 @@ object ChainLink {
 
   /** The links relation for a testdata dir, memoized per session: five
     * driver queries are views over it (see [[graft.sources.Materialized]]).
+    * The memo stores the strict flag alongside the pair (key `links2:` —
+    * bumped from `links:` when the stored schema grew the column), so
+    * consumers that don't read it prune it at the parquet scan.
     */
+  private def linksAllFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"links2:$dir")(
+      linksWithStrict(Tables.msgs(spark, dir)))
+
   def linksFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"links:$dir")(
-      links(Tables.msgs(spark, dir)))
+    linksAllFor(spark, dir).select("parent_id", "child_id")
 
   /** The enriched (unsorted) linked relation, memoized per session —
     * `chain_link` presents it sorted, `degree_histogram` folds it.
@@ -306,25 +324,17 @@ object ChainLink {
       .orderBy("grand_id", "mid_id", "child_id")
   }
 
-  /** Memoized strict-containment edge relation (equal-interval 2-cycles
-    * removed) — the DAG every [[traceDepth]] round joins against. A session
-    * memo, not a per-call `.cache()`: under the round-5 full-bench memory
-    * pressure the per-call cache thrashed (156 s spread on a 6.5 s query);
-    * as a parquet memo it is built once per session and every repeat's
-    * rounds re-read a small scan.
+  /** Strict-containment edge relation (equal-interval 2-cycles removed) —
+    * the DAG every [[traceDepth]] round joins against. A pushdown filter
+    * over the links memo's stored `strict` flag: the former derivation
+    * re-joined msgs twice at LINK cardinality to recover the intervals
+    * the banded join had already seen (the sf10 probe measured those two
+    * sort-merge passes at 50 s for 35M links); now the flag is computed
+    * where the intervals live and this is a parquet scan.
     */
   private[graft] def strictLinksFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"strictlinks:$dir") {
-      val iv = Tables.msgs(spark, dir).select(col("id"),
-        col("start_at_ms"), col("end_at_ms"))
-      linksFor(spark, dir)
-        .join(iv.select(col("id").as("parent_id"), col("start_at_ms").as("ps"),
-          col("end_at_ms").as("pe")), "parent_id")
-        .join(iv.select(col("id").as("child_id"), col("start_at_ms").as("cs"),
-          col("end_at_ms").as("ce")), "child_id")
-        .where(!(col("ps") === col("cs") && col("pe") === col("ce")))
-        .select("parent_id", "child_id")
-    }
+    linksAllFor(spark, dir).where(col("strict"))
+      .select("parent_id", "child_id")
 
   /** Ancestor-chain depth per message: longest path over the STRICT-
     * containment link DAG ([[strictLinksFor]]). Equal-interval pairs link
@@ -377,32 +387,41 @@ object ChainLink {
     */
   private[graft] def depthsFor(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"tracedepth:$dir") {
-      val strict = strictLinksFor(spark, dir)
-      // Partition width for the solver loop, from the strict memo's scan
-      // statistics (driver-side metadata, no job): ~64 MB of edge rows
-      // per partition — thousands of partitions at 100 TB, a handful
-      // here. The loop's ~depth sequential barriers each pay a fixed
-      // per-stage cost, so width must track the RELATION, not the
-      // session's query-sized default.
-      val nP = BigInt(4).max(
-        strict.queryExecution.optimizedPlan.stats.sizeInBytes / (64L << 20))
-        .min(BigInt(1 << 16)).toInt
+      // Edge relation for the loop: a COLUMNAR scan of the links memo
+      // (strict flag pushed to parquet, long keys projected in codegen)
+      // re-read per level — measured far cheaper at the sf10 probe than
+      // the checkpointed-RDD form, whose per-level scans paid a
+      // Row-object (de)serialization over 35M edges × 2 uses × depth
+      // levels and whose pinned blocks starved later builds into OOM.
+      // The count sizes the solver's shuffle width at ~1M edge rows per
+      // partition — dozens at the sf10 probe, thousands at 100 TB.
+      val edgesSrc = strictLinksFor(spark, dir).select(
+        substring(col("parent_id"), 5, 18).cast("long").as("src"),
+        substring(col("child_id"), 5, 18).cast("long").as("dst"))
+      val nP = math.max(4L, edgesSrc.count() / 1000000L).min(1L << 16).toInt
       // The solver loop runs in a CLONED session (shared context, private
       // SQLConf): relation-sized shuffle width, AQE off (its per-stage
-      // re-plan is pure overhead at O(V) rows and ~10 barriers); the
-      // parent session's conf — and every concurrently running query —
-      // is untouched. The checkpoint pins the edge scan once instead of
-      // re-deriving it from the links memo every level.
-      val ck = strict.select(
-          substring(col("parent_id"), 5, 18).cast("long").as("src"),
-          substring(col("child_id"), 5, 18).cast("long").as("dst"))
-        .coalesce(nP).localCheckpoint(true)
+      // re-plan is pure overhead at ~10 sequential barriers); the parent
+      // session's conf — and every concurrently running query — is
+      // untouched. The edge plan crosses sessions through a global temp
+      // view (build-unique name; dropped below).
       val solver = spark.newSession()
       solver.conf.set("spark.sql.shuffle.partitions", nP.toString)
       solver.conf.set("spark.sql.adaptive.enabled", "false")
-      val edges = solver.createDataFrame(ck.rdd, ck.schema)
-      depthsFrontier(edges).getOrElse(depthsClosure(edges))
-        .select(concat(lit("msg_"), col("node")).as("id"), col("d"))
+      val vn = s"graft_trace_edges_${System.nanoTime}"
+      edgesSrc.createOrReplaceGlobalTempView(vn)
+      try {
+        val edges = solver.table(s"global_temp.$vn")
+        val (depths, freeBig) =
+          depthsFrontier(edges).getOrElse(depthsClosure(edges))
+        // Pin the SMALL (node, d) result as its own flat blocks, then
+        // release the loop's O(V) working state — leaving it pinned for
+        // the session starved later heavy builds at the sf10 probe.
+        val (flat, _) = Iterative.round(
+          depths.select(concat(lit("msg_"), col("node")).as("id"), col("d")))
+        freeBig()
+        flat
+      } finally spark.catalog.dropGlobalTempView(vn)
     }
 
   /** Frontier-size threshold below which the relaxation join broadcasts
@@ -444,7 +463,7 @@ object ChainLink {
     } catch { case _: java.util.concurrent.TimeoutException => orElse }
 
   private[graft] def depthsFrontier(edges: DataFrame,
-      cap: Int = FrontierRoundCap): Option[DataFrame] = {
+      cap: Int = FrontierRoundCap): Option[(DataFrame, () => Unit)] = {
     // state (node, d, imp): best-known depth + improved-last-level flag
     val obs0 = org.apache.spark.sql.Observation("graft-depth-init")
     val (init, freeInit) = Iterative.round(
@@ -458,6 +477,7 @@ object ChainLink {
     var levels = 0
     while (active != 0L && levels < cap) {
       levels += 1
+      val t0 = System.nanoTime()
       val f = state.where(col("imp")).select("node", "d")
       val fs = if (active <= FrontierBroadcastRows) broadcast(f) else f
       val cand = fs.as("f")
@@ -482,6 +502,8 @@ object ChainLink {
       freeCur = freeNext
       state = next
       active = observedCount(obs, next.where(col("imp")).count())
+      System.err.println(s"[graft-depth] level $levels: " +
+        s"${(System.nanoTime() - t0) / 1000000} ms, active=$active")
     }
     if (active != 0L) {
       System.err.println(
@@ -497,9 +519,9 @@ object ChainLink {
       // DAG: active started 0, levels == 0 == depth.
       System.err.println(
         s"[graft-depth] frontier DP converged: max depth $levels")
-      // NOTE: state's checkpoint blocks stay pinned until the memo write
-      // consumes them; they are released with the session.
-      Some(state.select("node", "d"))
+      // The caller materializes its projection of the state, THEN calls
+      // the returned release handle to free the loop's working blocks.
+      Some((state.select("node", "d"), freeCur))
     }
   }
 
@@ -511,7 +533,7 @@ object ChainLink {
     * loop is ⌈log₂ depth⌉ barriers at O(reachable pairs) state —
     * preferable only when depth ≫ [[FrontierRoundCap]].
     */
-  private[graft] def depthsClosure(edges: DataFrame): DataFrame = {
+  private[graft] def depthsClosure(edges: DataFrame): (DataFrame, () => Unit) = {
     val (init, freeInit) = Iterative.round(edges.withColumn("len", lit(1L)))
     var paths = init
     var freeCur = freeInit
@@ -539,10 +561,10 @@ object ChainLink {
     }
     System.err.println(
       s"[graft-depth] closure in $rounds doubling rounds, max depth $maxLen")
-    // NOTE: paths' checkpoint blocks stay pinned until the memo write
-    // consumes them (freeing here would truncate the lineage); they are
-    // released with the session.
-    paths.groupBy(col("dst").as("node")).agg(max(col("len")).as("d"))
+    // The caller materializes the aggregation below, THEN calls the
+    // release handle to free the closure's pair-state blocks.
+    (paths.groupBy(col("dst").as("node")).agg(max(col("len")).as("d")),
+      freeCur)
   }
 
   def traceDepth(spark: SparkSession, dir: String): DataFrame =

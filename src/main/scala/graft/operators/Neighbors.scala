@@ -33,23 +33,33 @@ object Neighbors {
     * and no distinct is needed. Top-k is a per-src window over the
     * candidate set — the exchange carries IVF candidates (≈ nprobe·N/K
     * per src), not the corpus.
+    *
+    * Both embedding arrays ride INTO the bucket join (the probe keeps
+    * `e`/`nrm`; the member side attaches them to its N assignment rows
+    * first), so the cosine is scored inside the join and the
+    * O(N·nprobe·N/K) candidate relation exists only as the narrow
+    * (src, dst, cos) projection. The former shape attached the arrays
+    * AFTER candidate enumeration — two sort-merge sorts of the candidate
+    * volume at ~600 bytes/row, which the sf10 probe measured at 122×
+    * the sf1.0 wall (N^1.5 candidates × wide rows): the same lesson as
+    * [[Dedup.ivfPairs]]'s round-10 fix, now applied here.
     */
   private[graft] def knnEdgesFor(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"knn:$dir") {
       val v = Dedup.normedFor(spark, dir)
       val cents = Similarity.centroidsMemoFor(spark, dir)
       val asg = Similarity.ivfAssignFor(spark, dir)
-      val probes = Similarity.multiProbe(v, cents, nprobe = 2)
-        .withColumnRenamed("vec_id", "src")
-      val q = v.select(col("vec_id").as("src"), col("e").as("qe"),
-        col("nrm").as("qn"))
+      val probes = Similarity
+        .multiProbe(v, cents, nprobe = 2, keep = Seq("e", "nrm"))
+        .select(col("vec_id").as("src"), col("e").as("qe"),
+          col("nrm").as("qn"), col("cent_id"))
+      val member = asg.withColumnRenamed("vec_id", "dst")
+        .join(v.withColumnRenamed("vec_id", "dst"), "dst")
+        .select(col("cent_id"), col("dst"), col("e"), col("nrm"))
       val wTop = Window.partitionBy(col("src"))
         .orderBy(col("cos").desc, col("dst"))
-      probes
-        .join(asg.withColumnRenamed("vec_id", "dst"), "cent_id")
+      probes.join(member, "cent_id")
         .where(col("dst") =!= col("src"))
-        .join(q, "src")
-        .join(v.withColumnRenamed("vec_id", "dst"), "dst")
         .select(col("src"), col("dst"),
           Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
         .withColumn("rk", row_number().over(wTop))

@@ -206,13 +206,35 @@ object Materialized {
     }
   }
 
+  /** Plan-dump hook for drift adjudication: when
+    * `spark.graft.materialized.explainDir` is set, every memo BUILD
+    * writes its builder's formatted physical plan to
+    * `<dir>/<slug>.plan.txt` before materializing — the un-memoized
+    * operator structure that a post-hoc explain of the memo (a parquet
+    * scan) can no longer show. Adopted/raced entries dump nothing: no
+    * build ran.
+    */
+  private def dumpBuildPlan(spark: SparkSession, key: String,
+      df: DataFrame): Unit =
+    spark.conf.getOption("spark.graft.materialized.explainDir").foreach { d =>
+      try {
+        new java.io.File(d).mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, s"${slug(key)}.plan.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   private def localMemo(spark: SparkSession, key: String,
       build: => DataFrame): DataFrame = {
     val dir = s"${localRootFor(spark)}/m${seq.incrementAndGet()}-${slug(key)}"
+    val df = build
+    dumpBuildPlan(spark, key, df)
     // A failed build must not leak its half-written directory — the retry
     // uses a fresh seq number, so without cleanup every failure orphans a
     // dir of partial part-files. Hadoop's FileSystem handles any root.
-    try build.write.mode("overwrite").parquet(dir)
+    try df.write.mode("overwrite").parquet(dir)
     catch { case e: Throwable =>
       try {
         val p = new org.apache.hadoop.fs.Path(dir)
@@ -307,7 +329,9 @@ object Materialized {
       val tmp = new org.apache.hadoop.fs.Path(
         s"$entry.tmp-${spark.sparkContext.applicationId}-${seq.incrementAndGet()}")
       try {
-        build.write.mode("overwrite")
+        val df = build
+        dumpBuildPlan(spark, key, df)
+        df.write.mode("overwrite")
           .parquet(new org.apache.hadoop.fs.Path(tmp, "data").toString)
         writeManifest(fs, tmp, key, fp)
         // Publish atomically. Some FileSystems fail the rename when the

@@ -47,8 +47,11 @@ class TraceDepthSpec extends SparkSpec {
     val expected = brute(dag).filter(_._2 > 0) // relation holds in-edge nodes only
     val frontier = ChainLink.depthsFrontier(e)
     assert(frontier.isDefined, "well within the round cap — must converge")
-    assert(toMap(frontier.get) == expected)
-    assert(toMap(ChainLink.depthsClosure(e)) == expected)
+    assert(toMap(frontier.get._1) == expected)
+    frontier.get._2() // release handle usable after the read
+    val (closure, freeClosure) = ChainLink.depthsClosure(e)
+    assert(toMap(closure) == expected)
+    freeClosure()
   }
 
   test("a round cap below the DAG depth reports non-convergence (fallback trigger)") {
@@ -59,6 +62,6 @@ class TraceDepthSpec extends SparkSpec {
 
   test("empty edge relation converges immediately to an empty depth relation") {
     val out = ChainLink.depthsFrontier(edgesDf(Seq.empty))
-    assert(out.isDefined && out.get.count() == 0)
+    assert(out.isDefined && out.get._1.count() == 0)
   }
 }
