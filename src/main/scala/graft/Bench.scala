@@ -19,10 +19,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // Same AQE start-wide-coalesce-back lever as Engine.session — the
-      // sf10 probe's spill-bound link/LSH shuffles need more than 32
-      // initial partitions; small shuffles coalesce back for free.
+      // sf10 probe spill relief without the range-exchange tax (see
+      // Engine.session); small shuffles coalesce back for free.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        (cpus.toInt * 2).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

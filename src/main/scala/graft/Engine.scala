@@ -40,14 +40,19 @@ object Engine {
       // (spark.sql.files.maxPartitionBytes, SCALING.md).
       .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       // AQE plans shuffles WIDE and coalesces them after seeing the real
-      // sizes: 8× the static width as the starting partition count keeps
+      // sizes: 2× the static width as the starting partition count keeps
       // big intermediate shuffles (the link enrichment's 2·|links| fold,
       // the LSH band join) under the per-task memory that triggers
       // hash-agg spill at the sf10 decade, while small shuffles coalesce
-      // right back to a handful of partitions — the standard scale lever,
-      // free when AQE is on.
+      // right back — the standard scale lever, free when AQE is on. 8×
+      // was tried and REJECTED: range-partitioned exchanges (global
+      // ranks, packing, train order) paid ~0.6 s per query in sampling +
+      // tiny-task overhead at sf0.1, a uniform 2.5× on six sub-second
+      // window queries; 2× keeps the sf10 relief without the tax. A
+      // 1000-executor deployment sizes this from bytes-per-partition
+      // targets instead (SCALING.md).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (shufflePartitions * 8).toString)
+        (shufflePartitions * 2).toString)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()

@@ -17,7 +17,7 @@ object Verify {
       .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       // Same AQE start-wide-coalesce-back lever as Engine.session/Bench.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        (cpus.toInt * 2).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
