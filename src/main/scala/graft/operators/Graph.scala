@@ -69,6 +69,18 @@ object Graph {
     * support ≥ 2 edges are the real co-purchase signal and stay ~constant
     * (3.6k at sf0.1) — without it, any downstream graph algorithm is
     * O(noise), with it the graph fits wherever it lands.
+    *
+    * Df-cap check (adjudicated, none needed): unlike the shingle index
+    * — whose join key is a shared TOKEN with unbounded document
+    * frequency, where one boilerplate shingle makes a single posting
+    * list quadratic and [[Dedup.ShingleDfCap]] is mandatory — this
+    * operator keys pair generation on the ORDER id. A key's multiplicity
+    * is that order's distinct-part count, a per-record data-model bound
+    * (≤ 7 lineitems/order here; a basket width in general) that does NOT
+    * grow with corpus size, so no key ever goes hot and per-key fan-out
+    * stays C(width, 2) at any scale. The quadratic-risk quantity is
+    * record width, not key frequency; a df-cap would bias support counts
+    * while guarding against a key shape this operator cannot produce.
     */
   private[graft] def coEdges(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"co_edges:$dir") {

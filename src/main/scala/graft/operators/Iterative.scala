@@ -73,38 +73,59 @@ private[graft] object Iterative {
     */
   def connectedComponents(edgesIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, least, min}
-    val edges = edgesIn.select("src", "dst").cache()
-    val (init, freeInit) = round(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")))
-    var labels = init
-    var freeCur = freeInit
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0) {
-      rounds += 1
-      val step1 = labels.join(
-          edges.join(labels, edges("src") === labels("node"))
-            .groupBy(col("dst").as("node1")).agg(min("label").as("m1")),
-          labels("node") === col("node1"), "left")
-        .select(labels("node").as("node"), labels("label").as("l0"),
-          least(labels("label"), coalesce(col("m1"), labels("label"))).as("l1"))
-      val f1 = step1.where(col("l1") =!= col("l0"))
-        .select(col("node").as("fnode"), col("l1").as("fl"))
-      val (next, freeNext) = roundLazy(
-        step1.join(
-            edges.join(f1, edges("src") === col("fnode"))
-              .groupBy(col("dst").as("node2")).agg(min(col("fl")).as("m2")),
-            col("node") === col("node2"), "left")
-          .select(col("node"), col("l1").as("mid"),
-            least(col("l1"), coalesce(col("m2"), col("l1"))).as("label")))
-      changed = next.where(col("label") =!= col("mid")).count()
-      freeCur()
-      freeCur = freeNext
-      labels = next.select("node", "label")
-    }
-    System.err.println(s"[graft-cc] converged in $rounds rounds")
-    edges.unpersist()
-    labels
+    // The loop runs in a CLONED session (shared context, private SQLConf):
+    // relation-sized shuffle width, AQE off. Per-round relations are tiny
+    // degree-bounded edge/label lists, so the parent session's 2×-cores
+    // AQE width prices every one of the ~diameter/2 sequential barriers
+    // in scheduler latency, and AQE's per-stage re-plan buys nothing at
+    // that size — the same discipline (and measurements) as
+    // [[ChainLink.depthsFor]]'s solver. The edge plan crosses sessions
+    // through a global temp view (build-unique name, dropped on exit);
+    // the parent session's conf and concurrent queries are untouched.
+    val parent = edgesIn.sparkSession
+    val vn = s"graft_cc_edges_${System.nanoTime}"
+    edgesIn.select("src", "dst").createOrReplaceGlobalTempView(vn)
+    try {
+      val solver = parent.newSession()
+      solver.conf.set("spark.sql.adaptive.enabled", "false")
+      val edges = solver.table(s"global_temp.$vn").cache()
+      // One count sizes the loop's shuffle width at ~1M edge rows per
+      // partition (floor 4) and warms the edge cache in the same pass.
+      val nEdges = edges.count()
+      solver.conf.set("spark.sql.shuffle.partitions",
+        math.max(4L, nEdges / 1000000L).min(1L << 16).toString)
+      val (init, freeInit) = round(
+        edges.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node")))
+      var labels = init
+      var freeCur = freeInit
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0) {
+        rounds += 1
+        val step1 = labels.join(
+            edges.join(labels, edges("src") === labels("node"))
+              .groupBy(col("dst").as("node1")).agg(min("label").as("m1")),
+            labels("node") === col("node1"), "left")
+          .select(labels("node").as("node"), labels("label").as("l0"),
+            least(labels("label"), coalesce(col("m1"), labels("label"))).as("l1"))
+        val f1 = step1.where(col("l1") =!= col("l0"))
+          .select(col("node").as("fnode"), col("l1").as("fl"))
+        val (next, freeNext) = roundLazy(
+          step1.join(
+              edges.join(f1, edges("src") === col("fnode"))
+                .groupBy(col("dst").as("node2")).agg(min(col("fl")).as("m2")),
+              col("node") === col("node2"), "left")
+            .select(col("node"), col("l1").as("mid"),
+              least(col("l1"), coalesce(col("m2"), col("l1"))).as("label")))
+        changed = next.where(col("label") =!= col("mid")).count()
+        freeCur()
+        freeCur = freeNext
+        labels = next.select("node", "label")
+      }
+      System.err.println(s"[graft-cc] converged in $rounds rounds")
+      edges.unpersist()
+      labels
+    } finally parent.catalog.dropGlobalTempView(vn)
   }
 }

@@ -122,7 +122,12 @@ object Neighbors {
     * |E²| ≤ deg·|E| and |E⁴| ≤ deg²·|E²|, so densification is a
     * constant-factor blow-up of a ≤[[GraphK]]·N-row relation, never a
     * closure explosion — this is the bounded-degree case where buying
-    * diameter with edges is free.
+    * diameter with edges is free. A THIRD squaring was tried and
+    * REJECTED (round 12): it cut sf1.0 convergence 11 → 6 rounds but
+    * made the build measurably slower — 8-hop reachability inside
+    * mid-size dense components approaches the component-pair closure,
+    * so the squaring join's output outgrows what the saved barriers
+    * buy. Two squarings is where bounded-degree stops being true.
     */
   private[graft] def knnCcFor(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"knncc:$dir") {
