@@ -434,20 +434,32 @@ object ChainLink {
 
   /** The Δ-frontier relaxation; None if `cap` levels did not converge
     * (pathologically deep chain → caller falls back to
-    * [[depthsClosure]]). Each level is ONE exchange: candidates come off
-    * a count-gated broadcast join of the Δ slice with the edge scan (no
-    * edge shuffle while the frontier fits [[FrontierBroadcastRows]]; a
-    * 100 TB graph's early wide rounds take the shuffle path instead),
-    * and the merge into the running state is a tag-union into a single
-    * groupBy — no sort-merge join, no second shuffle. The improved-count
-    * that drives termination and the broadcast gate rides the SAME job
-    * as an [[org.apache.spark.sql.Observation]] metric (falling back to
-    * a narrow count of the checkpointed blocks if the checkpoint action
+    * [[depthsClosure]]). In a DAG every level-k candidate is automatically
+    * an improvement — all of init carries d = 1, so inductively every
+    * node improved at level k carries d = k+1, and a candidate d(u)+1 =
+    * k+2 exceeds any previously recorded depth (≤ k+1). The Δ frontier is
+    * therefore plain BFS-BY-LEVEL: F₀ = all in-edge nodes, F_k = distinct
+    * successors of F_{k-1}, and depth(v) = 1 + (last level containing v).
+    * No running (node, best_d) state exists at all — the former shape
+    * merged each level's candidates into the full O(V) state relation
+    * (a V-row tag-union groupBy + checkpoint EVERY level, 9 × 674k rows
+    * at sf1.0 even for a 30-row frontier); now a level checkpoints only
+    * its frontier and the depths come from ONE end-of-loop max-merge of
+    * the per-level frontiers (Σ|F_k| rows — the same candidate volume
+    * the loop already enumerated). Each level is one exchange (the
+    * distinct) over a count-gated broadcast join of the frontier with
+    * the edge scan (no edge shuffle while the frontier fits
+    * [[FrontierBroadcastRows]]; a 100 TB graph's early wide rounds take
+    * the shuffle path instead). The frontier count that drives
+    * termination and the broadcast gate rides the SAME job as an
+    * [[org.apache.spark.sql.Observation]] metric (falling back to a
+    * narrow count of the checkpointed blocks if the checkpoint action
     * ever stops reporting observed metrics), so a level is exactly one
     * materializing action. Level fusion (k levels per checkpoint) was
-    * tried and REJECTED: the state is referenced twice per level, and
-    * measured wall clock DOUBLED at k=6 vs k=1 — exchange reuse does not
-    * recover the re-executed aggregation chain above the shared shuffle.
+    * tried and REJECTED: the frontier is referenced twice per fused
+    * level, and measured wall clock DOUBLED at k=6 vs k=1 — exchange
+    * reuse does not recover the re-executed chain above the shared
+    * shuffle.
     */
   /** Await an [[org.apache.spark.sql.Observation]]'s single long metric,
     * falling back to `orElse` if the observed action's metrics never
@@ -464,44 +476,32 @@ object ChainLink {
 
   private[graft] def depthsFrontier(edges: DataFrame,
       cap: Int = FrontierRoundCap): Option[(DataFrame, () => Unit)] = {
-    // state (node, d, imp): best-known depth + improved-last-level flag
+    // F₀ = every node with an in-edge (depth 1)
     val obs0 = org.apache.spark.sql.Observation("graft-depth-init")
     val (init, freeInit) = Iterative.round(
       edges.select(col("dst").as("node")).distinct()
-        .withColumn("d", lit(1L)).withColumn("imp", lit(true))
         .observe(obs0, count(lit(1)).as("n")))
-    var state = init
-    var freeCur = freeInit
-    // round-0 Δ = every node with an in-edge
+    // (frontier, depth it witnesses) per nonempty level, newest first
+    var frontiers: List[(DataFrame, Long)] = List((init, 1L))
+    var frees: List[() => Unit] = List(freeInit)
     var active = observedCount(obs0, init.count())
     var levels = 0
     while (active != 0L && levels < cap) {
       levels += 1
       val t0 = System.nanoTime()
-      val f = state.where(col("imp")).select("node", "d")
-      val fs = if (active <= FrontierBroadcastRows) broadcast(f) else f
+      val cur = frontiers.head._1
+      val fs = if (active <= FrontierBroadcastRows) broadcast(cur) else cur
       val cand = fs.as("f")
         .join(edges.as("e"), col("f.node") === col("e.src"))
-        .select(col("e.dst").as("node"), (col("f.d") + 1L).as("d"))
-      val merged = state.select(col("node"), col("d"), lit(false).as("nw"))
-        .unionAll(cand.select(col("node"), col("d"), lit(true).as("nw")))
-        .groupBy("node")
-        .agg(max(when(!col("nw"), col("d"))).as("od"),
-          max(when(col("nw"), col("d"))).as("nd"))
-        .select(col("node"),
-          greatest(coalesce(col("od"), lit(0L)),
-            coalesce(col("nd"), lit(0L))).as("d"),
-          (coalesce(col("nd"), lit(0L)) >
-            coalesce(col("od"), lit(0L))).as("imp"))
+        .select(col("e.dst").as("node")).distinct()
       val obs = org.apache.spark.sql.Observation(s"graft-depth-$levels")
-      // Materialize the merged state BEFORE freeing the blocks it was
-      // computed from (freeing first would truncate live lineage).
       val (next, freeNext) = Iterative.round(
-        merged.observe(obs, sum(when(col("imp"), 1L).otherwise(0L)).as("n")))
-      freeCur()
-      freeCur = freeNext
-      state = next
-      active = observedCount(obs, next.where(col("imp")).count())
+        cand.observe(obs, count(lit(1)).as("n")))
+      active = observedCount(obs, next.count())
+      if (active != 0L) {
+        frontiers ::= (next, levels + 1L)
+        frees ::= freeNext
+      } else freeNext()
       System.err.println(s"[graft-depth] level $levels: " +
         s"${(System.nanoTime() - t0) / 1000000} ms, active=$active")
     }
@@ -509,19 +509,24 @@ object ChainLink {
       System.err.println(
         s"[graft-depth] frontier DP exceeded $cap levels — " +
           "falling back to doubling closure")
-      freeCur()
+      frees.foreach(_())
       None
     } else {
-      // max depth == converged level count: the critical chain improves
-      // by exactly one level per round, and the final (unproductive)
-      // round is not counted past it — init alone (depth 1 everywhere)
-      // converges at levels == 1 only when no second level exists. Empty
-      // DAG: active started 0, levels == 0 == depth.
+      // max depth == converged level count: the critical chain grows by
+      // exactly one level per round, and the final (empty) round is not
+      // counted past it — init alone converges at levels == 1 only when
+      // no second level exists. Empty DAG: active started 0, levels == 0.
       System.err.println(
         s"[graft-depth] frontier DP converged: max depth $levels")
-      // The caller materializes its projection of the state, THEN calls
-      // the returned release handle to free the loop's working blocks.
-      Some((state.select("node", "d"), freeCur))
+      // ONE max-merge over the per-level frontiers replaces the former
+      // per-level state merge; the caller materializes its projection,
+      // THEN calls the release handle to free the frontier blocks.
+      val depths = frontiers
+        .map { case (f, d) => f.withColumn("d", lit(d)) }
+        .reduce(_ unionAll _)
+        .groupBy("node").agg(max(col("d")).as("d"))
+      val freeAll = frees
+      Some((depths, () => freeAll.foreach(_())))
     }
   }
 

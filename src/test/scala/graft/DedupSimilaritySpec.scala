@@ -123,6 +123,34 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("posting-list intersection counts equal the row-form self-join") {
+    // the map-side pair generation off (h, ds) posting lists must produce
+    // exactly the pairs the former row-form self-join did: re-derive the
+    // a<b intersection counts by self-joining the exploded view and
+    // compare to interFor (the memoized posting-list pass)
+    val shh = Dedup.shinglesHashedFor(spark, sf001)
+    val truth = shh.as("a").join(shh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Dedup.interFor(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == truth)
+    assert(got.nonEmpty, "intersection relation must bite at sf0.01")
+  }
+
+  test("shingle posting lists are sorted, df-capped, and duplicate-free") {
+    val posts = Dedup.shinglePostingsFor(spark, sf001).collect()
+    assert(posts.nonEmpty)
+    posts.foreach { r =>
+      val ds = r.getSeq[Long](1)
+      assert(ds.size <= Dedup.ShingleDfCap, s"df cap violated: ${ds.size}")
+      assert(ds == ds.sorted, "posting list not sorted")
+      assert(ds.distinct.size == ds.size, "posting list holds a doc twice")
+    }
+  }
+
   test("media decode stub matches the declarative formula") {
     import spark.implicits._
     val sqlSide = Multimodal.mediaTable(spark, sf001)
