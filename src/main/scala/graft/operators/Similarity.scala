@@ -159,13 +159,34 @@ object Similarity {
     val arr = cents.agg(
       array_sort(collect_list(struct(col("cent_id"), col("ce"), col("cn"))))
         .as("cents"))
-    val probe = slice(array_sort(transform(col("cents"), c =>
-      struct((-(VectorOps.dot(col("e"), c.getField("ce")) /
-        (col("nrm") * c.getField("cn")))).as("negcos"),
-        c.getField("cent_id").as("cent_id")))), 1, nprobe)
-    v.crossJoin(broadcast(arr))
-      .select(col("vec_id") +: keep.map(col) :+ explode(probe).as("p"): _*)
-      .select(col("vec_id") +: keep.map(col) :+ col("p.cent_id").as("cent_id"): _*)
+    val joined = v.crossJoin(broadcast(arr))
+    // nprobe=1 (the IVF/k-means argmax — the corpus-sized passes) skips
+    // the K log K sort: an O(K) `array_min` + first `array_position` over
+    // the negcos array. Ties resolve identically — `cents` is sorted by
+    // cent_id, so the FIRST position holding the min is the smallest
+    // cent_id, exactly the sort's (negcos ASC, cent_id ASC) head. Higher-
+    // order expressions are interpreted (no codegen), so dropping the
+    // per-row sort of K structs is the difference between O(K) and
+    // O(K log K) INTERPRETED comparator evals per vector — at the sf10
+    // decade (K = 627) the sort dominated every index build's profile
+    // (jstack: all executors in ArraySort's interpreted comparator).
+    if (nprobe == 1) {
+      val negs = transform(col("cents"), c =>
+        -(VectorOps.dot(col("e"), c.getField("ce")) /
+          (col("nrm") * c.getField("cn"))))
+      val best = element_at(col("cents"),
+        array_position(negs, array_min(negs)).cast("int"))
+        .getField("cent_id")
+      joined.select(col("vec_id") +: keep.map(col) :+ best.as("cent_id"): _*)
+    } else {
+      val probe = slice(array_sort(transform(col("cents"), c =>
+        struct((-(VectorOps.dot(col("e"), c.getField("ce")) /
+          (col("nrm") * c.getField("cn")))).as("negcos"),
+          c.getField("cent_id").as("cent_id")))), 1, nprobe)
+      joined
+        .select(col("vec_id") +: keep.map(col) :+ explode(probe).as("p"): _*)
+        .select(col("vec_id") +: keep.map(col) :+ col("p.cent_id").as("cent_id"): _*)
+    }
   }
 
   /** Memoized hash-min centroid table for a dir — the persisted coarse-
