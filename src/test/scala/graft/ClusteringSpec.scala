@@ -8,6 +8,36 @@ import graft.operators.{Clustering, Dedup, Similarity}
   */
 class ClusteringSpec extends SparkSpec {
 
+  test("argmax probe (nprobe=1) equals the brute-force (cos DESC, cent_id ASC) head") {
+    // multiProbe's O(K) array_min + first-position path must reproduce the
+    // former sort-take-1 exactly, ties included: brute-force every
+    // (vector, centroid) cosine in driver Scala (same fold order as
+    // VectorOps.dot) and take max cos with min cent_id on ties
+    val v = Dedup.normedFor(spark, sf001)
+    val cents = Similarity.centroidsFor(v)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val vecs = v.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val expected = vecs.map { case (id, e, nrm) =>
+      // first index holding the max cos == smallest cent_id on exact ties
+      var bestCos = Double.NegativeInfinity; var bestId = -1L
+      cents.foreach { case (cid, ce, cn) =>
+        val c = dot(e, ce) / (nrm * cn)
+        if (c > bestCos) { bestCos = c; bestId = cid }
+      }
+      id -> bestId
+    }.toMap
+    val got = Similarity.ivfAssign(v, Similarity.centroidsFor(v))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("refined centroids: at most K survive, ids come from the seed set") {
     val seeds = Similarity.centroidsFor(Dedup.normedFor(spark, sf001))
       .select("cent_id").collect().map(_.getLong(0)).toSet
