@@ -128,4 +128,136 @@ private[graft] object Iterative {
       labels
     } finally parent.catalog.dropGlobalTempView(vn)
   }
+
+  /** Alternating large-star / small-star connected components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+    * in MapReduce and Beyond", SoCC 2014): the O(log² n)-round kernel a
+    * 100 TB deployment swaps in when component DIAMETER is unbounded.
+    * The default min-label loop ([[connectedComponents]]) prices one
+    * round per two hops of diameter — fine for the bounded-diameter
+    * graphs this corpus produces (mutual-kNN components, dedup
+    * clusters), quadratic-in-rounds on a pathological million-hop
+    * chain. Star contraction's round count depends only on log n.
+    *
+    * State is the canonical DOWNWARD edge list (hi, lo), hi > lo:
+    * - LARGE-STAR processes every edge at BOTH endpoints (u over its
+    *   full neighborhood Γ): m = min(Γ(u) ∪ {u}), emit (v, m) for each
+    *   v ∈ Γ(u) with v > u. Each undirected edge lands in exactly one
+    *   emit set, every output points downward, components never merge
+    *   or split.
+    * - SMALL-STAR processes each edge at its LARGER endpoint (all
+    *   stored lo's of a hi): m = min(lo's) (< hi by construction),
+    *   emit (v, m) for every other lo plus (hi, m).
+    * At the fixpoint the edge set is the star (v, root) per component
+    * and both phases are identity. Termination is detected by a
+    * (count, sum-of-xxhash64) signature riding each alternation's
+    * checkpoint as an [[org.apache.spark.sql.Observation]] — two
+    * consecutive equal signatures of a DETERMINISTIC set transformation
+    * mean equal sets up to a 64-bit hash collision; the round cap and
+    * the min-label fallback bound that event's blast radius to a slower
+    * (never wrong) answer, since labels always come from whichever
+    * kernel actually converged.
+    *
+    * Returns (node, label = component min) for every node with ≥ 1
+    * edge — the same contract as [[connectedComponents]], proven
+    * equivalent on the corpus graphs by StarContractionSpec. Not yet
+    * wired as the default: at test scales the per-round cost of the
+    * two-phase groupBys loses to the min-label loop on these
+    * small-diameter graphs (the densified mutual-kNN fixpoint runs ~11
+    * rounds; star contraction converges in ~5 alternations but each
+    * alternation is two grouped exchanges plus re-symmetrization).
+    */
+  def connectedComponentsStars(edgesIn: DataFrame, cap: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, greatest, least, lit, min, sum, xxhash64}
+    val parent = edgesIn.sparkSession
+    val vn = s"graft_ccs_edges_${System.nanoTime}"
+    edgesIn.select("src", "dst").createOrReplaceGlobalTempView(vn)
+    try {
+      val solver = parent.newSession()
+      solver.conf.set("spark.sql.adaptive.enabled", "false")
+      val input = solver.table(s"global_temp.$vn")
+      val nEdges = input.count()
+      solver.conf.set("spark.sql.shuffle.partitions",
+        math.max(4L, nEdges / 1000000L).min(1L << 16).toString)
+      // signature: row count + overflow-free DECIMAL(38) sum of 64-bit
+      // row hashes (ANSI mode makes a LONG sum throw on overflow)
+      def hsum = sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)"))
+      def observed(df: DataFrame): (DataFrame, () => (Long, String), () => Unit) = {
+        val obs = org.apache.spark.sql.Observation(
+          s"graft-ccs-${System.nanoTime}")
+        val (ck, free) = round(df.observe(obs,
+          count(lit(1)).as("n"), hsum.as("h")))
+        val get = () => try {
+          val r = scala.concurrent.Await.result(obs.future,
+            scala.concurrent.duration.Duration(5, "s"))
+          (r.getLong(0), String.valueOf(r.get(1)))
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            val r = ck.agg(count(lit(1)), hsum).head()
+            (r.getLong(0), String.valueOf(r.get(1)))
+        }
+        (ck, get, free)
+      }
+      // canonical downward form, deduped
+      val (init, sig0, freeInit) = observed(
+        input.where(col("src") =!= col("dst"))
+          .select(greatest(col("src"), col("dst")).as("hi"),
+            least(col("src"), col("dst")).as("lo"))
+          .distinct())
+      var e = init
+      var freeCur = freeInit
+      var prev = sig0()
+      var rounds = 0
+      var converged = prev._1 == 0L   // empty graph: already a (vacuous) star
+      while (!converged && rounds < cap) {
+        rounds += 1
+        // LARGE-STAR over the symmetric view
+        val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+          .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+        val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        val ls = sym.join(lsMin, "u").where(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .where(col("hi") =!= col("lo")).distinct()
+        val (lsd, freeLs) = round(ls)
+        // SMALL-STAR at each larger endpoint
+        val ssMin = lsd.groupBy("hi").agg(min("lo").as("mn"))
+        val ss = lsd.join(ssMin, "hi").where(col("lo") =!= col("mn"))
+          .select(col("lo").as("hi"), col("mn").as("lo"))
+          .unionAll(ssMin.select(col("hi"), col("mn").as("lo")))
+          .distinct()
+        val (next, sigN, freeNext) = observed(ss)
+        freeLs(); freeCur()
+        freeCur = freeNext
+        e = next
+        val cur = sigN()
+        converged = cur == prev
+        prev = cur
+        System.err.println(
+          s"[graft-ccs] alternation $rounds: edges=${cur._1}")
+      }
+      if (!converged) {
+        // round cap exhausted — hand the CURRENT edge set (same
+        // components as the input, by the phase invariants) to the
+        // guaranteed min-label kernel; its output frame does not
+        // reference these blocks, so they are freed after it returns
+        System.err.println(s"[graft-ccs] cap $cap hit — min-label fallback")
+        val handoff = e.select(col("hi").as("src"), col("lo").as("dst"))
+        val out = connectedComponents(
+          handoff.unionAll(handoff.select(col("dst").as("src"),
+            col("src").as("dst"))))
+        freeCur()
+        out
+      } else {
+        System.err.println(s"[graft-ccs] stars in $rounds alternations")
+        // stars: (v, root) per non-root node; roots label themselves
+        val labels = e.select(col("hi").as("node"), col("lo").as("label"))
+          .unionAll(e.select(col("lo").as("node"), col("lo").as("label")))
+          .distinct()
+        val (flat, _) = round(labels)
+        freeCur()
+        flat
+      }
+    } finally parent.catalog.dropGlobalTempView(vn)
+  }
 }
