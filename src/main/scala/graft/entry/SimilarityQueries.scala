@@ -51,10 +51,37 @@ object SimilarityQueries {
     "q_knn_graph" -> ((s, d) => Neighbors.knnGraph(s, d)),
     "q_label_prop" -> ((s, d) => Neighbors.labelProp(s, d)),
     "q_knn_clusters" -> ((s, d) => Neighbors.knnClusters(s, d)),
+    "q_cc_stars" -> ((s, d) => Neighbors.knnClustersStars(s, d)),
     "q_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
     "q_whiten_check" -> ((s, d) => Similarity.whitenCheck(s, d)),
     "q_ann_mrr" -> ((s, d) => Similarity.annMrr(s, d)),
   )
+
+  /** Mutual-kNN clustering oracle (recursive-CTE closure, min-reachable
+    * label clipped at own id, singleton fallback) — shared verbatim by
+    * `q_knn_clusters` (min-label Pregel kernel) and `q_cc_stars`
+    * (large-star/small-star kernel): one ground truth, two engines.
+    */
+  private lazy val knnClustersSql: String =
+    s"""WITH RECURSIVE $vecCte,
+       |$knnCtes,
+       |me AS MATERIALIZED (SELECT a.src AS s, a.dst AS t FROM ek a
+       |       JOIN ek b ON b.src = a.dst AND b.dst = a.src),
+       |reach AS (
+       |  SELECT s, t FROM me
+       |  UNION
+       |  SELECT r.s, me.t FROM reach r JOIN me ON r.t = me.s),
+       |mn AS (SELECT s, min(t) AS m FROM reach GROUP BY 1),
+       |cl AS (SELECT emb.vec_id,
+       |         CASE WHEN mn.m IS NULL THEN emb.vec_id
+       |              WHEN mn.m < emb.vec_id THEN mn.m
+       |              ELSE emb.vec_id END AS cluster_id
+       |       FROM embeddings emb LEFT JOIN mn ON emb.vec_id = mn.s),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM cl GROUP BY 1)
+       |SELECT cl.vec_id, cl.cluster_id, sz.cluster_size
+       |FROM cl JOIN sz USING (cluster_id)
+       |ORDER BY cl.vec_id""".stripMargin
 
   /** Shared kNN-graph CTE chain (probes → assignment → candidates → exact
     * cosine → top-5 edge list `ek`) replaying
@@ -820,26 +847,11 @@ object SimilarityQueries {
     // Replays mutual-kNN clustering: the shared edge chain, mutual edges
     // via the reversed self-join, transitive closure by recursive CTE,
     // min-reachable-id labels (clipped at own id), singleton fallback.
-    "q_knn_clusters" ->
-      s"""WITH RECURSIVE $vecCte,
-         |$knnCtes,
-         |me AS MATERIALIZED (SELECT a.src AS s, a.dst AS t FROM ek a
-         |       JOIN ek b ON b.src = a.dst AND b.dst = a.src),
-         |reach AS (
-         |  SELECT s, t FROM me
-         |  UNION
-         |  SELECT r.s, me.t FROM reach r JOIN me ON r.t = me.s),
-         |mn AS (SELECT s, min(t) AS m FROM reach GROUP BY 1),
-         |cl AS (SELECT emb.vec_id,
-         |         CASE WHEN mn.m IS NULL THEN emb.vec_id
-         |              WHEN mn.m < emb.vec_id THEN mn.m
-         |              ELSE emb.vec_id END AS cluster_id
-         |       FROM embeddings emb LEFT JOIN mn ON emb.vec_id = mn.s),
-         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
-         |       FROM cl GROUP BY 1)
-         |SELECT cl.vec_id, cl.cluster_id, sz.cluster_size
-         |FROM cl JOIN sz USING (cluster_id)
-         |ORDER BY cl.vec_id""".stripMargin,
+    "q_knn_clusters" -> knnClustersSql,
+    // q_cc_stars computes the SAME relation through the alternating
+    // large-star/small-star kernel (no densification, different fixpoint)
+    // — one oracle, two independent distributed mechanisms.
+    "q_cc_stars" -> knnClustersSql,
     // Replays the PCA power iteration: milli-quantized int64 second-moment
     // matrix (order-free exact sums), then PcaIters unrolled
     // multiply+normalize stages whose ordered-list left folds reproduce

@@ -147,8 +147,30 @@ object Neighbors {
       Iterative.connectedComponents(densify(densify(mutual)))
     }
 
-  def knnClusters(spark: SparkSession, dir: String): DataFrame = {
-    val labels = knnCcFor(spark, dir)
+  def knnClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFrom(spark, dir, knnCcFor(spark, dir))
+
+  /** The SAME clustering through the alternating large-star/small-star
+    * kernel ([[Iterative.connectedComponentsStars]]) — the
+    * unbounded-diameter 100 TB path, driven against the identical DuckDB
+    * oracle as `q_knn_clusters` (one ground truth, two independent
+    * distributed mechanisms). Notably it takes the RAW mutual edge set:
+    * star contraction needs no densification, because its round count
+    * depends on log n, not component diameter.
+    */
+  def knnClustersStars(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.sources.Materialized.of(spark, s"knnccstars:$dir") {
+      val e = knnEdgesFor(spark, dir).select("src", "dst")
+      val mutual = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      Iterative.connectedComponentsStars(mutual)
+    }
+    clustersFrom(spark, dir, labels)
+  }
+
+  private def clustersFrom(spark: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     val assigned = graft.sources.Tables.load(spark, dir, "embeddings")
       .select("vec_id")
       .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
