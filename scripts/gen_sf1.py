@@ -15,23 +15,37 @@ same data" scales:
   containment chains (16 shared IPs!) stay within their replica epoch —
   per-epoch temporal density, and hence chain structure, matches sf0.1.
 * documents: replica 0 verbatim; replica k>0 remaps every word type to a
-  same-length md5-derived token (function of (word, k) only). Word/doc
-  length, frequency profile, and WITHIN-replica duplicate structure are
-  preserved; cross-replica near-duplication is destroyed — 10x more
-  independent docs with the same duplication rate, not a 10x-duplicated
-  corpus (which would blow pair-enumeration outputs quadratically).
-* embeddings: vec_id offset; replica k rotates dimensions by 7k mod 64 —
-  an isometry, so each replica reproduces sf0.1's neighborhood structure
-  exactly while cross-replica cosines decorrelate. float32 preserved via
-  pyarrow (DuckDB would widen to double).
+  same-length md5-derived token (function of (word, k, SOURCE DECADE)).
+  Word/doc length, frequency profile, and WITHIN-replica duplicate
+  structure are preserved; cross-replica near-duplication is destroyed —
+  10x more independent docs with the same duplication rate, not a
+  10x-duplicated corpus (which would blow pair-enumeration outputs
+  quadratically).
+* embeddings: vec_id offset; replica k rotates dimensions by 7k mod 64
+  AND flips per-dimension signs by a (k, SOURCE DECADE)-derived ±1
+  pattern — both isometries (sign flips preserve every inner product:
+  dot(s*a, s*b) = dot(a, b)), so each replica reproduces the source's
+  neighborhood structure exactly while cross-replica cosines decorrelate.
+  float32 preserved via pyarrow (DuckDB would widen to double).
 * region/nation: constant dimension tables, copied as-is (TPC-H style).
 
-Deterministic (md5 + fixed rotations), no RNG. The strides are derived
-from the SOURCE decade's row counts, so the script CHAINS: sf0.1 ->
-testdata_sf1.0 (default), then testdata_sf1.0 -> testdata_sf10 for the
-fifth-decade probe. Usage:
+INJECTIVITY UNDER CHAINING: the script chains sf0.1 -> testdata_sf1.0 ->
+testdata_sf10, so replica transforms COMPOSE, and the first version
+collided under composition — np.roll rotations add (k1 + k2 == k1' + k2'
+gave byte-identical vectors: 81% of sf10 embeddings were exact dups) and
+the unsalted md5 word map collided (k1=j, k2=0) with (k1=0, k2=j)
+(9.1% of sf10 docs). Both transforms are therefore salted with the
+SOURCE decade's row count (a per-generation fingerprint): the word map
+hashes (word, k, src_rows), and embeddings get an extra md5(k, src_rows)
+-seeded sign-flip pattern, so composing transforms from different
+generations can only collide on a ~2^-64 sign-pattern coincidence.
+Replica 0 stays verbatim at every generation (identity transform).
+
+Deterministic (md5-seeded), no wall-clock RNG. The strides are derived
+from the SOURCE decade's row counts, so the script CHAINS. Usage:
   python3 scripts/gen_sf1.py [src_sf_dir] [dst_dir]
 """
+import hashlib
 import shutil
 import sys
 from pathlib import Path
@@ -121,10 +135,13 @@ def main():
         ts + to_microseconds(k * CAST({epoch_us} AS BIGINT)) AS ts,
         user_id + k*{STRIDE['events_user']} AS user_id,
         event_type, value, props""")
+    # The '@src_rows' salt makes the word map distinct per GENERATION:
+    # without it, chaining collided (k1=j, k2=0) with (k1=0, k2=j).
     emit("documents", f"""SELECT doc_id + k*{STRIDE['documents']} AS doc_id,
         CASE WHEN k = 0 THEN text ELSE array_to_string(
           list_transform(string_split(text, ' '),
-            w -> substr(md5(w || '|' || k), 1, length(w))), ' ')
+            w -> substr(md5(w || '|' || k || '@' || {STRIDE['documents']}),
+                        1, length(w))), ' ')
         END AS text,
         lang, source, n_chars""")
 
@@ -137,6 +154,17 @@ def main():
     parts = []
     for k in range(R):
         rot = np.roll(emb, (7 * k) % dim, axis=1)
+        if k > 0:
+            # (k, src_rows)-seeded ±1 sign flips: an isometry (all inner
+            # products preserved) that makes composed transforms from
+            # different generations injective — pure rotations add, so
+            # chaining made 81% of sf10 vectors byte-identical dups.
+            seed = int(hashlib.md5(
+                f"signs|{k}|{STRIDE['embeddings']}".encode()
+            ).hexdigest()[:8], 16)
+            signs = (np.random.default_rng(seed)
+                     .integers(0, 2, dim).astype(np.float32) * 2.0 - 1.0)
+            rot = rot * signs
         parts.append(pa.table({
             "vec_id": pa.array(vid + k * STRIDE["embeddings"], pa.int64()),
             "embedding": pa.array(list(rot), pa.list_(pa.float32())),
