@@ -12,6 +12,16 @@ tens of ms), which BIASES exponents DOWN — so the flag threshold applies
 only to entries that are non-trivial at sf0.1. Medians-of-3 warm runs
 (Bench default) keep sandbox noise out of the fit.
 
+TWO flags per entry, because one fitted exponent over all decades SMOOTHS
+a super-linear tail into invisibility (round 12: q_lsh_cosine's last
+decade was 18.2x for 10x data — local slope 1.26 — while the five-point
+fit read 0.68, dragged down by the overhead-dominated early decades):
+ * `exponent`  — the least-squares fit over every decade (shape summary);
+ * `last_slope` — the LOCAL slope of the final decade pair, ln(t_n/t_{n-1})
+   / ln(sf_n/sf_{n-1}) — the direction the curve is actually heading at
+   the largest measured scale. `flagged_tail` lists entries whose
+   last_slope exceeds the same 1.15 bar at a non-trivial terminal time.
+
 Usage: python3 scripts/scaling_curve.py /tmp/bench_sf0.001.json \
          /tmp/bench_sf0.01.json /tmp/bench_sf0.1.json [-o SCALING_CURVE.json]
 """
@@ -89,10 +99,15 @@ def main() -> int:
         per_entry[name] = {
             "sec": {str(sf): q[name] for sf, q in runs},
             "exponent": round(slope(pts), 3),
+            "last_slope": round(slope(pts[-2:]), 3),
         }
     flagged = sorted(
         n for n, e in per_entry.items()
         if e["exponent"] > FLAG_EXPONENT
+        and e["sec"][str(runs[-1][0])] > FLAG_MIN_SEC)
+    flagged_tail = sorted(
+        n for n, e in per_entry.items()
+        if e["last_slope"] > FLAG_EXPONENT
         and e["sec"][str(runs[-1][0])] > FLAG_MIN_SEC)
 
     fams = {}
@@ -105,6 +120,7 @@ def main() -> int:
             "n_entries": len(members),
             "sec": {str(sf): round(t, 3) for sf, t in sums},
             "exponent": round(slope(sums), 3),
+            "last_slope": round(slope(sums[-2:]), 3),
         }
 
     result = {
@@ -113,19 +129,22 @@ def main() -> int:
         "flag_min_sec": FLAG_MIN_SEC,
         "per_family": per_family,
         "flagged": flagged,
+        "flagged_tail": flagged_tail,
         "per_entry": per_entry,
     }
     out.write_text(json.dumps(result, indent=1) + "\n")
 
     print(f"{'family':24s} {'n':>3s} "
-          + " ".join(f"sf{sf:<7g}" for sf, _ in runs) + " exponent")
+          + " ".join(f"sf{sf:<7g}" for sf, _ in runs) + " exponent  tail")
     for fam, e in per_family.items():
         print(f"{fam:24s} {e['n_entries']:3d} "
               + " ".join(f"{e['sec'][str(sf)]:9.3f}" for sf, _ in runs)
-              + f" {e['exponent']:8.2f}")
-    print(f"\nflagged super-linear (> {FLAG_EXPONENT}, > {FLAG_MIN_SEC}s "
+              + f" {e['exponent']:8.2f} {e['last_slope']:5.2f}")
+    print(f"\nflagged super-linear fit (> {FLAG_EXPONENT}, > {FLAG_MIN_SEC}s "
           f"at sf{runs[-1][0]:g}): {flagged or 'none'}")
-    return 1 if flagged else 0
+    print(f"flagged super-linear tail (last-decade slope > {FLAG_EXPONENT}): "
+          f"{flagged_tail or 'none'}")
+    return 1 if (flagged or flagged_tail) else 0
 
 
 if __name__ == "__main__":

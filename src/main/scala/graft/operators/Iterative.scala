@@ -67,11 +67,19 @@ private[graft] object Iterative {
     * the loop by DENSIFYING the input instead ([[Neighbors.knnCcFor]]'s
     * E ∪ E² ∪ E⁴ — same components, diameter ÷4). Converged round count
     * is logged to stderr (`[graft-cc]`) so bench lines carry the
-    * iteration evidence. At 100 TB the same loop runs with the
-    * alternating large-star/small-star optimization (Kiveris et al.,
-    * SoCC'14) — identical fixpoint-and-min semantics.
+    * iteration evidence.
+    *
+    * DIAMETER ESCAPE HATCH: if the loop has not converged within
+    * `handoffBudget` rounds (≈ 2·budget hops of diameter), the ORIGINAL
+    * edge set is handed to [[connectedComponentsStars]] — the O(log² n)
+    * kernel whose round count is diameter-independent — so a
+    * pathological million-hop chain costs log² rounds, not diameter/2,
+    * without the call site having to know its graph's shape. The budget
+    * comfortably exceeds every corpus graph's measured round count
+    * (≤ 16), so corpus results and plans are unchanged.
     */
-  def connectedComponents(edgesIn: DataFrame): DataFrame = {
+  def connectedComponents(edgesIn: DataFrame,
+      handoffBudget: Int = 48): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, least, min}
     // The loop runs in a CLONED session (shared context, private SQLConf):
     // relation-sized shuffle width, AQE off. Per-round relations are tiny
@@ -101,7 +109,7 @@ private[graft] object Iterative {
       var freeCur = freeInit
       var changed = 1L
       var rounds = 0
-      while (changed > 0) {
+      while (changed > 0 && rounds < handoffBudget) {
         rounds += 1
         val step1 = labels.join(
             edges.join(labels, edges("src") === labels("node"))
@@ -123,9 +131,21 @@ private[graft] object Iterative {
         freeCur = freeNext
         labels = next.select("node", "label")
       }
-      System.err.println(s"[graft-cc] converged in $rounds rounds")
-      edges.unpersist()
-      labels
+      if (changed > 0) {
+        // budget exhausted — the graph's diameter outruns the min-label
+        // loop; free this loop's state and restart on the star kernel
+        // (components are a property of the edge set, so partial labels
+        // carry no information the kernel needs)
+        System.err.println(
+          s"[graft-cc] round budget $handoffBudget hit — star-contraction handoff")
+        freeCur()
+        edges.unpersist()
+        connectedComponentsStars(edgesIn)
+      } else {
+        System.err.println(s"[graft-cc] converged in $rounds rounds")
+        edges.unpersist()
+        labels
+      }
     } finally parent.catalog.dropGlobalTempView(vn)
   }
 
@@ -153,15 +173,19 @@ private[graft] object Iterative {
     * (count, sum-of-xxhash64) signature riding each alternation's
     * checkpoint as an [[org.apache.spark.sql.Observation]] — two
     * consecutive equal signatures of a DETERMINISTIC set transformation
-    * mean equal sets up to a 64-bit hash collision; the round cap and
-    * the min-label fallback bound that event's blast radius to a slower
-    * (never wrong) answer, since labels always come from whichever
-    * kernel actually converged.
+    * mean equal sets up to a 64-bit hash collision. A signature match is
+    * NOT trusted on its own: before returning, the star invariant is
+    * verified directly (every `hi` holds exactly one distinct `lo`, and
+    * no `lo` appears as a `hi` — two `limit 1` probes over the tiny
+    * fixpoint relation), and a violation falls back to the min-label
+    * kernel, so a colliding signature costs a slower (never wrong)
+    * answer. The round cap takes the same fallback.
     *
     * Returns (node, label = component min) for every node with ≥ 1
     * edge — the same contract as [[connectedComponents]], proven
-    * equivalent on the corpus graphs by StarContractionSpec. Not yet
-    * wired as the default: at test scales the per-round cost of the
+    * equivalent on the corpus graphs by StarContractionSpec. Wired as
+    * [[connectedComponents]]' diameter escape hatch (its `handoffBudget`)
+    * rather than the default: at test scales the per-round cost of the
     * two-phase groupBys loses to the min-label loop on these
     * small-diameter graphs (the densified mutual-kNN fixpoint runs ~11
     * rounds; star contraction converges in ~5 alternations but each
@@ -236,18 +260,31 @@ private[graft] object Iterative {
         System.err.println(
           s"[graft-ccs] alternation $rounds: edges=${cur._1}")
       }
-      if (!converged) {
-        // round cap exhausted — hand the CURRENT edge set (same
-        // components as the input, by the phase invariants) to the
-        // guaranteed min-label kernel; its output frame does not
-        // reference these blocks, so they are freed after it returns
-        System.err.println(s"[graft-ccs] cap $cap hit — min-label fallback")
+      // hand the CURRENT edge set (same components as the input, by the
+      // phase invariants) to the guaranteed min-label kernel with the
+      // diameter handoff DISABLED (it would bounce straight back here);
+      // the output frame does not reference this loop's blocks, so they
+      // are freed after it returns
+      def fallback(reason: String): DataFrame = {
+        System.err.println(s"[graft-ccs] $reason — min-label fallback")
         val handoff = e.select(col("hi").as("src"), col("lo").as("dst"))
         val out = connectedComponents(
           handoff.unionAll(handoff.select(col("dst").as("src"),
-            col("src").as("dst"))))
+            col("src").as("dst"))), handoffBudget = Int.MaxValue)
         freeCur()
         out
+      }
+      if (!converged) {
+        fallback(s"cap $cap hit")
+      } else if (!e.groupBy("hi").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1L).isEmpty ||
+        !e.select(col("lo")).join(e.select(col("hi").as("lo")),
+          Seq("lo"), "left_semi").isEmpty) {
+        // two equal signatures but NOT a star — a 64-bit collision
+        // declared a false fixpoint; the rows are distinct, so
+        // count-per-hi == distinct-lo-per-hi, and a lo that is also a
+        // hi means an un-contracted chain
+        fallback("signature collision (star invariant violated)")
       } else {
         System.err.println(s"[graft-ccs] stars in $rounds alternations")
         // stars: (v, root) per non-root node; roots label themselves

@@ -177,7 +177,11 @@ object Similarity {
       val best = element_at(col("cents"),
         array_position(negs, array_min(negs)).cast("int"))
         .getField("cent_id")
-      joined.select(col("vec_id") +: keep.map(col) :+ best.as("cent_id"): _*)
+      // empty centroid table: array_min/array_position go null, which
+      // would emit a null cent_id row where the sort-slice-explode path
+      // below emits ZERO rows — filter so both paths degrade identically
+      joined.where(size(col("cents")) > 0)
+        .select(col("vec_id") +: keep.map(col) :+ best.as("cent_id"): _*)
     } else {
       val probe = slice(array_sort(transform(col("cents"), c =>
         struct((-(VectorOps.dot(col("e"), c.getField("ce")) /

@@ -38,6 +38,16 @@ class ClusteringSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("multiProbe: empty centroid table degrades to zero rows on BOTH paths") {
+    // the nprobe=1 argmax path must not emit a null-cent_id row where the
+    // sort-slice-explode path emits nothing (array_min/array_position of
+    // an empty array are null without the size guard)
+    val v = Dedup.normedFor(spark, sf001)
+    val emptyCents = Similarity.centroidsFor(v).limit(0)
+    assert(Similarity.multiProbe(v, emptyCents, nprobe = 1).count() == 0L)
+    assert(Similarity.multiProbe(v, emptyCents, nprobe = 2).count() == 0L)
+  }
+
   test("refined centroids: at most K survive, ids come from the seed set") {
     val seeds = Similarity.centroidsFor(Dedup.normedFor(spark, sf001))
       .select("cent_id").collect().map(_.getLong(0)).toSet

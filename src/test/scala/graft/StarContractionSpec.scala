@@ -54,6 +54,19 @@ class StarContractionSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("min-label auto-hands-off to stars when the round budget is exceeded") {
+    // 40-hop path with a 2-round budget: the min-label loop covers ≤ 4
+    // hops per 2 rounds, so CORRECT labels here prove the star handoff
+    // fired and finished the job (stderr logs `[graft-cc] round budget 2
+    // hit — star-contraction handoff` as the visible witness)
+    val path = sym((1L until 40L).map(i => (i, i + 1)))
+    val got = labelsOf(Iterative.connectedComponents(path, handoffBudget = 2))
+    assert(got == (1L to 40L).map(_ -> 1L).toMap)
+    // default budget (48) leaves corpus-scale behavior untouched: same
+    // graph, no handoff, identical labels
+    assert(labelsOf(Iterative.connectedComponents(path)) == got)
+  }
+
   test("stars: empty edge relation yields an empty label relation") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
