@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A long bench session compiles thousands of whole-stage-codegen and
+  // janino classes; JDK 17's default 240 MB ReservedCodeCacheSize fills
+  // late in the session, the JIT is disabled, and every hot loop drops
+  // to the interpreter — the round-12 "~10x slower on interpreted CPU
+  // passes, GC healthy, plans identical" wedge. 1 GiB keeps the whole
+  // session JIT-compiled; PrintCodeCache dumps usage at VM exit so every
+  // bench log carries the occupancy evidence.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+PrintCodeCache",
 )

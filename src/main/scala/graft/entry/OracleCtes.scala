@@ -166,9 +166,12 @@ object OracleCtes {
     *   construction.
     * - audit stride mirrors [[graft.operators.Dedup.exactPairsFor]]'s
     *   population cap (max(1, ⌈N/2000⌉)) — same integer form.
-    * - LSH band bits mirrors [[graft.operators.Analytics.lshBandBits]]
-    *   (smallest b in [4,16] with 256·2^b ≥ N) — both sides use the
-    *   integer comparison, no float log anywhere.
+    * - LSH band plan mirrors [[graft.operators.Analytics.lshBandPlan]]
+    *   (smallest (b, j) in capacity order with 2^(b+10) ≥ N·(8−j),
+    *   encoded as bj = 4·b + j; eligibility ⟺ capacity ≥ N and capacity
+    *   is strictly increasing along that encoding, so min(4·b+j) IS the
+    *   first fit) — both sides use the integer comparison, no float log
+    *   anywhere.
     */
   val centroidKSql: String =
     "(SELECT greatest(64, CAST(ceil(1.4 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM v)"
@@ -176,9 +179,21 @@ object OracleCtes {
     "(SELECT greatest(20, (count(*) + 99) // 100) FROM v)"
   val auditStrideSql: String =
     "(SELECT greatest(1, (count(*) + 1999) // 2000) FROM v)"
-  val lshBitsSql: String =
-    "(SELECT coalesce(min(b), 16) FROM generate_series(4, 16) t(b) " +
-      "WHERE 256 * (CAST(1 AS BIGINT) << b) >= (SELECT count(*) FROM v))"
+  val lshPlanSql: String =
+    "(SELECT coalesce(min(4 * b + j), 64) " +
+      "FROM generate_series(4, 15) t(b) CROSS JOIN generate_series(0, 3) u(j) " +
+      "WHERE 1024 * (CAST(1 AS BIGINT) << b) >= " +
+      "(SELECT count(*) FROM v) * (8 - j))"
+
+  /** The shared band-extraction expression over an encoded plan column
+    * `bj` and band index column `k` (0–3): band k covers planes
+    * [k·bits + min(k, extra), +width), width = bits (+1 for k < extra).
+    */
+  def lshBandValSql(sig: String = "sig", bj: String = "bj",
+      k: String = "k"): String =
+    s"($sig >> ($k * ($bj // 4) + least($k, $bj % 4))) & " +
+      s"((CAST(1 AS BIGINT) << (($bj // 4) + " +
+      s"CASE WHEN $k < $bj % 4 THEN 1 ELSE 0 END)) - 1)"
 
   /** Hash-min sample CTE: the `kSql` vectors with the smallest portable
     * 60-bit hash of their id (ties -> min vec_id) -- the ONE home for the
@@ -497,8 +512,9 @@ object OracleCtes {
       |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)""".stripMargin
 
   /** All 64 hyperplane sign terms — the q_lsh_cosine oracle's signature,
-    * masked down to 4·[[lshBitsSql]] bits by the band expression exactly
-    * as the Spark side builds only 4·lshBandBits(N) terms; the surplus
+    * masked down to the [[lshPlanSql]] plan's planes by the band
+    * expression exactly as the Spark side builds only 4·bits+extra terms;
+    * the surplus
     * high bits never reach a band value, so the two signatures band
     * identically at every scale. Terms are emitted in ascending bit
     * order, so partial sums stay within BIGINT even with bit 63's
@@ -513,10 +529,10 @@ object OracleCtes {
 
   lazy val lshCosineSql: String = {
     s"""WITH $vecCte,
-       |bb AS (SELECT $lshBitsSql AS bits),
+       |bb AS (SELECT $lshPlanSql AS bj),
        |sig AS (SELECT vec_id, e, nrm, CAST($sigTerms64Sql AS BIGINT) AS sig FROM v),
        |bands AS (SELECT vec_id, sig, k,
-       |            (sig >> (bits * k)) & ((CAST(1 AS BIGINT) << bits) - 1) AS band_val
+       |            ${lshBandValSql()} AS band_val
        |          FROM sig CROSS JOIN bb
        |          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

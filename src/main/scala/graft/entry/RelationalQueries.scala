@@ -290,11 +290,11 @@ object RelationalQueries {
       s"""WITH $vecCte,
          |v2 AS (SELECT v.vec_id, e.label, v.e, v.nrm
          |       FROM v JOIN embeddings e ON v.vec_id = e.vec_id),
-         |bb AS (SELECT $lshBitsSql AS bits),
+         |bb AS (SELECT $lshPlanSql AS bj),
          |sig AS (SELECT vec_id, label, e, nrm, CAST($sigTerms64Sql AS BIGINT) AS sig
          |        FROM v2),
          |bands AS (SELECT vec_id, label, sig, k,
-         |            (sig >> (bits * k)) & ((CAST(1 AS BIGINT) << bits) - 1) AS band_val
+         |            ${OracleCtes.lshBandValSql()} AS band_val
          |          FROM sig CROSS JOIN bb
          |          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
          |cand AS (SELECT DISTINCT a.label AS label, a.vec_id AS vec_a,

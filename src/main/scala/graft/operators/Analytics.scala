@@ -599,44 +599,57 @@ object Analytics {
       if ((digest(0) & 1) == 1) 1.0 else -1.0
     }
 
-  /** Bits per LSH band, corpus-adaptive: the smallest b in [4, 16] with
-    * 256·2^b ≥ N (= max(4, ⌈log₂(N/256)⌉) capped at 16, in pure integer
-    * arithmetic — no float log, so the DuckDB oracle's integer replay
-    * agrees exactly even when N/256 lands on a power of two) — sized so
-    * each band's bucket count tracks N and expected bucket size stays
-    * ≲256, keeping candidate volume LINEAR in N (the "widen the bands as
-    * the corpus grows" rule made structural: with the bits fixed at 4,
-    * bucket size ∝ N turned the candidate join quadratic — measured
-    * 0.65 s → 58.7 s at the sf1.0 decade, exponent 1.95). Stays 4
-    * through sf0.1 (256·16 ≥ 2000), so oracle-scale results are
-    * unchanged; 7 at sf1.0. The plane table is pregenerated to 64 rows
-    * (4 bands × 16 bits max); rows 0–15 are byte-identical to the old
-    * 16-row table (same per-(plane, dim) md5 seeding), so small-corpus
-    * signatures are unchanged too.
+  /** Corpus-adaptive LSH band plan (bits, extra): all 4 bands hash `bits`
+    * sign planes, and the first `extra` (0–3) of them hash one MORE — the
+    * smallest (b, j) in capacity order with 2^(b+10) ≥ N·(8−j), pure
+    * integer arithmetic so the DuckDB oracle's replay agrees exactly.
+    *
+    * WHY fractional widths: a uniform bits-per-band schedule quantizes
+    * bucket count to powers of two, so expected bucket size SAWTOOTHS by
+    * 2× as N grows — and a decade that lands trough→crest (sf1.0's 156 →
+    * sf10's 195 under the old 256·2^b ≥ N rule) prices 12.5× the
+    * candidates for 10× the data (measured: q_lsh_cosine 7.8 s → 117 s,
+    * last-decade slope 1.18). Widening ONE band at a time steps the
+    * candidate capacity by 8/7…5/4 instead of 2×, pinning the expected
+    * per-vector candidate volume inside [410, 512] at every N — decade
+    * slope ≤ log₁₀(10·5/4)/1 ≈ 1.10 worst-case, ~1.0 typical, and the
+    * ceiling 512 sits at the OLD schedule's trough, so no scale gets
+    * slower. (With bits fixed at 4, bucket size ∝ N made the join fully
+    * quadratic — measured 0.65 s → 58.7 s at sf1.0, exponent 1.95.)
+    *
+    * Stays (4, 0) — byte-identical signatures, bands, and results to the
+    * old bits=4 plan — through N ≤ 2048, which covers the sf0.01/sf0.1
+    * oracle gate scales; (7, 2) at sf1.0, (10, 3) at sf10. The plane
+    * table is pregenerated to 64 rows (the (16, 0) cap), rows 0–15
+    * byte-identical to the original 16-row table.
     */
-  private[graft] def lshBandBits(n: Long): Int = {
+  private[graft] def lshBandPlan(n: Long): (Int, Int) = {
     var b = 4
-    while (b < 16 && (256L << b) < n) b += 1
-    b
+    var j = 0
+    while (b < 16 && (1024L << b) < n * (8 - j)) {
+      if (j < 3) j += 1 else { j = 0; b += 1 }
+    }
+    (b, if (b == 16) 0 else j)
   }
 
-  /** Random-hyperplane (SRP) LSH over embeddings: 4·[[lshBandBits]] sign
-    * bits → 4 bands → candidates share a band → verified with exact
-    * cosine ≥ 0.45.
+  /** Random-hyperplane (SRP) LSH over embeddings: 4·bits+extra sign
+    * planes ([[lshBandPlan]]) → 4 bands → candidates share a band →
+    * verified with exact cosine ≥ 0.45.
     *
     * The scale path for cosine near-dup detection when no IVF index exists:
     * signature computation is a map (codegen'd dot products), banding is
     * `explode(4)`, and the candidate join keys on (band, band_val) so the
     * shuffle carries signatures, not vectors. Band width trades recall vs
-    * candidate volume — [[lshBandBits]] widens it with the corpus to keep
-    * buckets sparse. The 0.45 verify threshold is sized to the synthetic
+    * candidate volume — [[lshBandPlan]] widens one band at a time with
+    * the corpus to keep expected bucket size inside a fixed window at
+    * every N. The 0.45 verify threshold is sized to the synthetic
     * corpus (near-random vectors top out near cos 0.51), so the contract
     * returns a non-empty, oracle-pinned pair set at every test scale.
     */
   def lshCosine(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
-    val bb = lshBandBits(Similarity.corpusN(spark, dir))
-    val nPlanes = 4 * bb
+    val (bb, bx) = lshBandPlan(Similarity.corpusN(spark, dir))
+    val nPlanes = 4 * bb + bx
     val signLits = hyperplaneSigns.map(row => array(row.toIndexedSeq.map(lit(_)): _*))
     val sigCol = (0 until nPlanes).map { b =>
       when(VectorOps.dot(col("e"), signLits(b)) > 0d, lit(1L << b)).otherwise(lit(0L))
@@ -652,9 +665,16 @@ object Analytics {
     // (deterministic → identical rows, removed by the distinct); that
     // recompute is linear in candidates, the attach-after sorts were not.
     // Same lesson as [[graft.operators.Dedup.ivfPairs]] (round 10).
-    val bands = v.select(col("vec_id"), col("e"), col("nrm"),
-        sigCol.as("sig"), explode(sequence(lit(0), lit(3))).as("k"))
-      .withColumn("band_val", expr(s"(sig >> ($bb * k)) & ${(1L << bb) - 1L}"))
+    // band k covers planes [k·bits + min(k, extra), +width) with width =
+    // bits (+1 for the first `extra` bands) — consecutive, disjoint
+    val bandVals = (0 until 4).map { k =>
+      val w = bb + (if (k < bx) 1 else 0)
+      val off = k * bb + math.min(k, bx)
+      expr(s"(sig >> $off) & ${(1L << w) - 1L}")
+    }
+    val bands = v.select(col("vec_id"), col("e"), col("nrm"), sigCol.as("sig"))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        posexplode(array(bandVals: _*)).as(Seq("k", "band_val")))
       .select("vec_id", "e", "nrm", "k", "band_val")
     bands.as("a").join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.band_val") === col("b.band_val") &&

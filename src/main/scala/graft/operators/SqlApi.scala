@@ -112,11 +112,12 @@ object SqlApi {
   /** Top similar pair per label via `graft_dot` in SQL — the custom codegen
     * expression exposed through the SQL function registry.
     *
-    * Candidates come from SRP-LSH banding (4 bands × [[Analytics.lshBandBits]]
-    * bits, the same corpus-adaptive signature family as
-    * [[Analytics.lshCosine]] — the `bb` CTE computes the bits with the
-    * identical integer comparison IN SQL, so the query stays a pure
-    * `spark.sql` string) restricted to equal labels, then exact-cosine
+    * Candidates come from SRP-LSH banding (4 bands of bits(+1) planes —
+    * [[Analytics.lshBandPlan]], the same corpus-adaptive signature family
+    * as [[Analytics.lshCosine]] — the `bb` CTE computes the encoded plan
+    * `bj = 4·bits + extra` with the identical integer comparison IN SQL,
+    * so the query stays a pure `spark.sql` string) restricted to equal
+    * labels, then exact-cosine
     * verified and ranked — so the join keys on (label, band, band_val)
     * and the plan carries signatures, not an all-pairs blowup quadratic
     * in label-group size. Like every ANN search, the CONTRACT is
@@ -136,10 +137,11 @@ object SqlApi {
          |                        CAST(embedding AS ARRAY<DOUBLE>))) AS nrm
          |  FROM embeddings),
          |bb AS (
-         |  SELECT coalesce(min(b), 16L) AS bits
-         |  FROM (SELECT explode(sequence(4, 16)) AS b)
-         |  WHERE 256 * shiftleft(CAST(1 AS BIGINT), b) >=
-         |        (SELECT count(*) FROM v)),
+         |  SELECT coalesce(min(4 * b + j), 64) AS bj
+         |  FROM (SELECT explode(sequence(4, 15)) AS b)
+         |  LATERAL VIEW explode(sequence(0, 3)) jj AS j
+         |  WHERE 1024 * shiftleft(CAST(1 AS BIGINT), b) >=
+         |        (SELECT count(*) FROM v) * (8 - j)),
          |sigb AS (
          |  SELECT vec_id,
          |         CAST(sum(CASE WHEN graft_dot(e, p.s) > 0D
@@ -152,9 +154,13 @@ object SqlApi {
          |  FROM v JOIN sigb ON v.vec_id = sigb.vec_id),
          |bands AS (
          |  SELECT vec_id, label, sig, k,
-         |         shiftright(sig, CAST((SELECT bits FROM bb) * k AS INT)) &
+         |         shiftright(sig,
+         |             CAST(k * ((SELECT bj FROM bb) div 4)
+         |                  + least(k, (SELECT bj FROM bb) % 4) AS INT)) &
          |           (shiftleft(CAST(1 AS BIGINT),
-         |                      CAST((SELECT bits FROM bb) AS INT)) - 1)
+         |              CAST((SELECT bj FROM bb) div 4
+         |                   + (CASE WHEN k < (SELECT bj FROM bb) % 4
+         |                      THEN 1 ELSE 0 END) AS INT)) - 1)
          |           AS band_val
          |  FROM sig
          |  LATERAL VIEW explode(sequence(0, 3)) ks AS k),

@@ -125,27 +125,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.keySet.exists(_ >= 2), "fixture should reach stage 2+")
   }
 
-  test("lshBandBits: integer form equals ceil-log2 closed form, clamped to [4,16]") {
-    // The SQL oracle mirrors the same integer comparison (smallest b in
-    // [4,16] with 256*2^b >= N), so this pins the Scala side to the
-    // mathematical definition across the decades and the clamp edges.
-    def closedForm(n: Long): Int = {
-      // exact integer ceil-log2 of ceil(n/256), clamped
-      val m = (n + 255L) / 256L
-      var b = 0
-      while ((1L << b) < m) b += 1
-      math.min(16, math.max(4, b))
+  test("lshBandPlan: first capacity-order fit, capped, bucket window bounded") {
+    // The SQL oracle mirrors the same integer comparison (smallest (b, j)
+    // in capacity order with 2^(b+10) >= N*(8-j), encoded 4b+j), so this
+    // pins the Scala side to the mathematical definition across the
+    // decades and the clamp edges.
+    import graft.operators.Analytics.lshBandPlan
+    def closedForm(n: Long): (Int, Int) = {
+      val all = for { b <- 4 to 15; j <- 0 to 3 } yield (b, j)
+      (all :+ ((16, 0))).find { case (b, j) =>
+        b == 16 || (1024L << b) >= n * (8 - j)
+      }.get
     }
-    val interesting = Seq(1L, 200L, 2000L, 2048L, 4095L, 4096L, 4097L,
-      20000L, 200000L, 256L << 4, (256L << 4) + 1, 256L << 7,
-      (256L << 7) + 1, 256L << 16, (256L << 16) + 1, Long.MaxValue / 4)
+    val interesting = Seq(1L, 200L, 2000L, 2048L, 2049L, 4095L, 4096L,
+      4097L, 20000L, 200000L, 1024L << 4, (1024L << 4) + 1, 1024L << 7,
+      (1024L << 7) + 1, (1024L << 15) / 5, (1024L << 15) / 5 + 1,
+      (1024L << 16) / 8, (1024L << 16) / 8 + 1)
     for (n <- interesting ++ (1L to 10000L by 37L))
-      assert(graft.operators.Analytics.lshBandBits(n) == closedForm(n),
-        s"n=$n")
-    // the pinned values the oracles and the curve rely on
-    assert(graft.operators.Analytics.lshBandBits(200L) == 4)    // sf0.01
-    assert(graft.operators.Analytics.lshBandBits(2000L) == 4)   // sf0.1
-    assert(graft.operators.Analytics.lshBandBits(20000L) == 7)  // sf1.0
+      assert(lshBandPlan(n) == closedForm(n), s"n=$n")
+    // the pinned values the oracles and the curve rely on: (4,0) —
+    // byte-identical to the old uniform bits=4 plan — at both gate scales
+    assert(lshBandPlan(200L) == ((4, 0)))     // sf0.01
+    assert(lshBandPlan(2000L) == ((4, 0)))    // sf0.1
+    assert(lshBandPlan(20000L) == ((7, 2)))   // sf1.0
+    assert(lshBandPlan(200000L) == ((10, 3))) // sf10
+    // expected per-vector candidate volume N*(8-j)/2^(b+1) stays inside
+    // a fixed window for every corpus size up to the (16,0) cap — the
+    // structural claim that makes the candidate join linear in N
+    for (n <- 2048L to ((1024L << 15) / 5) by 997L) {
+      val (b, j) = lshBandPlan(n)
+      val pvc = n.toDouble * (8 - j) / (1L << (b + 1)).toDouble
+      assert(pvc <= 512.0 + 1e-9, s"n=$n pvc=$pvc")
+      // trough right after the largest capacity step ((b,3)->(b+1,0),
+      // ratio 5/4) is 512/1.25 = 409.6
+      assert(pvc > 409.0, s"n=$n pvc=$pvc")
+    }
   }
 
   test("adaptive index sizes: pinned at oracle scales, growing beyond") {
