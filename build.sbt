@@ -27,13 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // A long bench session compiles thousands of whole-stage-codegen and
-  // janino classes; JDK 17's default 240 MB ReservedCodeCacheSize fills
-  // late in the session, the JIT is disabled, and every hot loop drops
-  // to the interpreter — the round-12 "~10x slower on interpreted CPU
-  // passes, GC healthy, plans identical" wedge. 1 GiB keeps the whole
-  // session JIT-compiled; PrintCodeCache dumps usage at VM exit so every
-  // bench log carries the occupancy evidence.
+  // Evidence capture for the nondeterministic ~10x bench wedge (SCALING.md
+  // round-13 wave): PrintCodeCache stamps every bench log with occupancy
+  // at VM exit, and the 1 GiB reserve removes code-cache pressure as a
+  // variable. Round 13 DISPROVED cache exhaustion as the wedge cause —
+  // a wedged and two clean full-set sf10 JVMs all exited at ~124 MB
+  // max_used, compilation enabled, full_count=0 — so these flags are
+  // instrumentation + headroom, not a fix; the surviving explanation is
+  // host-level memory-bandwidth contention (see the wedge autopsy).
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+PrintCodeCache",
 )
