@@ -20,6 +20,7 @@ object SimilarityQueries {
     "ann_topk" -> ((s, d) => Similarity.annTopk(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(s, d)),
+    "q_ivf2_search" -> ((s, d) => Similarity.annIvf2(s, d)),
     "q_pq_search" -> ((s, d) => Similarity.pqSearch(s, d)),
     // clustering
     "q_kmeans_step" -> ((s, d) => Clustering.kmeansStep(s, d)),
@@ -943,5 +944,70 @@ object SimilarityQueries {
          |       CAST(hits_km AS BIGINT) AS hits_km,
          |       CAST(rr_km // n_queries AS BIGINT) AS mrr_km_milli
          |FROM m""".stripMargin,
+    // Two-level (coarse → fine) IVF search: the oracle replays BOTH
+    // quantizer levels — the coarse table is the hash-min PREFIX of the
+    // fine one (same 60-bit portable hash, same tie rule), routing is
+    // argmax cosine with ties → min id at each level, and the search
+    // probes the top-2 fine cells within the routed coarse cell — so
+    // every approximation the two-level index makes is replayed
+    // bit-for-bit and the gate hash-pins all rows.
+    "q_ivf2_search" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents")},
+         |coarse AS (SELECT cent_id AS co_id, ce AS oe, cn AS ocn FROM (
+         |    SELECT *, row_number() OVER (ORDER BY
+         |      CAST('0x' || substr(md5(CAST(cent_id AS VARCHAR)), 1, 15)
+         |           AS BIGINT), cent_id) AS hmrk
+         |    FROM cents)
+         |  WHERE hmrk <= greatest(8, CAST(ceil(sqrt(
+         |    CAST($centroidKSql AS DOUBLE))) AS BIGINT))),
+         |f2c AS (SELECT cent_id, co_id FROM (
+         |    SELECT c.cent_id, o.co_id,
+         |           row_number() OVER (PARTITION BY c.cent_id ORDER BY
+         |             ${dotSql("c.ce", "o.oe")} / (c.cn * o.ocn) DESC,
+         |             o.co_id) AS rn
+         |    FROM cents c CROSS JOIN coarse o) WHERE rn = 1),
+         |casg AS (SELECT vec_id, co_id FROM (
+         |    SELECT v.vec_id, o.co_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             ${dotSql("v.e", "o.oe")} / (v.nrm * o.ocn) DESC,
+         |             o.co_id) AS rn
+         |    FROM v CROSS JOIN coarse o) WHERE rn = 1),
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |             c.cent_id) AS rn
+         |    FROM v JOIN casg ON v.vec_id = casg.vec_id
+         |    JOIN f2c ON f2c.co_id = casg.co_id
+         |    JOIN cents c ON c.cent_id = f2c.cent_id) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v
+         |      WHERE vec_id % $panelStepSql = 0),
+         |qc AS (SELECT q_id, co_id FROM (
+         |    SELECT q.q_id, o.co_id,
+         |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |             ${dotSql("q.qe", "o.oe")} / (q.qn * o.ocn) DESC,
+         |             o.co_id) AS rn
+         |    FROM q CROSS JOIN coarse o) WHERE rn = 1),
+         |qprobes AS (SELECT q_id, cent_id FROM (
+         |    SELECT q.q_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |             ${dotSql("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+         |             c.cent_id) AS rn
+         |    FROM q JOIN qc ON q.q_id = qc.q_id
+         |    JOIN f2c ON f2c.co_id = qc.co_id
+         |    JOIN cents c ON c.cent_id = f2c.cent_id) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id FROM qprobes p
+         |         JOIN asg a ON p.cent_id = a.cent_id
+         |         WHERE a.vec_id <> p.q_id)
+         |SELECT q_id, n_id, cos, rk FROM (
+         |  SELECT cand.q_id, v.vec_id AS n_id,
+         |         ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) AS cos,
+         |         row_number() OVER (PARTITION BY cand.q_id ORDER BY
+         |           ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) DESC,
+         |           v.vec_id) AS rk
+         |  FROM cand JOIN q ON cand.q_id = q.q_id
+         |  JOIN v ON cand.vec_id = v.vec_id)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
   )
 }

@@ -290,6 +290,168 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------------
+  // Two-level coarse quantizer (IVF²) — the 100 TB IVF bound, as code.
+  // ---------------------------------------------------------------------
+
+  /** Coarse cell count of the two-level quantizer: max(8, ⌈√K⌉) over the
+    * K fine centroids — the cost-minimizing split of an exhaustive
+    * two-level argmin (K1 + K/K1 comparisons per row is minimal at
+    * K1 = √K). IEEE sqrt is correctly rounded, so the DuckDB oracle's
+    * `ceil(sqrt(K))` replays this bit-exactly.
+    */
+  private[graft] def coarseKFor(k: Int): Int =
+    math.max(8, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** The coarse level: the [[coarseKFor]] fine centroids with the
+    * smallest portable hash of their id — the SAME hash-min order as
+    * [[centroidsFor]], so the coarse table is a PREFIX of the fine one
+    * and derives from the cents memo in a K-row pass (no corpus scan).
+    * At 100 TB the fine table itself is too large to broadcast whole
+    * (K ~ 1.4√N is ~4.4M at 10¹³ vectors); the coarse level is what a
+    * router broadcasts (√K ~ 2.1k rows), and each coarse cell's member
+    * list is the shard-local structure.
+    */
+  private[graft] def coarseMemoFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"ivf2coarse:$dir") {
+      val cents = centroidsMemoFor(spark, dir)
+      val k1 = coarseKFor(centroidKFor(corpusN(spark, dir)))
+      cents.select(col("cent_id").as("co_id"), col("ce").as("oe"),
+          col("cn").as("ocn"),
+          Tables.portableHash(col("cent_id").cast("string")).as("hk"))
+        .orderBy(col("hk"), col("co_id")).limit(k1)
+        .select("co_id", "oe", "ocn")
+    }
+
+  /** fine centroid → its coarse cell (nearest coarse, ties → min co_id):
+    * a K-row map-only probe of the broadcast coarse table.
+    */
+  private[graft] def fineToCoarse(cents: DataFrame, coarse: DataFrame): DataFrame =
+    multiProbe(
+      cents.select(col("cent_id").as("vec_id"), col("ce").as("e"),
+        col("cn").as("nrm")),
+      coarse.select(col("co_id").as("cent_id"), col("oe").as("ce"),
+        col("ocn").as("cn")),
+      nprobe = 1)
+      .select(col("vec_id").as("cent_id"), col("cent_id").as("co_id"))
+
+  /** The per-cell member map — ONE broadcast row holding
+    * co_id → sorted [(cent_id, ce, cn)] so the fine argmin below touches
+    * only the vector's own cell. Arrays sort by cent_id (unique first
+    * struct field), which is what makes the first-position-of-min tie
+    * rule below identical to the oracle's (cos DESC, cent_id) window.
+    */
+  private def cellMap(cents: DataFrame, f2c: DataFrame): DataFrame =
+    f2c.join(cents, "cent_id")
+      .groupBy(col("co_id"))
+      .agg(array_sort(collect_list(
+        struct(col("cent_id"), col("ce"), col("cn")))).as("ms"))
+      .agg(map_from_entries(collect_list(
+        struct(col("co_id"), col("ms")))).as("cellmap"))
+
+  /** Two-level IVF assignment — map-only like [[multiProbe]] but
+    * O(K1 + K/K1) cosines per row instead of O(K): nearest coarse cell
+    * over the broadcast K1-row coarse table, then nearest fine centroid
+    * WITHIN that cell off the broadcast member map. With K ~ 1.4√N and
+    * K1 = √K this turns the corpus-sized assignment pass from O(N·√N)
+    * into O(N·N^¼) — the structural answer to "the fine centroid table
+    * outgrows what a per-row transform can price" that SCALING.md cited
+    * as the 100 TB IVF bound since round 6; it is now a measured build.
+    *
+    * The trade is recall at the CELL level, not correctness: a vector
+    * whose true nearest fine centroid lives in a different coarse cell
+    * gets its within-cell argmin instead (the classic IMI/two-level
+    * trade). The contract is therefore bucket-presence, like every ANN
+    * path here, and the oracle replays the SAME two-level decision
+    * bit-for-bit, so the gate still hash-pins every row.
+    *
+    * Tie semantics mirror the single-level path at both levels:
+    * ties → min id, via first-position-of-min over cent_id-sorted
+    * arrays. A chosen cell is structurally non-empty (coarse ⊂ fine and
+    * both sides break ties identically, so duplicate-vector centroids
+    * collapse to the same min-id cell on both the member and the vector
+    * side); the size guard degrades a pathological empty cell to zero
+    * rows exactly like [[multiProbe]]'s empty-cents guard.
+    */
+  private[graft] def ivf2Assign(v: DataFrame, cents: DataFrame,
+      coarse: DataFrame): DataFrame = {
+    import graft.functions.VectorOps
+    val coarseAsC = coarse.select(col("co_id").as("cent_id"),
+      col("oe").as("ce"), col("ocn").as("cn"))
+    val cm = cellMap(cents, fineToCoarse(cents, coarse))
+    val withCo = multiProbe(v, coarseAsC, nprobe = 1, keep = Seq("e", "nrm"))
+      .withColumnRenamed("cent_id", "co_id")
+    val withCell = withCo.crossJoin(broadcast(cm))
+      .withColumn("cell", element_at(col("cellmap"), col("co_id")))
+    val negs = transform(col("cell"), c =>
+      -(VectorOps.dot(col("e"), c.getField("ce")) /
+        (col("nrm") * c.getField("cn"))))
+    val best = element_at(col("cell"),
+      array_position(negs, array_min(negs)).cast("int"))
+      .getField("cent_id")
+    withCell.where(size(col("cell")) > 0)
+      .select(col("vec_id"), best.as("cent_id"))
+  }
+
+  /** Memoized two-level assignment — the IVF² index build, the
+    * `_build_ivf2_assign` bench entry (measured side by side with the
+    * single-level `_build_ivf_assign` across all five decades).
+    */
+  private[graft] def ivf2AssignFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"ivf2asg:$dir") {
+      ivf2Assign(Dedup.normedFor(spark, dir), centroidsMemoFor(spark, dir),
+        coarseMemoFor(spark, dir))
+    }
+
+  /** IVF²-bucketed ANN: the query panel routes through its nearest
+    * coarse cell, probes the top-2 fine centroids WITHIN that cell, and
+    * exact-cosine top-5s the vectors of those fine buckets — the
+    * two-level twin of [[annIvf]] (same panel, same output contract).
+    * Query-side cost per panel row is O(K1 + K/K1) against the two
+    * broadcast levels; candidate cost is bucket-restricted exactly as in
+    * the single-level search.
+    */
+  def annIvf2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val v = Dedup.normedFor(spark, dir)
+    val cents = centroidsMemoFor(spark, dir)
+    val coarse = coarseMemoFor(spark, dir)
+    val assign = ivf2AssignFor(spark, dir)
+    val coarseAsC = coarse.select(col("co_id").as("cent_id"),
+      col("oe").as("ce"), col("ocn").as("cn"))
+    val cm = cellMap(cents, fineToCoarse(cents, coarse))
+
+    val panel = queryPanel(spark, dir, v)
+    val q = panel.select(col("vec_id").as("q_id"), col("e").as("qe"),
+      col("nrm").as("qn"))
+    val qco = multiProbe(panel, coarseAsC, nprobe = 1, keep = Seq("e", "nrm"))
+      .withColumnRenamed("cent_id", "co_id")
+    // top-2 fine cells within the routed coarse cell (cell arrays are
+    // ≤ ~K/K1 ≈ √K entries — a bounded per-row sort, the nprobe ≥ 2
+    // shape), emitted NARROW so candidates enumerate without the query
+    // vector riding the bucket join (the round-10 ivfPairs lesson)
+    val probes = qco.crossJoin(broadcast(cm))
+      .withColumn("cell", element_at(col("cellmap"), col("co_id")))
+      .where(size(col("cell")) > 0)
+      .select(col("vec_id").as("q_id"),
+        explode(slice(array_sort(transform(col("cell"), c =>
+          struct((-(VectorOps.dot(col("e"), c.getField("ce")) /
+            (col("nrm") * c.getField("cn")))).as("negcos"),
+            c.getField("cent_id").as("cent_id")))), 1, 2)).as("p"))
+      .select(col("q_id"), col("p.cent_id").as("cent_id"))
+
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    probes.join(assign, "cent_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+      .join(broadcast(q), "q_id")
+      .join(v, "vec_id")
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= K)
+      .orderBy("q_id", "rk")
+  }
+
   /** Product-quantization ADC search — the memory-bound scale path for
     * embedding retrieval: vectors are stored as M=8 one-byte codes (one
     * per 8-dim subspace) instead of 64 doubles, and query distances are

@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+/** Structural invariants of the two-level coarse quantizer (IVF²) —
+  * bit-exactness of the full search vs the replayed two-level decision is
+  * pinned by the `q_ivf2_search` DuckDB oracle; these pin the pieces
+  * against independent driver-Scala mechanisms.
+  */
+class Ivf2Spec extends SparkSpec {
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+  }
+
+  test("coarse table is the hash-min prefix of the fine centroid table") {
+    val v = Dedup.normedFor(spark, sf001)
+    val k = Similarity.centroidKFor(v.count())
+    val k1 = Similarity.coarseKFor(k)
+    assert(k1 == math.max(8, math.ceil(math.sqrt(k.toDouble)).toInt))
+    val coarse = Similarity.coarseMemoFor(spark, sf001).collect()
+    assert(coarse.length == k1)
+    // prefix property: re-rank the fine table by the same hash and the
+    // first k1 ids must be exactly the coarse ids
+    val cents = Similarity.centroidsMemoFor(spark, sf001)
+      .collect().map(_.getLong(0))
+    def hk(id: Long): BigInt =
+      BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(8).map("%02x".format(_))
+        .mkString.take(15), 16)
+    val prefix = cents.sortBy(id => (hk(id), id)).take(k1).toSet
+    assert(coarse.map(_.getLong(0)).toSet == prefix)
+  }
+
+  test("two-level assignment == brute-force coarse-then-fine argmax") {
+    val v = Dedup.normedFor(spark, sf001)
+    val cents = Similarity.centroidsMemoFor(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val coarse = Similarity.coarseMemoFor(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    def argmax(e: Array[Double], nrm: Double,
+        pool: Seq[(Long, Array[Double], Double)]): Long = {
+      var bestCos = Double.NegativeInfinity; var bestId = -1L
+      pool.foreach { case (cid, ce, cn) =>
+        val c = dot(e, ce) / (nrm * cn)
+        if (c > bestCos) { bestCos = c; bestId = cid }
+      }
+      bestId
+    }
+    // fine -> coarse cell membership, then vector -> coarse -> fine-in-cell
+    val cell = cents.map { case (cid, ce, cn) =>
+      cid -> argmax(ce, cn, coarse.toSeq)
+    }.toMap
+    val expected = v.collect().map { r =>
+      val (id, e, nrm) = (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      val co = argmax(e, nrm, coarse.toSeq)
+      id -> argmax(e, nrm, cents.filter(c => cell(c._1) == co).toSeq)
+    }.toMap
+    val got = Similarity.ivf2AssignFor(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == expected.size, "every vector assigned (no empty cell drop)")
+    assert(got == expected)
+  }
+
+  test("ivf2 search: panel contract, bucket presence, top-5 window") {
+    val out = Similarity.annIvf2(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val step = Similarity.panelStep(
+      Dedup.normedFor(spark, sf001).count())
+    assert(out.forall(r => r.getLong(0) % step == 0), "panel stride")
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)), "self excluded")
+    assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val rks = rows.map(_.getInt(3)).sorted.toSeq
+      assert(rks.head == 1 && rks.length <= 5 &&
+        rks == (1 to rks.length), s"rk run: $rks")
+      // descending cos within a query, ties broken by n_id ascending
+      val sorted = rows.sortBy(_.getInt(3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(2) > b.getDouble(2) ||
+            (a.getDouble(2) == b.getDouble(2) && a.getLong(1) < b.getLong(1)))
+        case _ => ()
+      }
+    }
+    // bucket presence: every returned neighbor is assigned to one of the
+    // query's probed fine cells (recomputed independently)
+    val asg = Similarity.ivf2AssignFor(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = Dedup.normedFor(spark, sf001)
+    val cents = Similarity.centroidsMemoFor(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val coarse = Similarity.coarseMemoFor(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def top(e: Array[Double], nrm: Double,
+        pool: Seq[(Long, Array[Double], Double)], n: Int): Seq[Long] =
+      pool.map { case (cid, ce, cn) => (-(dot(e, ce) / (nrm * cn)), cid) }
+        .sorted.take(n).map(_._2)
+    val cell = cents.map { case (cid, ce, cn) =>
+      cid -> top(ce, cn, coarse.toSeq, 1).head
+    }.toMap
+    val panelVecs = v.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .filter(_._1 % step == 0)
+    val probed: Map[Long, Set[Long]] = panelVecs.map { case (id, e, nrm) =>
+      val co = top(e, nrm, coarse.toSeq, 1).head
+      id -> top(e, nrm, cents.filter(c => cell(c._1) == co).toSeq, 2).toSet
+    }.toMap
+    out.foreach { r =>
+      assert(probed(r.getLong(0)).contains(asg(r.getLong(1))),
+        s"neighbor ${r.getLong(1)} outside probed cells of ${r.getLong(0)}")
+    }
+  }
+}
