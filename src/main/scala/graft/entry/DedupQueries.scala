@@ -21,6 +21,7 @@ object DedupQueries {
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    "q_capped_pairs" -> ((s, d) => Dedup.cappedPairs(s, d)),
     "q_dup_ngrams" -> ((s, d) => TextAnalysis.dupNgramFraction(s, d)),
     "q_minhash_acc" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
     "q_dup_rate_by_source" -> ((s, d) => Curation.dupRateBySource(s, d)),
@@ -157,6 +158,32 @@ object DedupQueries {
          |      FROM cand c
          |      JOIN v va ON c.vec_a = va.vec_id
          |      JOIN v vb ON c.vec_b = vb.vec_id)
+         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.40
+         |ORDER BY 1, 2""".stripMargin,
+    // Budget-capped pair enumeration: replays the nprobe=1 assignment
+    // (argmax cosine, ties -> min cent_id), ranks each cell's members by
+    // the SAME 60-bit portable hash (ties -> min vec_id), and enumerates
+    // pairs only among rank <= 128 — the linear-in-N scale form of the
+    // Theta(N^1.5) pair family, decision procedure replayed bit-for-bit.
+    "q_capped_pairs" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents")},
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |             c.cent_id) AS rn
+         |    FROM v CROSS JOIN cents c) WHERE rn = 1),
+         |capped AS (SELECT cent_id, vec_id, e, nrm FROM (
+         |    SELECT a.cent_id, v.vec_id, v.e, v.nrm,
+         |           row_number() OVER (PARTITION BY a.cent_id ORDER BY
+         |             CAST('0x' || substr(md5(CAST(v.vec_id AS VARCHAR)), 1, 15)
+         |                  AS BIGINT), v.vec_id) AS r
+         |    FROM v JOIN asg a ON v.vec_id = a.vec_id) WHERE r <= 128),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
+         |      FROM capped a JOIN capped b
+         |        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.40
          |ORDER BY 1, 2""".stripMargin,
     // Sub-3-word docs stay in the report with zero gram columns (their
