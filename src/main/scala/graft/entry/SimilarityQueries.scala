@@ -21,6 +21,7 @@ object SimilarityQueries {
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(s, d)),
     "q_ivf2_search" -> ((s, d) => Similarity.annIvf2(s, d)),
+    "q_ivf2_recall" -> ((s, d) => Similarity.ivf2Mrr(s, d)),
     "q_pq_search" -> ((s, d) => Similarity.pqSearch(s, d)),
     // clustering
     "q_kmeans_step" -> ((s, d) => Clustering.kmeansStep(s, d)),
@@ -954,60 +955,108 @@ object SimilarityQueries {
     "q_ivf2_search" ->
       s"""WITH $vecCte,
          |${hashMinCte("cents")},
-         |coarse AS (SELECT cent_id AS co_id, ce AS oe, cn AS ocn FROM (
-         |    SELECT *, row_number() OVER (ORDER BY
-         |      CAST('0x' || substr(md5(CAST(cent_id AS VARCHAR)), 1, 15)
-         |           AS BIGINT), cent_id) AS hmrk
-         |    FROM cents)
-         |  WHERE hmrk <= greatest(8, CAST(ceil(sqrt(
-         |    CAST($centroidKSql AS DOUBLE))) AS BIGINT))),
-         |f2c AS (SELECT cent_id, co_id FROM (
-         |    SELECT c.cent_id, o.co_id,
-         |           row_number() OVER (PARTITION BY c.cent_id ORDER BY
-         |             ${dotSql("c.ce", "o.oe")} / (c.cn * o.ocn) DESC,
-         |             o.co_id) AS rn
-         |    FROM cents c CROSS JOIN coarse o) WHERE rn = 1),
-         |casg AS (SELECT vec_id, co_id FROM (
-         |    SELECT v.vec_id, o.co_id,
-         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |             ${dotSql("v.e", "o.oe")} / (v.nrm * o.ocn) DESC,
-         |             o.co_id) AS rn
-         |    FROM v CROSS JOIN coarse o) WHERE rn = 1),
-         |asg AS (SELECT vec_id, cent_id FROM (
-         |    SELECT v.vec_id, c.cent_id,
-         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |             ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |             c.cent_id) AS rn
-         |    FROM v JOIN casg ON v.vec_id = casg.vec_id
-         |    JOIN f2c ON f2c.co_id = casg.co_id
-         |    JOIN cents c ON c.cent_id = f2c.cent_id) WHERE rn = 1),
          |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v
          |      WHERE vec_id % $panelStepSql = 0),
-         |qc AS (SELECT q_id, co_id FROM (
-         |    SELECT q.q_id, o.co_id,
-         |           row_number() OVER (PARTITION BY q.q_id ORDER BY
-         |             ${dotSql("q.qe", "o.oe")} / (q.qn * o.ocn) DESC,
-         |             o.co_id) AS rn
-         |    FROM q CROSS JOIN coarse o) WHERE rn = 1),
-         |qprobes AS (SELECT q_id, cent_id FROM (
-         |    SELECT q.q_id, c.cent_id,
-         |           row_number() OVER (PARTITION BY q.q_id ORDER BY
-         |             ${dotSql("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
-         |             c.cent_id) AS rn
-         |    FROM q JOIN qc ON q.q_id = qc.q_id
-         |    JOIN f2c ON f2c.co_id = qc.co_id
-         |    JOIN cents c ON c.cent_id = f2c.cent_id) WHERE rn <= 2),
-         |cand AS (SELECT p.q_id, a.vec_id FROM qprobes p
-         |         JOIN asg a ON p.cent_id = a.cent_id
-         |         WHERE a.vec_id <> p.q_id)
-         |SELECT q_id, n_id, cos, rk FROM (
-         |  SELECT cand.q_id, v.vec_id AS n_id,
-         |         ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) AS cos,
-         |         row_number() OVER (PARTITION BY cand.q_id ORDER BY
-         |           ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) DESC,
-         |           v.vec_id) AS rk
-         |  FROM cand JOIN q ON cand.q_id = q.q_id
-         |  JOIN v ON cand.vec_id = v.vec_id)
-         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+         |$ivf2TopCtes
+         |SELECT q_id, n_id, cos, rk FROM t2top
+         |ORDER BY q_id, rk""".stripMargin,
+    // Side-by-side MRR@5 audit of the two-level search vs the
+    // single-level one (identical exact-rank-1 baseline and integer
+    // reciprocal ranks as q_ann_mrr) — the number that prices the
+    // two-level router's cell-level recall trade.
+    "q_ivf2_recall" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents")},
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v
+         |      WHERE vec_id % $panelStepSql = 0),
+         |$ivf2TopCtes,
+         |${ivfTop5Ctes("cents", "h")},
+         |ex1 AS (SELECT q_id, n_id FROM (
+         |  SELECT q.q_id, t.vec_id AS n_id,
+         |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |           ${dotSql("q.qe", "t.e")} / (q.qn * t.nrm) DESC,
+         |           t.vec_id) AS rk
+         |  FROM q JOIN v t ON t.vec_id <> q.q_id) WHERE rk = 1),
+         |m AS (SELECT
+         |  (SELECT count(*) FROM ex1) AS n_queries,
+         |  (SELECT count(*) FROM ex1 JOIN htop USING (q_id, n_id))
+         |    AS hits_ivf,
+         |  (SELECT CAST(coalesce(sum(1000 // rk), 0) AS BIGINT)
+         |   FROM ex1 JOIN htop USING (q_id, n_id)) AS rr_ivf,
+         |  (SELECT count(*) FROM ex1 JOIN t2top USING (q_id, n_id))
+         |    AS hits_ivf2,
+         |  (SELECT CAST(coalesce(sum(1000 // rk), 0) AS BIGINT)
+         |   FROM ex1 JOIN t2top USING (q_id, n_id)) AS rr_ivf2)
+         |SELECT CAST(n_queries AS BIGINT) AS n_queries,
+         |       CAST(hits_ivf AS BIGINT) AS hits_ivf,
+         |       CAST(rr_ivf // n_queries AS BIGINT) AS mrr_ivf_milli,
+         |       CAST(hits_ivf2 AS BIGINT) AS hits_ivf2,
+         |       CAST(rr_ivf2 // n_queries AS BIGINT) AS mrr_ivf2_milli
+         |FROM m""".stripMargin,
   )
+
+  /** Two-level (coarse → fine) top-5 CTE chain — assumes `v`, `cents`,
+    * and the panel `q` are already declared; emits `coarse` (the ⌈√K⌉
+    * hash-min PREFIX of cents, same 60-bit hash and tie rule), `f2c`
+    * (fine → coarse cell), `casg` (vector → coarse), `t2asg` (vector →
+    * fine WITHIN its cell), `t2qc`/`t2probes` (query routing: top-2 fine
+    * cells within the routed coarse cell), `t2cand`, and
+    * `t2top(q_id, n_id, cos, rk ≤ 5)`. Shared verbatim by
+    * `q_ivf2_search` and `q_ivf2_recall` so the two oracles can never
+    * drift apart.
+    */
+  private def ivf2TopCtes: String =
+    s"""coarse AS (SELECT cent_id AS co_id, ce AS oe, cn AS ocn FROM (
+       |    SELECT *, row_number() OVER (ORDER BY
+       |      CAST('0x' || substr(md5(CAST(cent_id AS VARCHAR)), 1, 15)
+       |           AS BIGINT), cent_id) AS hmrk
+       |    FROM cents)
+       |  WHERE hmrk <= greatest(8, CAST(ceil(sqrt(
+       |    CAST($centroidKSql AS DOUBLE))) AS BIGINT))),
+       |f2c AS (SELECT cent_id, co_id FROM (
+       |    SELECT c.cent_id, o.co_id,
+       |           row_number() OVER (PARTITION BY c.cent_id ORDER BY
+       |             ${dotSql("c.ce", "o.oe")} / (c.cn * o.ocn) DESC,
+       |             o.co_id) AS rn
+       |    FROM cents c CROSS JOIN coarse o) WHERE rn = 1),
+       |casg AS (SELECT vec_id, co_id FROM (
+       |    SELECT v.vec_id, o.co_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${dotSql("v.e", "o.oe")} / (v.nrm * o.ocn) DESC,
+       |             o.co_id) AS rn
+       |    FROM v CROSS JOIN coarse o) WHERE rn = 1),
+       |t2asg AS (SELECT vec_id, cent_id FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |             c.cent_id) AS rn
+       |    FROM v JOIN casg ON v.vec_id = casg.vec_id
+       |    JOIN f2c ON f2c.co_id = casg.co_id
+       |    JOIN cents c ON c.cent_id = f2c.cent_id) WHERE rn = 1),
+       |t2qc AS (SELECT q_id, co_id FROM (
+       |    SELECT q.q_id, o.co_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             ${dotSql("q.qe", "o.oe")} / (q.qn * o.ocn) DESC,
+       |             o.co_id) AS rn
+       |    FROM q CROSS JOIN coarse o) WHERE rn = 1),
+       |t2probes AS (SELECT q_id, cent_id FROM (
+       |    SELECT q.q_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             ${dotSql("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+       |             c.cent_id) AS rn
+       |    FROM q JOIN t2qc ON q.q_id = t2qc.q_id
+       |    JOIN f2c ON f2c.co_id = t2qc.co_id
+       |    JOIN cents c ON c.cent_id = f2c.cent_id) WHERE rn <= 2),
+       |t2cand AS (SELECT p.q_id, a.vec_id FROM t2probes p
+       |           JOIN t2asg a ON p.cent_id = a.cent_id
+       |           WHERE a.vec_id <> p.q_id),
+       |t2top AS (SELECT q_id, n_id, cos, rk FROM (
+       |  SELECT cd.q_id, v.vec_id AS n_id,
+       |         ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) AS cos,
+       |         row_number() OVER (PARTITION BY cd.q_id ORDER BY
+       |           ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) DESC,
+       |           v.vec_id) AS rk
+       |  FROM t2cand cd JOIN q ON cd.q_id = q.q_id
+       |  JOIN v ON cd.vec_id = v.vec_id)
+       |WHERE rk <= 5)""".stripMargin
 }

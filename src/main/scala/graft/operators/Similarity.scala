@@ -1391,6 +1391,34 @@ object Similarity {
         expr("rr_km div n_queries").as("mrr_km_milli"))
   }
 
+  /** MRR@5/hit audit of the TWO-LEVEL search against the single-level
+    * one, both scored vs the exact rank-1 neighbor on the shared panel —
+    * the number that prices the two-level router's cell-level recall
+    * trade (a query routed to the wrong coarse cell can't see its true
+    * neighbor's fine bucket) against the O(√N) → O(N^¼) probe saving.
+    * Same integer-milli MRR contract as [[annMrr]]; the DuckDB oracle
+    * replays both searches and the exact baseline.
+    */
+  def ivf2Mrr(spark: SparkSession, dir: String): DataFrame = {
+    val ex1 = annTopkFor(spark, dir).where(col("rk") === 1)
+      .select(col("q_id"), col("n_id"))
+    def rrOf(appr: DataFrame, hits: String, rr: String): DataFrame =
+      ex1.join(appr.select(col("q_id"), col("n_id"), col("rk")),
+          Seq("q_id", "n_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("rk").isNotNull, 1L).otherwise(0L)).as(hits),
+          sum(when(col("rk").isNotNull, expr("1000 div rk")).otherwise(0L))
+            .as(rr))
+    val h = rrOf(annIvf(spark, dir), "hits_ivf", "rr_ivf")
+    val t = rrOf(annIvf2(spark, dir), "hits_ivf2", "rr_ivf2")
+      .drop("n_queries")
+    h.crossJoin(broadcast(t))
+      .select(col("n_queries"), col("hits_ivf"),
+        expr("rr_ivf div n_queries").as("mrr_ivf_milli"),
+        col("hits_ivf2"),
+        expr("rr_ivf2 div n_queries").as("mrr_ivf2_milli"))
+  }
+
   /** Power-iteration rounds for [[pcaPower]]. */
   private[graft] val PcaIters = 8
 
