@@ -215,6 +215,20 @@ object OracleCtes {
        |    FROM v)
        |  WHERE hmrk <= $kSql)""".stripMargin
 
+  /** Per-bucket hash-min member cap replaying
+    * [[graft.operators.Dedup.PairCapB]] (the round-14 production pair
+    * budget): of relation `src(vec_id, cent_id)`, keep each bucket's B
+    * smallest-portable-hash members (ties → min vec_id). The ONE home for
+    * the rank ≤ B decision every capped pair/edge oracle replays.
+    */
+  def bucketCapCte(name: String, src: String): String =
+    s"""$name AS (SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY cent_id ORDER BY
+       |             ${Tables.portableHashSql("CAST(vec_id AS VARCHAR)")},
+       |             vec_id) AS bcr
+       |    FROM $src) WHERE bcr <= ${graft.operators.Dedup.PairCapB})""".stripMargin
+
   /** Exact full-dimension cosine top-5 CTE chain (`ep` pairs → `ext`
     * top-5) — the recall-audit baseline replaying
     * [[operators.Similarity.annTopkFor]]; shared by every `*_recall`

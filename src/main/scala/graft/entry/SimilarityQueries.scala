@@ -85,8 +85,9 @@ object SimilarityQueries {
        |FROM cl JOIN sz USING (cluster_id)
        |ORDER BY cl.vec_id""".stripMargin
 
-  /** Shared kNN-graph CTE chain (probes → assignment → candidates → exact
-    * cosine → top-5 edge list `ek`) replaying
+  /** Shared kNN-graph CTE chain (probes → assignment → per-bucket
+    * rank ≤ 128 member cap → candidates → exact cosine → top-5 edge list
+    * `ek`) replaying
     * [[graft.operators.Neighbors.knnEdgesFor]]; consumed by `q_knn_graph`
     * and `q_knn_clusters` so the edge-relation replay has ONE home.
     */
@@ -99,8 +100,9 @@ object SimilarityQueries {
        |                  c.cent_id) AS rn
        |         FROM v CROSS JOIN cents c) WHERE rn <= 2),
        |asg AS (SELECT vec_id, cent_id FROM pr WHERE rn = 1),
+       |${bucketCapCte("mcap", "asg")},
        |cand AS (SELECT p.vec_id AS src, a.vec_id AS dst
-       |         FROM pr p JOIN asg a USING (cent_id)
+       |         FROM pr p JOIN mcap a USING (cent_id)
        |         WHERE a.vec_id <> p.vec_id),
        |sc AS (SELECT src, dst,
        |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
@@ -197,8 +199,9 @@ object SimilarityQueries {
          |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
          |                      c.cent_id) AS rn
          |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
+         |${bucketCapCte("capped", "probes")},
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM probes a JOIN probes b
+         |         FROM capped a JOIN capped b
          |           ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
          |iv AS (SELECT c.vec_a, c.vec_b FROM cand c
          |       JOIN v va ON c.vec_a = va.vec_id
@@ -229,8 +232,9 @@ object SimilarityQueries {
          |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
          |                      c.cent_id) AS rn
          |             FROM v CROSS JOIN seeds c) WHERE rn <= 8),
+         |${bucketCapCte("hcapped", "hprobes")},
          |hcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |          FROM hprobes a JOIN hprobes b
+         |          FROM hcapped a JOIN hcapped b
          |            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
          |hm AS (SELECT c.vec_a, c.vec_b FROM hcand c
          |       JOIN v va ON c.vec_a = va.vec_id
@@ -242,8 +246,9 @@ object SimilarityQueries {
          |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
          |                      c.cent_id) AS rn
          |             FROM v CROSS JOIN kcents c) WHERE rn <= 8),
+         |${bucketCapCte("kcapped", "kprobes")},
          |kcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |          FROM kprobes a JOIN kprobes b
+         |          FROM kcapped a JOIN kcapped b
          |            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
          |km AS (SELECT c.vec_a, c.vec_b FROM kcand c
          |       JOIN v va ON c.vec_a = va.vec_id

@@ -43,9 +43,18 @@ object Neighbors {
     * volume at ~600 bytes/row, which the sf10 probe measured at 122×
     * the sf1.0 wall (N^1.5 candidates × wide rows): the same lesson as
     * [[Dedup.ivfPairs]]'s round-10 fix, now applied here.
+    *
+    * Round 14: the member side is capped per bucket at
+    * [[Dedup.PairCapB]] hash-min members (ties → min dst) — the same
+    * budget as the pair family — so per-src candidates are ≤ nprobe·B and
+    * the candidate volume is O(N·nprobe·B), linear in N, instead of the
+    * Θ(N^1.5) occupancy term (`_build_knn_edges` sf10 slope 1.098). Each
+    * src still ranks EXACT cosines; only the candidate pool of an
+    * oversized bucket is a uniform deterministic sample, replayed by the
+    * oracle. Key bumped knn: → knn2: with the contract change.
     */
   private[graft] def knnEdgesFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"knn:$dir") {
+    graft.sources.Materialized.of(spark, s"knn2:$dir") {
       val v = Dedup.normedFor(spark, dir)
       val cents = Similarity.centroidsMemoFor(spark, dir)
       val asg = Similarity.ivfAssignFor(spark, dir)
@@ -53,7 +62,12 @@ object Neighbors {
         .multiProbe(v, cents, nprobe = 2, keep = Seq("e", "nrm"))
         .select(col("vec_id").as("src"), col("e").as("qe"),
           col("nrm").as("qn"), col("cent_id"))
+      val wCap = Window.partitionBy(col("cent_id"))
+        .orderBy(graft.sources.Tables.portableHash(col("dst").cast("string")),
+          col("dst"))
       val member = asg.withColumnRenamed("vec_id", "dst")
+        .withColumn("r", row_number().over(wCap))
+        .where(col("r") <= Dedup.PairCapB)
         .join(v.withColumnRenamed("vec_id", "dst"), "dst")
         .select(col("cent_id"), col("dst"), col("e"), col("nrm"))
       val wTop = Window.partitionBy(col("src"))
