@@ -38,7 +38,11 @@ the unsalted md5 word map collided (k1=j, k2=0) with (k1=0, k2=j)
 SOURCE decade's row count (a per-generation fingerprint): the word map
 hashes (word, k, src_rows), and embeddings get an extra md5(k, src_rows)
 -seeded sign-flip pattern, so composing transforms from different
-generations can only collide on a ~2^-64 sign-pattern coincidence.
+generations can only collide on a sign-pattern coincidence. The rng
+seed keeps only 32 bits of the digest, so the real cross-generation
+bound is a ~2^-32 seed collision (not the 64-dim pattern's 2^-64) —
+ample for the handful of decades this script ever chains, and kept
+as-is so already-generated corpora stay reproducible.
 Replica 0 stays verbatim at every generation (identity transform).
 
 Deterministic (md5-seeded), no wall-clock RNG. The strides are derived

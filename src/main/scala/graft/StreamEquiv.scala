@@ -90,7 +90,9 @@ object StreamEquiv {
       pmod(sources.Tables.portableHash(
         concat(lit("order:r8:"), col("doc_id").cast("string"))), lit(16L)))
       .count()
-    val piiSum = got.agg(sum("n_pii")).as[Long].head()
+    // coalesce: sum() is null over zero survivors (empty/fully-gated
+    // corpus) — degrade to a clean match:false, not an NPE (ADVICE r13)
+    val piiSum = got.agg(coalesce(sum("n_pii"), lit(0L))).as[Long].head()
     got.unpersist()
     val sec = (System.nanoTime() - t0) / 1e9
 

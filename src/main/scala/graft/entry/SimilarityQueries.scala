@@ -21,6 +21,7 @@ object SimilarityQueries {
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(s, d)),
     "q_ivf2_search" -> ((s, d) => Similarity.annIvf2(s, d)),
+    "q_ivf2_np2" -> ((s, d) => Similarity.annIvf2Np2(s, d)),
     "q_ivf2_recall" -> ((s, d) => Similarity.ivf2Mrr(s, d)),
     "q_pq_search" -> ((s, d) => Similarity.pqSearch(s, d)),
     // clustering
@@ -965,6 +966,16 @@ object SimilarityQueries {
          |$ivf2TopCtes
          |SELECT q_id, n_id, cos, rk FROM t2top
          |ORDER BY q_id, rk""".stripMargin,
+    // The coarse-nprobe=2 two-level search: top-2 coarse cells per query,
+    // top-2 fine within each — the recall dial, replayed bit-for-bit.
+    "q_ivf2_np2" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents")},
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v
+         |      WHERE vec_id % $panelStepSql = 0),
+         |$ivf2TopCtes
+         |SELECT q_id, n_id, cos, rk FROM t2top2
+         |ORDER BY q_id, rk""".stripMargin,
     // Side-by-side MRR@5 audit of the two-level search vs the
     // single-level one (identical exact-rank-1 baseline and integer
     // reciprocal ranks as q_ann_mrr) — the number that prices the
@@ -991,12 +1002,19 @@ object SimilarityQueries {
          |  (SELECT count(*) FROM ex1 JOIN t2top USING (q_id, n_id))
          |    AS hits_ivf2,
          |  (SELECT CAST(coalesce(sum(1000 // rk), 0) AS BIGINT)
-         |   FROM ex1 JOIN t2top USING (q_id, n_id)) AS rr_ivf2)
+         |   FROM ex1 JOIN t2top USING (q_id, n_id)) AS rr_ivf2,
+         |  (SELECT count(*) FROM ex1 JOIN t2top2 USING (q_id, n_id))
+         |    AS hits_ivf2_np2,
+         |  (SELECT CAST(coalesce(sum(1000 // rk), 0) AS BIGINT)
+         |   FROM ex1 JOIN t2top2 USING (q_id, n_id)) AS rr_ivf2_np2)
          |SELECT CAST(n_queries AS BIGINT) AS n_queries,
          |       CAST(hits_ivf AS BIGINT) AS hits_ivf,
          |       CAST(rr_ivf // n_queries AS BIGINT) AS mrr_ivf_milli,
          |       CAST(hits_ivf2 AS BIGINT) AS hits_ivf2,
-         |       CAST(rr_ivf2 // n_queries AS BIGINT) AS mrr_ivf2_milli
+         |       CAST(rr_ivf2 // n_queries AS BIGINT) AS mrr_ivf2_milli,
+         |       CAST(hits_ivf2_np2 AS BIGINT) AS hits_ivf2_np2,
+         |       CAST(rr_ivf2_np2 // n_queries AS BIGINT)
+         |         AS mrr_ivf2_np2_milli
          |FROM m""".stripMargin,
   )
 
@@ -1005,10 +1023,14 @@ object SimilarityQueries {
     * hash-min PREFIX of cents, same 60-bit hash and tie rule), `f2c`
     * (fine → coarse cell), `casg` (vector → coarse), `t2asg` (vector →
     * fine WITHIN its cell), `t2qc`/`t2probes` (query routing: top-2 fine
-    * cells within the routed coarse cell), `t2cand`, and
-    * `t2top(q_id, n_id, cos, rk ≤ 5)`. Shared verbatim by
-    * `q_ivf2_search` and `q_ivf2_recall` so the two oracles can never
-    * drift apart.
+    * cells within the routed coarse cell), `t2cand`,
+    * `t2top(q_id, n_id, cos, rk ≤ 5)`, plus the coarse-nprobe=2 chain
+    * `t2qc2`/`t2probes2`/`t2cand2`/`t2top2` (top-2 coarse cells, top-2
+    * fine within EACH — replaying [[operators.Similarity.annIvf2Np2]];
+    * unreferenced plain CTEs are pruned by DuckDB, so consumers that
+    * need only one chain pay only that chain). Shared verbatim by
+    * `q_ivf2_search`, `q_ivf2_np2` and `q_ivf2_recall` so the oracles
+    * can never drift apart.
     */
   private def ivf2TopCtes: String =
     s"""coarse AS (SELECT cent_id AS co_id, ce AS oe, cn AS ocn FROM (
@@ -1062,6 +1084,33 @@ object SimilarityQueries {
        |           ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) DESC,
        |           v.vec_id) AS rk
        |  FROM t2cand cd JOIN q ON cd.q_id = q.q_id
+       |  JOIN v ON cd.vec_id = v.vec_id)
+       |WHERE rk <= 5),
+       |t2qc2 AS (SELECT q_id, co_id FROM (
+       |    SELECT q.q_id, o.co_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             ${dotSql("q.qe", "o.oe")} / (q.qn * o.ocn) DESC,
+       |             o.co_id) AS rn
+       |    FROM q CROSS JOIN coarse o) WHERE rn <= 2),
+       |t2probes2 AS (SELECT q_id, cent_id FROM (
+       |    SELECT q.q_id, t2qc2.co_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY q.q_id, t2qc2.co_id
+       |             ORDER BY
+       |             ${dotSql("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+       |             c.cent_id) AS rn
+       |    FROM q JOIN t2qc2 ON q.q_id = t2qc2.q_id
+       |    JOIN f2c ON f2c.co_id = t2qc2.co_id
+       |    JOIN cents c ON c.cent_id = f2c.cent_id) WHERE rn <= 2),
+       |t2cand2 AS (SELECT p.q_id, a.vec_id FROM t2probes2 p
+       |            JOIN t2asg a ON p.cent_id = a.cent_id
+       |            WHERE a.vec_id <> p.q_id),
+       |t2top2 AS (SELECT q_id, n_id, cos, rk FROM (
+       |  SELECT cd.q_id, v.vec_id AS n_id,
+       |         ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) AS cos,
+       |         row_number() OVER (PARTITION BY cd.q_id ORDER BY
+       |           ${dotSql("q.qe", "v.e")} / (q.qn * v.nrm) DESC,
+       |           v.vec_id) AS rk
+       |  FROM t2cand2 cd JOIN q ON cd.q_id = q.q_id
        |  JOIN v ON cd.vec_id = v.vec_id)
        |WHERE rk <= 5)""".stripMargin
 }

@@ -442,14 +442,20 @@ object Relational {
   }
 
   /** Set intersection (INTERSECT): users who both clicked and purchased. */
-  def qIntersectUsers(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-    val clicked = ev.where(col("event_type") === "click")
-      .select(col("user_id")).distinct()
-    val purchased = ev.where(col("event_type") === "purchase")
-      .select(col("user_id")).distinct()
-    clicked.intersect(purchased).orderBy("user_id")
-  }
+  def qIntersectUsers(spark: SparkSession, dir: String): DataFrame =
+    // ONE scan + ONE user-keyed exchange: conditional flags aggregated per
+    // user (map-side combined), intersection = both flags set. The former
+    // two-distinct-scans + INTERSECT shape paid two scans and three
+    // exchanges — and was the isolated suspect in a reproducible sf1.0
+    // box-state drift (r13 verdict: 0.71 → ~1.9 s, code exonerated by A/B;
+    // this rewrite retires the pattern rather than chasing the box).
+    Tables.load(spark, dir, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .where(col("c") === 1L && col("p") === 1L)
+      .select("user_id").orderBy("user_id")
 
   /** dense_rank with ties preserved: top-2 retail-price ranks per brand —
     * unlike row_number, price ties share a rank and ALL tied parts survive,

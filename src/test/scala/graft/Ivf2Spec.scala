@@ -115,4 +115,52 @@ class Ivf2Spec extends SparkSpec {
         s"neighbor ${r.getLong(1)} outside probed cells of ${r.getLong(0)}")
     }
   }
+
+  test("ivf2 np2 search: probes top-2 coarse cells, dominates the np1 search") {
+    val np1 = Similarity.annIvf2(spark, sf001).collect()
+    val np2 = Similarity.annIvf2Np2(spark, sf001).collect()
+    assert(np2.nonEmpty)
+    // candidate superset ⇒ per-rank cosine dominance: np2's rank-k cosine
+    // is ≥ np1's rank-k for every query that has k np1 results
+    val byQ1 = np1.groupBy(_.getLong(0))
+    val byQ2 = np2.groupBy(_.getLong(0))
+    assert(byQ1.keySet.subsetOf(byQ2.keySet), "np2 must cover every np1 query")
+    byQ1.foreach { case (q, rows1) =>
+      val c1 = rows1.sortBy(_.getInt(3)).map(_.getDouble(2))
+      val c2 = byQ2(q).sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(c2.length >= c1.length)
+      c1.zip(c2).zipWithIndex.foreach { case ((a, b), k) =>
+        assert(b >= a - 1e-12, s"query $q rank ${k + 1}: np2 cos $b < np1 $a")
+      }
+    }
+    // bucket presence against an independently recomputed top-2-coarse,
+    // top-2-fine-per-cell probe set
+    val asg = Similarity.ivf2AssignFor(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = Dedup.normedFor(spark, sf001)
+    val step = Similarity.panelStep(v.count())
+    val cents = Similarity.centroidsMemoFor(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val coarse = Similarity.coarseMemoFor(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def top(e: Array[Double], nrm: Double,
+        pool: Seq[(Long, Array[Double], Double)], n: Int): Seq[Long] =
+      pool.map { case (cid, ce, cn) => (-(dot(e, ce) / (nrm * cn)), cid) }
+        .sorted.take(n).map(_._2)
+    val cell = cents.map { case (cid, ce, cn) =>
+      cid -> top(ce, cn, coarse.toSeq, 1).head
+    }.toMap
+    val probed: Map[Long, Set[Long]] = v.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .filter(_._1 % step == 0)
+      .map { case (id, e, nrm) =>
+        val cos = top(e, nrm, coarse.toSeq, 2)
+        id -> cos.flatMap(co =>
+          top(e, nrm, cents.filter(c => cell(c._1) == co).toSeq, 2)).toSet
+      }.toMap
+    np2.foreach { r =>
+      assert(probed(r.getLong(0)).contains(asg(r.getLong(1))),
+        s"np2 neighbor ${r.getLong(1)} outside probed cells of ${r.getLong(0)}")
+    }
+  }
 }
