@@ -140,7 +140,7 @@ object DedupQueries {
          |ORDER BY 1, 2""".stripMargin,
     // Replays dedupEmbedding's IVF index exactly: same centroid subset,
     // same nprobe=8 multi-probe assignment (double-fold cosines, ties →
-    // min cent_id), same per-bucket rank ≤ 128 hash-min member cap, same
+    // min cent_id), same width-128 hash-min sub-bucket split, same
     // exact-cosine verification.
     "dedup_embedding" ->
       s"""WITH $vecCte,
@@ -151,10 +151,11 @@ object DedupQueries {
          |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
          |                      c.cent_id) AS rn
          |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
-         |${bucketCapCte("capped", "probes")},
+         |${subBucketCte("capped", "probes")},
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |         FROM capped a JOIN capped b
-         |           ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |           ON a.cent_id = b.cent_id AND a.sub = b.sub
+         |          AND a.vec_id < b.vec_id),
          |p AS (SELECT c.vec_a, c.vec_b,
          |        ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
          |      FROM cand c
@@ -397,8 +398,8 @@ object DedupQueries {
          |         AS novelty_permille
          |FROM sz LEFT JOIN nv ON sz.doc_id = nv.doc_id
          |ORDER BY sz.doc_id""".stripMargin,
-    // Replays the dedup_embedding pair chain (incl. the rank ≤ 128
-    // per-bucket cap) plus the SemDeDup keep rule: nearest-centroid
+    // Replays the dedup_embedding pair chain (incl. the width-128
+    // sub-bucket split) plus the SemDeDup keep rule: nearest-centroid
     // assignment, centroid cosine per member, the more-central member of
     // each pair dropped (tie → larger vec_id).
     "q_semdedup" ->
@@ -410,10 +411,11 @@ object DedupQueries {
          |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
          |                      c.cent_id) AS rn
          |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
-         |${bucketCapCte("capped", "probes")},
+         |${subBucketCte("capped", "probes")},
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |         FROM capped a JOIN capped b
-         |           ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |           ON a.cent_id = b.cent_id AND a.sub = b.sub
+         |          AND a.vec_id < b.vec_id),
          |dp AS (SELECT c.vec_a, c.vec_b
          |       FROM cand c
          |       JOIN v va ON c.vec_a = va.vec_id

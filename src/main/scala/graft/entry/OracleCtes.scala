@@ -215,11 +215,10 @@ object OracleCtes {
        |    FROM v)
        |  WHERE hmrk <= $kSql)""".stripMargin
 
-  /** Per-bucket hash-min member cap replaying
-    * [[graft.operators.Dedup.PairCapB]] (the round-14 production pair
-    * budget): of relation `src(vec_id, cent_id)`, keep each bucket's B
-    * smallest-portable-hash members (ties → min vec_id). The ONE home for
-    * the rank ≤ B decision every capped pair/edge oracle replays.
+  /** Per-bucket hash-min member cap replaying the
+    * [[graft.operators.Dedup.PairCapB]] budget on the kNN member side:
+    * of relation `src(vec_id, cent_id)`, keep each bucket's B
+    * smallest-portable-hash members (ties → min vec_id).
     */
   def bucketCapCte(name: String, src: String): String =
     s"""$name AS (SELECT vec_id, cent_id FROM (
@@ -228,6 +227,23 @@ object OracleCtes {
        |             ${Tables.portableHashSql("CAST(vec_id AS VARCHAR)")},
        |             vec_id) AS bcr
        |    FROM $src) WHERE bcr <= ${graft.operators.Dedup.PairCapB})""".stripMargin
+
+  /** Per-bucket hash-min SUB-BUCKET split replaying
+    * [[graft.operators.Dedup.ivfPairs]]'s round-14 production pair
+    * budget: each bucket's members ranked by portable hash (ties → min
+    * vec_id) and split into consecutive width-B sub-buckets,
+    * `sub = (rank − 1) div B`; pair oracles join on (cent_id, sub). The
+    * ONE home for the sub-bucket decision every pair oracle replays.
+    */
+  def subBucketCte(name: String, src: String): String =
+    s"""$name AS (SELECT vec_id, cent_id,
+       |           (bcr - 1) // ${graft.operators.Dedup.PairCapB} AS sub
+       |    FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY cent_id ORDER BY
+       |             ${Tables.portableHashSql("CAST(vec_id AS VARCHAR)")},
+       |             vec_id) AS bcr
+       |    FROM $src))""".stripMargin
 
   /** Exact full-dimension cosine top-5 CTE chain (`ep` pairs → `ext`
     * top-5) — the recall-audit baseline replaying

@@ -200,10 +200,11 @@ object SimilarityQueries {
          |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
          |                      c.cent_id) AS rn
          |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
-         |${bucketCapCte("capped", "probes")},
+         |${subBucketCte("capped", "probes")},
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |         FROM capped a JOIN capped b
-         |           ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |           ON a.cent_id = b.cent_id AND a.sub = b.sub
+         |          AND a.vec_id < b.vec_id),
          |iv AS (SELECT c.vec_a, c.vec_b FROM cand c
          |       JOIN v va ON c.vec_a = va.vec_id
          |       JOIN v vb ON c.vec_b = vb.vec_id
@@ -233,10 +234,11 @@ object SimilarityQueries {
          |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
          |                      c.cent_id) AS rn
          |             FROM v CROSS JOIN seeds c) WHERE rn <= 8),
-         |${bucketCapCte("hcapped", "hprobes")},
+         |${subBucketCte("hcapped", "hprobes")},
          |hcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |          FROM hcapped a JOIN hcapped b
-         |            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |            ON a.cent_id = b.cent_id AND a.sub = b.sub
+         |           AND a.vec_id < b.vec_id),
          |hm AS (SELECT c.vec_a, c.vec_b FROM hcand c
          |       JOIN v va ON c.vec_a = va.vec_id
          |       JOIN v vb ON c.vec_b = vb.vec_id
@@ -247,10 +249,11 @@ object SimilarityQueries {
          |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
          |                      c.cent_id) AS rn
          |             FROM v CROSS JOIN kcents c) WHERE rn <= 8),
-         |${bucketCapCte("kcapped", "kprobes")},
+         |${subBucketCte("kcapped", "kprobes")},
          |kcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |          FROM kcapped a JOIN kcapped b
-         |            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |            ON a.cent_id = b.cent_id AND a.sub = b.sub
+         |           AND a.vec_id < b.vec_id),
          |km AS (SELECT c.vec_a, c.vec_b FROM kcand c
          |       JOIN v va ON c.vec_a = va.vec_id
          |       JOIN v vb ON c.vec_b = vb.vec_id
