@@ -8,7 +8,7 @@ OUT=/root/repo
 run() { # sfdir outfile
   SPARK_GRAFT_SF_DIR="$1" SPARK_DRIVER_MEM=16g \
     sbt -batch "runMain graft.Bench" > "/tmp/r14_bench_$(basename "$2").log" 2>&1
-  grep -o '{"metric".*' "/tmp/r14_bench_$(basename "$2").log" | tail -1 > "$2"
+  grep -o "{\"queries\".*" "/tmp/r14_bench_$(basename "$2").log" | tail -1 > "$2"
 }
 run /root/testdata/sf0.001   "$OUT/BENCH_LOCAL_sf0001_r14.json"
 run /root/testdata/sf0.01    "$OUT/BENCH_LOCAL_sf001_r14.json"

@@ -15,7 +15,7 @@ run() { # tag only-list
   SPARK_GRAFT_SF_DIR=/root/repo/testdata_sf10 SPARK_GRAFT_ONLY="$onl" \
   SPARK_GRAFT_BENCH_REPEAT=1 SPARK_DRIVER_MEM=16g \
     sbt -batch "runMain graft.Bench" > "$OUT/${tag}.log" 2>&1
-  grep -o '{"metric".*' "$OUT/${tag}.log" | tail -1 > "$OUT/${tag}.json"
+  grep -o "{\"queries\".*" "$OUT/${tag}.log" | tail -1 > "$OUT/${tag}.json"
 }
 # group files are one query name per line, produced by r14_sf10_groups.py
 python3 scripts/r14_sf10_groups.py /tmp/out_r14b/oracle_sql.json "$OUT"
