@@ -22,6 +22,7 @@ object DedupQueries {
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "q_capped_pairs" -> ((s, d) => Dedup.cappedPairs(s, d)),
+    "q_ivf2_pairs" -> ((s, d) => Dedup.ivf2Pairs(s, d)),
     "q_dup_ngrams" -> ((s, d) => TextAnalysis.dupNgramFraction(s, d)),
     "q_minhash_acc" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
     "q_dup_rate_by_source" -> ((s, d) => Curation.dupRateBySource(s, d)),
@@ -187,6 +188,42 @@ object DedupQueries {
          |        ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
          |      FROM capped a JOIN capped b
          |        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.40
+         |ORDER BY 1, 2""".stripMargin,
+    // Two-level-routed pair build: replays the coarse prefix + fine→coarse
+    // map (ivf2BaseCtes), the corpus's top-2 coarse routing, the top-4
+    // fine probes WITHIN each routed cell, the width-128 sub-bucket
+    // split, and the exact-cosine verification — every approximation the
+    // routed index makes, bit-for-bit.
+    "q_ivf2_pairs" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents")},
+         |$ivf2BaseCtes,
+         |vco AS (SELECT vec_id, co_id FROM (
+         |    SELECT v.vec_id, o.co_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             ${dotSql("v.e", "o.oe")} / (v.nrm * o.ocn) DESC,
+         |             o.co_id) AS rn
+         |    FROM v CROSS JOIN coarse o) WHERE rn <= 2),
+         |vpr AS (SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, vco.co_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id, vco.co_id
+         |             ORDER BY
+         |             ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |             c.cent_id) AS rn
+         |    FROM v JOIN vco ON v.vec_id = vco.vec_id
+         |    JOIN f2c ON f2c.co_id = vco.co_id
+         |    JOIN cents c ON c.cent_id = f2c.cent_id) WHERE rn <= 4),
+         |${subBucketCte("capped", "vpr")},
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM capped a JOIN capped b
+         |           ON a.cent_id = b.cent_id AND a.sub = b.sub
+         |          AND a.vec_id < b.vec_id),
+         |p AS (SELECT c.vec_a, c.vec_b,
+         |        ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
+         |      FROM cand c
+         |      JOIN v va ON c.vec_a = va.vec_id
+         |      JOIN v vb ON c.vec_b = vb.vec_id)
          |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.40
          |ORDER BY 1, 2""".stripMargin,
     // Sub-3-word docs stay in the report with zero gram columns (their

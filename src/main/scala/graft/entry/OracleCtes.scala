@@ -245,6 +245,30 @@ object OracleCtes {
        |             vec_id) AS bcr
        |    FROM $src))""".stripMargin
 
+  /** Two-level quantizer BASE (needs `v` and `cents` upstream): `coarse`
+    * = the ⌈√K⌉ hash-min PREFIX of the fine centroid table (same 60-bit
+    * hash and tie rule as the fine selection), `f2c` = fine centroid →
+    * its nearest coarse cell (ties → min co_id) — replaying
+    * [[graft.operators.Similarity.coarseMemoFor]] /
+    * [[graft.operators.Similarity.fineToCoarse]]. The ONE home for the
+    * two-level index build every IVF² oracle replays (searches in
+    * SimilarityQueries, the routed pair build in DedupQueries).
+    */
+  lazy val ivf2BaseCtes: String =
+    s"""coarse AS (SELECT cent_id AS co_id, ce AS oe, cn AS ocn FROM (
+       |    SELECT *, row_number() OVER (ORDER BY
+       |      CAST('0x' || substr(md5(CAST(cent_id AS VARCHAR)), 1, 15)
+       |           AS BIGINT), cent_id) AS hmrk
+       |    FROM cents)
+       |  WHERE hmrk <= greatest(8, CAST(ceil(sqrt(
+       |    CAST($centroidKSql AS DOUBLE))) AS BIGINT))),
+       |f2c AS (SELECT cent_id, co_id FROM (
+       |    SELECT c.cent_id, o.co_id,
+       |           row_number() OVER (PARTITION BY c.cent_id ORDER BY
+       |             ${dotSql("c.ce", "o.oe")} / (c.cn * o.ocn) DESC,
+       |             o.co_id) AS rn
+       |    FROM cents c CROSS JOIN coarse o) WHERE rn = 1)""".stripMargin
+
   /** Exact full-dimension cosine top-5 CTE chain (`ep` pairs → `ext`
     * top-5) — the recall-audit baseline replaying
     * [[operators.Similarity.annTopkFor]]; shared by every `*_recall`

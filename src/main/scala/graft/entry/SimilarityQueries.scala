@@ -1036,19 +1036,7 @@ object SimilarityQueries {
     * can never drift apart.
     */
   private def ivf2TopCtes: String =
-    s"""coarse AS (SELECT cent_id AS co_id, ce AS oe, cn AS ocn FROM (
-       |    SELECT *, row_number() OVER (ORDER BY
-       |      CAST('0x' || substr(md5(CAST(cent_id AS VARCHAR)), 1, 15)
-       |           AS BIGINT), cent_id) AS hmrk
-       |    FROM cents)
-       |  WHERE hmrk <= greatest(8, CAST(ceil(sqrt(
-       |    CAST($centroidKSql AS DOUBLE))) AS BIGINT))),
-       |f2c AS (SELECT cent_id, co_id FROM (
-       |    SELECT c.cent_id, o.co_id,
-       |           row_number() OVER (PARTITION BY c.cent_id ORDER BY
-       |             ${dotSql("c.ce", "o.oe")} / (c.cn * o.ocn) DESC,
-       |             o.co_id) AS rn
-       |    FROM cents c CROSS JOIN coarse o) WHERE rn = 1),
+    s"""$ivf2BaseCtes,
        |casg AS (SELECT vec_id, co_id FROM (
        |    SELECT v.vec_id, o.co_id,
        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY

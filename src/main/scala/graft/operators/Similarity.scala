@@ -403,6 +403,38 @@ object Similarity {
         coarseMemoFor(spark, dir))
     }
 
+  /** Two-level-routed probe ids over the FULL corpus:
+    * (vec_id, cent_id) rows where each vector routes through its
+    * top-`coarseNprobe` coarse cells and probes the top-`finePerCell`
+    * fine centroids within EACH routed cell — O(K1 + coarseNprobe·K/K1)
+    * cosines per row instead of the single-level multiProbe's O(K).
+    * Probed cells never duplicate (fine cells of distinct coarse cells
+    * are disjoint: [[fineToCoarse]] is nprobe=1). Map-only like
+    * [[multiProbe]]: both quantizer levels ride broadcasts. Feeds
+    * [[Dedup.ivf2Pairs]]; the per-cell sort is bounded at ~√K structs.
+    */
+  private[graft] def ivf2ProbeIds(spark: SparkSession, dir: String,
+      coarseNprobe: Int, finePerCell: Int): DataFrame = {
+    import graft.functions.VectorOps
+    val v = Dedup.normedFor(spark, dir)
+    val cents = centroidsMemoFor(spark, dir)
+    val coarse = coarseMemoFor(spark, dir)
+    val coarseAsC = coarse.select(col("co_id").as("cent_id"),
+      col("oe").as("ce"), col("ocn").as("cn"))
+    val cm = cellMap(cents, fineToCoarse(cents, coarse))
+    multiProbe(v, coarseAsC, nprobe = coarseNprobe, keep = Seq("e", "nrm"))
+      .withColumnRenamed("cent_id", "co_id")
+      .crossJoin(broadcast(cm))
+      .withColumn("cell", element_at(col("cellmap"), col("co_id")))
+      .where(size(col("cell")) > 0)
+      .select(col("vec_id"),
+        explode(slice(array_sort(transform(col("cell"), c =>
+          struct((-(VectorOps.dot(col("e"), c.getField("ce")) /
+            (col("nrm") * c.getField("cn")))).as("negcos"),
+            c.getField("cent_id").as("cent_id")))), 1, finePerCell)).as("p"))
+      .select(col("vec_id"), col("p.cent_id").as("cent_id"))
+  }
+
   /** IVF²-bucketed ANN: the query panel routes through its nearest
     * coarse cell, probes the top-2 fine centroids WITHIN that cell, and
     * exact-cosine top-5s the vectors of those fine buckets — the

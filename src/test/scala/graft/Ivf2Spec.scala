@@ -163,4 +163,24 @@ class Ivf2Spec extends SparkSpec {
         s"np2 neighbor ${r.getLong(1)} outside probed cells of ${r.getLong(0)}")
     }
   }
+
+  test("ivf2-routed pairs: verified subset of exact truth, bucket-restricted") {
+    val exact = Dedup.dedupEmbeddingExact(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val routed = Dedup.ivf2Pairs(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed.nonEmpty, "routed pair set must bite at sf0.01")
+    // exact-cosine verification means zero false positives by construction
+    assert(routed.subsetOf(exact), s"false positives: ${routed -- exact}")
+    // every pair shares >= 1 two-level-probed cell (independent recompute)
+    val probeIds = Similarity
+      .ivf2ProbeIds(spark, sf001, coarseNprobe = 2, finePerCell = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    routed.foreach { case (a, b) =>
+      assert(probeIds(a).intersect(probeIds(b)).nonEmpty,
+        s"pair ($a,$b) shares no probed cell")
+      assert(probeIds(a).size <= 8, s"vector $a probed ${probeIds(a).size} cells")
+    }
+  }
 }
