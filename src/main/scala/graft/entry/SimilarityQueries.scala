@@ -16,6 +16,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_recall" -> ((s, d) => Dedup.annRecall(s, d)),
     "q_ann_recall_kmeans" -> ((s, d) => Dedup.annRecallKmeans(s, d)),
+    "q_ivf2_pair_recall" -> ((s, d) => Dedup.ivf2PairRecall(s, d)),
     // similarity search
     "ann_topk" -> ((s, d) => Similarity.annTopk(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -270,6 +271,79 @@ object SimilarityQueries {
          |       CAST(CASE WHEN n_exact = 0 THEN 1000
          |            ELSE n_kmeans * 1000 // n_exact END AS BIGINT)
          |         AS recall_kmeans_permille
+         |FROM n""".stripMargin,
+    // Decision evidence for the r15 routed-pair production switch: the
+    // exact truth (audit stride), the production single-level nprobe=8
+    // pair set, AND the two-level-routed pair set (top-2 coarse, top-4
+    // fine per cell) — every mechanism replayed bit-for-bit, plus the
+    // routed build's retention of the production pair mass (held).
+    "q_ivf2_pair_recall" ->
+      s"""WITH $vecCte,
+         |${hashMinCte("cents")},
+         |$ivf2BaseCtes,
+         |ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |       FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |       WHERE a.vec_id % $auditStrideSql = 0
+         |         AND b.vec_id % $auditStrideSql = 0
+         |         AND ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
+         |probes AS (SELECT vec_id, cent_id FROM (
+         |             SELECT v.vec_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
+         |${subBucketCte("pcapped", "probes")},
+         |pcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM pcapped a JOIN pcapped b
+         |            ON a.cent_id = b.cent_id AND a.sub = b.sub
+         |           AND a.vec_id < b.vec_id),
+         |prod AS (SELECT c.vec_a, c.vec_b FROM pcand c
+         |         JOIN v va ON c.vec_a = va.vec_id
+         |         JOIN v vb ON c.vec_b = vb.vec_id
+         |         WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
+         |vco AS (SELECT vec_id, co_id FROM (
+         |    SELECT v.vec_id, o.co_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             ${dotSql("v.e", "o.oe")} / (v.nrm * o.ocn) DESC,
+         |             o.co_id) AS rn
+         |    FROM v CROSS JOIN coarse o) WHERE rn <= 2),
+         |vpr AS (SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, vco.co_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id, vco.co_id
+         |             ORDER BY
+         |             ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |             c.cent_id) AS rn
+         |    FROM v JOIN vco ON v.vec_id = vco.vec_id
+         |    JOIN f2c ON f2c.co_id = vco.co_id
+         |    JOIN cents c ON c.cent_id = f2c.cent_id) WHERE rn <= 4),
+         |${subBucketCte("rcapped", "vpr")},
+         |rcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM rcapped a JOIN rcapped b
+         |            ON a.cent_id = b.cent_id AND a.sub = b.sub
+         |           AND a.vec_id < b.vec_id),
+         |routed AS (SELECT c.vec_a, c.vec_b FROM rcand c
+         |           JOIN v va ON c.vec_a = va.vec_id
+         |           JOIN v vb ON c.vec_b = vb.vec_id
+         |           WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
+         |n AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
+         |             (SELECT count(*) FROM prod) AS n_prod,
+         |             (SELECT count(*) FROM routed) AS n_routed,
+         |             (SELECT count(*) FROM prod JOIN routed USING (vec_a, vec_b))
+         |               AS n_held,
+         |             (SELECT count(*) FROM ex JOIN prod USING (vec_a, vec_b))
+         |               AS n_prod_hit,
+         |             (SELECT count(*) FROM ex JOIN routed USING (vec_a, vec_b))
+         |               AS n_routed_hit)
+         |SELECT n_exact, n_prod, n_routed, n_held,
+         |       CAST(CASE WHEN n_exact = 0 THEN 1000
+         |            ELSE n_prod_hit * 1000 // n_exact END AS BIGINT)
+         |         AS recall_prod_permille,
+         |       CAST(CASE WHEN n_exact = 0 THEN 1000
+         |            ELSE n_routed_hit * 1000 // n_exact END AS BIGINT)
+         |         AS recall_routed_permille,
+         |       CAST(CASE WHEN n_prod = 0 THEN 1000
+         |            ELSE n_held * 1000 // n_prod END AS BIGINT)
+         |         AS held_permille
          |FROM n""".stripMargin,
     "ann_topk" ->
       s"""WITH $vecCte,

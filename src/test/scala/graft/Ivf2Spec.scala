@@ -183,4 +183,27 @@ class Ivf2Spec extends SparkSpec {
       assert(probeIds(a).size <= 8, s"vector $a probed ${probeIds(a).size} cells")
     }
   }
+
+  test("ivf2 pair-recall audit row == independent set arithmetic") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ex = pairSet(Dedup.dedupEmbeddingExact(spark, sf001))
+    val prod = pairSet(Dedup.dedupEmbedding(spark, sf001))
+    val routed = pairSet(Dedup.ivf2Pairs(spark, sf001))
+    val row = Dedup.ivf2PairRecall(spark, sf001).collect().head
+    assert(row.getAs[Long]("n_exact") == ex.size.toLong)
+    assert(row.getAs[Long]("n_prod") == prod.size.toLong)
+    assert(row.getAs[Long]("n_routed") == routed.size.toLong)
+    assert(row.getAs[Long]("n_held") == prod.intersect(routed).size.toLong)
+    assert(row.getAs[Long]("recall_prod_permille") ==
+      (if (ex.isEmpty) 1000L else ex.intersect(prod).size.toLong * 1000 / ex.size))
+    assert(row.getAs[Long]("recall_routed_permille") ==
+      (if (ex.isEmpty) 1000L else ex.intersect(routed).size.toLong * 1000 / ex.size))
+    assert(row.getAs[Long]("held_permille") ==
+      (if (prod.isEmpty) 1000L else prod.intersect(routed).size.toLong * 1000 / prod.size))
+    // routed and production both verify with the exact cosine, so both
+    // are subsets of the truth wherever the audit population covers them
+    assert(ex.nonEmpty && prod.nonEmpty && routed.nonEmpty)
+  }
 }
