@@ -101,7 +101,7 @@ object Bench {
       "_build_ivf_assign" -> (() => { operators.Similarity.ivfAssignFor(spark, sfDir).count(); () }),
       "_build_ivf2_assign" -> (() => { operators.Similarity.ivf2AssignFor(spark, sfDir).count(); () }),
       "_build_km_pairs" -> (() => { operators.Dedup.ivfKmeansPairsFor(spark, sfDir).count(); () }),
-      "_build_ivf2_pairs" -> (() => { operators.Dedup.ivf2PairsFor(spark, sfDir).count(); () }),
+      "_build_ivf1_pairs" -> (() => { operators.Dedup.ivfSinglePairsFor(spark, sfDir).count(); () }),
       "_build_km_assign" -> (() => { operators.Similarity.kmAssignFor(spark, sfDir).count(); () }),
       "_build_doc_bigrams" -> (() => { operators.TextAnalysis.docBigramsFor(spark, sfDir).count(); () }),
       "_build_unigrams" -> (() => { operators.TextAnalysis.unigramCountsFor(spark, sfDir).count(); () }),

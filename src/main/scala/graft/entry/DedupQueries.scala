@@ -22,7 +22,7 @@ object DedupQueries {
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "q_capped_pairs" -> ((s, d) => Dedup.cappedPairs(s, d)),
-    "q_ivf2_pairs" -> ((s, d) => Dedup.ivf2Pairs(s, d)),
+    "q_ivf1_pairs" -> ((s, d) => Dedup.ivfSinglePairs(s, d)),
     "q_dup_ngrams" -> ((s, d) => TextAnalysis.dupNgramFraction(s, d)),
     "q_minhash_acc" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
     "q_dup_rate_by_source" -> ((s, d) => Curation.dupRateBySource(s, d)),
@@ -139,30 +139,18 @@ object DedupQueries {
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 3
          |ORDER BY 1, 2""".stripMargin,
-    // Replays dedupEmbedding's IVF index exactly: same centroid subset,
-    // same nprobe=8 multi-probe assignment (double-fold cosines, ties →
-    // min cent_id), same width-128 hash-min sub-bucket split, same
-    // exact-cosine verification.
+    // Replays dedupEmbedding's ROUTED index exactly (the round-14
+    // production path): same centroid subset, coarse prefix + fine→coarse
+    // map, top-3 coarse routing, top-8 fine probes per routed cell,
+    // salted width-128 sub-bucket split, exact-cosine verification.
     "dedup_embedding" ->
       s"""WITH $vecCte,
          |${hashMinCte("cents")},
-         |probes AS (SELECT vec_id, cent_id FROM (
-         |             SELECT v.vec_id, c.cent_id,
-         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |                      c.cent_id) AS rn
-         |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
-         |${subBucketCte("capped", "probes")},
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM capped a JOIN capped b
-         |           ON a.cent_id = b.cent_id AND a.sub = b.sub
-         |          AND a.vec_id < b.vec_id),
-         |p AS (SELECT c.vec_a, c.vec_b,
-         |        ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
-         |      FROM cand c
-         |      JOIN v va ON c.vec_a = va.vec_id
-         |      JOIN v vb ON c.vec_b = vb.vec_id)
-         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.40
+         |$ivf2BaseCtes,
+         |${ivf2ProbeCte("rpr", "", "cents",
+            operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
+         |${ivfPairCtes("p", "rpr")}
+         |SELECT vec_a, vec_b, cos FROM p
          |ORDER BY 1, 2""".stripMargin,
     // Budget-capped pair enumeration: replays the nprobe=1 assignment
     // (argmax cosine, ties -> min cent_id), ranks each cell's members by
@@ -190,41 +178,21 @@ object DedupQueries {
          |        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.40
          |ORDER BY 1, 2""".stripMargin,
-    // Two-level-routed pair build: replays the coarse prefix + fine→coarse
-    // map (ivf2BaseCtes), the corpus's top-2 coarse routing, the top-4
-    // fine probes WITHIN each routed cell, the width-128 sub-bucket
-    // split, and the exact-cosine verification — every approximation the
-    // routed index makes, bit-for-bit.
-    "q_ivf2_pairs" ->
+    // Legacy single-level pair build (the pre-migration production
+    // mechanism, kept as the oracle-pinned comparison baseline): nprobe=8
+    // multi-probe assignment, salted width-128 sub-bucket split,
+    // exact-cosine verification.
+    "q_ivf1_pairs" ->
       s"""WITH $vecCte,
          |${hashMinCte("cents")},
-         |$ivf2BaseCtes,
-         |vco AS (SELECT vec_id, co_id FROM (
-         |    SELECT v.vec_id, o.co_id,
-         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |             ${dotSql("v.e", "o.oe")} / (v.nrm * o.ocn) DESC,
-         |             o.co_id) AS rn
-         |    FROM v CROSS JOIN coarse o) WHERE rn <= 2),
-         |vpr AS (SELECT vec_id, cent_id FROM (
-         |    SELECT v.vec_id, vco.co_id, c.cent_id,
-         |           row_number() OVER (PARTITION BY v.vec_id, vco.co_id
-         |             ORDER BY
-         |             ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |             c.cent_id) AS rn
-         |    FROM v JOIN vco ON v.vec_id = vco.vec_id
-         |    JOIN f2c ON f2c.co_id = vco.co_id
-         |    JOIN cents c ON c.cent_id = f2c.cent_id) WHERE rn <= 4),
-         |${subBucketCte("capped", "vpr")},
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM capped a JOIN capped b
-         |           ON a.cent_id = b.cent_id AND a.sub = b.sub
-         |          AND a.vec_id < b.vec_id),
-         |p AS (SELECT c.vec_a, c.vec_b,
-         |        ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
-         |      FROM cand c
-         |      JOIN v va ON c.vec_a = va.vec_id
-         |      JOIN v vb ON c.vec_b = vb.vec_id)
-         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.40
+         |probes AS (SELECT vec_id, cent_id FROM (
+         |             SELECT v.vec_id, c.cent_id,
+         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+         |                      c.cent_id) AS rn
+         |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
+         |${ivfPairCtes("p", "probes")}
+         |SELECT vec_a, vec_b, cos FROM p
          |ORDER BY 1, 2""".stripMargin,
     // Sub-3-word docs stay in the report with zero gram columns (their
     // dup_word_pct is still meaningful), mirroring the Spark side.
@@ -442,22 +410,11 @@ object DedupQueries {
     "q_semdedup" ->
       s"""WITH $vecCte,
          |${hashMinCte("cents")},
-         |probes AS (SELECT vec_id, cent_id FROM (
-         |             SELECT v.vec_id, c.cent_id,
-         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |                      c.cent_id) AS rn
-         |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
-         |${subBucketCte("capped", "probes")},
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM capped a JOIN capped b
-         |           ON a.cent_id = b.cent_id AND a.sub = b.sub
-         |          AND a.vec_id < b.vec_id),
-         |dp AS (SELECT c.vec_a, c.vec_b
-         |       FROM cand c
-         |       JOIN v va ON c.vec_a = va.vec_id
-         |       JOIN v vb ON c.vec_b = vb.vec_id
-         |       WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
+         |$ivf2BaseCtes,
+         |${ivf2ProbeCte("rpr", "", "cents",
+            operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
+         |${ivfPairCtes("dpc", "rpr")},
+         |dp AS (SELECT vec_a, vec_b FROM dpc),
          |asg1 AS (SELECT vec_id, cent_id FROM (
          |           SELECT v.vec_id, c.cent_id,
          |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY

@@ -230,10 +230,18 @@ object OracleCtes {
 
   /** Per-bucket hash-min SUB-BUCKET split replaying
     * [[graft.operators.Dedup.ivfPairs]]'s round-14 production pair
-    * budget: each bucket's members ranked by portable hash (ties → min
-    * vec_id) and split into consecutive width-B sub-buckets,
-    * `sub = (rank − 1) div B`; pair oracles join on (cent_id, sub). The
-    * ONE home for the sub-bucket decision every pair oracle replays.
+    * budget: each bucket's members ranked by the PER-BUCKET-SALTED
+    * portable hash of `cent_id:vec_id` (ties → min vec_id) and split
+    * into consecutive width-B sub-buckets, `sub = (rank − 1) div B`;
+    * pair oracles join on (cent_id, sub). Salting makes the splits of
+    * DIFFERENT buckets independent: under the earlier global
+    * hash(vec_id) order a pair separated in hash rank was separated in
+    * EVERY bucket it co-occupied, so multi-probe redundancy bought no
+    * retention (measured: widening the routed probe from 4 to 8 fine
+    * cells per coarse cell LOWERED pair recall 403 → 241 permille at
+    * sf0.1); with per-bucket salts a pair sharing k buckets survives
+    * ≈ 1-(1-B/s)^k (same sf0.1 widening: 579 → 622). The ONE home for
+    * the sub-bucket decision every pair oracle replays.
     */
   def subBucketCte(name: String, src: String): String =
     s"""$name AS (SELECT vec_id, cent_id,
@@ -241,7 +249,8 @@ object OracleCtes {
        |    FROM (
        |    SELECT vec_id, cent_id,
        |           row_number() OVER (PARTITION BY cent_id ORDER BY
-       |             ${Tables.portableHashSql("CAST(vec_id AS VARCHAR)")},
+       |             ${Tables.portableHashSql(
+                       "CAST(cent_id AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)")},
        |             vec_id) AS bcr
        |    FROM $src))""".stripMargin
 
@@ -254,20 +263,74 @@ object OracleCtes {
     * two-level index build every IVF² oracle replays (searches in
     * SimilarityQueries, the routed pair build in DedupQueries).
     */
-  lazy val ivf2BaseCtes: String =
-    s"""coarse AS (SELECT cent_id AS co_id, ce AS oe, cn AS ocn FROM (
+  lazy val ivf2BaseCtes: String = ivf2BaseCtesOver("", "cents")
+
+  /** [[ivf2BaseCtes]] over an ARBITRARY fine-centroid relation `$cents`
+    * with name-prefixed outputs (`${prefix}coarse`, `${prefix}f2c`) so
+    * two quantizer instances (e.g. hash-min seeds AND the k-means-refined
+    * table, as in `q_ann_recall_kmeans`) can coexist in one oracle.
+    */
+  def ivf2BaseCtesOver(prefix: String, cents: String): String =
+    s"""${prefix}coarse AS (SELECT cent_id AS co_id, ce AS oe, cn AS ocn FROM (
        |    SELECT *, row_number() OVER (ORDER BY
        |      CAST('0x' || substr(md5(CAST(cent_id AS VARCHAR)), 1, 15)
        |           AS BIGINT), cent_id) AS hmrk
-       |    FROM cents)
+       |    FROM $cents)
        |  WHERE hmrk <= greatest(8, CAST(ceil(sqrt(
        |    CAST($centroidKSql AS DOUBLE))) AS BIGINT))),
-       |f2c AS (SELECT cent_id, co_id FROM (
+       |${prefix}f2c AS (SELECT cent_id, co_id FROM (
        |    SELECT c.cent_id, o.co_id,
        |           row_number() OVER (PARTITION BY c.cent_id ORDER BY
        |             ${dotSql("c.ce", "o.oe")} / (c.cn * o.ocn) DESC,
        |             o.co_id) AS rn
-       |    FROM cents c CROSS JOIN coarse o) WHERE rn = 1)""".stripMargin
+       |    FROM $cents c CROSS JOIN ${prefix}coarse o) WHERE rn = 1)""".stripMargin
+
+  /** Two-level-routed corpus probes (needs `v`, `$cents` and
+    * [[ivf2BaseCtesOver]]`(prefix, cents)` upstream): `$out(vec_id,
+    * cent_id)` — every vector routed through its top-`coarseNprobe`
+    * coarse cells, probing the top-`finePerCell` fine centroids within
+    * EACH routed cell. Replays
+    * [[graft.operators.Similarity.ivf2ProbeIds]], the production pair
+    * builds' probe relation since the round-14 migration.
+    */
+  def ivf2ProbeCte(out: String, prefix: String, cents: String,
+      coarseNprobe: Int, finePerCell: Int): String =
+    s"""${out}vco AS (SELECT vec_id, co_id FROM (
+       |    SELECT v.vec_id, o.co_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${dotSql("v.e", "o.oe")} / (v.nrm * o.ocn) DESC,
+       |             o.co_id) AS rn
+       |    FROM v CROSS JOIN ${prefix}coarse o) WHERE rn <= $coarseNprobe),
+       |$out AS (SELECT vec_id, cent_id FROM (
+       |    SELECT v.vec_id, w.co_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id, w.co_id
+       |             ORDER BY
+       |             ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |             c.cent_id) AS rn
+       |    FROM v JOIN ${out}vco w ON v.vec_id = w.vec_id
+       |    JOIN ${prefix}f2c f ON f.co_id = w.co_id
+       |    JOIN $cents c ON c.cent_id = f.cent_id) WHERE rn <= $finePerCell)"""
+      .stripMargin
+
+  /** Sub-bucketed, exact-cosine-verified near-dup pair set over a probe
+    * relation `src(vec_id, cent_id)` (needs `v`): `$out(vec_a, vec_b,
+    * cos)` — the [[graft.operators.Dedup.subBucketPairs]] mechanism
+    * (salted width-B split, same-sub-bucket candidates, cosine scored on
+    * the corpus join, ≥ 0.40, distinct) as ONE shared fragment for every
+    * pair-build oracle.
+    */
+  def ivfPairCtes(out: String, src: String): String =
+    s"""${subBucketCte(s"${out}cap", src)},
+       |${out}cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |          FROM ${out}cap a JOIN ${out}cap b
+       |            ON a.cent_id = b.cent_id AND a.sub = b.sub
+       |           AND a.vec_id < b.vec_id),
+       |$out AS (SELECT * FROM (
+       |    SELECT c.vec_a, c.vec_b,
+       |           ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
+       |    FROM ${out}cand c
+       |    JOIN v va ON c.vec_a = va.vec_id
+       |    JOIN v vb ON c.vec_b = vb.vec_id) WHERE cos >= 0.40)""".stripMargin
 
   /** Exact full-dimension cosine top-5 CTE chain (`ep` pairs → `ext`
     * top-5) — the recall-audit baseline replaying

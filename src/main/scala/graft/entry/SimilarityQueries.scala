@@ -195,21 +195,11 @@ object SimilarityQueries {
          |         AND b.vec_id % $auditStrideSql = 0
          |         AND ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
          |${hashMinCte("cents")},
-         |probes AS (SELECT vec_id, cent_id FROM (
-         |             SELECT v.vec_id, c.cent_id,
-         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |                      c.cent_id) AS rn
-         |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
-         |${subBucketCte("capped", "probes")},
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM capped a JOIN capped b
-         |           ON a.cent_id = b.cent_id AND a.sub = b.sub
-         |          AND a.vec_id < b.vec_id),
-         |iv AS (SELECT c.vec_a, c.vec_b FROM cand c
-         |       JOIN v va ON c.vec_a = va.vec_id
-         |       JOIN v vb ON c.vec_b = vb.vec_id
-         |       WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
+         |$ivf2BaseCtes,
+         |${ivf2ProbeCte("rpr", "", "cents",
+            operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
+         |${ivfPairCtes("ivp", "rpr")},
+         |iv AS (SELECT vec_a, vec_b FROM ivp),
          |n AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
          |             (SELECT count(*) FROM iv) AS n_ivf,
          |             (SELECT count(*) FROM ex JOIN iv USING (vec_a, vec_b))
@@ -229,36 +219,16 @@ object SimilarityQueries {
          |       WHERE a.vec_id % $auditStrideSql = 0
          |         AND b.vec_id % $auditStrideSql = 0
          |         AND ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
-         |hprobes AS (SELECT vec_id, cent_id FROM (
-         |             SELECT v.vec_id, c.cent_id,
-         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |                      c.cent_id) AS rn
-         |             FROM v CROSS JOIN seeds c) WHERE rn <= 8),
-         |${subBucketCte("hcapped", "hprobes")},
-         |hcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |          FROM hcapped a JOIN hcapped b
-         |            ON a.cent_id = b.cent_id AND a.sub = b.sub
-         |           AND a.vec_id < b.vec_id),
-         |hm AS (SELECT c.vec_a, c.vec_b FROM hcand c
-         |       JOIN v va ON c.vec_a = va.vec_id
-         |       JOIN v vb ON c.vec_b = vb.vec_id
-         |       WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
-         |kprobes AS (SELECT vec_id, cent_id FROM (
-         |             SELECT v.vec_id, c.cent_id,
-         |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |                      c.cent_id) AS rn
-         |             FROM v CROSS JOIN kcents c) WHERE rn <= 8),
-         |${subBucketCte("kcapped", "kprobes")},
-         |kcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |          FROM kcapped a JOIN kcapped b
-         |            ON a.cent_id = b.cent_id AND a.sub = b.sub
-         |           AND a.vec_id < b.vec_id),
-         |km AS (SELECT c.vec_a, c.vec_b FROM kcand c
-         |       JOIN v va ON c.vec_a = va.vec_id
-         |       JOIN v vb ON c.vec_b = vb.vec_id
-         |       WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
+         |${ivf2BaseCtesOver("h", "seeds")},
+         |${ivf2ProbeCte("hpr", "h", "seeds",
+            operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
+         |${ivfPairCtes("hmp", "hpr")},
+         |hm AS (SELECT vec_a, vec_b FROM hmp),
+         |${ivf2BaseCtesOver("k", "kcents")},
+         |${ivf2ProbeCte("kpr", "k", "kcents",
+            operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
+         |${ivfPairCtes("kmp", "kpr")},
+         |km AS (SELECT vec_a, vec_b FROM kmp),
          |n AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
          |             (SELECT count(*) FROM ex JOIN hm USING (vec_a, vec_b))
          |               AS n_hashmin,
@@ -292,57 +262,30 @@ object SimilarityQueries {
          |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
          |                      c.cent_id) AS rn
          |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
-         |${subBucketCte("pcapped", "probes")},
-         |pcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |          FROM pcapped a JOIN pcapped b
-         |            ON a.cent_id = b.cent_id AND a.sub = b.sub
-         |           AND a.vec_id < b.vec_id),
-         |prod AS (SELECT c.vec_a, c.vec_b FROM pcand c
-         |         JOIN v va ON c.vec_a = va.vec_id
-         |         JOIN v vb ON c.vec_b = vb.vec_id
-         |         WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
-         |vco AS (SELECT vec_id, co_id FROM (
-         |    SELECT v.vec_id, o.co_id,
-         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |             ${dotSql("v.e", "o.oe")} / (v.nrm * o.ocn) DESC,
-         |             o.co_id) AS rn
-         |    FROM v CROSS JOIN coarse o) WHERE rn <= 2),
-         |vpr AS (SELECT vec_id, cent_id FROM (
-         |    SELECT v.vec_id, vco.co_id, c.cent_id,
-         |           row_number() OVER (PARTITION BY v.vec_id, vco.co_id
-         |             ORDER BY
-         |             ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |             c.cent_id) AS rn
-         |    FROM v JOIN vco ON v.vec_id = vco.vec_id
-         |    JOIN f2c ON f2c.co_id = vco.co_id
-         |    JOIN cents c ON c.cent_id = f2c.cent_id) WHERE rn <= 4),
-         |${subBucketCte("rcapped", "vpr")},
-         |rcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |          FROM rcapped a JOIN rcapped b
-         |            ON a.cent_id = b.cent_id AND a.sub = b.sub
-         |           AND a.vec_id < b.vec_id),
-         |routed AS (SELECT c.vec_a, c.vec_b FROM rcand c
-         |           JOIN v va ON c.vec_a = va.vec_id
-         |           JOIN v vb ON c.vec_b = vb.vec_id
-         |           WHERE ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) >= 0.40),
+         |${ivfPairCtes("slp", "probes")},
+         |single AS (SELECT vec_a, vec_b FROM slp),
+         |${ivf2ProbeCte("rpr", "", "cents",
+            operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
+         |${ivfPairCtes("rtp", "rpr")},
+         |routed AS (SELECT vec_a, vec_b FROM rtp),
          |n AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
-         |             (SELECT count(*) FROM prod) AS n_prod,
+         |             (SELECT count(*) FROM single) AS n_single,
          |             (SELECT count(*) FROM routed) AS n_routed,
-         |             (SELECT count(*) FROM prod JOIN routed USING (vec_a, vec_b))
+         |             (SELECT count(*) FROM single JOIN routed USING (vec_a, vec_b))
          |               AS n_held,
-         |             (SELECT count(*) FROM ex JOIN prod USING (vec_a, vec_b))
-         |               AS n_prod_hit,
+         |             (SELECT count(*) FROM ex JOIN single USING (vec_a, vec_b))
+         |               AS n_single_hit,
          |             (SELECT count(*) FROM ex JOIN routed USING (vec_a, vec_b))
          |               AS n_routed_hit)
-         |SELECT n_exact, n_prod, n_routed, n_held,
+         |SELECT n_exact, n_single, n_routed, n_held,
          |       CAST(CASE WHEN n_exact = 0 THEN 1000
-         |            ELSE n_prod_hit * 1000 // n_exact END AS BIGINT)
-         |         AS recall_prod_permille,
+         |            ELSE n_single_hit * 1000 // n_exact END AS BIGINT)
+         |         AS recall_single_permille,
          |       CAST(CASE WHEN n_exact = 0 THEN 1000
          |            ELSE n_routed_hit * 1000 // n_exact END AS BIGINT)
          |         AS recall_routed_permille,
-         |       CAST(CASE WHEN n_prod = 0 THEN 1000
-         |            ELSE n_held * 1000 // n_prod END AS BIGINT)
+         |       CAST(CASE WHEN n_single = 0 THEN 1000
+         |            ELSE n_held * 1000 // n_single END AS BIGINT)
          |         AS held_permille
          |FROM n""".stripMargin,
     "ann_topk" ->

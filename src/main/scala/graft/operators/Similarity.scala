@@ -314,13 +314,30 @@ object Similarity {
     */
   private[graft] def coarseMemoFor(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"ivf2coarse:$dir") {
-      val cents = centroidsMemoFor(spark, dir)
-      val k1 = coarseKFor(centroidKFor(corpusN(spark, dir)))
-      cents.select(col("cent_id").as("co_id"), col("ce").as("oe"),
-          col("cn").as("ocn"),
-          Tables.portableHash(col("cent_id").cast("string")).as("hk"))
-        .orderBy(col("hk"), col("co_id")).limit(k1)
-        .select("co_id", "oe", "ocn")
+      coarsePrefix(centroidsMemoFor(spark, dir),
+        coarseKFor(centroidKFor(corpusN(spark, dir))))
+    }
+
+  /** The hash-min coarse PREFIX of an arbitrary fine-centroid table —
+    * the [[coarseMemoFor]] selection rule factored out so the k-means
+    * quantizer gets its own coarse level (same cent_ids as the hash-min
+    * coarse — the prefix ranks by id hash — but the REFINED vectors).
+    */
+  private def coarsePrefix(cents: DataFrame, k1: Int): DataFrame =
+    cents.select(col("cent_id").as("co_id"), col("ce").as("oe"),
+        col("cn").as("ocn"),
+        Tables.portableHash(col("cent_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("co_id")).limit(k1)
+      .select("co_id", "oe", "ocn")
+
+  /** Coarse level over the Lloyd-refined centroid table — the k-means
+    * twin of [[coarseMemoFor]], routing the `kmpairs` production pair
+    * build since the round-14 migration.
+    */
+  private[graft] def kmCoarseMemoFor(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Materialized.of(spark, s"ivf2kmcoarse:$dir") {
+      coarsePrefix(Clustering.kmeansCentroidsFor(spark, dir),
+        coarseKFor(centroidKFor(corpusN(spark, dir))))
     }
 
   /** fine centroid → its coarse cell (nearest coarse, ties → min co_id):
@@ -411,14 +428,22 @@ object Similarity {
     * Probed cells never duplicate (fine cells of distinct coarse cells
     * are disjoint: [[fineToCoarse]] is nprobe=1). Map-only like
     * [[multiProbe]]: both quantizer levels ride broadcasts. Feeds
-    * [[Dedup.ivf2Pairs]]; the per-cell sort is bounded at ~√K structs.
+    * [[Dedup.ivfHashminPairsFor]] (the production pair builds); the per-cell sort is bounded at ~√K structs.
     */
   private[graft] def ivf2ProbeIds(spark: SparkSession, dir: String,
-      coarseNprobe: Int, finePerCell: Int): DataFrame = {
+      coarseNprobe: Int, finePerCell: Int): DataFrame =
+    ivf2ProbeIdsOver(Dedup.normedFor(spark, dir),
+      centroidsMemoFor(spark, dir), coarseMemoFor(spark, dir),
+      coarseNprobe, finePerCell)
+
+  /** [[ivf2ProbeIds]] over an arbitrary (fine, coarse) quantizer pair —
+    * the k-means production pair build routes with this since the
+    * round-14 migration ([[kmCoarseMemoFor]] +
+    * [[Clustering.kmeansCentroidsFor]]).
+    */
+  private[graft] def ivf2ProbeIdsOver(v: DataFrame, cents: DataFrame,
+      coarse: DataFrame, coarseNprobe: Int, finePerCell: Int): DataFrame = {
     import graft.functions.VectorOps
-    val v = Dedup.normedFor(spark, dir)
-    val cents = centroidsMemoFor(spark, dir)
-    val coarse = coarseMemoFor(spark, dir)
     val coarseAsC = coarse.select(col("co_id").as("cent_id"),
       col("oe").as("ce"), col("ocn").as("cn"))
     val cm = cellMap(cents, fineToCoarse(cents, coarse))

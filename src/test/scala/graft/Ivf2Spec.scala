@@ -164,23 +164,25 @@ class Ivf2Spec extends SparkSpec {
     }
   }
 
-  test("ivf2-routed pairs: verified subset of exact truth, bucket-restricted") {
+  test("routed production pairs: verified subset of exact truth, bucket-restricted") {
     val exact = Dedup.dedupEmbeddingExact(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val routed = Dedup.ivf2Pairs(spark, sf001)
+    val routed = Dedup.dedupEmbedding(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(routed.nonEmpty, "routed pair set must bite at sf0.01")
     // exact-cosine verification means zero false positives by construction
     assert(routed.subsetOf(exact), s"false positives: ${routed -- exact}")
     // every pair shares >= 1 two-level-probed cell (independent recompute)
     val probeIds = Similarity
-      .ivf2ProbeIds(spark, sf001, coarseNprobe = 2, finePerCell = 4)
+      .ivf2ProbeIds(spark, sf001, Dedup.PairCoarseNprobe, Dedup.PairFinePerCell)
       .collect().groupBy(_.getLong(0))
       .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    val maxProbes = Dedup.PairCoarseNprobe * Dedup.PairFinePerCell
     routed.foreach { case (a, b) =>
       assert(probeIds(a).intersect(probeIds(b)).nonEmpty,
         s"pair ($a,$b) shares no probed cell")
-      assert(probeIds(a).size <= 8, s"vector $a probed ${probeIds(a).size} cells")
+      assert(probeIds(a).size <= maxProbes,
+        s"vector $a probed ${probeIds(a).size} cells")
     }
   }
 
@@ -189,21 +191,22 @@ class Ivf2Spec extends SparkSpec {
       df.select("vec_a", "vec_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ex = pairSet(Dedup.dedupEmbeddingExact(spark, sf001))
-    val prod = pairSet(Dedup.dedupEmbedding(spark, sf001))
-    val routed = pairSet(Dedup.ivf2Pairs(spark, sf001))
+    val single = pairSet(Dedup.ivfSinglePairs(spark, sf001))
+    val routed = pairSet(Dedup.dedupEmbedding(spark, sf001))
     val row = Dedup.ivf2PairRecall(spark, sf001).collect().head
     assert(row.getAs[Long]("n_exact") == ex.size.toLong)
-    assert(row.getAs[Long]("n_prod") == prod.size.toLong)
+    assert(row.getAs[Long]("n_single") == single.size.toLong)
     assert(row.getAs[Long]("n_routed") == routed.size.toLong)
-    assert(row.getAs[Long]("n_held") == prod.intersect(routed).size.toLong)
-    assert(row.getAs[Long]("recall_prod_permille") ==
-      (if (ex.isEmpty) 1000L else ex.intersect(prod).size.toLong * 1000 / ex.size))
+    assert(row.getAs[Long]("n_held") == single.intersect(routed).size.toLong)
+    assert(row.getAs[Long]("recall_single_permille") ==
+      (if (ex.isEmpty) 1000L else ex.intersect(single).size.toLong * 1000 / ex.size))
     assert(row.getAs[Long]("recall_routed_permille") ==
       (if (ex.isEmpty) 1000L else ex.intersect(routed).size.toLong * 1000 / ex.size))
     assert(row.getAs[Long]("held_permille") ==
-      (if (prod.isEmpty) 1000L else prod.intersect(routed).size.toLong * 1000 / prod.size))
-    // routed and production both verify with the exact cosine, so both
+      (if (single.isEmpty) 1000L
+       else single.intersect(routed).size.toLong * 1000 / single.size))
+    // routed and single-level both verify with the exact cosine, so both
     // are subsets of the truth wherever the audit population covers them
-    assert(ex.nonEmpty && prod.nonEmpty && routed.nonEmpty)
+    assert(ex.nonEmpty && single.nonEmpty && routed.nonEmpty)
   }
 }
