@@ -20,7 +20,7 @@ for pair in "/root/testdata/sf0.001:sf0001" "/root/testdata/sf0.01:sf001" \
   SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_ONLY="$ONLY" \
   SPARK_GRAFT_BENCH_REPEAT=1 SPARK_DRIVER_MEM=16g \
     sbt -batch "runMain graft.Bench" > "$OUT/pairs_r14_${tag}.log" 2>&1
-  grep -o '{"metric".*' "$OUT/pairs_r14_${tag}.log" | tail -1 \
+  grep -o '{"queries".*' "$OUT/pairs_r14_${tag}.log" | tail -1 \
     > "$OUT/pairs_r14_${tag}.json"
 done
 echo DONE > "$OUT/pairs_r14.done"
