@@ -116,6 +116,22 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), "candidate join must be an equi-join")
   }
 
+  test("routed production pair build: both quantizer levels broadcast, no cartesian") {
+    val v = Dedup.normedFor(spark, sf001)
+    val p = plan(Dedup.subBucketPairs(v, Similarity.ivf2ProbeIds(spark, sf001,
+      Dedup.PairCoarseNprobe, Dedup.PairFinePerCell)))
+    assert(!p.contains("CartesianProduct"),
+      s"routed pair build degenerated to all-pairs:\n$p")
+    // coarse router and per-cell member map ride broadcasts; the only
+    // corpus-sized joins are the embedding attach and the (cent_id, sub)
+    // candidate self-join — both equi-joins
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "quantizer levels must broadcast")
+    assert(p.contains("graft_dot"), "codegen dot product must be in the plan")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "candidate join must be an equi-join")
+  }
+
   test("banded sql cosine-by-label plan: no cartesian, equi-join on band keys") {
     val p = plan(operators.SqlApi.sqlCosineByLabel(spark, sf001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
