@@ -10,7 +10,7 @@ OUT=/root/repo
 run() { # sfdir outfile
   SPARK_GRAFT_SF_DIR="$1" SPARK_DRIVER_MEM=16g \
     sbt -batch "runMain graft.Bench" > "/tmp/r14b_bench_$(basename "$2").log" 2>&1
-  grep -o "{\"queries\".*" "/tmp/r14b_bench_$(basename "$2").log" | tail -1 > "$2"
+  grep -oE "\{\"(spread|queries)\".*" "/tmp/r14b_bench_$(basename "$2").log" | tail -1 > "$2"
 }
 run /root/testdata/sf0.001    "$OUT/BENCH_LOCAL_sf0001_r14b.json"
 run /root/testdata/sf0.01     "$OUT/BENCH_LOCAL_sf001_r14b.json"
