@@ -229,8 +229,11 @@ object OracleCtes {
        |    FROM $src) WHERE bcr <= ${graft.operators.Dedup.PairCapB})""".stripMargin
 
   /** Per-bucket hash-min SUB-BUCKET split replaying
-    * [[graft.operators.Dedup.ivfPairs]]'s round-14 production pair
-    * budget: each bucket's members ranked by the PER-BUCKET-SALTED
+    * [[graft.operators.Dedup.subBucketPairs]] — the round-14 production
+    * pair budget under [[graft.operators.Dedup.ivfHashminPairsFor]]'s
+    * routed probes (and, single-level, under the legacy
+    * [[graft.operators.Dedup.ivfPairs]] audit baseline): each bucket's
+    * members ranked by the PER-BUCKET-SALTED
     * portable hash of `cent_id:vec_id` (ties → min vec_id) and split
     * into consecutive width-B sub-buckets, `sub = (rank − 1) div B`;
     * pair oracles join on (cent_id, sub). Salting makes the splits of
