@@ -218,13 +218,20 @@ object OracleCtes {
   /** Per-bucket hash-min member cap replaying the
     * [[graft.operators.Dedup.PairCapB]] budget on the kNN member side:
     * of relation `src(vec_id, cent_id)`, keep each bucket's B
-    * smallest-portable-hash members (ties → min vec_id).
+    * smallest-salted-hash members (ties → min vec_id). The rank hash is
+    * PER-BUCKET-SALTED (`cent_id:vec_id`, round 15 — the same
+    * [[subBucketCte]] lesson): a global hash(vec_id) order retains the
+    * SAME corpus-wide hash-min vectors in every bucket, so widening the
+    * probe meets the same candidates and the un-retained mass is never
+    * reachable from any probe; per-bucket salts make the retained sets
+    * independent.
     */
   def bucketCapCte(name: String, src: String): String =
     s"""$name AS (SELECT vec_id, cent_id FROM (
        |    SELECT vec_id, cent_id,
        |           row_number() OVER (PARTITION BY cent_id ORDER BY
-       |             ${Tables.portableHashSql("CAST(vec_id AS VARCHAR)")},
+       |             ${Tables.portableHashSql(
+                       "CAST(cent_id AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)")},
        |             vec_id) AS bcr
        |    FROM $src) WHERE bcr <= ${graft.operators.Dedup.PairCapB})""".stripMargin
 
@@ -314,6 +321,29 @@ object OracleCtes {
        |    JOIN ${prefix}f2c f ON f.co_id = w.co_id
        |    JOIN $cents c ON c.cent_id = f.cent_id) WHERE rn <= $finePerCell)"""
       .stripMargin
+
+  /** Two-level assignment (needs `v`, `$cents` and
+    * [[ivf2BaseCtesOver]]`(prefix, cents)` upstream): `$out(vec_id,
+    * cent_id)` — every vector assigned to its top-1 coarse cell's
+    * within-cell argmax fine centroid (ties → min id at both levels),
+    * replaying [[graft.operators.Similarity.ivf2Assign]]. The member
+    * index of the round-15 routed kNN build and the Lloyd assignment.
+    */
+  def ivf2AsgCte(out: String, prefix: String, cents: String): String =
+    s"""${out}co AS (SELECT vec_id, co_id FROM (
+       |    SELECT v.vec_id, o.co_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${dotSql("v.e", "o.oe")} / (v.nrm * o.ocn) DESC,
+       |             o.co_id) AS rn
+       |    FROM v CROSS JOIN ${prefix}coarse o) WHERE rn = 1),
+       |$out AS (SELECT vec_id, cent_id FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
+       |             c.cent_id) AS rn
+       |    FROM v JOIN ${out}co w ON v.vec_id = w.vec_id
+       |    JOIN ${prefix}f2c f ON f.co_id = w.co_id
+       |    JOIN $cents c ON c.cent_id = f.cent_id) WHERE rn = 1)""".stripMargin
 
   /** Sub-bucketed, exact-cosine-verified near-dup pair set over a probe
     * relation `src(vec_id, cent_id)` (needs `v`): `$out(vec_a, vec_b,

@@ -87,24 +87,22 @@ object SimilarityQueries {
        |FROM cl JOIN sz USING (cluster_id)
        |ORDER BY cl.vec_id""".stripMargin
 
-  /** Shared kNN-graph CTE chain (probes → assignment → per-bucket
-    * rank ≤ 128 member cap → candidates → exact cosine → top-5 edge list
-    * `ek`) replaying
-    * [[graft.operators.Neighbors.knnEdgesFor]]; consumed by `q_knn_graph`
-    * and `q_knn_clusters` so the edge-relation replay has ONE home.
+  /** Shared kNN-graph CTE chain (two-level routed probes → two-level
+    * assignment → per-bucket salted rank ≤ 128 member cap → candidates →
+    * exact cosine → top-5 edge list `ek`) replaying
+    * [[graft.operators.Neighbors.knnEdgesFor]] (round-15 routed form);
+    * consumed by `q_knn_graph` and `q_knn_clusters` so the edge-relation
+    * replay has ONE home.
     */
   private lazy val knnCtes: String =
     s"""${hashMinCte("cents")},
-       |pr AS MATERIALIZED (SELECT vec_id, cent_id, rn FROM (
-       |         SELECT v.vec_id, c.cent_id,
-       |                row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |                  ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-       |                  c.cent_id) AS rn
-       |         FROM v CROSS JOIN cents c) WHERE rn <= 2),
-       |asg AS (SELECT vec_id, cent_id FROM pr WHERE rn = 1),
+       |$ivf2BaseCtes,
+       |${ivf2ProbeCte("kpr", "", "cents",
+         Neighbors.KnnCoarseNprobe, Neighbors.KnnFinePerCell)},
+       |${ivf2AsgCte("asg", "", "cents")},
        |${bucketCapCte("mcap", "asg")},
        |cand AS (SELECT p.vec_id AS src, a.vec_id AS dst
-       |         FROM pr p JOIN mcap a USING (cent_id)
+       |         FROM kpr p JOIN mcap a USING (cent_id)
        |         WHERE a.vec_id <> p.vec_id),
        |sc AS (SELECT src, dst,
        |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
@@ -815,9 +813,10 @@ object SimilarityQueries {
          |       n.neg_id, n.neg_cos, p.pos_cos - n.neg_cos AS margin
          |FROM tpos p JOIN tneg n ON p.q_id = n.q_id
          |ORDER BY p.q_id""".stripMargin,
-    // Replays the kNN-graph build: nprobe=2 probes for every vector, the
-    // nprobe=1 assignment as the candidate index, exact-cosine top-5
-    // edges, and the reversed-edge self-join for mutuality.
+    // Replays the kNN-graph build: two-level routed probes (top-2 coarse
+    // x top-2 fine) for every vector, the two-level assignment as the
+    // candidate index (salted per-bucket cap), exact-cosine top-5 edges,
+    // and the reversed-edge self-join for mutuality.
     "q_knn_graph" ->
       s"""WITH $vecCte,
          |$knnCtes
@@ -1041,8 +1040,9 @@ object SimilarityQueries {
   /** Two-level (coarse → fine) top-5 CTE chain — assumes `v`, `cents`,
     * and the panel `q` are already declared; emits `coarse` (the ⌈√K⌉
     * hash-min PREFIX of cents, same 60-bit hash and tie rule), `f2c`
-    * (fine → coarse cell), `casg` (vector → coarse), `t2asg` (vector →
-    * fine WITHIN its cell), `t2qc`/`t2probes` (query routing: top-2 fine
+    * (fine → coarse cell), `t2asgco`/`t2asg` (vector → coarse → fine
+    * WITHIN its cell, via [[OracleCtes.ivf2AsgCte]]), `t2qc`/`t2probes`
+    * (query routing: top-2 fine
     * cells within the routed coarse cell), `t2cand`,
     * `t2top(q_id, n_id, cos, rk ≤ 5)`, plus the coarse-nprobe=2 chain
     * `t2qc2`/`t2probes2`/`t2cand2`/`t2top2` (top-2 coarse cells, top-2
@@ -1054,20 +1054,7 @@ object SimilarityQueries {
     */
   private def ivf2TopCtes: String =
     s"""$ivf2BaseCtes,
-       |casg AS (SELECT vec_id, co_id FROM (
-       |    SELECT v.vec_id, o.co_id,
-       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |             ${dotSql("v.e", "o.oe")} / (v.nrm * o.ocn) DESC,
-       |             o.co_id) AS rn
-       |    FROM v CROSS JOIN coarse o) WHERE rn = 1),
-       |t2asg AS (SELECT vec_id, cent_id FROM (
-       |    SELECT v.vec_id, c.cent_id,
-       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |             ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-       |             c.cent_id) AS rn
-       |    FROM v JOIN casg ON v.vec_id = casg.vec_id
-       |    JOIN f2c ON f2c.co_id = casg.co_id
-       |    JOIN cents c ON c.cent_id = f2c.cent_id) WHERE rn = 1),
+       |${ivf2AsgCte("t2asg", "", "cents")},
        |t2qc AS (SELECT q_id, co_id FROM (
        |    SELECT q.q_id, o.co_id,
        |           row_number() OVER (PARTITION BY q.q_id ORDER BY

@@ -10,16 +10,28 @@ import org.apache.spark.sql.functions._
   * set by hand, propagate to the unlabeled corpus by nearest labeled
   * neighbors).
   *
-  * Both ride the session IVF index ([[Similarity.ivfAssignFor]] /
-  * [[Similarity.centroidsMemoFor]]): candidates are IVF-probed, never
-  * all-pairs, so the candidate volume is O(N · nprobe · N/K) spread over
+  * Both ride the session IVF index: candidates are IVF-probed, never
+  * all-pairs, so the candidate volume is O(N · nprobe · B) spread over
   * (bucket) keys — the same shape every ANN search in this engine uses,
-  * and the one that survives a 100 TB corpus (bucket size tracks N/K;
-  * K scales as √N by swapping the centroid table).
+  * and the one that survives a 100 TB corpus. Since round 15 the graph
+  * build's per-row index work is TWO-LEVEL ROUTED
+  * ([[Similarity.ivf2ProbeIds]] / [[Similarity.ivf2AssignFor]]):
+  * O(K1 + K/K1) ≈ O(N^¼) cosines per row instead of the single-level
+  * O(K) = O(√N) — the same exponent retirement the round-14 pair-build
+  * migration measured 2× at sf10.
   */
 object Neighbors {
   /** Neighbors retained per vector in the graph. */
   private[graft] val GraphK = 5
+
+  /** Probe width of the kNN-graph build: each vector routes through its
+    * top-2 coarse cells and probes the top-2 fine centroids within each
+    * — 4 probed buckets, the routed twin of the r14 single-level
+    * nprobe=2 (the [[Similarity.annIvf2Np2]] shape, which beat the flat
+    * nprobe=2 search on recall at sf1.0: 17/170 vs 11/110 hits/MRR).
+    */
+  private[graft] val KnnCoarseNprobe = 2
+  private[graft] val KnnFinePerCell = 2
 
   /** Directed kNN edge list over the WHOLE corpus: each vector's top-
     * [[GraphK]] IVF-probed neighbors by exact cosine (ties → min
@@ -27,43 +39,57 @@ object Neighbors {
     * [[knnGraph]] reads and that a production pipeline would refresh
     * incrementally alongside the IVF assignment itself.
     *
-    * Probe side is map-only ([[Similarity.multiProbe]], nprobe=2); the
-    * candidate join keys on the probed bucket and meets each candidate's
-    * single assigned bucket, so every (src, dst) pair arises at most once
-    * and no distinct is needed. Top-k is a per-src window over the
-    * candidate set — the exchange carries IVF candidates (≈ nprobe·N/K
-    * per src), not the corpus.
+    * Probe side is map-only and TWO-LEVEL ROUTED since round 15
+    * ([[Similarity.ivf2ProbeIds]], [[KnnCoarseNprobe]]×
+    * [[KnnFinePerCell]]): O(K1 + 2·K/K1) ≈ O(N^¼) routing cosines per
+    * row instead of the single-level multiProbe's O(K) = O(√N) — the
+    * exact term whose retirement bought the pair family 2× at sf10
+    * (`_build_knn_edges` was the worst remaining tail, slope 1.101).
+    * The member index is the two-level assignment
+    * ([[Similarity.ivf2AssignFor]], same O(N^¼) per row, 1.7 s at sf10),
+    * so a vector always probes its own assigned cell (top-1 coarse ∈
+    * top-2, top-1 fine ∈ top-2). The candidate join keys on the probed
+    * bucket and meets each candidate's single assigned bucket, so every
+    * (src, dst) pair arises at most once and no distinct is needed.
+    * Top-k is a per-src window over the candidate set.
     *
-    * Both embedding arrays ride INTO the bucket join (the probe keeps
-    * `e`/`nrm`; the member side attaches them to its N assignment rows
-    * first), so the cosine is scored inside the join and the
-    * O(N·nprobe·N/K) candidate relation exists only as the narrow
-    * (src, dst, cos) projection. The former shape attached the arrays
-    * AFTER candidate enumeration — two sort-merge sorts of the candidate
-    * volume at ~600 bytes/row, which the sf10 probe measured at 122×
-    * the sf1.0 wall (N^1.5 candidates × wide rows): the same lesson as
+    * Both embedding arrays ride INTO the bucket join (probe rows attach
+    * `e`/`nrm` by one narrow equi-join before the bucket join), so the
+    * cosine is scored inside the join and the O(N·nprobe·B) candidate
+    * relation exists only as the narrow (src, dst, cos) projection. The
+    * former shape attached the arrays AFTER candidate enumeration — two
+    * sort-merge sorts of the candidate volume at ~600 bytes/row, which
+    * the sf10 probe measured at 122× the sf1.0 wall: the same lesson as
     * [[Dedup.ivfPairs]]'s round-10 fix, now applied here.
     *
-    * Round 14: the member side is capped per bucket at
-    * [[Dedup.PairCapB]] hash-min members (ties → min dst) — the same
-    * budget as the pair family — so per-src candidates are ≤ nprobe·B and
-    * the candidate volume is O(N·nprobe·B), linear in N, instead of the
-    * Θ(N^1.5) occupancy term (`_build_knn_edges` sf10 slope 1.098). Each
-    * src still ranks EXACT cosines; only the candidate pool of an
-    * oversized bucket is a uniform deterministic sample, replayed by the
-    * oracle. Key bumped knn: → knn2: with the contract change.
+    * The member side is capped per bucket at [[Dedup.PairCapB]]
+    * hash-min members — the same budget as the pair family — so per-src
+    * candidates are ≤ nprobe·B and the candidate volume is
+    * O(N·nprobe·B), linear in N (round 14; slope 1.098 → 0.93 in the
+    * pairs-probe window). Round 15 SALTS the cap order per bucket
+    * (hash(cent_id:dst), the [[Dedup.subBucketPairs]] lesson): under
+    * the old global hash(dst) order every bucket retained the SAME
+    * corpus-wide hash-min vectors, so probing more buckets met the same
+    * candidates and the un-sampled mass was never reachable; per-bucket
+    * salts make the retained sets independent. Each src still ranks
+    * EXACT cosines; only the candidate pool of an oversized bucket is a
+    * uniform deterministic sample, replayed by the oracle. Key bumps:
+    * knn: → knn2: (cap budget) → knn3: (routed probes + two-level
+    * assignment + salted cap).
     */
   private[graft] def knnEdgesFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"knn2:$dir") {
+    graft.sources.Materialized.of(spark, s"knn3:$dir") {
       val v = Dedup.normedFor(spark, dir)
-      val cents = Similarity.centroidsMemoFor(spark, dir)
-      val asg = Similarity.ivfAssignFor(spark, dir)
+      val asg = Similarity.ivf2AssignFor(spark, dir)
       val probes = Similarity
-        .multiProbe(v, cents, nprobe = 2, keep = Seq("e", "nrm"))
+        .ivf2ProbeIds(spark, dir, KnnCoarseNprobe, KnnFinePerCell)
+        .join(v, "vec_id")
         .select(col("vec_id").as("src"), col("e").as("qe"),
           col("nrm").as("qn"), col("cent_id"))
       val wCap = Window.partitionBy(col("cent_id"))
-        .orderBy(graft.sources.Tables.portableHash(col("dst").cast("string")),
+        .orderBy(graft.sources.Tables.portableHash(
+            concat(col("cent_id").cast("string"), lit(":"),
+              col("dst").cast("string"))),
           col("dst"))
       val member = asg.withColumnRenamed("vec_id", "dst")
         .withColumn("r", row_number().over(wCap))
