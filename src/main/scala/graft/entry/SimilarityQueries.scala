@@ -826,22 +826,23 @@ object SimilarityQueries {
          |       min(CASE WHEN e.rk = 1 THEN e.dst END) AS top1_id
          |FROM ek e LEFT JOIN ek r ON r.src = e.dst AND r.dst = e.src
          |GROUP BY e.src ORDER BY vec_id""".stripMargin,
-    // Replays the kNN pseudo-labeling pass: held-out vec_id % 5 = 0
-    // queries, labeled-pool-only candidates, top-5 by cosine, majority
-    // vote (ties -> smaller label), per-true-label accuracy.
+    // Replays the kNN pseudo-labeling pass (round-15 routed form):
+    // held-out vec_id % 5 = 0 queries routed through the two-level
+    // quantizer, two-level-assignment candidate index with the labeled
+    // pool capped per bucket (salted hash-min), top-5 by cosine,
+    // majority vote (ties -> smaller label), per-true-label accuracy.
     "q_label_prop" ->
       s"""WITH $vecCte,
          |${hashMinCte("cents")},
-         |apr AS (SELECT vec_id, cent_id, rn FROM (
-         |          SELECT v.vec_id, c.cent_id,
-         |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |                   ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |                   c.cent_id) AS rn
-         |          FROM v CROSS JOIN cents c) WHERE rn <= 2),
-         |asg AS (SELECT vec_id, cent_id FROM apr WHERE rn = 1),
+         |$ivf2BaseCtes,
+         |${ivf2ProbeCte("lpr", "", "cents",
+           Neighbors.KnnCoarseNprobe, Neighbors.KnnFinePerCell)},
+         |${ivf2AsgCte("asg", "", "cents")},
+         |lasg AS (SELECT vec_id, cent_id FROM asg WHERE vec_id % 5 <> 0),
+         |${bucketCapCte("lpool", "lasg")},
          |cand AS (SELECT p.vec_id AS q_id, a.vec_id AS n_id
-         |         FROM apr p JOIN asg a USING (cent_id)
-         |         WHERE p.vec_id % 5 = 0 AND a.vec_id % 5 <> 0),
+         |         FROM lpr p JOIN lpool a USING (cent_id)
+         |         WHERE p.vec_id % 5 = 0),
          |sc AS (SELECT q_id, n_id,
          |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
          |       FROM cand JOIN v q ON q.vec_id = q_id

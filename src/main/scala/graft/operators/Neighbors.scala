@@ -234,29 +234,50 @@ object Neighbors {
     * that decides whether propagated labels are trustworthy enough to
     * train on.
     *
-    * Scale shape: the test side is a fixed fraction of the corpus, probes
-    * are map-only, candidates are IVF-bucketed, and the vote is two
-    * bounded aggregations (≤ [[GraphK]] rows per test vector). Nothing
-    * touches all-pairs; 100× data moves the same per-bucket work.
+    * Scale shape (round 15, same migration as [[knnEdgesFor]]): the test
+    * side is a fixed fraction of the corpus routed through the two-level
+    * quantizer ([[Similarity.ivf2ProbeIdsOver]], [[KnnCoarseNprobe]]×
+    * [[KnnFinePerCell]] — O(N^¼) routing cosines per query instead of
+    * the single-level O(K) = O(√N)); the candidate index is the
+    * two-level assignment and the LABELED pool is capped per bucket at
+    * [[Dedup.PairCapB]] salted hash-min members, so per-query candidates
+    * are ≤ nprobe·B and the candidate volume is O(N·nprobe·B) — linear
+    * in N — instead of the uncapped Θ(N²/K) occupancy term. The vote is
+    * two bounded aggregations (≤ [[GraphK]] rows per test vector).
+    * Nothing touches all-pairs; 100× data moves the same per-bucket work.
     */
   def labelProp(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
     val lab = graft.sources.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val cents = Similarity.centroidsMemoFor(spark, dir)
-    val asg = Similarity.ivfAssignFor(spark, dir)
+    val asg = Similarity.ivf2AssignFor(spark, dir)
 
     val test = v.where(col("vec_id") % 5 === 0)
-    val probes = Similarity.multiProbe(test, cents, nprobe = 2)
+    val probes = Similarity.ivf2ProbeIdsOver(test,
+        Similarity.centroidsMemoFor(spark, dir),
+        Similarity.coarseMemoFor(spark, dir),
+        KnnCoarseNprobe, KnnFinePerCell)
       .withColumnRenamed("vec_id", "q_id")
     val q = test.select(col("vec_id").as("q_id"), col("e").as("qe"),
       col("nrm").as("qn"))
 
+    // labeled-pool-only, then the salted per-bucket cap (filter FIRST so
+    // hidden vectors never occupy cap slots the vote could have used)
+    val wCap = Window.partitionBy(col("cent_id"))
+      .orderBy(graft.sources.Tables.portableHash(
+          concat(col("cent_id").cast("string"), lit(":"),
+            col("n_id").cast("string"))),
+        col("n_id"))
+    val pool = asg.withColumnRenamed("vec_id", "n_id")
+      .where(col("n_id") % 5 =!= 0)
+      .withColumn("r", row_number().over(wCap))
+      .where(col("r") <= Dedup.PairCapB)
+      .select("cent_id", "n_id")
+
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     val nbrs = probes
-      .join(asg.withColumnRenamed("vec_id", "n_id"), "cent_id")
-      .where(col("n_id") % 5 =!= 0)                       // labeled pool only
+      .join(pool, "cent_id")
       .join(q, "q_id")
       .join(v.withColumnRenamed("vec_id", "n_id"), "n_id")
       .select(col("q_id"), col("n_id"),
