@@ -480,13 +480,17 @@ object OracleCtes {
     * division, fold) is the bit-identical arithmetic the Spark loop runs.
     */
   lazy val kmeansCtes: String = {
-    def assign(cents: String, out: String) =
-      s"""$out AS (SELECT cent_id, e FROM (
-         |       SELECT v.vec_id, c.cent_id, v.e,
-         |              row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |                ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |                c.cent_id) AS rn
-         |       FROM v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    // Round-15 routed assignment: per iteration, the coarse prefix +
+    // fine→coarse map re-derive from the CURRENT centroid table
+    // ([[ivf2BaseCtesOver]]) and each vector routes top-1 coarse then
+    // argmaxes within its cell ([[ivf2AsgCte]]) — replaying
+    // [[graft.operators.Clustering.kmeansCentroids]]'s
+    // `ivf2Assign(v, cents, coarsePrefix(cents, k1))` per iteration.
+    def assign(prefix: String, cents: String, out: String) =
+      s"""${ivf2BaseCtesOver(prefix, cents)},
+         |${ivf2AsgCte(s"${out}i", prefix, cents)},
+         |$out AS (SELECT a.cent_id, v.e
+         |         FROM ${out}i a JOIN v ON v.vec_id = a.vec_id)""".stripMargin
     def update(asg: String, out: String) =
       s"""${out}q AS (SELECT cent_id, di.i - 1 AS dim,
          |            CAST(trunc(CAST(sum(CAST(round(e[di.i] * 1000000.0) AS BIGINT))
@@ -497,9 +501,9 @@ object OracleCtes {
          |     FROM ${out}q GROUP BY 1),
          |$out AS (SELECT cent_id, ce, sqrt(${dotSql("ce", "ce")}) AS cn FROM ${out}l)""".stripMargin
     s"""${hashMinCte("seeds")},
-       |${assign("seeds", "ka1")},
+       |${assign("s1", "seeds", "ka1")},
        |${update("ka1", "kc1")},
-       |${assign("kc1", "ka2")},
+       |${assign("s2", "kc1", "ka2")},
        |${update("ka2", "kcents")}""".stripMargin
   }
 

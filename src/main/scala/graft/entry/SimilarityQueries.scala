@@ -363,15 +363,16 @@ object SimilarityQueries {
          |         row_number() OVER (PARTITION BY q_id ORDER BY adc_q, n_id) AS rk
          |  FROM adc)
          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // Replays the round-15 two-level-routed Lloyd assignment (top-1
+    // coarse cell of the seed table's hash-min prefix, then within-cell
+    // argmax) + the integer micro-unit update.
     "q_kmeans_step" ->
       s"""WITH $vecCte,
-         |${hashMinCte("cents", centroidKSql, "vec_id AS cluster_id, e AS ce, nrm AS cn")},
-         |asg AS (SELECT vec_id, cluster_id, e FROM (
-         |          SELECT v.vec_id, c.cluster_id, v.e,
-         |                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |                   ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
-         |                   c.cluster_id) AS rn
-         |          FROM v CROSS JOIN cents c) WHERE rn = 1),
+         |${hashMinCte("cents")},
+         |$ivf2BaseCtes,
+         |${ivf2AsgCte("ksa", "", "cents")},
+         |asg AS (SELECT a.vec_id, a.cent_id AS cluster_id, v.e
+         |        FROM ksa a JOIN v ON v.vec_id = a.vec_id),
          |pts AS (SELECT cluster_id, di.i - 1 AS dim,
          |               CAST(round(e[di.i] * 1000000.0) AS BIGINT) AS q
          |        FROM asg CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) di)

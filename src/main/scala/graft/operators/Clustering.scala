@@ -38,11 +38,14 @@ object Clustering {
     * step (round, truncating div, double division, left-fold norm) is
     * bit-identical in DuckDB, so the oracle replays the whole loop.
     * Clusters that lose all members drop out (deterministically, in both
-    * engines). Cost per iteration: one N×K broadcast argmax + one
-    * map-side-combined shuffle of (cluster, dim, q) — O(N·d). K follows
-    * [[Similarity.centroidKFor]] (64 through sf0.1, then ~1.4·√N), so the
-    * assignment cost is O(N·K) = Θ(N^1.5) at scale — the same balance the
-    * pair builds pay; the 100 TB refinement is mini-batch Lloyd over a
+    * engines). Cost per iteration (round 15): one two-level-routed
+    * broadcast argmax ([[Similarity.ivf2Assign]] over the current
+    * table's coarse prefix — O(K1 + K/K1) ≈ O(N^¼) cosines per row) +
+    * one map-side-combined shuffle of (cluster, dim, q) — O(N·d). K
+    * follows [[Similarity.centroidKFor]] (64 through sf0.1, then
+    * ~1.4·√N); the former single-level argmax priced O(N·K) = Θ(N^1.5)
+    * per iteration, the exact term the routed pair/kNN builds retired.
+    * The remaining 100 TB refinement is mini-batch Lloyd over a
     * fixed-size sample (⚙ SCALING.md).
     */
   /** The 2-iteration refined centroid table, memoized per session — shared
@@ -50,15 +53,26 @@ object Clustering {
     * loop runs once, not once per consumer query).
     */
   private[graft] def kmeansCentroidsFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"kmcents:$dir")(
+    graft.sources.Materialized.of(spark, s"kmcents2:$dir")(
       kmeansCentroids(spark, dir, iters = 2))
 
   def kmeansCentroids(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
+    val k1 = Similarity.coarseKFor(
+      Similarity.centroidKFor(Similarity.corpusN(spark, dir)))
     var cents = Similarity.centroidsMemoFor(spark, dir)
     for (_ <- 1 to iters) {
-      // map-only argmax assignment (Similarity.multiProbe, nprobe=1)
-      val assign = Similarity.multiProbe(v, cents, 1, keep = Seq("e"))
+      // map-only TWO-LEVEL-ROUTED argmax assignment (round 15): each
+      // vector scores the k1-row coarse prefix of the CURRENT centroid
+      // table, then argmaxes within its routed cell — O(K1 + K/K1) ≈
+      // O(N^¼) cosines per row per iteration instead of the single-level
+      // O(K) = O(√N) (`q_kmeans_step` sf10 slope 1.093, the #3 tail).
+      // The coarse prefix re-derives per iteration from the refined
+      // table (same hash-min cent_ids, current positions) in a K-row
+      // pass; the oracle replays prefix, routing, and argmax per
+      // iteration.
+      val coarse = Similarity.coarsePrefix(cents, k1)
+      val assign = Similarity.ivf2Assign(v, cents, coarse, keep = Seq("e"))
         .select(col("cent_id"), col("e"))
       val upd = assign
         .select(col("cent_id"), posexplode(col("e")).as(Seq("dim", "x")))
@@ -69,8 +83,14 @@ object Clustering {
       val ce = transform(
         array_sort(collect_list(struct(col("dim"), col("cq")))),
         s => s.getField("cq") / lit(1000000.0))
+      // localCheckpoint the K-row result (the Iterative.round pattern):
+      // the routed assignment references the table several times
+      // (coarse prefix, fine→coarse map, cell map), and an unmaterialized
+      // iteration plan would re-run the previous iteration's corpus pass
+      // per reference (measured 4× at sf0.1: 2.0 → 8.0 s un-checkpointed).
       cents = upd.groupBy("cent_id").agg(ce.as("ce"))
         .withColumn("cn", sqrt(graft.functions.VectorOps.dot(col("ce"), col("ce"))))
+        .localCheckpoint(true)
     }
     cents
   }
@@ -101,10 +121,14 @@ object Clustering {
   def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
 
-    // assignment: nearest centroid by cosine (ties → smallest cluster_id),
-    // map-only via Similarity.multiProbe (nprobe=1)
-    val assign = Similarity.multiProbe(v, Similarity.centroidsMemoFor(spark, dir), 1,
-        keep = Seq("e"))
+    // assignment: two-level-routed argmax from the seed table (round 15)
+    // — exactly the memoized session index build (Similarity
+    // .ivf2AssignFor assigns against centroidsMemoFor through
+    // coarseMemoFor, the same seed/coarse pair a first Lloyd iteration
+    // routes through), so the step query prices ONLY the update shuffle
+    // on top of the shared index.
+    val assign = Similarity.ivf2AssignFor(spark, dir)
+      .join(v.select("vec_id", "e"), "vec_id")
       .select(col("vec_id"), col("cent_id").as("cluster_id"), col("e"))
 
     // update: exact integer sums of micro-quantized coordinates

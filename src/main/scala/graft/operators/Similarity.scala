@@ -226,7 +226,7 @@ object Similarity {
     * the hash-min assignment rode the session memo).
     */
   private[graft] def kmAssignFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"kmasg:$dir") {
+    graft.sources.Materialized.of(spark, s"kmasg2:$dir") {
       val v = Dedup.normedFor(spark, dir)
       ivfAssign(v, Clustering.kmeansCentroidsFor(spark, dir))
     }
@@ -323,7 +323,7 @@ object Similarity {
     * quantizer gets its own coarse level (same cent_ids as the hash-min
     * coarse — the prefix ranks by id hash — but the REFINED vectors).
     */
-  private def coarsePrefix(cents: DataFrame, k1: Int): DataFrame =
+  private[graft] def coarsePrefix(cents: DataFrame, k1: Int): DataFrame =
     cents.select(col("cent_id").as("co_id"), col("ce").as("oe"),
         col("cn").as("ocn"),
         Tables.portableHash(col("cent_id").cast("string")).as("hk"))
@@ -335,7 +335,7 @@ object Similarity {
     * build since the round-14 migration.
     */
   private[graft] def kmCoarseMemoFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"ivf2kmcoarse:$dir") {
+    graft.sources.Materialized.of(spark, s"ivf2kmcoarse2:$dir") {
       coarsePrefix(Clustering.kmeansCentroidsFor(spark, dir),
         coarseKFor(centroidKFor(corpusN(spark, dir))))
     }
@@ -391,7 +391,7 @@ object Similarity {
     * rows exactly like [[multiProbe]]'s empty-cents guard.
     */
   private[graft] def ivf2Assign(v: DataFrame, cents: DataFrame,
-      coarse: DataFrame): DataFrame = {
+      coarse: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     import graft.functions.VectorOps
     val coarseAsC = coarse.select(col("co_id").as("cent_id"),
       col("oe").as("ce"), col("ocn").as("cn"))
@@ -407,7 +407,7 @@ object Similarity {
       array_position(negs, array_min(negs)).cast("int"))
       .getField("cent_id")
     withCell.where(size(col("cell")) > 0)
-      .select(col("vec_id"), best.as("cent_id"))
+      .select(col("vec_id") +: best.as("cent_id") +: keep.map(col): _*)
   }
 
   /** Memoized two-level assignment — the IVF² index build, the
