@@ -682,6 +682,9 @@ object OracleCtes {
     }.mkString(" + ")
 
   lazy val lshCosineSql: String = {
+    // `sb` replays the round-15 salted sub-bucket budget on (k, band_val)
+    // buckets — the [[subBucketCte]] mechanism over a composite bucket
+    // key (hash of k:band_val:vec_id, ties → min vec_id, width-B split).
     s"""WITH $vecCte,
        |bb AS (SELECT $lshPlanSql AS bj),
        |sig AS (SELECT vec_id, e, nrm, CAST($sigTerms64Sql AS BIGINT) AS sig FROM v),
@@ -689,9 +692,20 @@ object OracleCtes {
        |            ${lshBandValSql()} AS band_val
        |          FROM sig CROSS JOIN bb
        |          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
+       |sb AS (SELECT vec_id, k, band_val,
+       |           (bcr - 1) // ${graft.operators.Dedup.PairCapB} AS sub
+       |    FROM (
+       |    SELECT vec_id, k, band_val,
+       |           row_number() OVER (PARTITION BY k, band_val ORDER BY
+       |             ${Tables.portableHashSql(
+                       "CAST(k AS VARCHAR) || ':' || CAST(band_val AS VARCHAR)" +
+                         " || ':' || CAST(vec_id AS VARCHAR)")},
+       |             vec_id) AS bcr
+       |    FROM bands)),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |         FROM bands a JOIN bands b
-       |           ON a.k = b.k AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+       |         FROM sb a JOIN sb b
+       |           ON a.k = b.k AND a.band_val = b.band_val
+       |          AND a.sub = b.sub AND a.vec_id < b.vec_id)
        |SELECT * FROM (
        |  SELECT c.vec_a, c.vec_b,
        |         ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos

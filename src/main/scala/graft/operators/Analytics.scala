@@ -645,6 +645,22 @@ object Analytics {
     * every N. The 0.45 verify threshold is sized to the synthetic
     * corpus (near-random vectors top out near cos 0.51), so the contract
     * returns a non-empty, oracle-pinned pair set at every test scale.
+    *
+    * Round 15: each (k, band_val) bucket additionally carries the HARD
+    * per-bucket budget every other near-dup path already has — members
+    * rank by the PER-BUCKET-SALTED portable hash of `k:band_val:vec_id`
+    * (ties → min vec_id) and split into consecutive width-
+    * [[Dedup.PairCapB]] sub-buckets; pairs enumerate only WITHIN a
+    * sub-bucket ([[Dedup.subBucketPairs]]'s mechanism over a composite
+    * bucket key). The band plan bounds EXPECTED occupancy (≤ ~128/band
+    * by the capacity rule), so the budget is a no-op on uniform buckets
+    * and converts a skewed band value's unbounded bucket² term into
+    * occupancy·B/2 — worst-case O(N·B) pair volume under ANY skew, with
+    * the linear (not quadratic) recall decay the salted split buys.
+    * Four bands are four independently-salted chances to retain a true
+    * pair. The sub-bucket window shuffles narrow (vec_id, k, band_val)
+    * rows; embeddings re-attach by one equi-join so the cosine still
+    * scores inside the band self-join.
     */
   def lshCosine(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
@@ -672,12 +688,22 @@ object Analytics {
       val off = k * bb + math.min(k, bx)
       expr(s"(sig >> $off) & ${(1L << w) - 1L}")
     }
+    val wSub = Window.partitionBy(col("k"), col("band_val"))
+      .orderBy(Tables.portableHash(concat(
+          col("k").cast("string"), lit(":"),
+          col("band_val").cast("string"), lit(":"),
+          col("vec_id").cast("string"))),
+        col("vec_id"))
     val bands = v.select(col("vec_id"), col("e"), col("nrm"), sigCol.as("sig"))
-      .select(col("vec_id"), col("e"), col("nrm"),
+      .select(col("vec_id"),
         posexplode(array(bandVals: _*)).as(Seq("k", "band_val")))
-      .select("vec_id", "e", "nrm", "k", "band_val")
+      .withColumn("sub",
+        ((row_number().over(wSub) - 1) / Dedup.PairCapB).cast("int"))
+      .join(v, "vec_id")
+      .select("vec_id", "e", "nrm", "k", "band_val", "sub")
     bands.as("a").join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.band_val") === col("b.band_val") &&
+          col("a.sub") === col("b.sub") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (VectorOps.dot(col("a.e"), col("b.e")) /
