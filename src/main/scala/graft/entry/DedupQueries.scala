@@ -181,7 +181,9 @@ object DedupQueries {
     // Legacy single-level pair build (the pre-migration production
     // mechanism, kept as the oracle-pinned comparison baseline): nprobe=8
     // multi-probe assignment, salted width-128 sub-bucket split,
-    // exact-cosine verification.
+    // exact-cosine verification — over the AUDIT POPULATION (round 15;
+    // the exactPairsFor stride, s = 1 through sf0.1) against the
+    // production full-corpus centroid table.
     "q_ivf1_pairs" ->
       s"""WITH $vecCte,
          |${hashMinCte("cents")},
@@ -190,7 +192,8 @@ object DedupQueries {
          |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
          |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
          |                      c.cent_id) AS rn
-         |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
+         |             FROM v CROSS JOIN cents c
+         |             WHERE v.vec_id % $auditStrideSql = 0) WHERE rn <= 8),
          |${ivfPairCtes("p", "probes")}
          |SELECT vec_a, vec_b, cos FROM p
          |ORDER BY 1, 2""".stripMargin,

@@ -259,7 +259,8 @@ object SimilarityQueries {
          |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
          |                      ${dotSql("v.e", "c.ce")} / (v.nrm * c.cn) DESC,
          |                      c.cent_id) AS rn
-         |             FROM v CROSS JOIN cents c) WHERE rn <= 8),
+         |             FROM v CROSS JOIN cents c
+         |             WHERE v.vec_id % $auditStrideSql = 0) WHERE rn <= 8),
          |${ivfPairCtes("slp", "probes")},
          |single AS (SELECT vec_a, vec_b FROM slp),
          |${ivf2ProbeCte("rpr", "", "cents",
