@@ -8,15 +8,14 @@ import graft.operators.{Dedup, Similarity}
   * two-level-routed pair set UN-memoized, times it, and prices its
   * recall against the exact all-pairs truth (audit population — same
   * denominator as `q_ann_recall`) and its overlap with the PRODUCTION
-  * routed build ([[Dedup.ivfHashminPairsFor]], 3×8 @ B=128 since the
-  * round-14 migration). One JSON line per config; the shared inputs
+  * routed build ([[Dedup.ivfHashminPairsFor]], 3×8 @ B=[[Dedup.PairSubB]]). One JSON line per config; the shared inputs
   * (normed corpus, quantizer levels, exact truth, production pairs) ride
   * the session memos so the sweep prices exactly the probe pass + pair
   * volume, not index rebuilds.
   *
   * Env: SPARK_GRAFT_SF_DIR (scale), SPARK_GRAFT_SWEEP
   * ("2x4,2x8,3x8@256" — coarseNprobe x finePerCell, optional @capB
-  * overriding [[Dedup.PairCapB]]), SPARK_GRAFT_UNSALTED=1 to add the
+  * overriding [[Dedup.PairSubB]]), SPARK_GRAFT_UNSALTED=1 to add the
   * legacy global-hash-split arm per config, SPARK_GRAFT_CPUS.
   */
 object PairProbeAudit {
@@ -57,13 +56,13 @@ object PairProbeAudit {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val unsaltedArm = sys.env.get("SPARK_GRAFT_UNSALTED").contains("1")
-    // "COxFP" or "COxFP@B" (B overrides PairCapB for that config)
+    // "COxFP" or "COxFP@B" (B overrides PairSubB for that config)
     val sweep = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "2x4,2x6,2x8")
       .split(",").toSeq.map { s =>
         val (probe, cap) = s.trim.span(_ != '@')
         val Array(co, fp) = probe.split("x")
         (co.toInt, fp.toInt,
-          if (cap.isEmpty) Dedup.PairCapB else cap.drop(1).toInt)
+          if (cap.isEmpty) Dedup.PairSubB else cap.drop(1).toInt)
       }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,7 +78,7 @@ object PairProbeAudit {
     spark.sparkContext.setLogLevel("WARN")
 
     val exact = Dedup.exactPairsFor(spark, sfDir).select("vec_a", "vec_b")
-    // `prod` is the ROUTED production build (3×8 @ B=128 post-migration);
+    // `prod` is the ROUTED production build (3×8 @ PairSubB);
     // every config's held_permille below is overlap against THIS set.
     val prod = Dedup.ivfHashminPairsFor(spark, sfDir).select("vec_a", "vec_b")
     val nExact = exact.count()
@@ -125,7 +124,7 @@ object PairProbeAudit {
       val nHit = exact.join(routed, Seq("vec_a", "vec_b"), "left_semi").count()
       val nHeld = prod.join(routed, Seq("vec_a", "vec_b"), "left_semi").count()
       println(s"""{"metric":"pair_probe_audit","config":"${co}x$fp${
-          if (capB != Dedup.PairCapB) s"@$capB" else ""}${
+          if (capB != Dedup.PairSubB) s"@$capB" else ""}${
           if (salted) "" else "_unsalted"}",""" +
         s""""sf":"$sfDir","sec":${f"$sec%.2f"},"n_pairs":$nRouted,""" +
         s""""recall_permille":${if (nExact == 0) 1000 else nHit * 1000 / nExact},""" +

@@ -251,11 +251,17 @@ object OracleCtes {
     * cells per coarse cell LOWERED pair recall 403 → 241 permille at
     * sf0.1); with per-bucket salts a pair sharing k buckets survives
     * ≈ 1-(1-B/s)^k (same sf0.1 widening: 579 → 622). The ONE home for
-    * the sub-bucket decision every pair oracle replays.
+    * the sub-bucket decision every pair oracle replays. Width is the
+    * round-15 [[graft.operators.Dedup.PairSubB]] (512): the sweep
+    * measured pair-build wall time B-insensitive through sf10 while
+    * recall is ~linear in B, so the pair paths run the widest flat
+    * budget; the candidate-POOL caps (kNN member cap, [[bucketCapCte]])
+    * stay at [[graft.operators.Dedup.PairCapB]] where per-query cost IS
+    * ∝ B.
     */
   def subBucketCte(name: String, src: String): String =
     s"""$name AS (SELECT vec_id, cent_id,
-       |           (bcr - 1) // ${graft.operators.Dedup.PairCapB} AS sub
+       |           (bcr - 1) // ${graft.operators.Dedup.PairSubB} AS sub
        |    FROM (
        |    SELECT vec_id, cent_id,
        |           row_number() OVER (PARTITION BY cent_id ORDER BY
