@@ -17,7 +17,7 @@ from pathlib import Path
 BUILDS = ",".join([
     "_build_msgs", "_build_links", "_build_linked", "_build_shingle_index",
     "_build_shingle_inter", "_build_simhash", "_build_normed",
-    "_build_exact_pairs", "_build_ivf_pairs", "_build_kmeans_cents",
+    "_build_exact_pairs", "_build_ivf_pairs", "_build_ivf1_pairs", "_build_kmeans_cents",
     "_build_ivf_assign", "_build_ivf2_assign", "_build_km_pairs",
     "_build_km_assign", "_build_doc_bigrams", "_build_unigrams",
     "_build_bpe_vocab", "_build_ann_topk", "_build_pq_codes",
