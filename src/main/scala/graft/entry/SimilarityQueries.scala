@@ -53,6 +53,7 @@ object SimilarityQueries {
     "q_triplets" -> ((s, d) => Similarity.tripletMine(s, d)),
     // ninth wave: neighborhood graph + pseudo-labeling
     "q_knn_graph" -> ((s, d) => Neighbors.knnGraph(s, d)),
+    "q_knn_recall" -> ((s, d) => Neighbors.knnRecall(s, d)),
     "q_label_prop" -> ((s, d) => Neighbors.labelProp(s, d)),
     "q_knn_clusters" -> ((s, d) => Neighbors.knnClusters(s, d)),
     "q_cc_stars" -> ((s, d) => Neighbors.knnClustersStars(s, d)),
@@ -874,6 +875,37 @@ object SimilarityQueries {
          |            * 1000 // count(*) AS BIGINT) AS acc_permille
          |FROM t LEFT JOIN pd USING (q_id)
          |GROUP BY label ORDER BY label""".stripMargin,
+    // Recall audit of the kNN graph: the shared edge chain restricted to
+    // the audit panel, intersected with the exact cosine top-5 baseline
+    // (exactTopCtes — the same ground truth every ANN recall audit
+    // replays); one integer row.
+    "q_knn_recall" ->
+      s"""WITH $vecCte,
+         |$knnCtes,
+         |$exactTopCtes,
+         |ext1 AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY cos DESC, n_id) AS rk
+         |          FROM ep) WHERE rk = 1),
+         |pe AS (SELECT src, dst, rk FROM ek
+         |       WHERE src % $panelStepSql = 0),
+         |n AS (SELECT
+         |  (SELECT count(*) FROM (SELECT DISTINCT src FROM pe)) AS n_queries,
+         |  (SELECT count(*) FROM pe) AS n_edges,
+         |  (SELECT count(*) FROM pe JOIN ext
+         |     ON pe.src = ext.q_id AND pe.dst = ext.n_id) AS n_hits,
+         |  (SELECT count(*) FROM pe JOIN ext1
+         |     ON pe.src = ext1.q_id AND pe.dst = ext1.n_id
+         |    WHERE pe.rk = 1) AS n_top1)
+         |SELECT CAST(n_queries AS BIGINT) AS n_queries,
+         |       CAST(n_edges AS BIGINT) AS n_edges,
+         |       CAST(n_hits AS BIGINT) AS n_hits,
+         |       CAST(CASE WHEN n_edges = 0 THEN 1000
+         |            ELSE n_hits * 1000 // n_edges END AS BIGINT)
+         |         AS hit_permille,
+         |       CAST(n_top1 AS BIGINT) AS n_top1
+         |FROM n""".stripMargin,
     // Replays mutual-kNN clustering: the shared edge chain, mutual edges
     // via the reversed self-join, transitive closure by recursive CTE,
     // min-reachable-id labels (clipped at own id), singleton fallback.

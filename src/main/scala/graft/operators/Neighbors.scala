@@ -107,6 +107,40 @@ object Neighbors {
         .select("src", "dst", "rk")
     }
 
+  /** Recall audit of the kNN GRAPH — the quality contract the graph
+    * build's routed probes + salted member cap trade against, measured
+    * the same way every ANN search here is: on the deterministic audit
+    * panel (`vec_id % panelStep == 0`), how many of the graph's
+    * ≤ [[GraphK]] edges land in the EXACT cosine top-[[GraphK]]
+    * ([[Similarity.annTopkFor]], the memoized O(Q·N) baseline), and how
+    * many rank-1 edges name the exact nearest neighbor. One integer row:
+    * (n_queries, n_edges, n_hits, hit_permille, n_top1). The panel is
+    * O(100) queries at any corpus size and the exact baseline is the
+    * session memo every other recall audit shares, so the audit costs
+    * two semi-joins of ≤ 5·Q rows — free at scale, recomputed against
+    * ground truth every round like [[Dedup.annRecall]].
+    */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val step = Similarity.panelStep(Similarity.corpusN(spark, dir))
+    val exact = Similarity.annTopkFor(spark, dir)
+    val pe = knnEdgesFor(spark, dir).where(col("src") % step === 0)
+    val nq = pe.select("src").distinct().agg(count(lit(1)).as("n_queries"))
+    val ne = pe.agg(count(lit(1)).as("n_edges"))
+    val nh = pe.join(exact.select(col("q_id").as("src"), col("n_id").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val nt = pe.where(col("rk") === 1)
+      .join(exact.where(col("rk") === 1)
+          .select(col("q_id").as("src"), col("n_id").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_top1"))
+    nq.crossJoin(ne).crossJoin(nh).crossJoin(nt)
+      .select(col("n_queries"), col("n_edges"), col("n_hits"),
+        expr("CASE WHEN n_edges = 0 THEN 1000 ELSE n_hits * 1000 div n_edges END")
+          .as("hit_permille"),
+        col("n_top1"))
+  }
+
   /** kNN-graph build + topology readout: per vector, its out-degree
     * (≤ [[GraphK]] — smaller only when the probed buckets hold fewer
     * candidates), how many of its edges are MUTUAL (the neighbor lists
