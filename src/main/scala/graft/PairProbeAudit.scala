@@ -84,9 +84,12 @@ object PairProbeAudit {
     val nExact = exact.count()
     val nProd = prod.count()
     val nProdHit = exact.join(prod, Seq("vec_a", "vec_b"), "left_semi").count()
+    // no "sec" key on this row — the production build rides the session
+    // memo, so a wall time here would price a parquet read, not the build;
+    // omitting the key (vs "sec":null) keeps float-parsing consumers safe.
     println(s"""{"metric":"pair_probe_audit","config":"prod_routed_${
         Dedup.PairCoarseNprobe}x${Dedup.PairFinePerCell}",""" +
-      s""""sf":"$sfDir","sec":null,"n_pairs":$nProd,""" +
+      s""""sf":"$sfDir","n_pairs":$nProd,""" +
       s""""recall_permille":${if (nExact == 0) 1000 else nProdHit * 1000 / nExact},""" +
       s""""held_permille":1000}""")
 

@@ -901,9 +901,12 @@ object SimilarityQueries {
          |SELECT CAST(n_queries AS BIGINT) AS n_queries,
          |       CAST(n_edges AS BIGINT) AS n_edges,
          |       CAST(n_hits AS BIGINT) AS n_hits,
-         |       CAST(CASE WHEN n_edges = 0 THEN 1000
+         |       CAST(CASE WHEN n_edges = 0 THEN 0
          |            ELSE n_hits * 1000 // n_edges END AS BIGINT)
          |         AS hit_permille,
+         |       CAST(CASE WHEN n_queries = 0 THEN 0
+         |            ELSE n_hits * 1000 // (n_queries * 5) END AS BIGINT)
+         |         AS recall_permille,
          |       CAST(n_top1 AS BIGINT) AS n_top1
          |FROM n""".stripMargin,
     // Replays mutual-kNN clustering: the shared edge chain, mutual edges

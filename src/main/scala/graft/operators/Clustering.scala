@@ -47,6 +47,18 @@ object Clustering {
     * per iteration, the exact term the routed pair/kNN builds retired.
     * The remaining 100 TB refinement is mini-batch Lloyd over a
     * fixed-size sample (⚙ SCALING.md).
+    *
+    * QUALITY CONTRACT of the routed assignment: since round 15 the
+    * per-iteration argmax is APPROXIMATE (within the top-1 routed coarse
+    * cell of the CURRENT table), so refinement can settle on worse
+    * centroids than exact Lloyd when a vector's true nearest centroid
+    * crosses the coarse boundary between iterations. The oracle replays
+    * the identical routed decision (hash-pinned), so correctness gates
+    * can't see a QUALITY regression here — `q_ann_recall_kmeans` and
+    * `q_ivf_purity` are the hard gates that price it across scales, and
+    * they must stay in the bench/correctness surface as long as this
+    * routing does (a routed-assignment quality regression must fail a
+    * gate, never land silently).
     */
   /** The 2-iteration refined centroid table, memoized per session — shared
     * by `ann_ivf_kmeans` and `q_ann_recall_kmeans` (64 rows; the Lloyd

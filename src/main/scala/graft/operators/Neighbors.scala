@@ -114,7 +114,13 @@ object Neighbors {
     * ≤ [[GraphK]] edges land in the EXACT cosine top-[[GraphK]]
     * ([[Similarity.annTopkFor]], the memoized O(Q·N) baseline), and how
     * many rank-1 edges name the exact nearest neighbor. One integer row:
-    * (n_queries, n_edges, n_hits, hit_permille, n_top1). The panel is
+    * (n_queries, n_edges, n_hits, hit_permille, recall_permille, n_top1)
+    * — hit_permille is edge PRECISION (hits over emitted edges; a build
+    * that emits fewer edges can inflate it), recall_permille is true
+    * per-query recall (hits over the n_queries·[[GraphK]] exact-top-5
+    * slots). Both read 0 when the graph emits no panel edges: the
+    * denominator here is the system's own output, so empty is a broken
+    * build, not a vacuously-true audit. The panel is
     * O(100) queries at any corpus size and the exact baseline is the
     * session memo every other recall audit shares, so the audit costs
     * two semi-joins of ≤ 5·Q rows — free at scale, recomputed against
@@ -136,8 +142,11 @@ object Neighbors {
       .agg(count(lit(1)).as("n_top1"))
     nq.crossJoin(ne).crossJoin(nh).crossJoin(nt)
       .select(col("n_queries"), col("n_edges"), col("n_hits"),
-        expr("CASE WHEN n_edges = 0 THEN 1000 ELSE n_hits * 1000 div n_edges END")
+        expr("CASE WHEN n_edges = 0 THEN 0 ELSE n_hits * 1000 div n_edges END")
           .as("hit_permille"),
+        expr(s"CASE WHEN n_queries = 0 THEN 0 " +
+            s"ELSE n_hits * 1000 div (n_queries * $GraphK) END")
+          .as("recall_permille"),
         col("n_top1"))
   }
 
