@@ -235,7 +235,9 @@ object DedupQueries {
          |          FROM mh GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |         WHERE a.doc_id % greatest(1,
+         |           (SELECT (count(*) + 4999) // 5000 FROM documents)) = 0),
          |m AS (SELECT c.doc_a, c.doc_b,
          |        sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS matches
          |      FROM cand c

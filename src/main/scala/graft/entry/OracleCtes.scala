@@ -226,14 +226,15 @@ object OracleCtes {
     * reachable from any probe; per-bucket salts make the retained sets
     * independent.
     */
-  def bucketCapCte(name: String, src: String): String =
+  def bucketCapCte(name: String, src: String,
+      cap: Int = graft.operators.Dedup.PairCapB): String =
     s"""$name AS (SELECT vec_id, cent_id FROM (
        |    SELECT vec_id, cent_id,
        |           row_number() OVER (PARTITION BY cent_id ORDER BY
        |             ${Tables.portableHashSql(
                        "CAST(cent_id AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)")},
        |             vec_id) AS bcr
-       |    FROM $src) WHERE bcr <= ${graft.operators.Dedup.PairCapB})""".stripMargin
+       |    FROM $src) WHERE bcr <= $cap)""".stripMargin
 
   /** Per-bucket hash-min SUB-BUCKET split replaying
     * [[graft.operators.Dedup.subBucketPairs]] — the round-14 production

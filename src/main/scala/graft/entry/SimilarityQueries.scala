@@ -101,7 +101,7 @@ object SimilarityQueries {
        |${ivf2ProbeCte("kpr", "", "cents",
          Neighbors.KnnCoarseNprobe, Neighbors.KnnFinePerCell)},
        |${ivf2AsgCte("asg", "", "cents")},
-       |${bucketCapCte("mcap", "asg")},
+       |${bucketCapCte("mcap", "asg", Neighbors.KnnMemberCap)},
        |cand AS (SELECT p.vec_id AS src, a.vec_id AS dst
        |         FROM kpr p JOIN mcap a USING (cent_id)
        |         WHERE a.vec_id <> p.vec_id),

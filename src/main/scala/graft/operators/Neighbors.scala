@@ -25,13 +25,31 @@ object Neighbors {
   private[graft] val GraphK = 5
 
   /** Probe width of the kNN-graph build: each vector routes through its
-    * top-2 coarse cells and probes the top-2 fine centroids within each
-    * — 4 probed buckets, the routed twin of the r14 single-level
-    * nprobe=2 (the [[Similarity.annIvf2Np2]] shape, which beat the flat
-    * nprobe=2 search on recall at sf1.0: 17/170 vs 11/110 hits/MRR).
+    * top-4 coarse cells and probes the top-4 fine centroids within each
+    * — 16 probed buckets. Chosen by the round-16 sweep
+    * ([[graft.KnnProbeAudit]] over coarse × fine × [[KnnMemberCap]]
+    * against the `q_knn_recall` contract): the r15 2×2@128 probe's
+    * recall decayed ~1/√N (238/76/26‰ at sf0.1/1/10 — a fixed 512-
+    * candidate scan of a growing corpus); 4×4@256 reads 582/314/154‰
+    * (2.4×/4.1×/5.9×) at unchanged sf0.1 wall, ~1.3× sf1.0 wall
+    * (4.1 → 5.2 s) and ~4× sf10 wall (designed-linear candidate
+    * pipeline — see SCALING.md round-16 for the full grid, including
+    * the rejected arms: 4×4@512 doubled sf10 wall for +13% recall,
+    * 4×6@256 cost +57% for +32%).
     */
-  private[graft] val KnnCoarseNprobe = 2
-  private[graft] val KnnFinePerCell = 2
+  private[graft] val KnnCoarseNprobe = 4
+  private[graft] val KnnFinePerCell = 4
+
+  /** Per-bucket member-pool cap of the graph build (salted hash-min, the
+    * [[Dedup.PairCapB]] mechanism) — its own dial since round 16, priced
+    * by the same sweep: at sf10 (occupancy ≈ 319) lifting 128 → 256
+    * nearly doubled recall (84 → 154‰ at 4×4) while the wall moved
+    * inside window noise — the cap axis is nearly free until it stops
+    * binding, because candidate volume hides under the probe pass and
+    * top-k window's fixed costs. 512 (cap no longer binding at sf10)
+    * doubled the wall for +13% — rejected.
+    */
+  private[graft] val KnnMemberCap = 256
 
   /** Directed kNN edge list over the WHOLE corpus: each vector's top-
     * [[GraphK]] IVF-probed neighbors by exact cosine (ties → min
@@ -62,8 +80,9 @@ object Neighbors {
     * the sf10 probe measured at 122× the sf1.0 wall: the same lesson as
     * [[Dedup.ivfPairs]]'s round-10 fix, now applied here.
     *
-    * The member side is capped per bucket at [[Dedup.PairCapB]]
-    * hash-min members — the same budget as the pair family — so per-src
+    * The member side is capped per bucket at [[KnnMemberCap]]
+    * hash-min members (the [[Dedup.PairCapB]] mechanism with the
+    * graph's own width since round 16) — so per-src
     * candidates are ≤ nprobe·B and the candidate volume is
     * O(N·nprobe·B), linear in N (round 14; slope 1.098 → 0.93 in the
     * pairs-probe window). Round 15 SALTS the cap order per bucket
@@ -75,37 +94,47 @@ object Neighbors {
     * EXACT cosines; only the candidate pool of an oversized bucket is a
     * uniform deterministic sample, replayed by the oracle. Key bumps:
     * knn: → knn2: (cap budget) → knn3: (routed probes + two-level
-    * assignment + salted cap).
+    * assignment + salted cap) → knn4: (round-16 sweep adoption,
+    * 2×2@128 → 4×4@[[KnnMemberCap]]).
     */
   private[graft] def knnEdgesFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"knn3:$dir") {
-      val v = Dedup.normedFor(spark, dir)
-      val asg = Similarity.ivf2AssignFor(spark, dir)
-      val probes = Similarity
-        .ivf2ProbeIds(spark, dir, KnnCoarseNprobe, KnnFinePerCell)
-        .join(v, "vec_id")
-        .select(col("vec_id").as("src"), col("e").as("qe"),
-          col("nrm").as("qn"), col("cent_id"))
-      val wCap = Window.partitionBy(col("cent_id"))
-        .orderBy(graft.sources.Tables.portableHash(
-            concat(col("cent_id").cast("string"), lit(":"),
-              col("dst").cast("string"))),
-          col("dst"))
-      val member = asg.withColumnRenamed("vec_id", "dst")
-        .withColumn("r", row_number().over(wCap))
-        .where(col("r") <= Dedup.PairCapB)
-        .join(v.withColumnRenamed("vec_id", "dst"), "dst")
-        .select(col("cent_id"), col("dst"), col("e"), col("nrm"))
-      val wTop = Window.partitionBy(col("src"))
-        .orderBy(col("cos").desc, col("dst"))
-      probes.join(member, "cent_id")
-        .where(col("dst") =!= col("src"))
-        .select(col("src"), col("dst"),
-          Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
-        .withColumn("rk", row_number().over(wTop))
-        .where(col("rk") <= GraphK)
-        .select("src", "dst", "rk")
-    }
+    graft.sources.Materialized.of(spark, s"knn4:$dir")(
+      knnEdgesBuild(spark, dir, KnnCoarseNprobe, KnnFinePerCell, KnnMemberCap))
+
+  /** The un-memoized, width-parameterized edge builder behind
+    * [[knnEdgesFor]] — factored out (round 16) so the probe-width sweep
+    * ([[graft.KnnProbeAudit]]) prices (coarseNprobe × finePerCell ×
+    * memberCap) configs with the exact production mechanism.
+    */
+  private[graft] def knnEdgesBuild(spark: SparkSession, dir: String,
+      coarseNprobe: Int, finePerCell: Int, memberCap: Int): DataFrame = {
+    val v = Dedup.normedFor(spark, dir)
+    val asg = Similarity.ivf2AssignFor(spark, dir)
+    val probes = Similarity
+      .ivf2ProbeIds(spark, dir, coarseNprobe, finePerCell)
+      .join(v, "vec_id")
+      .select(col("vec_id").as("src"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cent_id"))
+    val wCap = Window.partitionBy(col("cent_id"))
+      .orderBy(graft.sources.Tables.portableHash(
+          concat(col("cent_id").cast("string"), lit(":"),
+            col("dst").cast("string"))),
+        col("dst"))
+    val member = asg.withColumnRenamed("vec_id", "dst")
+      .withColumn("r", row_number().over(wCap))
+      .where(col("r") <= memberCap)
+      .join(v.withColumnRenamed("vec_id", "dst"), "dst")
+      .select(col("cent_id"), col("dst"), col("e"), col("nrm"))
+    val wTop = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    probes.join(member, "cent_id")
+      .where(col("dst") =!= col("src"))
+      .select(col("src"), col("dst"),
+        Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= GraphK)
+      .select("src", "dst", "rk")
+  }
 
   /** Recall audit of the kNN GRAPH — the quality contract the graph
     * build's routed probes + salted member cap trade against, measured
@@ -126,10 +155,17 @@ object Neighbors {
     * two semi-joins of ≤ 5·Q rows — free at scale, recomputed against
     * ground truth every round like [[Dedup.annRecall]].
     */
-  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+  def knnRecall(spark: SparkSession, dir: String): DataFrame =
+    knnRecallOf(spark, dir, knnEdgesFor(spark, dir))
+
+  /** [[knnRecall]] over an arbitrary edge relation (src, dst, rk) — the
+    * sweep harness scores candidate probe-width configs with this.
+    */
+  private[graft] def knnRecallOf(spark: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
     val step = Similarity.panelStep(Similarity.corpusN(spark, dir))
     val exact = Similarity.annTopkFor(spark, dir)
-    val pe = knnEdgesFor(spark, dir).where(col("src") % step === 0)
+    val pe = edges.where(col("src") % step === 0)
     val nq = pe.select("src").distinct().agg(count(lit(1)).as("n_queries"))
     val ne = pe.agg(count(lit(1)).as("n_edges"))
     val nh = pe.join(exact.select(col("q_id").as("src"), col("n_id").as("dst")),
@@ -213,7 +249,11 @@ object Neighbors {
     * buy. Two squarings is where bounded-degree stops being true.
     */
   private[graft] def knnCcFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"knncc:$dir") {
+    // knncc: → knncc2: with the knn4 edge adoption (the labels derive
+    // from the edge relation, so the upstream contract change bumps
+    // this key too — the cross-application memo store must never serve
+    // labels computed from the old graph).
+    graft.sources.Materialized.of(spark, s"knncc2:$dir") {
       val e = knnEdgesFor(spark, dir).select("src", "dst")
       val mutual = e.join(
           e.select(col("dst").as("src"), col("src").as("dst")),
@@ -242,7 +282,8 @@ object Neighbors {
     * depends on log n, not component diameter.
     */
   def knnClustersStars(spark: SparkSession, dir: String): DataFrame = {
-    val labels = graft.sources.Materialized.of(spark, s"knnccstars:$dir") {
+    // knnccstars: → knnccstars2: with the knn4 edge adoption (see knncc2)
+    val labels = graft.sources.Materialized.of(spark, s"knnccstars2:$dir") {
       val e = knnEdgesFor(spark, dir).select("src", "dst")
       val mutual = e.join(
         e.select(col("dst").as("src"), col("src").as("dst")),
