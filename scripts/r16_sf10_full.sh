@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-16 stage: FULL query surface at the fifth decade on the
+# round-16 tree (4x4@256 kNN-graph probe, strided q_minhash_acc,
+# self-adjudicating build re-time). Fault isolation per the wedge
+# protocol: one JVM for the full build set, then family-sized query
+# JVMs. Merge with scripts/r14_merge_sf10.py afterwards.
+set -u
+cd /root/repo
+OUT=/root/repo/bench_ref/sf10_r16
+mkdir -p "$OUT"
+run() { # tag only-list
+  local tag="$1" onl="$2"
+  SPARK_GRAFT_SF_DIR=/root/repo/testdata_sf10 SPARK_GRAFT_ONLY="$onl" \
+  SPARK_GRAFT_BENCH_REPEAT=1 SPARK_DRIVER_MEM=16g \
+    sbt -batch "runMain graft.Bench" > "$OUT/${tag}.log" 2>&1
+  grep -oE "\{\"(errors|retimed|spread|queries)\".*" "$OUT/${tag}.log" \
+    | tail -1 > "$OUT/${tag}.json"
+}
+python3 scripts/r14_sf10_groups.py /tmp/verify1/oracle_sql.json "$OUT"
+run builds "$(cat "$OUT/group_builds.txt")"
+for g in "$OUT"/group_q*.txt; do
+  tag=$(basename "$g" .txt)
+  run "$tag" "$(cat "$g")"
+done
+python3 scripts/r14_merge_sf10.py "$OUT" -o /root/repo/BENCH_LOCAL_sf10_r16.json
+echo DONE > "$OUT/done"
