@@ -31,11 +31,15 @@ object Neighbors {
     * against the `q_knn_recall` contract): the r15 2×2@128 probe's
     * recall decayed ~1/√N (238/76/26‰ at sf0.1/1/10 — a fixed 512-
     * candidate scan of a growing corpus); 4×4@256 reads 582/314/154‰
-    * (2.4×/4.1×/5.9×) at unchanged sf0.1 wall, ~1.3× sf1.0 wall
-    * (4.1 → 5.2 s) and ~4× sf10 wall (designed-linear candidate
-    * pipeline — see SCALING.md round-16 for the full grid, including
-    * the rejected arms: 4×4@512 doubled sf10 wall for +13% recall,
-    * 4×6@256 cost +57% for +32%).
+    * (2.4×/4.1×/5.9×) at unchanged sf0.1 wall, ~2× sf1.0 wall
+    * (3.2 → 6.1 s in-chain) and ~7× sf10 wall (70 s in-group, 88 s
+    * isolated — the linear price of 8× the candidate volume; see
+    * SCALING.md round-16 for the full grid, including the rejected
+    * arms: 4×4@512 doubled sf10 wall for +13% recall, 4×6@256 cost
+    * +57% for +32%). The old 2×2@128 point was not a defensible
+    * trade to keep: at 26‰ the sf10 graph was 97% outside the exact
+    * top-5, semantically breaking every downstream consumer
+    * (mutual-kNN clustering, label propagation) at scale.
     */
   private[graft] val KnnCoarseNprobe = 4
   private[graft] val KnnFinePerCell = 4
