@@ -18,6 +18,7 @@ def main(groupdir: str, outpath: str) -> None:
     gd = Path(groupdir)
     merged = {}
     errors = {}
+    retimed = {}
     meta = None
     for f in sorted(gd.glob("*.json")):
         d = json.loads(f.read_text())
@@ -25,6 +26,10 @@ def main(groupdir: str, outpath: str) -> None:
             meta = d
         merged.update(d.get("queries", {}))
         errors.update(d.get("errors", {}))
+        # carry each group's retime disclosures (round 16): the merged
+        # artifact must keep the first-pass values of min-adjudicated
+        # builds, or the adjudication trail dies in the merge
+        retimed.update(d.get("retimed", {}))
     builds = {k: v for k, v in merged.items() if k.startswith("_build")}
     queries = {k: v for k, v in merged.items() if not k.startswith("_build")}
     out = {
@@ -39,6 +44,7 @@ def main(groupdir: str, outpath: str) -> None:
         "n_builds": len(builds),
         "n_errors": len(errors),
         "errors": errors,
+        "retimed": retimed,
         "build_total": round(sum(builds.values()), 3),
         "query_total": round(sum(queries.values()), 3),
         "value": round(sum(merged.values()), 3),

@@ -4,6 +4,9 @@
 # self-adjudicating build re-time). Fault isolation per the wedge
 # protocol: one JVM for the full build set, then family-sized query
 # JVMs. Merge with scripts/r14_merge_sf10.py afterwards.
+# set -u only: a group whose Bench exits 1 (per-query errors are real
+# data) must not abort the remaining groups; the silent-empty hazard is
+# guarded explicitly below instead.
 set -u
 cd /root/repo
 OUT=/root/repo/bench_ref/sf10_r16
@@ -16,7 +19,11 @@ run() { # tag only-list
   grep -oE "\{\"(errors|retimed|spread|queries)\".*" "$OUT/${tag}.log" \
     | tail -1 > "$OUT/${tag}.json"
 }
-python3 scripts/r14_sf10_groups.py /tmp/verify1/oracle_sql.json "$OUT"
+# an empty/missing ONLY list would make Bench silently run nothing and
+# publish a valid-looking empty artifact — fail loudly instead
+python3 scripts/r14_sf10_groups.py /tmp/verify1/oracle_sql.json "$OUT" \
+  || { echo "group partitioning failed" >&2; exit 1; }
+[ -s "$OUT/group_builds.txt" ] || { echo "empty group_builds.txt" >&2; exit 1; }
 run builds "$(cat "$OUT/group_builds.txt")"
 for g in "$OUT"/group_q*.txt; do
   tag=$(basename "$g" .txt)

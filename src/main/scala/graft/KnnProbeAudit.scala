@@ -49,6 +49,10 @@ object KnnProbeAudit {
     operators.Similarity.ivf2AssignFor(spark, sfDir).count()
     operators.Similarity.annTopkFor(spark, sfDir).count()
 
+    // '.' decimal in any locale (the Bench.fmt lesson: a comma-decimal
+    // default locale would emit invalid JSON)
+    def fmt(v: Double): String =
+      "%.2f".formatLocal(java.util.Locale.ROOT, v)
     for ((co, fp, cap) <- sweep) {
       val t0 = System.nanoTime()
       val edges = Neighbors.knnEdgesBuild(spark, sfDir, co, fp, cap)
@@ -57,10 +61,14 @@ object KnnProbeAudit {
       val sec = (System.nanoTime() - t0) / 1e9
       val r = Neighbors.knnRecallOf(spark, sfDir, edges).collect()(0)
       println(s"""{"metric":"knn_probe_audit","config":"${co}x$fp@$cap",""" +
-        s""""sf":"$sfDir","sec":${f"$sec%.2f"},"n_edges":$nEdges,""" +
+        s""""sf":"$sfDir","sec":${fmt(sec)},"n_edges":$nEdges,""" +
         s""""n_queries":${r.getLong(0)},"panel_edges":${r.getLong(1)},""" +
         s""""n_hits":${r.getLong(2)},"hit_permille":${r.getLong(3)},""" +
         s""""recall_permille":${r.getLong(4)},"n_top1":${r.getLong(5)}}""")
+      // free each arm's checkpointed edge blocks before the next one —
+      // six pinned sf10 graphs would progressively squeeze execution
+      // memory and skew exactly the walls the sweep compares
+      edges.unpersist(true)
     }
     spark.stop()
   }

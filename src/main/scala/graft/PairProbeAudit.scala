@@ -110,7 +110,7 @@ object PairProbeAudit {
     val nFreshHeld =
       prod.join(prodFresh, Seq("vec_a", "vec_b"), "left_semi").count()
     println(s"""{"metric":"pair_probe_audit","config":"single_np8",""" +
-      s""""sf":"$sfDir","sec":${f"$prodSec%.2f"},"n_pairs":$nProdFresh,""" +
+      s""""sf":"$sfDir","sec":${"%.2f".formatLocal(java.util.Locale.ROOT, prodSec)},"n_pairs":$nProdFresh,""" +
       s""""recall_permille":${if (nExact == 0) 1000 else nFreshHit * 1000 / nExact},""" +
       s""""held_permille":${if (nProd == 0) 1000 else nFreshHeld * 1000 / nProd}}""")
 
@@ -129,7 +129,7 @@ object PairProbeAudit {
       println(s"""{"metric":"pair_probe_audit","config":"${co}x$fp${
           if (capB != Dedup.PairSubB) s"@$capB" else ""}${
           if (salted) "" else "_unsalted"}",""" +
-        s""""sf":"$sfDir","sec":${f"$sec%.2f"},"n_pairs":$nRouted,""" +
+        s""""sf":"$sfDir","sec":${"%.2f".formatLocal(java.util.Locale.ROOT, sec)},"n_pairs":$nRouted,""" +
         s""""recall_permille":${if (nExact == 0) 1000 else nHit * 1000 / nExact},""" +
         s""""held_permille":${if (nProd == 0) 1000 else nHeld * 1000 / nProd}}""")
     }

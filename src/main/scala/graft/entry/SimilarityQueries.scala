@@ -89,7 +89,7 @@ object SimilarityQueries {
        |ORDER BY cl.vec_id""".stripMargin
 
   /** Shared kNN-graph CTE chain (two-level routed probes → two-level
-    * assignment → per-bucket salted rank ≤ 128 member cap → candidates →
+    * assignment → per-bucket salted rank ≤ KnnMemberCap cap → candidates →
     * exact cosine → top-5 edge list `ek`) replaying
     * [[graft.operators.Neighbors.knnEdgesFor]] (round-15 routed form);
     * consumed by `q_knn_graph` and `q_knn_clusters` so the edge-relation
@@ -891,7 +891,7 @@ object SimilarityQueries {
          |pe AS (SELECT src, dst, rk FROM ek
          |       WHERE src % $panelStepSql = 0),
          |n AS (SELECT
-         |  (SELECT count(*) FROM (SELECT DISTINCT src FROM pe)) AS n_queries,
+         |  (SELECT count(DISTINCT q_id) FROM ext) AS n_queries,
          |  (SELECT count(*) FROM pe) AS n_edges,
          |  (SELECT count(*) FROM pe JOIN ext
          |     ON pe.src = ext.q_id AND pe.dst = ext.n_id) AS n_hits,

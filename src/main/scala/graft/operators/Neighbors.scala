@@ -63,14 +63,14 @@ object Neighbors {
     *
     * Probe side is map-only and TWO-LEVEL ROUTED since round 15
     * ([[Similarity.ivf2ProbeIds]], [[KnnCoarseNprobe]]×
-    * [[KnnFinePerCell]]): O(K1 + 2·K/K1) ≈ O(N^¼) routing cosines per
-    * row instead of the single-level multiProbe's O(K) = O(√N) — the
-    * exact term whose retirement bought the pair family 2× at sf10
-    * (`_build_knn_edges` was the worst remaining tail, slope 1.101).
-    * The member index is the two-level assignment
+    * [[KnnFinePerCell]]): O(K1 + KnnCoarseNprobe·K/K1) ≈ O(N^¼) routing
+    * cosines per row instead of the single-level multiProbe's
+    * O(K) = O(√N) — the exact term whose retirement bought the pair
+    * family 2× at sf10 (`_build_knn_edges` was the worst remaining r14
+    * tail, slope 1.101). The member index is the two-level assignment
     * ([[Similarity.ivf2AssignFor]], same O(N^¼) per row, 1.7 s at sf10),
-    * so a vector always probes its own assigned cell (top-1 coarse ∈
-    * top-2, top-1 fine ∈ top-2). The candidate join keys on the probed
+    * so a vector always probes its own assigned cell (top-1 coarse and
+    * top-1 fine are inside any ≥1-wide probe). The candidate join keys on the probed
     * bucket and meets each candidate's single assigned bucket, so every
     * (src, dst) pair arises at most once and no distinct is needed.
     * Top-k is a per-src window over the candidate set.
@@ -149,11 +149,13 @@ object Neighbors {
     * many rank-1 edges name the exact nearest neighbor. One integer row:
     * (n_queries, n_edges, n_hits, hit_permille, recall_permille, n_top1)
     * — hit_permille is edge PRECISION (hits over emitted edges; a build
-    * that emits fewer edges can inflate it), recall_permille is true
-    * per-query recall (hits over the n_queries·[[GraphK]] exact-top-5
-    * slots). Both read 0 when the graph emits no panel edges: the
-    * denominator here is the system's own output, so empty is a broken
-    * build, not a vacuously-true audit. The panel is
+    * that emits fewer edges can inflate it — it reads 0, not 1000, on a
+    * zero-edge graph: that denominator is the system's own output, so
+    * empty is a broken build, not a vacuously-true audit),
+    * recall_permille is true per-query recall (hits over the
+    * n_queries·[[GraphK]] exact-top-5 slots, with n_queries counted
+    * from the EXACT panel so per-query dropout scores as zeros). The
+    * panel is
     * O(100) queries at any corpus size and the exact baseline is the
     * session memo every other recall audit shares, so the audit costs
     * two semi-joins of ≤ 5·Q rows — free at scale, recomputed against
@@ -170,7 +172,16 @@ object Neighbors {
     val step = Similarity.panelStep(Similarity.corpusN(spark, dir))
     val exact = Similarity.annTopkFor(spark, dir)
     val pe = edges.where(col("src") % step === 0)
-    val nq = pe.select("src").distinct().agg(count(lit(1)).as("n_queries"))
+    // n_queries counts the EXACT panel (the ground-truth side), not the
+    // graph's own emitted sources: a build whose narrow probes leave some
+    // panel vectors edgeless must see those zeros in its recall
+    // denominator, or per-query dropout would inflate recall_permille the
+    // same way fewer edges inflate hit_permille (the r16 review catch;
+    // same convention as every other recall audit here, e.g.
+    // [[Similarity.pqRecall]]). Identical values wherever no dropout
+    // occurs — true at every gate scale and every committed sweep row
+    // (panel_edges = 5 × n_queries throughout).
+    val nq = exact.select("q_id").distinct().agg(count(lit(1)).as("n_queries"))
     val ne = pe.agg(count(lit(1)).as("n_edges"))
     val nh = pe.join(exact.select(col("q_id").as("src"), col("n_id").as("dst")),
         Seq("src", "dst"), "left_semi")
