@@ -96,8 +96,11 @@ object PairProbeAudit {
     // Legacy single-level nprobe=8 build (salted split, production B),
     // fresh-built for a like-for-like time column; its recall comes from
     // ITS OWN pair set and its held_permille is overlap vs the routed
-    // production build.
+    // production build. SPARK_GRAFT_SKIP_BASELINE=1 skips this arm — at
+    // sf10 the retired O(N·√N) probe pass costs ~650 s (measured r16),
+    // which a probe-width-only sweep doesn't need to re-pay per run.
     val v = Dedup.normedFor(spark, sfDir)
+    if (!sys.env.get("SPARK_GRAFT_SKIP_BASELINE").contains("1")) {
     val tp0 = System.nanoTime()
     val prodFresh = Dedup.subBucketPairs(v,
       Similarity.multiProbe(v, Similarity.centroidsMemoFor(spark, sfDir),
@@ -113,6 +116,7 @@ object PairProbeAudit {
       s""""sf":"$sfDir","sec":${"%.2f".formatLocal(java.util.Locale.ROOT, prodSec)},"n_pairs":$nProdFresh,""" +
       s""""recall_permille":${if (nExact == 0) 1000 else nFreshHit * 1000 / nExact},""" +
       s""""held_permille":${if (nProd == 0) 1000 else nFreshHeld * 1000 / nProd}}""")
+    }
 
     for ((co, fp, capB) <- sweep;
          salted <- if (unsaltedArm) Seq(true, false) else Seq(true)) {
