@@ -25,10 +25,17 @@ object KnnProbeAudit {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sweep = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "2x2,2x4,4x4")
       .split(",").toSeq.map { s =>
-        val (probe, cap) = s.trim.span(_ != '@')
-        val Array(co, fp) = probe.split("x")
-        (co.toInt, fp.toInt,
-          if (cap.isEmpty) Neighbors.KnnMemberCap else cap.drop(1).toInt)
+        // fail with the offending token, not a bare MatchError (a
+        // malformed "4x" / "4*4" / "4x4@" should name itself)
+        try {
+          val (probe, cap) = s.trim.span(_ != '@')
+          val Array(co, fp) = probe.split("x")
+          (co.toInt, fp.toInt,
+            if (cap.isEmpty) Neighbors.KnnMemberCap else cap.drop(1).toInt)
+        } catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"bad SPARK_GRAFT_SWEEP token '${s.trim}' (want COxFP[@CAP])", e)
+        }
       }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -90,13 +90,61 @@ object SimilarityQueries {
 
   /** Shared kNN-graph CTE chain (two-level routed probes → two-level
     * assignment → per-bucket salted rank ≤ KnnMemberCap cap → candidates →
-    * exact cosine → top-5 edge list `ek`) replaying
-    * [[graft.operators.Neighbors.knnEdgesFor]] (round-15 routed form);
-    * consumed by `q_knn_graph` and `q_knn_clusters` so the edge-relation
-    * replay has ONE home.
+    * exact cosine → top-5 seed list `ek0`, then
+    * [[graft.operators.Neighbors.KnnRefineRounds]] unrolled NN-descent
+    * rounds → final edge list `ek`) replaying
+    * [[graft.operators.Neighbors.knnEdgesFor]] (round-17 refined form);
+    * consumed by `q_knn_graph`, `q_knn_recall` and `q_knn_clusters` so the
+    * edge-relation replay has ONE home.
+    *
+    * Each refinement round mirrors
+    * [[graft.operators.Neighbors.knnRefineRound]] CTE-for-operator:
+    * reverse adjacency capped at
+    * [[graft.operators.Neighbors.KnnReverseCap]] per vertex by the salted
+    * portable-hash rank (`src:dst` over the REVERSED columns, ties → min
+    * dst), symmetrized union (UNION = the engine's unionAll+distinct),
+    * 2-hop path join ∪ incumbents deduplicated before scoring, exact
+    * cosine, per-src top-5 with the (cos DESC, dst) tie-break.
+    *
+    * Dedup is spelled `SELECT DISTINCT … FROM (… UNION ALL …)`, never bare
+    * `UNION`: DuckDB 1.0.0 silently treats a NON-self-referencing UNION
+    * CTE inside a `WITH RECURSIVE` block as UNION ALL (minimal repro in
+    * SCALING.md round 17), and `q_knn_clusters` replays this chain inside
+    * WITH RECURSIVE — a bare UNION here verified green on `q_knn_graph`
+    * (plain WITH) while corrupting the clusters oracle with duplicate
+    * candidate rows.
     */
-  private lazy val knnCtes: String =
-    s"""${hashMinCte("cents")},
+  private lazy val knnCtes: String = {
+    val rounds = (1 to Neighbors.KnnRefineRounds).map { i =>
+      val prev = if (i == 1) "ek0" else s"ek${i - 1}"
+      val out = if (i == Neighbors.KnnRefineRounds) "ek" else s"ek$i"
+      s"""rv$i AS (SELECT src, dst FROM (
+         |  SELECT e.dst AS src, e.src AS dst,
+         |         row_number() OVER (PARTITION BY e.dst ORDER BY
+         |           ${Tables.portableHashSql(
+                       "CAST(e.dst AS VARCHAR) || ':' || CAST(e.src AS VARCHAR)")},
+         |           e.src) AS rr
+         |  FROM $prev e) WHERE rr <= ${Neighbors.KnnReverseCap}),
+         |un$i AS (SELECT DISTINCT src, dst FROM (
+         |         SELECT src, dst FROM $prev
+         |         UNION ALL SELECT src, dst FROM rv$i)),
+         |cn$i AS (SELECT DISTINCT src, dst FROM (
+         |         SELECT a.src AS src, b.dst AS dst
+         |         FROM un$i a JOIN un$i b ON a.dst = b.src
+         |         WHERE a.src <> b.dst
+         |         UNION ALL SELECT src, dst FROM $prev)),
+         |sn$i AS (SELECT src, dst,
+         |           ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |         FROM cn$i JOIN v q ON q.vec_id = src
+         |         JOIN v t ON t.vec_id = dst),
+         |$out AS MATERIALIZED (SELECT src, dst, rk FROM (
+         |         SELECT src, dst,
+         |                row_number() OVER (PARTITION BY src
+         |                  ORDER BY cos DESC, dst) AS rk
+         |         FROM sn$i) WHERE rk <= 5)""".stripMargin
+    }
+    val seed = if (Neighbors.KnnRefineRounds == 0) "ek" else "ek0"
+    (s"""${hashMinCte("cents")},
        |$ivf2BaseCtes,
        |${ivf2ProbeCte("kpr", "", "cents",
          Neighbors.KnnCoarseNprobe, Neighbors.KnnFinePerCell)},
@@ -109,11 +157,13 @@ object SimilarityQueries {
        |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
        |       FROM cand JOIN v q ON q.vec_id = src
        |       JOIN v t ON t.vec_id = dst),
-       |ek AS MATERIALIZED (SELECT src, dst, rk FROM (
+       |$seed AS MATERIALIZED (SELECT src, dst, rk FROM (
        |         SELECT src, dst,
        |                row_number() OVER (PARTITION BY src
        |                  ORDER BY cos DESC, dst) AS rk
-       |         FROM sc) WHERE rk <= 5)""".stripMargin
+       |         FROM sc) WHERE rk <= 5)""".stripMargin +: rounds)
+      .mkString(",\n")
+  }
 
   /** Parameterized IVF top-5 CTE chain (assignment → nprobe=2 probes →
     * candidates → ranked top-5 `${p}top`) over centroid table `cents`;

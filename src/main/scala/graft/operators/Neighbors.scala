@@ -55,9 +55,43 @@ object Neighbors {
     */
   private[graft] val KnnMemberCap = 256
 
+  /** NN-descent refinement rounds applied on top of the probe build
+    * (round 17). The round-16 sweeps proved the probe axis is exhausted:
+    * recall under ANY fixed probe decays ~1/√N because a constant
+    * candidate budget scans a constant slice of a growing corpus, and
+    * widening the probe buys recall sublinearly in wall along the whole
+    * measured grid (4×4@512 = 2× sf10 wall for +13%; 4×6@256 = +57% for
+    * +32%). NN-descent (Dong, Moses & Li, WWW'11: "a neighbor of a
+    * neighbor is likely a neighbor") escapes that trap structurally —
+    * each round proposes the 2-hop neighborhood of the CURRENT graph as
+    * candidates, exact-cosine-scores them, and keeps the per-src top-
+    * [[GraphK]] of incumbents ∪ proposals. Cost per round is
+    * O(N · (2·[[GraphK]])²) candidate rows — INDEPENDENT of corpus size
+    * per vector, ~40× smaller than the probe pass's candidate volume at
+    * sf10 — and recall is monotone in rounds because incumbents are
+    * re-scored with the same exact cosine and can only be displaced by
+    * strictly better candidates. Round count chosen by the round-17
+    * [[graft.KnnRefineAudit]] sweep (rounds 0–3 at three decades);
+    * see SCALING.md round-17 for the per-round wall/recall table.
+    */
+  private[graft] val KnnRefineRounds = 2
+
+  /** Per-vertex cap on the REVERSE adjacency fed into a refinement
+    * round's 2-hop expansion (the classic NN-descent reverse-sample ρ·K):
+    * in-degree of a kNN graph is unbounded (hub vectors), so the
+    * symmetrized adjacency would otherwise blow the per-round candidate
+    * bound to O(maxInDeg²). Capped at [[GraphK]] salted hash-min reverse
+    * edges per vertex (the [[KnnMemberCap]] mechanism: per-vertex salt
+    * `src:dst`, ties → min dst) the symmetrized degree is ≤ 2·[[GraphK]]
+    * and the candidate volume is exactly the designed O(N·4K²).
+    */
+  private[graft] val KnnReverseCap = GraphK
+
   /** Directed kNN edge list over the WHOLE corpus: each vector's top-
-    * [[GraphK]] IVF-probed neighbors by exact cosine (ties → min
-    * neighbor id). Memoized — the persisted kNN-graph artifact that
+    * [[GraphK]] neighbors by exact cosine (ties → min neighbor id) —
+    * an IVF-probed seed graph ([[knnEdgesBuild]]) refined by
+    * [[KnnRefineRounds]] NN-descent rounds ([[knnRefineRound]]).
+    * Memoized — the persisted kNN-graph artifact that
     * [[knnGraph]] reads and that a production pipeline would refresh
     * incrementally alongside the IVF assignment itself.
     *
@@ -99,11 +133,21 @@ object Neighbors {
     * uniform deterministic sample, replayed by the oracle. Key bumps:
     * knn: → knn2: (cap budget) → knn3: (routed probes + two-level
     * assignment + salted cap) → knn4: (round-16 sweep adoption,
-    * 2×2@128 → 4×4@[[KnnMemberCap]]).
+    * 2×2@128 → 4×4@[[KnnMemberCap]]) → knn5: (round-17 NN-descent
+    * refinement, [[KnnRefineRounds]] rounds over the knn4 seed).
     */
   private[graft] def knnEdgesFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"knn4:$dir")(
-      knnEdgesBuild(spark, dir, KnnCoarseNprobe, KnnFinePerCell, KnnMemberCap))
+    graft.sources.Materialized.of(spark, s"knn5:$dir") {
+      val v = Dedup.normedFor(spark, dir)
+      // Each round is locally checkpointed: the next round's 2-hop join
+      // reads the previous graph twice (forward + reverse) and the final
+      // union re-reads it a third time — without the checkpoint every
+      // round would recompute the whole probe pass per reference.
+      (1 to KnnRefineRounds).foldLeft(
+        knnEdgesBuild(spark, dir, KnnCoarseNprobe, KnnFinePerCell,
+          KnnMemberCap).localCheckpoint(true))(
+        (e, _) => knnRefineRound(v, e).localCheckpoint(true))
+    }
 
   /** The un-memoized, width-parameterized edge builder behind
     * [[knnEdgesFor]] — factored out (round 16) so the probe-width sweep
@@ -133,6 +177,66 @@ object Neighbors {
       .orderBy(col("cos").desc, col("dst"))
     probes.join(member, "cent_id")
       .where(col("dst") =!= col("src"))
+      .select(col("src"), col("dst"),
+        Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= GraphK)
+      .select("src", "dst", "rk")
+  }
+
+  /** One NN-descent round over edge relation (src, dst, rk): propose the
+    * 2-hop neighborhood of the symmetrized graph as candidates, score
+    * EXACT cosines, keep each src's top-[[GraphK]] of incumbents ∪
+    * proposals. Monotone in recall (incumbents re-score identically under
+    * the same exact cosine and deterministic (cos desc, dst) tie-break,
+    * so an incumbent is displaced only by a strictly better candidate or
+    * a better-tied smaller id — both weakly closer to the exact top-5).
+    *
+    * Scale shape: forward degree ≤ [[GraphK]] by construction and the
+    * reverse adjacency is capped at [[KnnReverseCap]] salted hash-min
+    * rows per vertex, so the symmetrized degree is ≤ 2·[[GraphK]] and
+    * the 2-hop candidate relation is ≤ 4·[[GraphK]]²·N NARROW (src, dst)
+    * rows — two longs each, deduplicated BEFORE the embedding arrays are
+    * attached, so the wide scoring relation is the deduplicated
+    * candidate count, not the path count. Per-vertex work is independent
+    * of corpus size: this is the axis that escapes the fixed-probe
+    * ~1/√N recall decay (the probe pass scans a constant candidate
+    * budget of a growing corpus; the 2-hop expansion follows the graph
+    * itself). Everything is equi-joins and one per-src window — no
+    * all-pairs term anywhere.
+    */
+  private[graft] def knnRefineRound(v: DataFrame, edges: DataFrame): DataFrame = {
+    val fwd = edges.select("src", "dst")
+    // reverse adjacency, capped per vertex by the salted hash-min rank
+    // (same mechanism and salt shape as the member cap: hash("src:dst")
+    // where src is the REVERSED source, ties → min dst)
+    val wRev = Window.partitionBy(col("src"))
+      .orderBy(graft.sources.Tables.portableHash(
+          concat(col("src").cast("string"), lit(":"),
+            col("dst").cast("string"))),
+        col("dst"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("rr", row_number().over(wRev))
+      .where(col("rr") <= KnnReverseCap)
+      .select("src", "dst")
+    val und = fwd.unionAll(rev).distinct()
+    // 2-hop paths src → mid → dst over the symmetrized graph, plus the
+    // incumbent edges (re-scored so the union top-k can only improve);
+    // distinct BEFORE the arrays attach — the path count collapses to
+    // the candidate count while rows are still two longs
+    val cand = und
+      .join(und.select(col("src").as("mid"), col("dst").as("d2")),
+        col("dst") === col("mid"))
+      .select(col("src"), col("d2").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .unionAll(fwd)
+      .distinct()
+    val wTop = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    cand
+      .join(v.select(col("vec_id").as("src"), col("e").as("qe"),
+        col("nrm").as("qn")), "src")
+      .join(v.select(col("vec_id").as("dst"), col("e"), col("nrm")), "dst")
       .select(col("src"), col("dst"),
         Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
       .withColumn("rk", row_number().over(wTop))
@@ -264,11 +368,11 @@ object Neighbors {
     * buy. Two squarings is where bounded-degree stops being true.
     */
   private[graft] def knnCcFor(spark: SparkSession, dir: String): DataFrame =
-    // knncc: → knncc2: with the knn4 edge adoption (the labels derive
-    // from the edge relation, so the upstream contract change bumps
-    // this key too — the cross-application memo store must never serve
-    // labels computed from the old graph).
-    graft.sources.Materialized.of(spark, s"knncc2:$dir") {
+    // knncc: → knncc2: (knn4 edge adoption) → knncc3: (knn5 NN-descent
+    // refinement — the labels derive from the edge relation, so every
+    // upstream contract change bumps this key too: the cross-application
+    // memo store must never serve labels computed from the old graph).
+    graft.sources.Materialized.of(spark, s"knncc3:$dir") {
       val e = knnEdgesFor(spark, dir).select("src", "dst")
       val mutual = e.join(
           e.select(col("dst").as("src"), col("src").as("dst")),
@@ -297,8 +401,8 @@ object Neighbors {
     * depends on log n, not component diameter.
     */
   def knnClustersStars(spark: SparkSession, dir: String): DataFrame = {
-    // knnccstars: → knnccstars2: with the knn4 edge adoption (see knncc2)
-    val labels = graft.sources.Materialized.of(spark, s"knnccstars2:$dir") {
+    // knnccstars2: → knnccstars3: with the knn5 refinement (see knncc3)
+    val labels = graft.sources.Materialized.of(spark, s"knnccstars3:$dir") {
       val e = knnEdgesFor(spark, dir).select("src", "dst")
       val mutual = e.join(
         e.select(col("dst").as("src"), col("src").as("dst")),
