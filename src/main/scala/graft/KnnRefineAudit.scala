@@ -15,8 +15,13 @@ import graft.operators.{Dedup, Neighbors}
   * round i's graph IS round i−1's graph plus one refinement, so one pass
   * prices the whole axis.
   *
+  * Rounds run at the WORKING degree ([[Neighbors.KnnWorkK]], override
+  * with SPARK_GRAFT_WORKK); each line scores the top-[[Neighbors.GraphK]]
+  * TRUNCATION of the current working graph — the serving contract, not
+  * the working degree's own recall.
+  *
   * Env: SPARK_GRAFT_SF_DIR (scale), SPARK_GRAFT_ROUNDS (max rounds,
-  * default 3), SPARK_GRAFT_CPUS.
+  * default 3), SPARK_GRAFT_WORKK (working degree), SPARK_GRAFT_CPUS.
   */
 object KnnRefineAudit {
   def main(args: Array[String]): Unit = {
@@ -24,6 +29,8 @@ object KnnRefineAudit {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val maxRounds = sys.env.get("SPARK_GRAFT_ROUNDS").map(_.trim.toInt)
       .getOrElse(3)
+    val workK = sys.env.get("SPARK_GRAFT_WORKK").map(_.trim.toInt)
+      .getOrElse(Neighbors.KnnWorkK)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,7 +57,8 @@ object KnnRefineAudit {
     var edges = {
       val t0 = System.nanoTime()
       val e = Neighbors.knnEdgesBuild(spark, sfDir, Neighbors.KnnCoarseNprobe,
-        Neighbors.KnnFinePerCell, Neighbors.KnnMemberCap).localCheckpoint(true)
+        Neighbors.KnnFinePerCell, Neighbors.KnnMemberCap, workK)
+        .localCheckpoint(true)
       e.count()
       cumSec = (System.nanoTime() - t0) / 1e9
       e
@@ -58,20 +66,24 @@ object KnnRefineAudit {
     for (round <- 0 to maxRounds) {
       if (round > 0) {
         val t0 = System.nanoTime()
-        val next = Neighbors.knnRefineRound(v, edges).localCheckpoint(true)
+        val next = Neighbors.knnRefineRound(v, edges, workK)
+          .localCheckpoint(true)
         val _ = next.count()
         val roundSec = (System.nanoTime() - t0) / 1e9
         cumSec += roundSec
         edges.unpersist(true)
         edges = next
-        print(s"""{"metric":"knn_refine_audit","round":$round,""" +
-          s""""round_sec":${fmt(roundSec)},""")
+        print(s"""{"metric":"knn_refine_audit","workk":$workK,""" +
+          s""""round":$round,"round_sec":${fmt(roundSec)},""")
       } else {
-        print(s"""{"metric":"knn_refine_audit","round":0,""" +
-          s""""round_sec":${fmt(cumSec)},""")
+        print(s"""{"metric":"knn_refine_audit","workk":$workK,""" +
+          s""""round":0,"round_sec":${fmt(cumSec)},""")
       }
-      val nEdges = edges.count()
-      val r = Neighbors.knnRecallOf(spark, sfDir, edges).collect()(0)
+      // score the SERVING truncation (top-GraphK), not the working graph
+      val serve = edges.where(
+        org.apache.spark.sql.functions.col("rk") <= Neighbors.GraphK)
+      val nEdges = serve.count()
+      val r = Neighbors.knnRecallOf(spark, sfDir, serve).collect()(0)
       println(s""""cum_sec":${fmt(cumSec)},"sf":"$sfDir",""" +
         s""""n_edges":$nEdges,""" +
         s""""n_queries":${r.getLong(0)},"panel_edges":${r.getLong(1)},""" +

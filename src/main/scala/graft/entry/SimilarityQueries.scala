@@ -115,35 +115,38 @@ object SimilarityQueries {
     * candidate rows.
     */
   private lazy val knnCtes: String = {
+    val workK = Neighbors.KnnWorkK
     val rounds = (1 to Neighbors.KnnRefineRounds).map { i =>
       val prev = if (i == 1) "ek0" else s"ek${i - 1}"
-      val out = if (i == Neighbors.KnnRefineRounds) "ek" else s"ek$i"
       s"""rv$i AS (SELECT src, dst FROM (
          |  SELECT e.dst AS src, e.src AS dst,
          |         row_number() OVER (PARTITION BY e.dst ORDER BY
          |           ${Tables.portableHashSql(
                        "CAST(e.dst AS VARCHAR) || ':' || CAST(e.src AS VARCHAR)")},
          |           e.src) AS rr
-         |  FROM $prev e) WHERE rr <= ${Neighbors.KnnReverseCap}),
+         |  FROM $prev e) WHERE rr <= $workK),
          |un$i AS (SELECT DISTINCT src, dst FROM (
          |         SELECT src, dst FROM $prev
          |         UNION ALL SELECT src, dst FROM rv$i)),
-         |cn$i AS (SELECT DISTINCT src, dst FROM (
+         |pr$i AS (SELECT DISTINCT least(src, dst) AS a,
+         |                greatest(src, dst) AS b FROM (
          |         SELECT a.src AS src, b.dst AS dst
          |         FROM un$i a JOIN un$i b ON a.dst = b.src
-         |         WHERE a.src <> b.dst
-         |         UNION ALL SELECT src, dst FROM $prev)),
-         |sn$i AS (SELECT src, dst,
+         |         UNION ALL SELECT src, dst FROM $prev)
+         |         WHERE src <> dst),
+         |sn$i AS (SELECT a, b,
          |           ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
-         |         FROM cn$i JOIN v q ON q.vec_id = src
-         |         JOIN v t ON t.vec_id = dst),
-         |$out AS MATERIALIZED (SELECT src, dst, rk FROM (
+         |         FROM pr$i JOIN v q ON q.vec_id = a
+         |         JOIN v t ON t.vec_id = b),
+         |ek$i AS MATERIALIZED (SELECT src, dst, rk FROM (
          |         SELECT src, dst,
          |                row_number() OVER (PARTITION BY src
          |                  ORDER BY cos DESC, dst) AS rk
-         |         FROM sn$i) WHERE rk <= 5)""".stripMargin
+         |         FROM (SELECT a AS src, b AS dst, cos FROM sn$i
+         |               UNION ALL SELECT b, a, cos FROM sn$i))
+         |         WHERE rk <= $workK)""".stripMargin
     }
-    val seed = if (Neighbors.KnnRefineRounds == 0) "ek" else "ek0"
+    val last = s"ek${Neighbors.KnnRefineRounds}"
     (s"""${hashMinCte("cents")},
        |$ivf2BaseCtes,
        |${ivf2ProbeCte("kpr", "", "cents",
@@ -157,12 +160,14 @@ object SimilarityQueries {
        |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
        |       FROM cand JOIN v q ON q.vec_id = src
        |       JOIN v t ON t.vec_id = dst),
-       |$seed AS MATERIALIZED (SELECT src, dst, rk FROM (
+       |ek0 AS MATERIALIZED (SELECT src, dst, rk FROM (
        |         SELECT src, dst,
        |                row_number() OVER (PARTITION BY src
        |                  ORDER BY cos DESC, dst) AS rk
-       |         FROM sc) WHERE rk <= 5)""".stripMargin +: rounds)
-      .mkString(",\n")
+       |         FROM sc) WHERE rk <= $workK)""".stripMargin +: rounds)
+      .mkString(",\n") +
+      // serving truncation: the working-degree graph clipped to GraphK
+      s",\nek AS (SELECT src, dst, rk FROM $last WHERE rk <= ${Neighbors.GraphK})"
   }
 
   /** Parameterized IVF top-5 CTE chain (assignment → nprobe=2 probes →

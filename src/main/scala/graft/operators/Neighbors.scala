@@ -76,16 +76,28 @@ object Neighbors {
     */
   private[graft] val KnnRefineRounds = 2
 
-  /** Per-vertex cap on the REVERSE adjacency fed into a refinement
-    * round's 2-hop expansion (the classic NN-descent reverse-sample ρ·K):
-    * in-degree of a kNN graph is unbounded (hub vectors), so the
-    * symmetrized adjacency would otherwise blow the per-round candidate
-    * bound to O(maxInDeg²). Capped at [[GraphK]] salted hash-min reverse
-    * edges per vertex (the [[KnnMemberCap]] mechanism: per-vertex salt
-    * `src:dst`, ties → min dst) the symmetrized degree is ≤ 2·[[GraphK]]
-    * and the candidate volume is exactly the designed O(N·4K²).
+  /** WORKING degree of the refinement rounds (classic NN-descent builds
+    * the graph at a degree larger than the serving k and truncates at the
+    * end): the seed probe pass and every refinement round keep top-
+    * [[KnnWorkK]] edges, and [[knnEdgesFor]] truncates the final ranking
+    * to [[GraphK]]. A working degree of [[GraphK]] starves the 2-hop
+    * candidate pool (≤ (2·5)² = 100 proposals/vertex/round) and the
+    * descent stalls at a shallow local optimum — measured 314 → 406‰ at
+    * sf1.0 over 2 rounds; the wider pool trades a (2·[[KnnWorkK]])²
+    * candidate bound (still corpus-size-independent per vertex) for the
+    * structurally deeper optimum. Priced by [[graft.KnnRefineAudit]]
+    * (workK × rounds at three decades); see SCALING.md round 17.
     */
-  private[graft] val KnnReverseCap = GraphK
+  private[graft] val KnnWorkK = 10
+
+  // NOTE: the refinement round's REVERSE adjacency (the classic
+  // NN-descent reverse-sample ρ·K) is capped per vertex at the round's
+  // working degree in salted hash-min order (the [[KnnMemberCap]]
+  // mechanism: per-vertex salt `src:dst`, ties → min dst): in-degree of
+  // a kNN graph is unbounded (hub vectors), so an uncapped symmetrized
+  // adjacency would blow the per-round candidate bound to O(maxInDeg²);
+  // capped, the symmetrized degree is ≤ 2·workK and the candidate volume
+  // is exactly the designed O(N·(2·workK)²).
 
   /** Directed kNN edge list over the WHOLE corpus: each vector's top-
     * [[GraphK]] neighbors by exact cosine (ties → min neighbor id) —
@@ -139,14 +151,17 @@ object Neighbors {
   private[graft] def knnEdgesFor(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Materialized.of(spark, s"knn5:$dir") {
       val v = Dedup.normedFor(spark, dir)
-      // Each round is locally checkpointed: the next round's 2-hop join
-      // reads the previous graph twice (forward + reverse) and the final
-      // union re-reads it a third time — without the checkpoint every
-      // round would recompute the whole probe pass per reference.
+      // Seed and rounds run at the WORKING degree KnnWorkK; the final
+      // ranking truncates to the serving GraphK. Each round is locally
+      // checkpointed: the next round's 2-hop join reads the previous
+      // graph twice (forward + reverse) and the final union re-reads it
+      // a third time — without the checkpoint every round would
+      // recompute the whole probe pass per reference.
       (1 to KnnRefineRounds).foldLeft(
         knnEdgesBuild(spark, dir, KnnCoarseNprobe, KnnFinePerCell,
-          KnnMemberCap).localCheckpoint(true))(
-        (e, _) => knnRefineRound(v, e).localCheckpoint(true))
+          KnnMemberCap, KnnWorkK).localCheckpoint(true))(
+        (e, _) => knnRefineRound(v, e, KnnWorkK).localCheckpoint(true))
+        .where(col("rk") <= GraphK)
     }
 
   /** The un-memoized, width-parameterized edge builder behind
@@ -155,7 +170,8 @@ object Neighbors {
     * memberCap) configs with the exact production mechanism.
     */
   private[graft] def knnEdgesBuild(spark: SparkSession, dir: String,
-      coarseNprobe: Int, finePerCell: Int, memberCap: Int): DataFrame = {
+      coarseNprobe: Int, finePerCell: Int, memberCap: Int,
+      keepK: Int = GraphK): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
     val asg = Similarity.ivf2AssignFor(spark, dir)
     val probes = Similarity
@@ -180,22 +196,22 @@ object Neighbors {
       .select(col("src"), col("dst"),
         Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
       .withColumn("rk", row_number().over(wTop))
-      .where(col("rk") <= GraphK)
+      .where(col("rk") <= keepK)
       .select("src", "dst", "rk")
   }
 
   /** One NN-descent round over edge relation (src, dst, rk): propose the
     * 2-hop neighborhood of the symmetrized graph as candidates, score
-    * EXACT cosines, keep each src's top-[[GraphK]] of incumbents ∪
+    * EXACT cosines, keep each src's top-`keepK` of incumbents ∪
     * proposals. Monotone in recall (incumbents re-score identically under
     * the same exact cosine and deterministic (cos desc, dst) tie-break,
     * so an incumbent is displaced only by a strictly better candidate or
-    * a better-tied smaller id — both weakly closer to the exact top-5).
+    * a better-tied smaller id — both weakly closer to the exact top-k).
     *
-    * Scale shape: forward degree ≤ [[GraphK]] by construction and the
-    * reverse adjacency is capped at [[KnnReverseCap]] salted hash-min
-    * rows per vertex, so the symmetrized degree is ≤ 2·[[GraphK]] and
-    * the 2-hop candidate relation is ≤ 4·[[GraphK]]²·N NARROW (src, dst)
+    * Scale shape: forward degree ≤ `keepK` by construction and the
+    * reverse adjacency is capped at `keepK` salted hash-min
+    * rows per vertex, so the symmetrized degree is ≤ 2·`keepK` and
+    * the 2-hop candidate relation is ≤ 4·`keepK`²·N NARROW (src, dst)
     * rows — two longs each, deduplicated BEFORE the embedding arrays are
     * attached, so the wide scoring relation is the deduplicated
     * candidate count, not the path count. Per-vertex work is independent
@@ -205,7 +221,8 @@ object Neighbors {
     * itself). Everything is equi-joins and one per-src window — no
     * all-pairs term anywhere.
     */
-  private[graft] def knnRefineRound(v: DataFrame, edges: DataFrame): DataFrame = {
+  private[graft] def knnRefineRound(v: DataFrame, edges: DataFrame,
+      keepK: Int = KnnWorkK): DataFrame = {
     val fwd = edges.select("src", "dst")
     // reverse adjacency, capped per vertex by the salted hash-min rank
     // (same mechanism and salt shape as the member cap: hash("src:dst")
@@ -217,30 +234,45 @@ object Neighbors {
         col("dst"))
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
       .withColumn("rr", row_number().over(wRev))
-      .where(col("rr") <= KnnReverseCap)
+      .where(col("rr") <= keepK)
       .select("src", "dst")
     val und = fwd.unionAll(rev).distinct()
     // 2-hop paths src → mid → dst over the symmetrized graph, plus the
-    // incumbent edges (re-scored so the union top-k can only improve);
-    // distinct BEFORE the arrays attach — the path count collapses to
-    // the candidate count while rows are still two longs
-    val cand = und
+    // incumbent edges (re-scored so the union top-k can only improve).
+    // Candidates collapse to UNORDERED pairs (least, greatest) and
+    // deduplicate BEFORE the arrays attach: the symmetrized 2-hop
+    // relation is symmetric, so scoring each pair once and emitting both
+    // directions afterwards halves the distinct volume, both embedding
+    // joins and every cosine — the round's hottest stages (measured ~2×
+    // on the sf10 round wall). Rows are still two longs here.
+    val pairs = und
       .join(und.select(col("src").as("mid"), col("dst").as("d2")),
         col("dst") === col("mid"))
       .select(col("src"), col("d2").as("dst"))
-      .where(col("src") =!= col("dst"))
       .unionAll(fwd)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
       .distinct()
+    // The embedding attaches are hash joins (SHUFFLE_HASH hint): the
+    // planner's default sort-merge would sort the O(N·workK²) pair
+    // relation once per attach; hashing the (far smaller) embedding
+    // side leaves the big side sort-free, so the round's one big-side
+    // sort is the per-src top-k window below.
+    val scored = pairs
+      .join(v.select(col("vec_id").as("a"), col("e").as("qe"),
+        col("nrm").as("qn")).hint("SHUFFLE_HASH"), "a")
+      .join(v.select(col("vec_id").as("b"), col("e"), col("nrm"))
+        .hint("SHUFFLE_HASH"), "b")
+      .select(col("a"), col("b"),
+        Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
     val wTop = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst"))
-    cand
-      .join(v.select(col("vec_id").as("src"), col("e").as("qe"),
-        col("nrm").as("qn")), "src")
-      .join(v.select(col("vec_id").as("dst"), col("e"), col("nrm")), "dst")
-      .select(col("src"), col("dst"),
-        Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+    scored.select(col("a").as("src"), col("b").as("dst"), col("cos"))
+      .unionAll(scored.select(col("b").as("src"), col("a").as("dst"),
+        col("cos")))
       .withColumn("rk", row_number().over(wTop))
-      .where(col("rk") <= GraphK)
+      .where(col("rk") <= keepK)
       .select("src", "dst", "rk")
   }
 
