@@ -98,10 +98,14 @@ object Bench {
       "_build_simhash" -> ((s: SparkSession) => { operators.Dedup.simhashesFor(s, sfDir).count(); () }),
       "_build_normed" -> ((s: SparkSession) => { operators.Dedup.normedFor(s, sfDir).count(); () }),
       "_build_exact_pairs" -> ((s: SparkSession) => { operators.Dedup.exactPairsFor(s, sfDir).count(); () }),
-      "_build_ivf_pairs" -> ((s: SparkSession) => { operators.Dedup.ivfHashminPairsFor(s, sfDir).count(); () }),
       "_build_kmeans_cents" -> ((s: SparkSession) => { operators.Clustering.kmeansCentroidsFor(s, sfDir).count(); () }),
       "_build_ivf_assign" -> ((s: SparkSession) => { operators.Similarity.ivfAssignFor(s, sfDir).count(); () }),
       "_build_ivf2_assign" -> ((s: SparkSession) => { operators.Similarity.ivf2AssignFor(s, sfDir).count(); () }),
+      // knn_edges BEFORE ivf_pairs since the round-17 graph-candidate
+      // union: the pair build adopts the graph memo, so the graph build
+      // must own its own timed line or the pair line would absorb it.
+      "_build_knn_edges" -> ((s: SparkSession) => { operators.Neighbors.knnEdgesFor(s, sfDir).count(); () }),
+      "_build_ivf_pairs" -> ((s: SparkSession) => { operators.Dedup.ivfHashminPairsFor(s, sfDir).count(); () }),
       "_build_km_pairs" -> ((s: SparkSession) => { operators.Dedup.ivfKmeansPairsFor(s, sfDir).count(); () }),
       "_build_ivf1_pairs" -> ((s: SparkSession) => { operators.Dedup.ivfSinglePairsFor(s, sfDir).count(); () }),
       "_build_km_assign" -> ((s: SparkSession) => { operators.Similarity.kmAssignFor(s, sfDir).count(); () }),
@@ -130,7 +134,6 @@ object Bench {
       "_build_sq_top" -> ((s: SparkSession) => { operators.Similarity.sqTopFor(s, sfDir).count(); () }),
       "_build_sq_member" -> ((s: SparkSession) => { operators.Similarity.memberSqCodesFor(s, sfDir).count(); () }),
       "_build_sq_ivf_top" -> ((s: SparkSession) => { operators.Similarity.sqIvfTopFor(s, sfDir).count(); () }),
-      "_build_knn_edges" -> ((s: SparkSession) => { operators.Neighbors.knnEdgesFor(s, sfDir).count(); () }),
       "_build_cc_labels" -> ((s: SparkSession) => { operators.Curation.ccLabelsFor(s, sfDir).count(); () }),
       "_build_knn_cc" -> ((s: SparkSession) => { operators.Neighbors.knnCcFor(s, sfDir).count(); () }),
       "_build_bm25_stats" -> ((s: SparkSession) => {

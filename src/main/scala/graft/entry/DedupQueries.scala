@@ -142,15 +142,21 @@ object DedupQueries {
     // Replays dedupEmbedding's ROUTED index exactly (the round-14
     // production path): same centroid subset, coarse prefix + fine→coarse
     // map, top-3 coarse routing, top-8 fine probes per routed cell,
-    // salted width-128 sub-bucket split, exact-cosine verification.
+    // salted width-128 sub-bucket split, exact-cosine verification —
+    // UNIONED (round 17) with the graph-derived pairs off the
+    // NN-descent-refined kNN edge chain, exactly as the production build.
     "dedup_embedding" ->
       s"""WITH $vecCte,
          |${hashMinCte("cents")},
          |$ivf2BaseCtes,
          |${ivf2ProbeCte("rpr", "", "cents",
             operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
-         |${ivfPairCtes("p", "rpr")}
-         |SELECT vec_a, vec_b, cos FROM p
+         |${ivfPairCtes("p", "rpr")},
+         |${knnEdgeCtes("g", "", "cents")},
+         |${graphPairsCte("gp", "gek")}
+         |SELECT DISTINCT vec_a, vec_b, cos FROM (
+         |  SELECT vec_a, vec_b, cos FROM p
+         |  UNION ALL SELECT vec_a, vec_b, cos FROM gp)
          |ORDER BY 1, 2""".stripMargin,
     // Budget-capped pair enumeration: replays the nprobe=1 assignment
     // (argmax cosine, ties -> min cent_id), ranks each cell's members by
@@ -419,7 +425,11 @@ object DedupQueries {
          |${ivf2ProbeCte("rpr", "", "cents",
             operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
          |${ivfPairCtes("dpc", "rpr")},
-         |dp AS (SELECT vec_a, vec_b FROM dpc),
+         |${knnEdgeCtes("g", "", "cents")},
+         |${graphPairsCte("gp", "gek")},
+         |dp AS (SELECT DISTINCT vec_a, vec_b FROM (
+         |         SELECT vec_a, vec_b FROM dpc
+         |         UNION ALL SELECT vec_a, vec_b FROM gp)),
          |asg1 AS (SELECT vec_id, cent_id FROM (
          |           SELECT v.vec_id, c.cent_id,
          |                  row_number() OVER (PARTITION BY v.vec_id ORDER BY

@@ -372,6 +372,100 @@ object OracleCtes {
        |    JOIN v va ON c.vec_a = va.vec_id
        |    JOIN v vb ON c.vec_b = vb.vec_id) WHERE cos >= 0.40)""".stripMargin
 
+  /** kNN edge chain replaying
+    * [[graft.operators.Neighbors.knnEdgesFor]] (round-17 NN-descent-
+    * refined form): two-level routed probes at the graph's production
+    * width → two-level assignment → salted member cap → exact-cosine
+    * top-[[graft.operators.Neighbors.KnnWorkK]] seed → unrolled
+    * NN-descent rounds (reverse adjacency capped at the working degree,
+    * symmetrized union, unordered-pair candidates deduplicated before
+    * scoring, both directions re-ranked) → serving truncation
+    * `${p}ek (src, dst, rk ≤ GraphK)`.
+    *
+    * Expects `v`, the centroid table `cents` and its
+    * [[ivf2BaseCtesOver]] (prefix `basePrefix`) upstream. All relation
+    * names carry prefix `p` so pair oracles can inject the chain beside
+    * their own probe chains without collisions; the knn-family oracles
+    * use the unprefixed form ([[graft.entry.SimilarityQueries]]).
+    *
+    * Dedup is spelled `SELECT DISTINCT … FROM (… UNION ALL …)`, never
+    * bare `UNION`: DuckDB 1.0.0 silently treats a NON-self-referencing
+    * UNION CTE inside a `WITH RECURSIVE` block as UNION ALL (the
+    * q_knn_clusters replay runs this chain inside WITH RECURSIVE — a
+    * bare UNION verified green on plain-WITH consumers while corrupting
+    * the recursive one with duplicate candidate rows).
+    */
+  def knnEdgeCtes(p: String, basePrefix: String, cents: String): String = {
+    import graft.operators.Neighbors
+    val workK = Neighbors.KnnWorkK
+    val rounds = (1 to Neighbors.KnnRefineRounds).map { i =>
+      val prev = if (i == 1) s"${p}ek0" else s"${p}ek${i - 1}"
+      s"""${p}rv$i AS (SELECT src, dst FROM (
+         |  SELECT e.dst AS src, e.src AS dst,
+         |         row_number() OVER (PARTITION BY e.dst ORDER BY
+         |           ${Tables.portableHashSql(
+                       "CAST(e.dst AS VARCHAR) || ':' || CAST(e.src AS VARCHAR)")},
+         |           e.src) AS rr
+         |  FROM $prev e) WHERE rr <= $workK),
+         |${p}un$i AS (SELECT DISTINCT src, dst FROM (
+         |         SELECT src, dst FROM $prev
+         |         UNION ALL SELECT src, dst FROM ${p}rv$i)),
+         |${p}pr$i AS (SELECT DISTINCT least(src, dst) AS a,
+         |                greatest(src, dst) AS b FROM (
+         |         SELECT a.src AS src, b.dst AS dst
+         |         FROM ${p}un$i a JOIN ${p}un$i b ON a.dst = b.src
+         |         UNION ALL SELECT src, dst FROM $prev)
+         |         WHERE src <> dst),
+         |${p}sn$i AS (SELECT a, b,
+         |           ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+         |         FROM ${p}pr$i JOIN v q ON q.vec_id = a
+         |         JOIN v t ON t.vec_id = b),
+         |${p}ek$i AS MATERIALIZED (SELECT src, dst, rk FROM (
+         |         SELECT src, dst,
+         |                row_number() OVER (PARTITION BY src
+         |                  ORDER BY cos DESC, dst) AS rk
+         |         FROM (SELECT a AS src, b AS dst, cos FROM ${p}sn$i
+         |               UNION ALL SELECT b, a, cos FROM ${p}sn$i))
+         |         WHERE rk <= $workK)""".stripMargin
+    }
+    val last = s"${p}ek${Neighbors.KnnRefineRounds}"
+    (s"""${ivf2ProbeCte(s"${p}kpr", basePrefix, cents,
+         Neighbors.KnnCoarseNprobe, Neighbors.KnnFinePerCell)},
+       |${ivf2AsgCte(s"${p}kasg", basePrefix, cents)},
+       |${bucketCapCte(s"${p}mcap", s"${p}kasg", Neighbors.KnnMemberCap)},
+       |${p}kcand AS (SELECT pb.vec_id AS src, a.vec_id AS dst
+       |         FROM ${p}kpr pb JOIN ${p}mcap a USING (cent_id)
+       |         WHERE a.vec_id <> pb.vec_id),
+       |${p}ksc AS (SELECT src, dst,
+       |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
+       |       FROM ${p}kcand JOIN v q ON q.vec_id = src
+       |       JOIN v t ON t.vec_id = dst),
+       |${p}ek0 AS MATERIALIZED (SELECT src, dst, rk FROM (
+       |         SELECT src, dst,
+       |                row_number() OVER (PARTITION BY src
+       |                  ORDER BY cos DESC, dst) AS rk
+       |         FROM ${p}ksc) WHERE rk <= $workK)""".stripMargin +: rounds)
+      .mkString(",\n") +
+      // serving truncation: the working-degree graph clipped to GraphK
+      s",\n${p}ek AS (SELECT src, dst, rk FROM $last" +
+      s" WHERE rk <= ${Neighbors.GraphK})"
+  }
+
+  /** Graph-edge-derived verified near-dup pairs replaying
+    * [[graft.operators.Dedup.graphPairsFor]]: the edge relation `ek`
+    * collapsed to unordered pairs, exact-cosine-verified at 0.40 —
+    * the round-17 orthogonal candidate source unioned into the
+    * production pair build.
+    */
+  def graphPairsCte(out: String, ek: String): String =
+    s"""$out AS (SELECT * FROM (
+       |    SELECT p.a AS vec_a, p.b AS vec_b,
+       |           ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
+       |    FROM (SELECT DISTINCT least(src, dst) AS a,
+       |                 greatest(src, dst) AS b FROM $ek) p
+       |    JOIN v va ON p.a = va.vec_id
+       |    JOIN v vb ON p.b = vb.vec_id) WHERE cos >= 0.40)""".stripMargin
+
   /** Exact full-dimension cosine top-5 CTE chain (`ep` pairs → `ext`
     * top-5) — the recall-audit baseline replaying
     * [[operators.Similarity.annTopkFor]]; shared by every `*_recall`

@@ -88,87 +88,17 @@ object SimilarityQueries {
        |FROM cl JOIN sz USING (cluster_id)
        |ORDER BY cl.vec_id""".stripMargin
 
-  /** Shared kNN-graph CTE chain (two-level routed probes → two-level
-    * assignment → per-bucket salted rank ≤ KnnMemberCap cap → candidates →
-    * exact cosine → top-5 seed list `ek0`, then
-    * [[graft.operators.Neighbors.KnnRefineRounds]] unrolled NN-descent
-    * rounds → final edge list `ek`) replaying
-    * [[graft.operators.Neighbors.knnEdgesFor]] (round-17 refined form);
-    * consumed by `q_knn_graph`, `q_knn_recall` and `q_knn_clusters` so the
-    * edge-relation replay has ONE home.
-    *
-    * Each refinement round mirrors
-    * [[graft.operators.Neighbors.knnRefineRound]] CTE-for-operator:
-    * reverse adjacency capped at
-    * [[graft.operators.Neighbors.KnnReverseCap]] per vertex by the salted
-    * portable-hash rank (`src:dst` over the REVERSED columns, ties → min
-    * dst), symmetrized union (UNION = the engine's unionAll+distinct),
-    * 2-hop path join ∪ incumbents deduplicated before scoring, exact
-    * cosine, per-src top-5 with the (cos DESC, dst) tie-break.
-    *
-    * Dedup is spelled `SELECT DISTINCT … FROM (… UNION ALL …)`, never bare
-    * `UNION`: DuckDB 1.0.0 silently treats a NON-self-referencing UNION
-    * CTE inside a `WITH RECURSIVE` block as UNION ALL (minimal repro in
-    * SCALING.md round 17), and `q_knn_clusters` replays this chain inside
-    * WITH RECURSIVE — a bare UNION here verified green on `q_knn_graph`
-    * (plain WITH) while corrupting the clusters oracle with duplicate
-    * candidate rows.
+  /** Shared kNN-graph CTE chain — centroid table + quantizer base + the
+    * ONE-home edge replay [[graft.entry.OracleCtes.knnEdgeCtes]]
+    * (probe seed → NN-descent rounds → serving truncation `ek`), shared
+    * by `q_knn_graph`, `q_knn_recall`, `q_knn_clusters`/`q_cc_stars` —
+    * and, prefixed, by every pair oracle that unions the round-17
+    * graph-derived pair candidates.
     */
-  private lazy val knnCtes: String = {
-    val workK = Neighbors.KnnWorkK
-    val rounds = (1 to Neighbors.KnnRefineRounds).map { i =>
-      val prev = if (i == 1) "ek0" else s"ek${i - 1}"
-      s"""rv$i AS (SELECT src, dst FROM (
-         |  SELECT e.dst AS src, e.src AS dst,
-         |         row_number() OVER (PARTITION BY e.dst ORDER BY
-         |           ${Tables.portableHashSql(
-                       "CAST(e.dst AS VARCHAR) || ':' || CAST(e.src AS VARCHAR)")},
-         |           e.src) AS rr
-         |  FROM $prev e) WHERE rr <= $workK),
-         |un$i AS (SELECT DISTINCT src, dst FROM (
-         |         SELECT src, dst FROM $prev
-         |         UNION ALL SELECT src, dst FROM rv$i)),
-         |pr$i AS (SELECT DISTINCT least(src, dst) AS a,
-         |                greatest(src, dst) AS b FROM (
-         |         SELECT a.src AS src, b.dst AS dst
-         |         FROM un$i a JOIN un$i b ON a.dst = b.src
-         |         UNION ALL SELECT src, dst FROM $prev)
-         |         WHERE src <> dst),
-         |sn$i AS (SELECT a, b,
-         |           ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
-         |         FROM pr$i JOIN v q ON q.vec_id = a
-         |         JOIN v t ON t.vec_id = b),
-         |ek$i AS MATERIALIZED (SELECT src, dst, rk FROM (
-         |         SELECT src, dst,
-         |                row_number() OVER (PARTITION BY src
-         |                  ORDER BY cos DESC, dst) AS rk
-         |         FROM (SELECT a AS src, b AS dst, cos FROM sn$i
-         |               UNION ALL SELECT b, a, cos FROM sn$i))
-         |         WHERE rk <= $workK)""".stripMargin
-    }
-    val last = s"ek${Neighbors.KnnRefineRounds}"
-    (s"""${hashMinCte("cents")},
+  private lazy val knnCtes: String =
+    s"""${hashMinCte("cents")},
        |$ivf2BaseCtes,
-       |${ivf2ProbeCte("kpr", "", "cents",
-         Neighbors.KnnCoarseNprobe, Neighbors.KnnFinePerCell)},
-       |${ivf2AsgCte("asg", "", "cents")},
-       |${bucketCapCte("mcap", "asg", Neighbors.KnnMemberCap)},
-       |cand AS (SELECT p.vec_id AS src, a.vec_id AS dst
-       |         FROM kpr p JOIN mcap a USING (cent_id)
-       |         WHERE a.vec_id <> p.vec_id),
-       |sc AS (SELECT src, dst,
-       |         ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
-       |       FROM cand JOIN v q ON q.vec_id = src
-       |       JOIN v t ON t.vec_id = dst),
-       |ek0 AS MATERIALIZED (SELECT src, dst, rk FROM (
-       |         SELECT src, dst,
-       |                row_number() OVER (PARTITION BY src
-       |                  ORDER BY cos DESC, dst) AS rk
-       |         FROM sc) WHERE rk <= $workK)""".stripMargin +: rounds)
-      .mkString(",\n") +
-      // serving truncation: the working-degree graph clipped to GraphK
-      s",\nek AS (SELECT src, dst, rk FROM $last WHERE rk <= ${Neighbors.GraphK})"
-  }
+       |${knnEdgeCtes("", "", "cents")}""".stripMargin
 
   /** Parameterized IVF top-5 CTE chain (assignment → nprobe=2 probes →
     * candidates → ranked top-5 `${p}top`) over centroid table `cents`;
@@ -253,7 +183,11 @@ object SimilarityQueries {
          |${ivf2ProbeCte("rpr", "", "cents",
             operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
          |${ivfPairCtes("ivp", "rpr")},
-         |iv AS (SELECT vec_a, vec_b FROM ivp),
+         |${knnEdgeCtes("g", "", "cents")},
+         |${graphPairsCte("gp", "gek")},
+         |iv AS (SELECT DISTINCT vec_a, vec_b FROM (
+         |         SELECT vec_a, vec_b FROM ivp
+         |         UNION ALL SELECT vec_a, vec_b FROM gp)),
          |n AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
          |             (SELECT count(*) FROM iv) AS n_ivf,
          |             (SELECT count(*) FROM ex JOIN iv USING (vec_a, vec_b))
@@ -277,7 +211,11 @@ object SimilarityQueries {
          |${ivf2ProbeCte("hpr", "h", "seeds",
             operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
          |${ivfPairCtes("hmp", "hpr")},
-         |hm AS (SELECT vec_a, vec_b FROM hmp),
+         |${knnEdgeCtes("g", "h", "seeds")},
+         |${graphPairsCte("gp", "gek")},
+         |hm AS (SELECT DISTINCT vec_a, vec_b FROM (
+         |         SELECT vec_a, vec_b FROM hmp
+         |         UNION ALL SELECT vec_a, vec_b FROM gp)),
          |${ivf2BaseCtesOver("k", "kcents")},
          |${ivf2ProbeCte("kpr", "k", "kcents",
             operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
@@ -322,7 +260,11 @@ object SimilarityQueries {
          |${ivf2ProbeCte("rpr", "", "cents",
             operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
          |${ivfPairCtes("rtp", "rpr")},
-         |routed AS (SELECT vec_a, vec_b FROM rtp),
+         |${knnEdgeCtes("g", "", "cents")},
+         |${graphPairsCte("gp", "gek")},
+         |routed AS (SELECT DISTINCT vec_a, vec_b FROM (
+         |         SELECT vec_a, vec_b FROM rtp
+         |         UNION ALL SELECT vec_a, vec_b FROM gp)),
          |n AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
          |             (SELECT count(*) FROM single) AS n_single,
          |             (SELECT count(*) FROM routed) AS n_routed,

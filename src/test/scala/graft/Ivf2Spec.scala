@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Neighbors, Similarity}
 
 /** Structural invariants of the two-level coarse quantizer (IVF²) —
   * bit-exactness of the full search vs the replayed two-level decision is
@@ -164,7 +164,7 @@ class Ivf2Spec extends SparkSpec {
     }
   }
 
-  test("routed production pairs: verified subset of exact truth, bucket-restricted") {
+  test("routed production pairs: verified subset of exact truth, source-restricted") {
     val exact = Dedup.dedupEmbeddingExact(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val routed = Dedup.dedupEmbedding(spark, sf001)
@@ -172,18 +172,28 @@ class Ivf2Spec extends SparkSpec {
     assert(routed.nonEmpty, "routed pair set must bite at sf0.01")
     // exact-cosine verification means zero false positives by construction
     assert(routed.subsetOf(exact), s"false positives: ${routed -- exact}")
-    // every pair shares >= 1 two-level-probed cell (independent recompute)
+    // every pair comes from one of the two candidate sources (round 17):
+    // a shared two-level-probed cell, or an edge of the NN-descent graph
+    // (independent recompute of both memberships)
     val probeIds = Similarity
       .ivf2ProbeIds(spark, sf001, Dedup.PairCoarseNprobe, Dedup.PairFinePerCell)
       .collect().groupBy(_.getLong(0))
       .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    val graphPairs = Neighbors.knnEdgesFor(spark, sf001)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
     val maxProbes = Dedup.PairCoarseNprobe * Dedup.PairFinePerCell
     routed.foreach { case (a, b) =>
-      assert(probeIds(a).intersect(probeIds(b)).nonEmpty,
-        s"pair ($a,$b) shares no probed cell")
+      assert(probeIds(a).intersect(probeIds(b)).nonEmpty ||
+          graphPairs.contains((a, b)),
+        s"pair ($a,$b) shares no probed cell and is not a graph edge")
       assert(probeIds(a).size <= maxProbes,
         s"vector $a probed ${probeIds(a).size} cells")
     }
+    // and the graph source genuinely contributes beyond the buckets at
+    // this scale (the adoption is live, not vacuous)
+    assert(routed.exists { case (a, b) =>
+      probeIds(a).intersect(probeIds(b)).isEmpty })
   }
 
   test("ivf2 pair-recall audit row == independent set arithmetic") {
