@@ -28,9 +28,9 @@ SPARK_GRAFT_ONLY=q_knn_recall SPARK_DRIVER_MEM=16g \
 python3 - <<'EOF'
 import duckdb, json
 row = duckdb.sql(
-    "SELECT * FROM '/tmp/r17_knnrecall/q_knn_recall.parquet'").fetchone()
+    "SELECT * FROM '/tmp/r17_knnrecall/q_knn_recall/*.parquet'").fetchone()
 cols = [d[0] for d in duckdb.sql(
-    "SELECT * FROM '/tmp/r17_knnrecall/q_knn_recall.parquet'").description]
+    "SELECT * FROM '/tmp/r17_knnrecall/q_knn_recall/*.parquet'").description]
 with open('/root/repo/bench_ref/KNN_RECALL_sf1_r17.json', 'w') as f:
     json.dump(dict(zip(cols, [int(v) for v in row])), f)
     f.write('\n')

@@ -21,7 +21,7 @@ run() { # tag only-list
 }
 # an empty/missing ONLY list would make Bench silently run nothing and
 # publish a valid-looking empty artifact — fail loudly instead
-python3 scripts/r14_sf10_groups.py /tmp/verify1/oracle_sql.json "$OUT" \
+python3 scripts/r14_sf10_groups.py /tmp/v17/oracle_sql.json "$OUT" \
   || { echo "group partitioning failed" >&2; exit 1; }
 [ -s "$OUT/group_builds.txt" ] || { echo "empty group_builds.txt" >&2; exit 1; }
 run builds "$(cat "$OUT/group_builds.txt")"
