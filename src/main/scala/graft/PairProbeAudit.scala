@@ -59,10 +59,17 @@ object PairProbeAudit {
     // "COxFP" or "COxFP@B" (B overrides PairSubB for that config)
     val sweep = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "2x4,2x6,2x8")
       .split(",").toSeq.map { s =>
-        val (probe, cap) = s.trim.span(_ != '@')
-        val Array(co, fp) = probe.split("x")
-        (co.toInt, fp.toInt,
-          if (cap.isEmpty) Dedup.PairSubB else cap.drop(1).toInt)
+        // fail with the offending token, not a bare MatchError (the
+        // KnnProbeAudit r16-ADVICE fix, applied here for consistency)
+        try {
+          val (probe, cap) = s.trim.span(_ != '@')
+          val Array(co, fp) = probe.split("x")
+          (co.toInt, fp.toInt,
+            if (cap.isEmpty) Dedup.PairSubB else cap.drop(1).toInt)
+        } catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"bad SPARK_GRAFT_SWEEP token '${s.trim}' (want COxFP[@CAP])", e)
+        }
       }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -480,6 +480,22 @@ object Neighbors {
     * in N — instead of the uncapped Θ(N²/K) occupancy term. The vote is
     * two bounded aggregations (≤ [[GraphK]] rows per test vector).
     * Nothing touches all-pairs; 100× data moves the same per-bucket work.
+    *
+    * PROBE-WIDTH AUTHORITY (round 17, per ADVICE): this pass SHARES
+    * [[KnnCoarseNprobe]]×[[KnnFinePerCell]] with the graph build, so the
+    * round-16 graph sweep ([[graft.KnnProbeAudit]], which priced the
+    * `q_knn_recall` contract) is deliberately the adopted authority for
+    * this width too — both passes route queries through the same
+    * two-level index against the same corpus geometry, and a vote that
+    * needs 5 labeled neighbors is strictly LESS probe-hungry than a
+    * top-5 recall contract, so a width adequate for the graph is
+    * adequate here; its candidate-POOL cap stays [[Dedup.PairCapB]]
+    * (per-query cost ∝ cap) rather than [[KnnMemberCap]]. The r16
+    * 2×2→4×4 adoption moved this pass's probed buckets with the graph's
+    * — priced under the graph contract, inherited here by design. Note
+    * the NN-descent refinement (round 17) does NOT apply: labelProp
+    * queries are held-out vectors with no incumbent edge list to refine;
+    * they ride the probe pass alone.
     */
   def labelProp(spark: SparkSession, dir: String): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
