@@ -243,11 +243,15 @@ object Neighbors {
     // deduplicate BEFORE the arrays attach: the symmetrized 2-hop
     // relation is symmetric, so scoring each pair once and emitting both
     // directions afterwards halves the distinct volume, both embedding
-    // joins and every cosine — the round's hottest stages (measured ~2×
-    // on the sf10 round wall). Rows are still two longs here.
+    // joins and every cosine — the round's hottest stages. (It also
+    // FULLY symmetrizes the candidate set — reverse incumbents beyond
+    // the cap become candidates for both endpoints — which is where
+    // most of the round-17 quality lift over the first, directed form
+    // came from: sf1.0 one-round recall 478 → 632‰ at workK 10.)
+    // Rows are still two longs here.
     val pairs = und
-      .join(und.select(col("src").as("mid"), col("dst").as("d2")),
-        col("dst") === col("mid"))
+      .join(und.select(col("src").as("mid"), col("dst").as("d2"))
+        .hint("SHUFFLE_HASH"), col("dst") === col("mid"))
       .select(col("src"), col("d2").as("dst"))
       .unionAll(fwd)
       .where(col("src") =!= col("dst"))
@@ -268,9 +272,22 @@ object Neighbors {
         Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
     val wTop = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst"))
-    scored.select(col("a").as("src"), col("b").as("dst"), col("cos"))
-      .unionAll(scored.select(col("b").as("src"), col("a").as("dst"),
-        col("cos")))
+    // Both directions come from ONE pass via explode, never from a union
+    // of two references to `scored`: a DataFrame referenced twice is
+    // COMPUTED twice (no implicit sharing in the plan), and the union
+    // form re-ran the whole dedup+join+cosine pipeline per direction —
+    // two identical subtrees in the plan dump, i.e. 2× the candidate
+    // exchanges and cosines. Local[32] sf10 walls cannot resolve the
+    // difference (141 vs 147 s in adjacent windows — the round is
+    // exchange-bound there and the duplicate subtrees overlap on idle
+    // cores), but on a busy multi-tenant cluster the halved work is
+    // real; adopted on plan structure.
+    scored.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst"), col("cos")),
+        struct(col("b").as("src"), col("a").as("dst"), col("cos"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.cos").as("cos"))
       .withColumn("rk", row_number().over(wTop))
       .where(col("rk") <= keepK)
       .select("src", "dst", "rk")
