@@ -15,6 +15,9 @@ run() { # sfdir outfile
     sbt -batch "runMain graft.Bench" > "/tmp/r17_bench_$(basename "$2").log" 2>&1
   grep -oE "\{\"(errors|retimed|still_over_expect|spread|queries)\".*" \
     "/tmp/r17_bench_$(basename "$2").log" | tail -1 > "$2"
+  # ADVICE r17: a failed sbt run must not hand scaling_curve.py a
+  # silent empty artifact
+  [ -s "$2" ] || { echo "empty bench line for $1" >&2; exit 1; }
 }
 run /root/testdata/sf0.001    "$OUT/BENCH_LOCAL_sf0001_r17.json"
 run /root/testdata/sf0.01     "$OUT/BENCH_LOCAL_sf001_r17.json"

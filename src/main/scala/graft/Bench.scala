@@ -101,10 +101,14 @@ object Bench {
       "_build_kmeans_cents" -> ((s: SparkSession) => { operators.Clustering.kmeansCentroidsFor(s, sfDir).count(); () }),
       "_build_ivf_assign" -> ((s: SparkSession) => { operators.Similarity.ivfAssignFor(s, sfDir).count(); () }),
       "_build_ivf2_assign" -> ((s: SparkSession) => { operators.Similarity.ivf2AssignFor(s, sfDir).count(); () }),
-      // knn_edges BEFORE ivf_pairs since the round-17 graph-candidate
-      // union: the pair build adopts the graph memo, so the graph build
-      // must own its own timed line or the pair line would absorb it.
+      // knn_edges BEFORE knn_cand BEFORE ivf_pairs since the round-17
+      // graph-candidate union: the pair build adopts the graph memos, so
+      // the one-pass chain (seed + rounds + BOTH memo publications —
+      // Neighbors.graphChainFor) lands on _build_knn_edges, or the pair
+      // line would absorb it; _build_knn_cand then verifies the survivor
+      // table is a warm read (near-zero by design).
       "_build_knn_edges" -> ((s: SparkSession) => { operators.Neighbors.knnEdgesFor(s, sfDir).count(); () }),
+      "_build_knn_cand" -> ((s: SparkSession) => { operators.Neighbors.knnScoredPairsFor(s, sfDir).count(); () }),
       "_build_ivf_pairs" -> ((s: SparkSession) => { operators.Dedup.ivfHashminPairsFor(s, sfDir).count(); () }),
       "_build_km_pairs" -> ((s: SparkSession) => { operators.Dedup.ivfKmeansPairsFor(s, sfDir).count(); () }),
       "_build_ivf1_pairs" -> ((s: SparkSession) => { operators.Dedup.ivfSinglePairsFor(s, sfDir).count(); () }),
@@ -287,21 +291,27 @@ object Bench {
     // the end of the query phase is a genuine re-execution sampled
     // minutes away from the wedged window; no fresh memo scope or
     // dependency replay is needed. Same trigger as builds
-    // (2× expectation + 4 s absolute), min published, first-pass median
-    // disclosed under the shared "retimed" key.
+    // (2× expectation + 4 s absolute). The re-run repeats `repeat` times
+    // and publishes min(first-pass median, re-run median) — the SAME
+    // median-of-n sampling basis as unflagged queries (ADVICE r17: the
+    // earlier single-sample re-run published flagged queries on a weaker
+    // min-of-one basis), with the first-pass median disclosed under the
+    // shared "retimed" key.
     val queryResults = queryMedians.map { case (name, med) =>
       if (!overExpect(name, med)) name -> med
       else {
-        val t2 = try {
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+        val med2 = try {
+          median((1 to repeat).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          })
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[bench] retime $name skipped: ${e.getClass.getSimpleName}")
           med
         }
-        if (t2 < med) { retimed(name) = med; name -> t2 } else name -> med
+        if (med2 < med) { retimed(name) = med; name -> med2 } else name -> med
       }
     }
     // Entries whose PUBLISHED value still exceeds the flag threshold after

@@ -1,0 +1,77 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FormattedMode
+import graft.operators.{Dedup, Neighbors, Similarity}
+
+/** Committed plan evidence for the MEMOIZED builders whose published
+  * `Materialized` plan dumps are structurally opaque (round-17 verdict):
+  * a builder that localCheckpoints internally — the NN-descent chain
+  * checkpoints every round — dumps as a post-checkpoint `ExistingRDD`
+  * read, so plan-structure adoptions (the single-pass explode refine
+  * round, all-SHUFFLE_HASH attaches, zero SMJ) had no committed
+  * artifact. This main explains the UN-memoized builder trees exactly as
+  * the sweep harnesses build them and writes one formatted plan per
+  * builder to `argv(1)` (default `bench_ref/plans_r18/builders`):
+  *
+  *   - `knn_seed` — [[Neighbors.knnEdgesBuild]] at the production width
+  *   - `knn_refine_scored` — one [[Neighbors.knnRefineScored]] stage over
+  *     a checkpointed seed (the candidate dedup + hinted attaches)
+  *   - `knn_refine_round` — the full round ([[Neighbors.knnRefineRound]]:
+  *     scored stage + single-pass explode ranking); grep it for
+  *     SortMergeJoin (expect none) and count the Exchange/HashJoin
+  *     subtrees to verify the pipeline is computed once
+  *   - `sub_bucket_pairs` — [[Dedup.subBucketPairs]] over the routed
+  *     probe relation (the production probe-pair core)
+  *   - `graph_pairs_over` — [[Dedup.graphPairsOver]] on an edge relation
+  *     (the audit arms' derivation)
+  *   - `ivf_pairs_union` — the embivf6 union+distinct over its two
+  *     (checkpoint-backed) candidate legs
+  *
+  * Plans are explained, never executed (except the small seed checkpoint
+  * feeding the refine stage), so sf0.001 suffices: join-strategy choices
+  * under explicit hints are scale-independent.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.001), SPARK_GRAFT_CPUS.
+  */
+object BuilderPlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val outDir = args.headOption.getOrElse("bench_ref/plans_r18/builders")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    def dump(name: String, df: DataFrame): Unit = {
+      val plan = df.queryExecution.explainString(FormattedMode)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"$name.plan.txt"),
+        plan.getBytes("UTF-8"))
+      println(s"[plans] $name: ${plan.linesIterator.size} lines")
+    }
+
+    val v = Dedup.normedFor(spark, sfDir)
+    val seed = Neighbors.knnEdgesBuild(spark, sfDir,
+      Neighbors.KnnCoarseNprobe, Neighbors.KnnFinePerCell,
+      Neighbors.KnnMemberCap, Neighbors.KnnWorkK)
+    dump("knn_seed", seed)
+    val seedCp = seed.localCheckpoint(true)
+    dump("knn_refine_scored", Neighbors.knnRefineScored(v, seedCp))
+    dump("knn_refine_round", Neighbors.knnRefineRound(v, seedCp))
+    val probes = Similarity.ivf2ProbeIds(spark, sfDir,
+      Dedup.PairCoarseNprobe, Dedup.PairFinePerCell)
+    dump("sub_bucket_pairs", Dedup.subBucketPairs(v, probes))
+    dump("graph_pairs_over", Dedup.graphPairsOver(spark, v, seedCp))
+    dump("ivf_pairs_union", Dedup.subBucketPairs(v, probes)
+      .unionAll(Dedup.graphPairsFor(spark, sfDir))
+      .distinct())
+    spark.stop()
+  }
+}

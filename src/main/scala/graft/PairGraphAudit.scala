@@ -1,21 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{count, lit}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Neighbors}
 
-/** Adopt-or-reject harness for feeding the NN-descent-refined kNN graph
-  * back into the PAIR-RECALL contract (round 17, judge ask #2): the
-  * round-16 pair probe-width sweep proved that axis exhausted, so the
-  * graph's edge list — exact-cosine-ranked already — is the orthogonal
-  * candidate source. Measures, against the strided exact pair truth
+/** Adopt-or-reject harness for the graph-derived candidate source of the
+  * production pair build (round 17: serving-graph edges unioned into the
+  * routed probes; round 18: the refine rounds' full scored-candidate
+  * survivors — [[graft.operators.Neighbors.knnScoredPairsFor]]).
+  * Measures, against the strided exact pair truth
   * ([[Dedup.exactPairsFor]]):
-  *   - the production routed build's recall ([[Dedup.ivfHashminPairsFor]])
-  *   - the graph-derived pair set's own recall ([[Dedup.graphPairsFor]])
-  *   - the UNION's recall — the adoption candidate
-  * and the marginal wall of the graph-pair derivation with the graph
-  * memo warm (the honest in-pipeline cost: the graph is already built
-  * for the graph-family queries) plus, separately, the graph build's own
-  * wall (the cost a pair-only pipeline would newly pay).
+  *   - the PROBE-ONLY baseline — [[Dedup.subBucketPairs]] over the routed
+  *     probe relation, built directly (ADVICE r17: the production
+  *     [[Dedup.ivfHashminPairsFor]] has unioned the graph source since
+  *     embivf5, so it can no longer reproduce this baseline)
+  *   - the serving-truncation edge arm (rk ≤ GraphK — the r17 adoption)
+  *   - the workK edge arm (the r17 verdict's suggested widening)
+  *   - the scored-survivors arm ([[Dedup.graphPairsFor]] — the r18
+  *     adoption; its derivation cost rides inside the graph build's
+  *     chain, so graph_build_sec carries it)
+  *   - the recall of probe ∪ each arm (the adoption comparisons)
+  * plus the graph build's own wall (what a pair-only pipeline would
+  * newly pay) and the production build's wall.
   *
   * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS.
   */
@@ -43,36 +48,66 @@ object PairGraphAudit {
       val n = body
       (n, (System.nanoTime() - t0) / 1e9)
     }
-    // truth + production build, timed as their own lines
+    // The eager checkpoint IS each arm's materialization, so it sits
+    // inside its timed block (an eager localCheckpoint before the timed
+    // count would move the work outside the clock).
+    def timedDf(build: => org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Long, Double) = {
+      val t0 = System.nanoTime()
+      val df = build.localCheckpoint(true)
+      val n = df.count()
+      (df, n, (System.nanoTime() - t0) / 1e9)
+    }
+    val v = Dedup.normedFor(spark, sfDir)
+    // truth, probe-only baseline, graph build, the two graph arms, and
+    // the production union build — each timed as its own line
     val (nExact, exactSec) =
       timed(Dedup.exactPairsFor(spark, sfDir).count())
-    val (nRouted, routedSec) =
-      timed(Dedup.ivfHashminPairsFor(spark, sfDir).count())
+    val (probeOnlyDf, nProbe, probeSec) = timedDf(
+      Dedup.subBucketPairs(v,
+        operators.Similarity.ivf2ProbeIds(spark, sfDir,
+          Dedup.PairCoarseNprobe, Dedup.PairFinePerCell)))
     val (_, graphBuildSec) =
-      timed(operators.Neighbors.knnEdgesFor(spark, sfDir).count())
-    // marginal derivation cost with the graph memo warm
-    val (nGraph, graphPairSec) =
-      timed(Dedup.graphPairsFor(spark, sfDir).count())
+      timed(Neighbors.knnWorkEdgesFor(spark, sfDir).count())
+    val (serveDf, nServe, serveSec) = timedDf(
+      Dedup.graphPairsOver(spark, v, Neighbors.knnEdgesFor(spark, sfDir)))
+    val (workDf, nWork, workSec) = timedDf(
+      Dedup.graphPairsOver(spark, v, Neighbors.knnWorkEdgesFor(spark, sfDir)))
+    // the adopted source — a memo read here: its collection cost rides
+    // inside graph_build_sec's chain (the scored checkpoints)
+    val (candDf, nCand, candSec) = timedDf(Dedup.graphPairsFor(spark, sfDir))
+    val (nProd, prodSec) =
+      timed(Dedup.ivfHashminPairsFor(spark, sfDir).count())
 
     val exact = Dedup.exactPairsFor(spark, sfDir).select("vec_a", "vec_b")
-    val routed = Dedup.ivfHashminPairsFor(spark, sfDir)
-      .select("vec_a", "vec_b")
-    val gp = Dedup.graphPairsFor(spark, sfDir).select("vec_a", "vec_b")
     def hits(cand: org.apache.spark.sql.DataFrame): Long =
-      exact.join(cand, Seq("vec_a", "vec_b"), "left_semi")
+      exact.join(cand.select("vec_a", "vec_b"),
+          Seq("vec_a", "vec_b"), "left_semi")
         .agg(count(lit(1))).collect()(0).getLong(0)
-    val hRouted = hits(routed)
-    val hGraph = hits(gp)
-    val hUnion = hits(routed.unionAll(gp).distinct())
+    def unionHits(arm: org.apache.spark.sql.DataFrame): Long =
+      hits(probeOnlyDf.select("vec_a", "vec_b")
+        .unionAll(arm.select("vec_a", "vec_b")).distinct())
+    val hProbe = hits(probeOnlyDf)
+    val hServe = hits(serveDf)
+    val hWork = hits(workDf)
+    val hCand = hits(candDf)
     def pm(h: Long): Long = if (nExact == 0) 1000L else h * 1000L / nExact
     println(s"""{"metric":"pair_graph_audit","sf":"$sfDir",""" +
-      s""""n_exact":$nExact,"n_routed":$nRouted,"n_graph":$nGraph,""" +
-      s""""recall_routed_permille":${pm(hRouted)},""" +
-      s""""recall_graph_permille":${pm(hGraph)},""" +
-      s""""recall_union_permille":${pm(hUnion)},""" +
-      s""""exact_sec":${fmt(exactSec)},"routed_sec":${fmt(routedSec)},""" +
+      s""""n_exact":$nExact,"n_probe":$nProbe,"n_graph_serve":$nServe,""" +
+      s""""n_graph_work":$nWork,"n_graph_cand":$nCand,"n_prod":$nProd,""" +
+      s""""recall_probe_permille":${pm(hProbe)},""" +
+      s""""recall_graph_serve_permille":${pm(hServe)},""" +
+      s""""recall_graph_work_permille":${pm(hWork)},""" +
+      s""""recall_graph_cand_permille":${pm(hCand)},""" +
+      s""""recall_union_serve_permille":${pm(unionHits(serveDf))},""" +
+      s""""recall_union_work_permille":${pm(unionHits(workDf))},""" +
+      s""""recall_union_cand_permille":${pm(unionHits(candDf))},""" +
+      s""""exact_sec":${fmt(exactSec)},"probe_sec":${fmt(probeSec)},""" +
       s""""graph_build_sec":${fmt(graphBuildSec)},""" +
-      s""""graph_pairs_sec":${fmt(graphPairSec)}}""")
+      s""""graph_serve_sec":${fmt(serveSec)},""" +
+      s""""graph_work_sec":${fmt(workSec)},""" +
+      s""""graph_cand_sec":${fmt(candSec)},""" +
+      s""""prod_sec":${fmt(prodSec)}}""")
     spark.stop()
   }
 }

@@ -153,7 +153,7 @@ object DedupQueries {
             operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
          |${ivfPairCtes("p", "rpr")},
          |${knnEdgeCtes("g", "", "cents")},
-         |${graphPairsCte("gp", "gek")}
+         |${graphPairsCte("gp", "g")}
          |SELECT DISTINCT vec_a, vec_b, cos FROM (
          |  SELECT vec_a, vec_b, cos FROM p
          |  UNION ALL SELECT vec_a, vec_b, cos FROM gp)
@@ -182,7 +182,7 @@ object DedupQueries {
          |        ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
          |      FROM capped a JOIN capped b
          |        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.40
+         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= ${operators.Dedup.PairCosThresholdSql}
          |ORDER BY 1, 2""".stripMargin,
     // Legacy single-level pair build (the pre-migration production
     // mechanism, kept as the oracle-pinned comparison baseline): nprobe=8
@@ -426,7 +426,7 @@ object DedupQueries {
             operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
          |${ivfPairCtes("dpc", "rpr")},
          |${knnEdgeCtes("g", "", "cents")},
-         |${graphPairsCte("gp", "gek")},
+         |${graphPairsCte("gp", "g")},
          |dp AS (SELECT DISTINCT vec_a, vec_b FROM (
          |         SELECT vec_a, vec_b FROM dpc
          |         UNION ALL SELECT vec_a, vec_b FROM gp)),

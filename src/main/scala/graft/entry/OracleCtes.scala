@@ -356,8 +356,8 @@ object OracleCtes {
     * relation `src(vec_id, cent_id)` (needs `v`): `$out(vec_a, vec_b,
     * cos)` — the [[graft.operators.Dedup.subBucketPairs]] mechanism
     * (salted width-B split, same-sub-bucket candidates, cosine scored on
-    * the corpus join, ≥ 0.40, distinct) as ONE shared fragment for every
-    * pair-build oracle.
+    * the corpus join, ≥ [[graft.operators.Dedup.PairCosThreshold]],
+    * distinct) as ONE shared fragment for every pair-build oracle.
     */
   def ivfPairCtes(out: String, src: String): String =
     s"""${subBucketCte(s"${out}cap", src)},
@@ -370,23 +370,34 @@ object OracleCtes {
        |           ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
        |    FROM ${out}cand c
        |    JOIN v va ON c.vec_a = va.vec_id
-       |    JOIN v vb ON c.vec_b = vb.vec_id) WHERE cos >= 0.40)""".stripMargin
+       |    JOIN v vb ON c.vec_b = vb.vec_id)
+       |  WHERE cos >= ${operators.Dedup.PairCosThresholdSql})""".stripMargin
 
   /** kNN edge chain replaying
-    * [[graft.operators.Neighbors.knnEdgesFor]] (round-17 NN-descent-
-    * refined form): two-level routed probes at the graph's production
-    * width → two-level assignment → salted member cap → exact-cosine
+    * [[graft.operators.Neighbors.knnWorkEdgesFor]] +
+    * [[graft.operators.Neighbors.knnEdgesFor]]: two-level routed probes
+    * at the graph's production width → two-level assignment → salted
+    * member cap → exact-cosine
     * top-[[graft.operators.Neighbors.KnnWorkK]] seed → unrolled
     * NN-descent rounds (reverse adjacency capped at the working degree,
     * symmetrized union, unordered-pair candidates deduplicated before
     * scoring, both directions re-ranked) → serving truncation
     * `${p}ek (src, dst, rk ≤ GraphK)`.
     *
+    * The round count is a FIXED 2 at every scale — measured exhausted,
+    * not assumed: the r17 sweep rejected round 3 at sf1.0 (+2‰) and the
+    * r18 sweep closed the sf10 axis (rounds 3–5: +2/+0/+0‰) — so the
+    * unroll replays the production constant directly; a corpus-gated
+    * unroll was prototyped in round 18 and dropped with its premise.
+    *
     * Expects `v`, the centroid table `cents` and its
     * [[ivf2BaseCtesOver]] (prefix `basePrefix`) upstream. All relation
     * names carry prefix `p` so pair oracles can inject the chain beside
     * their own probe chains without collisions; the knn-family oracles
-    * use the unprefixed form ([[graft.entry.SimilarityQueries]]).
+    * use the unprefixed form ([[graft.entry.SimilarityQueries]]); pair
+    * oracles consume the scored relations `${p}sn1..R` through
+    * [[graphPairsCte]] (round 18 — the scored-survivor candidate
+    * source).
     *
     * Dedup is spelled `SELECT DISTINCT … FROM (… UNION ALL …)`, never
     * bare `UNION`: DuckDB 1.0.0 silently treats a NON-self-referencing
@@ -416,7 +427,7 @@ object OracleCtes {
          |         FROM ${p}un$i a JOIN ${p}un$i b ON a.dst = b.src
          |         UNION ALL SELECT src, dst FROM $prev)
          |         WHERE src <> dst),
-         |${p}sn$i AS (SELECT a, b,
+         |${p}sn$i AS MATERIALIZED (SELECT a, b,
          |           ${dotSql("q.e", "t.e")} / (q.nrm * t.nrm) AS cos
          |         FROM ${p}pr$i JOIN v q ON q.vec_id = a
          |         JOIN v t ON t.vec_id = b),
@@ -451,20 +462,25 @@ object OracleCtes {
       s" WHERE rk <= ${Neighbors.GraphK})"
   }
 
-  /** Graph-edge-derived verified near-dup pairs replaying
-    * [[graft.operators.Dedup.graphPairsFor]]: the edge relation `ek`
-    * collapsed to unordered pairs, exact-cosine-verified at 0.40 —
-    * the round-17 orthogonal candidate source unioned into the
-    * production pair build.
+  /** Graph-derived verified near-dup pairs replaying
+    * [[graft.operators.Dedup.graphPairsFor]] /
+    * [[graft.operators.Neighbors.knnScoredPairsFor]] (round-18 form):
+    * the refine rounds' SCORED candidate relations `${p}sn1..R` —
+    * already unordered (a < b) and exact-cosine-scored by the
+    * [[knnEdgeCtes]] chain — filtered at
+    * [[graft.operators.Dedup.PairCosThreshold]] and deduplicated across
+    * rounds. The round-17 form re-derived pairs from the serving EDGE
+    * list; the survivors are its strict superset (every kept edge was
+    * scored in its round).
     */
-  def graphPairsCte(out: String, ek: String): String =
-    s"""$out AS (SELECT * FROM (
-       |    SELECT p.a AS vec_a, p.b AS vec_b,
-       |           ${dotSql("va.e", "vb.e")} / (va.nrm * vb.nrm) AS cos
-       |    FROM (SELECT DISTINCT least(src, dst) AS a,
-       |                 greatest(src, dst) AS b FROM $ek) p
-       |    JOIN v va ON p.a = va.vec_id
-       |    JOIN v vb ON p.b = vb.vec_id) WHERE cos >= 0.40)""".stripMargin
+  def graphPairsCte(out: String, p: String): String = {
+    val unions = (1 to graft.operators.Neighbors.KnnRefineRounds)
+      .map(i => s"SELECT a, b, cos FROM ${p}sn$i")
+      .mkString("\n         UNION ALL ")
+    s"""$out AS (SELECT DISTINCT a AS vec_a, b AS vec_b, cos FROM (
+       |         $unions)
+       |  WHERE cos >= ${operators.Dedup.PairCosThresholdSql})""".stripMargin
+  }
 
   /** Exact full-dimension cosine top-5 CTE chain (`ep` pairs → `ext`
     * top-5) — the recall-audit baseline replaying

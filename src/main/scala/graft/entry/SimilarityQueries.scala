@@ -177,14 +177,14 @@ object SimilarityQueries {
          |       FROM v a JOIN v b ON a.vec_id < b.vec_id
          |       WHERE a.vec_id % $auditStrideSql = 0
          |         AND b.vec_id % $auditStrideSql = 0
-         |         AND ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
+         |         AND ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= ${operators.Dedup.PairCosThresholdSql}),
          |${hashMinCte("cents")},
          |$ivf2BaseCtes,
          |${ivf2ProbeCte("rpr", "", "cents",
             operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
          |${ivfPairCtes("ivp", "rpr")},
          |${knnEdgeCtes("g", "", "cents")},
-         |${graphPairsCte("gp", "gek")},
+         |${graphPairsCte("gp", "g")},
          |iv AS (SELECT DISTINCT vec_a, vec_b FROM (
          |         SELECT vec_a, vec_b FROM ivp
          |         UNION ALL SELECT vec_a, vec_b FROM gp)),
@@ -206,13 +206,13 @@ object SimilarityQueries {
          |       FROM v a JOIN v b ON a.vec_id < b.vec_id
          |       WHERE a.vec_id % $auditStrideSql = 0
          |         AND b.vec_id % $auditStrideSql = 0
-         |         AND ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
+         |         AND ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= ${operators.Dedup.PairCosThresholdSql}),
          |${ivf2BaseCtesOver("h", "seeds")},
          |${ivf2ProbeCte("hpr", "h", "seeds",
             operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
          |${ivfPairCtes("hmp", "hpr")},
          |${knnEdgeCtes("g", "h", "seeds")},
-         |${graphPairsCte("gp", "gek")},
+         |${graphPairsCte("gp", "g")},
          |hm AS (SELECT DISTINCT vec_a, vec_b FROM (
          |         SELECT vec_a, vec_b FROM hmp
          |         UNION ALL SELECT vec_a, vec_b FROM gp)),
@@ -247,7 +247,7 @@ object SimilarityQueries {
          |       FROM v a JOIN v b ON a.vec_id < b.vec_id
          |       WHERE a.vec_id % $auditStrideSql = 0
          |         AND b.vec_id % $auditStrideSql = 0
-         |         AND ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.40),
+         |         AND ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= ${operators.Dedup.PairCosThresholdSql}),
          |probes AS (SELECT vec_id, cent_id FROM (
          |             SELECT v.vec_id, c.cent_id,
          |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -261,7 +261,7 @@ object SimilarityQueries {
             operators.Dedup.PairCoarseNprobe, operators.Dedup.PairFinePerCell)},
          |${ivfPairCtes("rtp", "rpr")},
          |${knnEdgeCtes("g", "", "cents")},
-         |${graphPairsCte("gp", "gek")},
+         |${graphPairsCte("gp", "g")},
          |routed AS (SELECT DISTINCT vec_a, vec_b FROM (
          |         SELECT vec_a, vec_b FROM rtp
          |         UNION ALL SELECT vec_a, vec_b FROM gp)),

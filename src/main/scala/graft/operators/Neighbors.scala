@@ -56,7 +56,8 @@ object Neighbors {
   private[graft] val KnnMemberCap = 256
 
   /** NN-descent refinement rounds applied on top of the probe build
-    * (round 17). The round-16 sweeps proved the probe axis is exhausted:
+    * (round 17; SCALE-AWARE since round 18). The round-16 sweeps proved
+    * the probe axis is exhausted:
     * recall under ANY fixed probe decays ~1/√N because a constant
     * candidate budget scans a constant slice of a growing corpus, and
     * widening the probe buys recall sublinearly in wall along the whole
@@ -65,14 +66,29 @@ object Neighbors {
     * neighbor is likely a neighbor") escapes that trap structurally —
     * each round proposes the 2-hop neighborhood of the CURRENT graph as
     * candidates, exact-cosine-scores them, and keeps the per-src top-
-    * [[GraphK]] of incumbents ∪ proposals. Cost per round is
-    * O(N · (2·[[GraphK]])²) candidate rows — INDEPENDENT of corpus size
+    * [[KnnWorkK]] of incumbents ∪ proposals. Cost per round is
+    * O(N · (2·[[KnnWorkK]])²) candidate rows — INDEPENDENT of corpus size
     * per vector, ~40× smaller than the probe pass's candidate volume at
     * sf10 — and recall is monotone in rounds because incumbents are
     * re-scored with the same exact cosine and can only be displaced by
-    * strictly better candidates. Round count chosen by the round-17
-    * [[graft.KnnRefineAudit]] sweep (rounds 0–3 at three decades);
-    * see SCALING.md round-17 for the per-round wall/recall table.
+    * strictly better candidates.
+    *
+    * ROUND COUNT: 2 at every scale — the axis is measured EXHAUSTED, not
+    * assumed converged. The round-17 sweep rejected round 3 at sf1.0
+    * (650 → 652‰) but left the sf10 gradient formally open (356 → 372‰
+    * at round 2, round walls collapsing — the consolidation shape); the
+    * round-18 sweep closed it ([[graft.KnnRefineAudit]] rounds 0–5 at
+    * sf10, `bench_ref/knn_refine_sweep_r18.jsonl`): round 3 buys +2‰
+    * (372 → 374, the same inside-noise delta sf1.0 rejected) and rounds
+    * 4–5 buy exactly nothing, at +13–18 s each — the descent converges
+    * at 2 rounds on EVERY measured decade, so a scale-aware round count
+    * was considered and rejected as mechanism without a premise. What
+    * the plateau means: at workK=10 the 2-hop proposal pool is exhausted
+    * once neighborhoods consolidate; past it the remaining recall axis
+    * is the working degree itself (workK=20: 544‰ at sf10, rejected at
+    * ~6× the build wall — round 17). The round-18 recall lever is
+    * instead the DISCARDED SCORED CANDIDATES: see
+    * [[knnScoredPairsFor]].
     */
   private[graft] val KnnRefineRounds = 2
 
@@ -142,26 +158,105 @@ object Neighbors {
     * candidates and the un-sampled mass was never reachable; per-bucket
     * salts make the retained sets independent. Each src still ranks
     * EXACT cosines; only the candidate pool of an oversized bucket is a
-    * uniform deterministic sample, replayed by the oracle. Key bumps:
-    * knn: → knn2: (cap budget) → knn3: (routed probes + two-level
-    * assignment + salted cap) → knn4: (round-16 sweep adoption,
-    * 2×2@128 → 4×4@[[KnnMemberCap]]) → knn5: (round-17 NN-descent
-    * refinement, [[KnnRefineRounds]] rounds over the knn4 seed).
+    * uniform deterministic sample, replayed by the oracle.
+    *
+    * Since round 18 the MATERIALIZED artifact is the WORKING-degree
+    * relation ([[knnWorkEdgesFor]], key `knnwork:`) and this serving
+    * view is a rank filter over it — zero extra build cost, and the
+    * workK edges the truncation formerly discarded stay addressable
+    * (the pair build derives its graph candidates from them,
+    * [[Dedup.graphPairsFor]]). Historical key bumps of the serving
+    * contract: knn: → knn2: (cap budget) → knn3: (routed probes +
+    * two-level assignment + salted cap) → knn4: (round-16 sweep
+    * adoption, 2×2@128 → 4×4@[[KnnMemberCap]]) → knn5: (round-17
+    * NN-descent refinement) → the `knnwork:` store (round 18,
+    * scale-aware round count).
     */
   private[graft] def knnEdgesFor(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Materialized.of(spark, s"knn5:$dir") {
+    knnWorkEdgesFor(spark, dir).where(col("rk") <= GraphK)
+
+  /** Memoized NN-descent working graph: seed probe build +
+    * [[KnnRefineRounds]] refinement rounds, all at the WORKING degree
+    * [[KnnWorkK]] — the persisted kNN-graph artifact a production
+    * pipeline refreshes. The serving contract ([[knnEdgesFor]]) is its
+    * top-[[GraphK]] rank filter — zero extra build cost.
+    */
+  private[graft] def knnWorkEdgesFor(spark: SparkSession, dir: String): DataFrame =
+    graphChainFor(spark, dir)._1
+
+  /** Memoized scored-candidate near-dup pairs off the NN-descent chain
+    * (round 18): every unordered candidate pair the refinement rounds
+    * EXACT-COSINE-SCORED whose cosine clears [[Dedup.PairCosThreshold]],
+    * deduplicated across rounds — `(vec_a < vec_b, cos)`.
+    *
+    * Why this exists: each refine round scores the full 2-hop candidate
+    * relation (≤ 4·[[KnnWorkK]]²·N pairs) and keeps only the per-vertex
+    * top-[[KnnWorkK]] — at sf10 that discards ~99.97% of ~30M exact
+    * cosines per round, among them near-dup pairs that lost the rank
+    * competition at BOTH endpoints. The cosine formula is bit-identical
+    * to the pair builds' verification ([[Dedup.cosine]] on the same
+    * normed memo), so threshold survivors ARE verified pairs: collecting
+    * them costs one filter over an already-computed relation. This
+    * strictly dominates deriving pairs from the working-degree EDGE list
+    * (the round-17 verdict's suggestion): every final edge was scored in
+    * the last round, so edge-derived pairs ⊆ scored survivors, and the
+    * sf10 audit measures the superset at ~3.4× the hits
+    * ([[graft.PairGraphAudit]], `bench_ref/pair_graph_audit_r18.jsonl`).
+    *
+    * The SEED probe pass's scored candidates are deliberately NOT
+    * collected: its candidate relation is O(N·nprobe·B) ≈ 800M rows at
+    * sf10 — a filter branch would either checkpoint ~19 GB or recompute
+    * the ~100 s probe pass, and those candidates come from the same
+    * shared-probed-bucket family the production pair build already
+    * covers at a wider budget ([[Dedup.subBucketPairs]] at 3×8@512).
+    * The refine rounds' candidates are the orthogonal (graph-structure)
+    * source — they are what the union adoption pays for.
+    *
+    * The DuckDB oracle replays this as a filter over the `sn_i` scored
+    * CTEs its edge chain already computes
+    * ([[graft.entry.OracleCtes.graphPairsCte]]).
+    */
+  private[graft] def knnScoredPairsFor(spark: SparkSession, dir: String): DataFrame =
+    graphChainFor(spark, dir)._2
+
+  /** The one-pass builder behind [[knnWorkEdgesFor]] and
+    * [[knnScoredPairsFor]]: seed at the working degree, then per round
+    * checkpoint the SCORED pair relation once and derive both the next
+    * ranking and the threshold survivors from it. The checkpoint is
+    * load-bearing twice over: the next round's 2-hop join reads the
+    * graph twice (forward + reverse), and deriving edges AND survivors
+    * from an un-materialized `scored` would compute the whole round
+    * pipeline per reference (the union-of-two-references trap the r17
+    * plan audit documented). Both outputs publish as their own memo
+    * tables (`knnwork:` / `knncand:`), the chain itself is a
+    * session-scalar memo so the rounds run once per session however the
+    * two tables are first requested, and the round checkpoints are
+    * unpersisted once both tables are parquet — nothing stays pinned.
+    */
+  private def graphChainFor(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    graft.sources.Materialized.scalarOf(spark, s"knnchain:$dir") {
       val v = Dedup.normedFor(spark, dir)
-      // Seed and rounds run at the WORKING degree KnnWorkK; the final
-      // ranking truncates to the serving GraphK. Each round is locally
-      // checkpointed: the next round's 2-hop join reads the previous
-      // graph twice (forward + reverse) and the final union re-reads it
-      // a third time — without the checkpoint every round would
-      // recompute the whole probe pass per reference.
-      (1 to KnnRefineRounds).foldLeft(
-        knnEdgesBuild(spark, dir, KnnCoarseNprobe, KnnFinePerCell,
-          KnnMemberCap, KnnWorkK).localCheckpoint(true))(
-        (e, _) => knnRefineRound(v, e, KnnWorkK).localCheckpoint(true))
-        .where(col("rk") <= GraphK)
+      val inter = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      var edges = knnEdgesBuild(spark, dir, KnnCoarseNprobe, KnnFinePerCell,
+        KnnMemberCap, KnnWorkK).localCheckpoint(true)
+      inter += edges
+      val survivors = (1 to KnnRefineRounds).map { _ =>
+        val scored = knnRefineScored(v, edges, KnnWorkK).localCheckpoint(true)
+        inter += scored
+        edges = rankFromScored(scored, KnnWorkK).localCheckpoint(true)
+        inter += edges
+        scored.where(col("cos") >= Dedup.PairCosThreshold)
+      }
+      val edgesTable =
+        graft.sources.Materialized.of(spark, s"knnwork:$dir")(edges)
+      val candTable =
+        graft.sources.Materialized.of(spark, s"knncand:$dir")(
+          survivors.reduce(_.unionAll(_))
+            .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cos"))
+            .distinct())
+      inter.foreach(_.unpersist(true))
+      (edgesTable, candTable)
     }
 
   /** The un-memoized, width-parameterized edge builder behind
@@ -222,6 +317,17 @@ object Neighbors {
     * all-pairs term anywhere.
     */
   private[graft] def knnRefineRound(v: DataFrame, edges: DataFrame,
+      keepK: Int = KnnWorkK): DataFrame =
+    rankFromScored(knnRefineScored(v, edges, keepK), keepK)
+
+  /** The scored-candidate stage of [[knnRefineRound]]: symmetrize,
+    * propose the 2-hop neighborhood plus incumbents, collapse to
+    * unordered pairs, dedup, score exact cosines — `(a < b, cos)`.
+    * Factored out (round 18) so the production chain can checkpoint it
+    * once and derive BOTH the next ranking and the threshold-surviving
+    * near-dup pairs ([[knnScoredPairsFor]]) from one computation.
+    */
+  private[graft] def knnRefineScored(v: DataFrame, edges: DataFrame,
       keepK: Int = KnnWorkK): DataFrame = {
     val fwd = edges.select("src", "dst")
     // reverse adjacency, capped per vertex by the salted hash-min rank
@@ -263,25 +369,32 @@ object Neighbors {
     // relation once per attach; hashing the (far smaller) embedding
     // side leaves the big side sort-free, so the round's one big-side
     // sort is the per-src top-k window below.
-    val scored = pairs
+    pairs
       .join(v.select(col("vec_id").as("a"), col("e").as("qe"),
         col("nrm").as("qn")).hint("SHUFFLE_HASH"), "a")
       .join(v.select(col("vec_id").as("b"), col("e"), col("nrm"))
         .hint("SHUFFLE_HASH"), "b")
       .select(col("a"), col("b"),
         Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
+  }
+
+  /** The ranking stage of [[knnRefineRound]] over a scored unordered-pair
+    * relation `(a, b, cos)`: both directions from ONE pass via explode,
+    * never from a union of two references to the scored relation — a
+    * DataFrame referenced twice is COMPUTED twice (no implicit sharing
+    * in the plan), and the union form re-ran the whole
+    * dedup+join+cosine pipeline per direction: two identical subtrees
+    * in the plan dump, i.e. 2× the candidate exchanges and cosines.
+    * Local[32] sf10 walls cannot resolve the difference (141 vs 147 s
+    * in adjacent windows — the round is exchange-bound there and the
+    * duplicate subtrees overlap on idle cores), but on a busy
+    * multi-tenant cluster the halved work is real; adopted on plan
+    * structure (round 17; `bench_ref/plans_r18/builders/` carries the
+    * committed dump).
+    */
+  private[graft] def rankFromScored(scored: DataFrame, keepK: Int): DataFrame = {
     val wTop = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst"))
-    // Both directions come from ONE pass via explode, never from a union
-    // of two references to `scored`: a DataFrame referenced twice is
-    // COMPUTED twice (no implicit sharing in the plan), and the union
-    // form re-ran the whole dedup+join+cosine pipeline per direction —
-    // two identical subtrees in the plan dump, i.e. 2× the candidate
-    // exchanges and cosines. Local[32] sf10 walls cannot resolve the
-    // difference (141 vs 147 s in adjacent windows — the round is
-    // exchange-bound there and the duplicate subtrees overlap on idle
-    // cores), but on a busy multi-tenant cluster the halved work is
-    // real; adopted on plan structure.
     scored.select(explode(array(
         struct(col("a").as("src"), col("b").as("dst"), col("cos")),
         struct(col("b").as("src"), col("a").as("dst"), col("cos"))))
@@ -420,7 +533,10 @@ object Neighbors {
     // knncc: → knncc2: (knn4 edge adoption) → knncc3: (knn5 NN-descent
     // refinement — the labels derive from the edge relation, so every
     // upstream contract change bumps this key too: the cross-application
-    // memo store must never serve labels computed from the old graph).
+    // memo store must never serve labels computed from the old graph.
+    // The round-18 `knnwork:` restructure left the SERVING edge set
+    // bit-identical — rounds, working degree and truncation unchanged —
+    // so this key correctly does NOT bump).
     graft.sources.Materialized.of(spark, s"knncc3:$dir") {
       val e = knnEdgesFor(spark, dir).select("src", "dst")
       val mutual = e.join(
@@ -450,7 +566,8 @@ object Neighbors {
     * depends on log n, not component diameter.
     */
   def knnClustersStars(spark: SparkSession, dir: String): DataFrame = {
-    // knnccstars2: → knnccstars3: with the knn5 refinement (see knncc3)
+    // knnccstars2: → knnccstars3: with the knn5 refinement (see knncc3;
+    // the r18 restructure leaves serving edges bit-identical — no bump)
     val labels = graft.sources.Materialized.of(spark, s"knnccstars3:$dir") {
       val e = knnEdgesFor(spark, dir).select("src", "dst")
       val mutual = e.join(

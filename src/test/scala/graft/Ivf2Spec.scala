@@ -172,21 +172,21 @@ class Ivf2Spec extends SparkSpec {
     assert(routed.nonEmpty, "routed pair set must bite at sf0.01")
     // exact-cosine verification means zero false positives by construction
     assert(routed.subsetOf(exact), s"false positives: ${routed -- exact}")
-    // every pair comes from one of the two candidate sources (round 17):
-    // a shared two-level-probed cell, or an edge of the NN-descent graph
-    // (independent recompute of both memberships)
+    // every pair comes from one of the two candidate sources (round 17;
+    // since round 18 the graph source is the refine rounds' full
+    // scored-candidate survivor set): a shared two-level-probed cell, or
+    // a pair the NN-descent rounds scored above threshold
     val probeIds = Similarity
       .ivf2ProbeIds(spark, sf001, Dedup.PairCoarseNprobe, Dedup.PairFinePerCell)
       .collect().groupBy(_.getLong(0))
       .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
-    val graphPairs = Neighbors.knnEdgesFor(spark, sf001)
-      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
-        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val graphPairs = Neighbors.knnScoredPairsFor(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val maxProbes = Dedup.PairCoarseNprobe * Dedup.PairFinePerCell
     routed.foreach { case (a, b) =>
       assert(probeIds(a).intersect(probeIds(b)).nonEmpty ||
           graphPairs.contains((a, b)),
-        s"pair ($a,$b) shares no probed cell and is not a graph edge")
+        s"pair ($a,$b) shares no probed cell and was never graph-scored")
       assert(probeIds(a).size <= maxProbes,
         s"vector $a probed ${probeIds(a).size} cells")
     }

@@ -76,17 +76,23 @@ class Round17Spec extends SparkSpec {
     assert(bad === 0L)
   }
 
-  test("graphPairsFor: unordered, threshold-verified, edge-derived") {
+  test("graphPairsFor: unordered, threshold-verified, covers the edge pairs") {
     val gp = Dedup.graphPairsFor(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(gp.nonEmpty, "graph pairs must bite at sf0.001")
     assert(gp.forall { case (a, b, _) => a < b }, "pairs are unordered (a < b)")
-    assert(gp.forall { case (_, _, c) => c >= 0.40 }, "0.40 threshold")
-    val edgePairs = Neighbors.knnEdgesFor(spark, sf0001).collect()
-      .map(r => (math.min(r.getLong(0), r.getLong(1)),
-        math.max(r.getLong(0), r.getLong(1)))).toSet
-    assert(gp.forall { case (a, b, _) => edgePairs.contains((a, b)) },
-      "every graph pair derives from an edge")
+    assert(gp.forall { case (_, _, c) => c >= Dedup.PairCosThreshold },
+      "verification threshold")
+    val gpSet = gp.map { case (a, b, _) => (a, b) }.toSet
+    assert(gpSet.size === gp.length, "no duplicate pairs across rounds")
+    // round 18: the survivors are a SUPERSET of the threshold-passing
+    // working-graph edge pairs — every kept edge was scored in its round
+    val v = Dedup.normedFor(spark, sf0001)
+    val edgePairs = Dedup.graphPairsOver(spark, v,
+        Neighbors.knnWorkEdgesFor(spark, sf0001)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgePairs.subsetOf(gpSet),
+      "threshold-passing workK edge pairs all survive as candidates")
   }
 
   test("production pair build contains both candidate sources") {
