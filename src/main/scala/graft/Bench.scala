@@ -114,6 +114,7 @@ object Bench {
       "_build_ivf1_pairs" -> ((s: SparkSession) => { operators.Dedup.ivfSinglePairsFor(s, sfDir).count(); () }),
       "_build_km_assign" -> ((s: SparkSession) => { operators.Similarity.kmAssignFor(s, sfDir).count(); () }),
       "_build_doc_bigrams" -> ((s: SparkSession) => { operators.TextAnalysis.docBigramsFor(s, sfDir).count(); () }),
+      "_build_chunk_ft" -> ((s: SparkSession) => { operators.TextAnalysis.chunkFeaturesFor(s, sfDir).count(); () }),
       "_build_unigrams" -> ((s: SparkSession) => { operators.TextAnalysis.unigramCountsFor(s, sfDir).count(); () }),
       "_build_bpe_vocab" -> ((s: SparkSession) => { operators.TextAnalysis.bpeVocabFor(s, sfDir).count(); () }),
       "_build_ann_topk" -> ((s: SparkSession) => { operators.Similarity.annTopkFor(s, sfDir).count(); () }),

@@ -133,26 +133,37 @@ object Analytics {
     * at oracle scale).
     */
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    // ONE pass over events (round 18): the former stage-per-relation shape
+    // (v ⋈ c ⋈ p ⋈ distinct users) re-derived each stage from the previous
+    // one's relation, so the events scan sat under SEVEN plan references
+    // (v twice, c twice, p once, the distinct once — no implicit plan
+    // sharing) across four user_id shuffles. The funnel is per-user
+    // sequential logic, so fold each user's (k, t) events once and derive
+    // the three dependent milestones with array expressions: kv = min view
+    // key; kc = min click key strictly after kv (null kv ⇒ null-compare ⇒
+    // empty ⇒ null kc, exactly the former inner-join short-circuit); stage
+    // 3 ⇔ any purchase strictly after kc. Same integers, one scan, two
+    // shuffles (user fold + stage rollup). Per-user state is that user's
+    // event keys — the same O(events-per-user) bound every per-user
+    // session operator here carries.
     val e = Tables.load(spark, dir, "events")
       .where(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("event_type").as("t"),
         struct(Tables.epochMs.as("em"), col("event_id").as("eid")).as("k"))
-    val v = e.where(col("t") === "view")
-      .groupBy("user_id").agg(min(col("k")).as("kv"))
-    val c = e.where(col("t") === "click")
-      .join(v, "user_id").where(col("k") > col("kv"))
-      .groupBy("user_id").agg(min(col("k")).as("kc"))
-    val p = e.where(col("t") === "purchase")
-      .join(c, "user_id").where(col("k") > col("kc"))
-      .groupBy("user_id").agg(count(lit(1)).as("n_p"))
-    e.select("user_id").distinct()
-      .join(v.withColumn("f1", lit(1L)).drop("kv"), Seq("user_id"), "left")
-      .join(c.withColumn("f2", lit(1L)).drop("kc"), Seq("user_id"), "left")
-      .join(p.withColumn("f3", lit(1L)).drop("n_p"), Seq("user_id"), "left")
+    e.groupBy("user_id")
+      .agg(collect_list(struct(col("k"), col("t"))).as("evs"))
       .select(col("user_id"),
-        when(col("f3") === 1L, 3L)
-          .when(col("f2") === 1L, 2L)
-          .when(col("f1") === 1L, 1L)
+        expr("array_min(transform(filter(evs, s -> s.t = 'view'), s -> s.k))")
+          .as("kv"),
+        col("evs"))
+      .select(col("user_id"), col("kv"),
+        expr("array_min(transform(filter(evs, s -> s.t = 'click' AND s.k > kv), s -> s.k))")
+          .as("kc"),
+        col("evs"))
+      .select(col("user_id"),
+        when(expr("exists(evs, s -> s.t = 'purchase' AND s.k > kc)"), 3L)
+          .when(col("kc").isNotNull, 2L)
+          .when(col("kv").isNotNull, 1L)
           .otherwise(0L).as("stage"))
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
       .orderBy("stage")

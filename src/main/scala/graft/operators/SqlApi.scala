@@ -153,23 +153,34 @@ object SqlApi {
          |  SELECT v.vec_id, v.label, v.e, v.nrm, sigb.sig
          |  FROM v JOIN sigb ON v.vec_id = sigb.vec_id),
          |bands AS (
+         |  -- bb rides in once as a 1-row cross join: the former four
+         |  -- scalar `(SELECT bj FROM bb)` references each planned their
+         |  -- own subquery (each re-running bb's `count(*) FROM v` corpus
+         |  -- scan), 32 subquery executions per run in the round-18 plan
+         |  -- dump; as a join input bb (and its count) is computed once.
          |  SELECT vec_id, label, sig, k,
          |         shiftright(sig,
-         |             CAST(k * ((SELECT bj FROM bb) div 4)
-         |                  + least(k, (SELECT bj FROM bb) % 4) AS INT)) &
+         |             CAST(k * (bj div 4) + least(k, bj % 4) AS INT)) &
          |           (shiftleft(CAST(1 AS BIGINT),
-         |              CAST((SELECT bj FROM bb) div 4
-         |                   + (CASE WHEN k < (SELECT bj FROM bb) % 4
+         |              CAST(bj div 4
+         |                   + (CASE WHEN k < bj % 4
          |                      THEN 1 ELSE 0 END) AS INT)) - 1)
          |           AS band_val
-         |  FROM sig
+         |  FROM sig CROSS JOIN bb
          |  LATERAL VIEW explode(sequence(0, 3)) ks AS k),
          |cand AS (
-         |  SELECT DISTINCT a.label AS label, a.vec_id AS vec_a,
-         |         b.vec_id AS vec_b
-         |  FROM bands a JOIN bands b
-         |    ON a.label = b.label AND a.k = b.k
-         |   AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+         |  -- pairs generated map-side from each band bucket's sorted
+         |  -- member set — ONE pass over `bands` instead of the former
+         |  -- bands⋈bands self-join, whose two references each recomputed
+         |  -- the full signature pipeline (no implicit plan sharing).
+         |  -- Same pair set: members sorted ascending, (i, j>i) ⇒ va < vb.
+         |  SELECT DISTINCT label, p.va AS vec_a, p.vb AS vec_b
+         |  FROM (SELECT label, k, band_val,
+         |               sort_array(collect_set(vec_id)) AS vs
+         |        FROM bands GROUP BY label, k, band_val) g
+         |  LATERAL VIEW explode(flatten(transform(vs, (x, i) ->
+         |    transform(slice(vs, i + 2, size(vs)),
+         |      y -> named_struct('va', x, 'vb', y))))) pp AS p),
          |p AS (
          |  SELECT c.label, c.vec_a, c.vec_b,
          |         graft_dot(va.e, vb.e) / (va.nrm * vb.nrm) AS cos
