@@ -125,43 +125,46 @@ object Analytics {
     * subsequence semantics, computed with O(1) state per user via the
     * greedy earliest-first match (optimal for subsequence inclusion):
     * kv = first view, kc = first click after kv, stage 3 ⇔ any purchase
-    * after kc. Each step is a per-user aggregate (≤ 1 row per user)
-    * joined back on user_id — bounded reducer state at ANY per-user event
-    * volume, where a collect-the-journey aggregation would hand a bot
-    * account's millions of events to one reducer as a single unbounded
-    * group (the oracle keeps the equivalent string_agg + regex form, fine
-    * at oracle scale).
+    * after kc. Each milestone is a constant-size conditional min/max
+    * aggregate over one user_id partitioning — bounded reducer state at
+    * ANY per-user event volume, where a collect-the-journey aggregation
+    * would hand a bot account's millions of events to one reducer as a
+    * single unbounded in-memory group (the oracle keeps the equivalent
+    * string_agg + regex form, fine at oracle scale).
     */
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {
-    // ONE pass over events (round 18): the former stage-per-relation shape
-    // (v ⋈ c ⋈ p ⋈ distinct users) re-derived each stage from the previous
-    // one's relation, so the events scan sat under SEVEN plan references
-    // (v twice, c twice, p once, the distinct once — no implicit plan
-    // sharing) across four user_id shuffles. The funnel is per-user
-    // sequential logic, so fold each user's (k, t) events once and derive
-    // the three dependent milestones with array expressions: kv = min view
-    // key; kc = min click key strictly after kv (null kv ⇒ null-compare ⇒
-    // empty ⇒ null kc, exactly the former inner-join short-circuit); stage
-    // 3 ⇔ any purchase strictly after kc. Same integers, one scan, two
-    // shuffles (user fold + stage rollup). Per-user state is that user's
-    // event keys — the same O(events-per-user) bound every per-user
-    // session operator here carries.
+    // ONE pass over events, O(1) aggregation state per user (round 19; the
+    // round-18 collect_list(struct(k, t)) gather handed a hot user's whole
+    // event history to one aggregation buffer — the exact unbounded-state
+    // shape the audit below forbids). The greedy milestones are three
+    // CONDITIONAL MIN/MAX aggregates, constant-size each, split across the
+    // one user_id partitioning the query needs anyway:
+    //   kv = min view key — a user_id-partitioned window aggregate (its
+    //        per-row result feeds the click predicate; WindowExec's row
+    //        buffer is disk-spillable, its aggregation state is one key);
+    //   kc = min click key strictly after kv (null kv ⇒ null-compare ⇒
+    //        FALSE predicate ⇒ null kc, exactly the former inner-join
+    //        short-circuit) — a groupBy aggregate on the partitioning the
+    //        window just established, so no second events shuffle;
+    //   stage 3 ⇔ any purchase strictly after kc ⇔ max purchase key > kc
+    //        (kc is the MIN click after kv, so any qualifying purchase
+    //        exceeds it iff the max one does; null kc/kp compare ⇒ null ⇒
+    //        when() falls through). Same integers as the oracle's greedy
+    //        v.*c.*p regex over the (epoch_ms, event_id)-ordered journey,
+    //        one scan, one events shuffle + the stage rollup.
     val e = Tables.load(spark, dir, "events")
       .where(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("event_type").as("t"),
         struct(Tables.epochMs.as("em"), col("event_id").as("eid")).as("k"))
-    e.groupBy("user_id")
-      .agg(collect_list(struct(col("k"), col("t"))).as("evs"))
-      .select(col("user_id"),
-        expr("array_min(transform(filter(evs, s -> s.t = 'view'), s -> s.k))")
-          .as("kv"),
-        col("evs"))
-      .select(col("user_id"), col("kv"),
-        expr("array_min(transform(filter(evs, s -> s.t = 'click' AND s.k > kv), s -> s.k))")
+    val byUser = Window.partitionBy("user_id")
+    e.withColumn("kv", min(when(col("t") === "view", col("k"))).over(byUser))
+      .groupBy("user_id")
+      .agg(max(col("kv")).as("kv"),
+        min(when(col("t") === "click" && col("k") > col("kv"), col("k")))
           .as("kc"),
-        col("evs"))
-      .select(col("user_id"),
-        when(expr("exists(evs, s -> s.t = 'purchase' AND s.k > kc)"), 3L)
+        max(when(col("t") === "purchase", col("k"))).as("kp"))
+      .select(
+        when(col("kp") > col("kc"), 3L)
           .when(col("kc").isNotNull, 2L)
           .when(col("kv").isNotNull, 1L)
           .otherwise(0L).as("stage"))
