@@ -18,6 +18,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Prefer shuffled-hash over sort-merge when a side's per-partition
+      // build fits (Engine.session has the full rationale) — broadcast
+      // still wins below the auto threshold, SMJ remains the spill-safe
+      // fallback when neither side fits. Scale-independent lever.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // AQE runtime SMJ->SHJ rewrite from TRUE post-shuffle sizes (the
+      // static rule above cannot price checkpoint-fed relations, whose
+      // size estimate is the unknown-stats default): build a local hash
+      // map when every partition of a side is under 256 MiB. Bounded
+      // per-task; a side that exceeds it stays sort-merge.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
       // Same AQE start-wide-coalesce-back lever as Engine.session — the
       // sf10 probe spill relief without the range-exchange tax (see
       // Engine.session); small shuffles coalesce back for free.
@@ -96,6 +108,7 @@ object Bench {
       "_build_shingle_index" -> ((s: SparkSession) => { operators.Dedup.shinglesHashedFor(s, sfDir).count(); () }),
       "_build_shingle_inter" -> ((s: SparkSession) => { operators.Dedup.interFor(s, sfDir).count(); () }),
       "_build_simhash" -> ((s: SparkSession) => { operators.Dedup.simhashesFor(s, sfDir).count(); () }),
+      "_build_minhash16" -> ((s: SparkSession) => { operators.Dedup.minhash16For(s, sfDir).count(); () }),
       "_build_normed" -> ((s: SparkSession) => { operators.Dedup.normedFor(s, sfDir).count(); () }),
       "_build_exact_pairs" -> ((s: SparkSession) => { operators.Dedup.exactPairsFor(s, sfDir).count(); () }),
       "_build_kmeans_cents" -> ((s: SparkSession) => { operators.Clustering.kmeansCentroidsFor(s, sfDir).count(); () }),

@@ -42,6 +42,16 @@ object BuilderPlanDump {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // mirror Bench/Engine's join-strategy ladder so dumped plans match
+      // what the bench actually runs (see Engine.session)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // AQE runtime SMJ->SHJ rewrite from TRUE post-shuffle sizes (the
+      // static rule above cannot price checkpoint-fed relations, whose
+      // size estimate is the unknown-stats default): build a local hash
+      // map when every partition of a side is under 256 MiB. Bounded
+      // per-task; a side that exceeds it stays sort-merge.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -57,6 +67,24 @@ object BuilderPlanDump {
       println(s"[plans] $name: ${plan.linesIterator.size} lines")
     }
 
+    // Final AQE plan of a df (executes it): the initial plans above are
+    // stats-blind (checkpoint-fed relations carry the unknown-stats
+    // default, so they print SortMergeJoin even where AQE's runtime
+    // SMJ->SHJ/BHJ rewrite fires) — the executed dump is the plan that
+    // actually ran, join rewrites and coalesced reads included.
+    def dumpExecuted(name: String, df: DataFrame): Unit = {
+      // collect() drives THIS QueryExecution (a write/count would plan its
+      // own), so executedPlan below is the final adaptive plan that ran;
+      // both dumped relations are O(N·workK) / O(N·workK²) rows — small
+      // at the dump scales
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"$name.executed.txt"),
+        plan.getBytes("UTF-8"))
+      println(s"[plans] $name (executed): ${plan.linesIterator.size} lines")
+    }
+
     val v = Dedup.normedFor(spark, sfDir)
     val seed = Neighbors.knnEdgesBuild(spark, sfDir,
       Neighbors.KnnCoarseNprobe, Neighbors.KnnFinePerCell,
@@ -65,6 +93,10 @@ object BuilderPlanDump {
     val seedCp = seed.localCheckpoint(true)
     dump("knn_refine_scored", Neighbors.knnRefineScored(v, seedCp))
     dump("knn_refine_round", Neighbors.knnRefineRound(v, seedCp))
+    dumpExecuted("knn_seed", Neighbors.knnEdgesBuild(spark, sfDir,
+      Neighbors.KnnCoarseNprobe, Neighbors.KnnFinePerCell,
+      Neighbors.KnnMemberCap, Neighbors.KnnWorkK))
+    dumpExecuted("knn_refine_scored", Neighbors.knnRefineScored(v, seedCp))
     val probes = Similarity.ivf2ProbeIds(spark, sfDir,
       Dedup.PairCoarseNprobe, Dedup.PairFinePerCell)
     dump("sub_bucket_pairs", Dedup.subBucketPairs(v, probes))

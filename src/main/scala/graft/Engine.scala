@@ -28,6 +28,26 @@ object Engine {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Join-strategy ladder (round 19): broadcast when a side fits the
+      // auto threshold, SHUFFLED-HASH when a side's per-partition build
+      // fits local memory, sort-merge only as the spill-safe fallback —
+      // the standard "prefer hash, keep SMJ for the unbounded case"
+      // configuration. Sort-merge pays a full sort of BOTH inputs; for
+      // this engine's hot joins (candidate relations against the normed
+      // corpus, 2-hop pair expansions) the big side's sort is pure
+      // overhead the hash build avoids. The planner's size conditions
+      // (autoBroadcastJoinThreshold × shuffle partitions) bound the hash
+      // build per partition, so the 100 TB case degrades to SMJ exactly
+      // where it must. Replaces per-call SHUFFLE_HASH hints, which
+      // overrode the broadcast choice at small scales.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // AQE runtime SMJ->SHJ rewrite from TRUE post-shuffle sizes (the
+      // static rule above cannot price checkpoint-fed relations, whose
+      // size estimate is the unknown-stats default): build a local hash
+      // map when every partition of a side is under 256 MiB. Bounded
+      // per-task; a side that exceeds it stays sort-merge.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
       .config("spark.sql.session.timeZone", "UTC")
       // Scan-split floor: Spark's split size is max(openCostInBytes,
       // totalBytes/parallelism) capped at maxPartitionBytes, and the 4 MiB

@@ -269,9 +269,14 @@ object Neighbors {
       keepK: Int = GraphK): DataFrame = {
     val v = Dedup.normedFor(spark, dir)
     val asg = Similarity.ivf2AssignFor(spark, dir)
+    // e/nrm ride the map-only probe pass (keep =) instead of a corpus
+    // join on vec_id after it (round 19): the probe routing holds the
+    // arrays anyway, so the former re-attach was a pure extra shuffle —
+    // broadcast-masked at test scales, a full 16N-row sort-merge once
+    // the corpus outgrows the broadcast threshold.
     val probes = Similarity
-      .ivf2ProbeIds(spark, dir, coarseNprobe, finePerCell)
-      .join(v, "vec_id")
+      .ivf2ProbeIds(spark, dir, coarseNprobe, finePerCell,
+        keep = Seq("e", "nrm"))
       .select(col("vec_id").as("src"), col("e").as("qe"),
         col("nrm").as("qn"), col("cent_id"))
     val wCap = Window.partitionBy(col("cent_id"))
@@ -356,24 +361,26 @@ object Neighbors {
     // came from: sf1.0 one-round recall 478 → 632‰ at workK 10.)
     // Rows are still two longs here.
     val pairs = und
-      .join(und.select(col("src").as("mid"), col("dst").as("d2"))
-        .hint("SHUFFLE_HASH"), col("dst") === col("mid"))
+      .join(und.select(col("src").as("mid"), col("dst").as("d2")),
+        col("dst") === col("mid"))
       .select(col("src"), col("d2").as("dst"))
       .unionAll(fwd)
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    // The embedding attaches are hash joins (SHUFFLE_HASH hint): the
-    // planner's default sort-merge would sort the O(N·workK²) pair
-    // relation once per attach; hashing the (far smaller) embedding
-    // side leaves the big side sort-free, so the round's one big-side
-    // sort is the per-src top-k window below.
+    // The embedding attaches and the 2-hop self-join must never
+    // sort-merge (a sort of the O(N·workK²) pair relation per attach);
+    // the session's preferSortMergeJoin=false ladder (Engine.session)
+    // plans them as hash joins — BROADCAST while the corpus/graph side
+    // fits the auto threshold (the r18 per-call SHUFFLE_HASH hints
+    // overrode that and forced two avoidable exchanges per attach at
+    // every test scale), shuffled-hash above it, sort-merge only when
+    // neither side's per-partition build fits.
     pairs
       .join(v.select(col("vec_id").as("a"), col("e").as("qe"),
-        col("nrm").as("qn")).hint("SHUFFLE_HASH"), "a")
-      .join(v.select(col("vec_id").as("b"), col("e"), col("nrm"))
-        .hint("SHUFFLE_HASH"), "b")
+        col("nrm").as("qn")), "a")
+      .join(v.select(col("vec_id").as("b"), col("e"), col("nrm")), "b")
       .select(col("a"), col("b"),
         Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
   }
@@ -638,13 +645,14 @@ object Neighbors {
     val asg = Similarity.ivf2AssignFor(spark, dir)
 
     val test = v.where(col("vec_id") % 5 === 0)
+    // qe/qn ride the probe pass (keep =, round 19) — the former shape
+    // dropped them and joined `test` back on q_id below
     val probes = Similarity.ivf2ProbeIdsOver(test,
         Similarity.centroidsMemoFor(spark, dir),
         Similarity.coarseMemoFor(spark, dir),
-        KnnCoarseNprobe, KnnFinePerCell)
-      .withColumnRenamed("vec_id", "q_id")
-    val q = test.select(col("vec_id").as("q_id"), col("e").as("qe"),
-      col("nrm").as("qn"))
+        KnnCoarseNprobe, KnnFinePerCell, keep = Seq("e", "nrm"))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cent_id"))
 
     // labeled-pool-only, then the salted per-bucket cap (filter FIRST so
     // hidden vectors never occupy cap slots the vote could have used)
@@ -663,7 +671,6 @@ object Neighbors {
       .orderBy(col("cos").desc, col("n_id"))
     val nbrs = probes
       .join(pool, "cent_id")
-      .join(q, "q_id")
       .join(v.withColumnRenamed("vec_id", "n_id"), "n_id")
       .select(col("q_id"), col("n_id"),
         Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))

@@ -431,10 +431,11 @@ object Similarity {
     * [[Dedup.ivfHashminPairsFor]] (the production pair builds); the per-cell sort is bounded at ~√K structs.
     */
   private[graft] def ivf2ProbeIds(spark: SparkSession, dir: String,
-      coarseNprobe: Int, finePerCell: Int): DataFrame =
+      coarseNprobe: Int, finePerCell: Int,
+      keep: Seq[String] = Nil): DataFrame =
     ivf2ProbeIdsOver(Dedup.normedFor(spark, dir),
       centroidsMemoFor(spark, dir), coarseMemoFor(spark, dir),
-      coarseNprobe, finePerCell)
+      coarseNprobe, finePerCell, keep)
 
   /** [[ivf2ProbeIds]] over an arbitrary (fine, coarse) quantizer pair —
     * the k-means production pair build routes with this since the
@@ -442,22 +443,32 @@ object Similarity {
     * [[Clustering.kmeansCentroidsFor]]).
     */
   private[graft] def ivf2ProbeIdsOver(v: DataFrame, cents: DataFrame,
-      coarse: DataFrame, coarseNprobe: Int, finePerCell: Int): DataFrame = {
+      coarse: DataFrame, coarseNprobe: Int, finePerCell: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     import graft.functions.VectorOps
     val coarseAsC = coarse.select(col("co_id").as("cent_id"),
       col("oe").as("ce"), col("ocn").as("cn"))
     val cm = cellMap(cents, fineToCoarse(cents, coarse))
-    multiProbe(v, coarseAsC, nprobe = coarseNprobe, keep = Seq("e", "nrm"))
+    // `keep` rides the (map-only) probe pass through to the output: the
+    // routing already holds every v column in hand, so a consumer that
+    // needs e/nrm alongside the probed cent_id (the kNN seed build, the
+    // labelProp query side) keeps them here instead of re-attaching them
+    // with a corpus-sized join on vec_id afterwards (round 19 — that
+    // join was a full shuffle+sort of the N·nprobe probe relation plus
+    // the corpus at every scale past the broadcast threshold).
+    multiProbe(v, coarseAsC, nprobe = coarseNprobe,
+        keep = ("e" +: "nrm" +: keep).distinct)
       .withColumnRenamed("cent_id", "co_id")
       .crossJoin(broadcast(cm))
       .withColumn("cell", element_at(col("cellmap"), col("co_id")))
       .where(size(col("cell")) > 0)
-      .select(col("vec_id"),
+      .select(col("vec_id") +: keep.map(col) :+
         explode(slice(array_sort(transform(col("cell"), c =>
           struct((-(VectorOps.dot(col("e"), c.getField("ce")) /
             (col("nrm") * c.getField("cn")))).as("negcos"),
-            c.getField("cent_id").as("cent_id")))), 1, finePerCell)).as("p"))
-      .select(col("vec_id"), col("p.cent_id").as("cent_id"))
+            c.getField("cent_id").as("cent_id")))), 1, finePerCell)).as("p"): _*)
+      .select(col("vec_id") +: keep.map(col) :+
+        col("p.cent_id").as("cent_id"): _*)
   }
 
   /** IVF²-bucketed ANN: the query panel routes through its nearest
