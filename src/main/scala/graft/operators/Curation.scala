@@ -300,6 +300,12 @@ object Curation {
     * single-task relation that still grew linearly with the corpus.)
     */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    // `d` is referenced twice (budget scalar + running total), but both
+    // references share the identical exchange-capped subtree (the
+    // doc_id aggregate), which AQE's runtime exchange reuse serves from
+    // one materialization — an explicit localCheckpoint here was tried
+    // in round 19 and measured slightly SLOWER (1.04 -> 1.19 s at
+    // sf0.1: the eager barrier costs more than the shared recompute).
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .join(TextAnalysis.bpeVocabFor(spark, dir).select("word", "wt"), "word")

@@ -725,14 +725,21 @@ object TextAnalysis {
     Tables.portableHash(concat(lit("cms"), r.cast("string"), lit(":"), w)) % CmsW
 
   def cmsHitters(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.load(spark, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
+    // Both legs ride the memoized unigram counts (round 19): the former
+    // shape scanned + split() the corpus TWICE (once per `toks`
+    // reference — sketch and exact top-20), and exploded every token
+    // OCCURRENCE ×D into the sketch aggregation. Counter math is
+    // identical on pre-aggregated counts — c(r, b) = Σ_w n(w)·[bucket_r(w)=b]
+    // — so the sketch now aggregates |vocab|·D weighted rows off a
+    // parquet memo instead of |tokens|·D exploded rows off two raw scans.
+    val uni = unigramCountsFor(spark, dir)
+      .select(col("t").as("w"), col("n"))
     val rowIds = array((0 until CmsD).map(lit): _*)
-    val sketch = toks.select(explode(rowIds).as("r"), col("w"))
+    val sketch = uni.select(explode(rowIds).as("r"), col("w"), col("n"))
       .select(col("r").cast("long").as("r"),
-        cmsBucket(col("r"), col("w")).as("b"))
-      .groupBy("r", "b").agg(count(lit(1)).as("c"))
-    val top = toks.groupBy("w").agg(count(lit(1)).as("n_exact"))
+        cmsBucket(col("r"), col("w")).as("b"), col("n"))
+      .groupBy("r", "b").agg(sum(col("n")).as("c"))
+    val top = uni.select(col("w"), col("n").as("n_exact"))
       .orderBy(col("n_exact").desc, col("w")).limit(20)
     top.select(col("w"), col("n_exact"), explode(rowIds).as("r"))
       .select(col("w"), col("n_exact"), col("r").cast("long").as("r"))
