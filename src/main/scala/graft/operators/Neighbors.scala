@@ -291,7 +291,14 @@ object Neighbors {
       .select(col("cent_id"), col("dst"), col("e"), col("nrm"))
     val wTop = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst"))
-    probes.join(member, "cent_id")
+    // member is window-output (stats-blind: unknown-size estimate), so
+    // neither the broadcast rule nor the static hash ladder can ever
+    // price it — unhinted, the bucket join sort-merges, paying a sort of
+    // the 16N-row wide probe relation. Hint the hash build explicitly:
+    // member is per-bucket capped (≤ memberCap·K rows, K ~ √N), so the
+    // per-partition build stays bounded at any scale where partitions
+    // track cluster size.
+    probes.join(member.hint("SHUFFLE_HASH"), "cent_id")
       .where(col("dst") =!= col("src"))
       .select(col("src"), col("dst"),
         Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
@@ -360,9 +367,16 @@ object Neighbors {
     // most of the round-17 quality lift over the first, directed form
     // came from: sf1.0 one-round recall 478 → 632‰ at workK 10.)
     // Rows are still two longs here.
+    // the 2-hop self-join keeps its explicit hash hint: und is
+    // distinct-output over checkpoint scans (stats-blind — the unknown-
+    // size default defeats both broadcast and the static hash ladder,
+    // and AQE's runtime SMJ->SHJ rewrite does not fire on this shape),
+    // while its rows are two longs with degree-bounded cardinality
+    // (≤ 2·workK·N), so the per-partition hash build stays small at any
+    // scale where partitions track cluster size
     val pairs = und
-      .join(und.select(col("src").as("mid"), col("dst").as("d2")),
-        col("dst") === col("mid"))
+      .join(und.select(col("src").as("mid"), col("dst").as("d2"))
+        .hint("SHUFFLE_HASH"), col("dst") === col("mid"))
       .select(col("src"), col("d2").as("dst"))
       .unionAll(fwd)
       .where(col("src") =!= col("dst"))
@@ -670,7 +684,9 @@ object Neighbors {
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     val nbrs = probes
-      .join(pool, "cent_id")
+      // pool is window-output (stats-blind) — same explicit hash-build
+      // hint as the graph build's member side, same per-bucket cap bound
+      .join(pool.hint("SHUFFLE_HASH"), "cent_id")
       .join(v.withColumnRenamed("vec_id", "n_id"), "n_id")
       .select(col("q_id"), col("n_id"),
         Dedup.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("cos"))
