@@ -23,13 +23,6 @@ object Bench {
       // still wins below the auto threshold, SMJ remains the spill-safe
       // fallback when neither side fits. Scale-independent lever.
       .config("spark.sql.join.preferSortMergeJoin", "false")
-      // AQE runtime SMJ->SHJ rewrite from TRUE post-shuffle sizes (the
-      // static rule above cannot price checkpoint-fed relations, whose
-      // size estimate is the unknown-stats default): build a local hash
-      // map when every partition of a side is under 256 MiB. Bounded
-      // per-task; a side that exceeds it stays sort-merge.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "256m")
       // Same AQE start-wide-coalesce-back lever as Engine.session — the
       // sf10 probe spill relief without the range-exchange tax (see
       // Engine.session); small shuffles coalesce back for free.

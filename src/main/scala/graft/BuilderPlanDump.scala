@@ -45,13 +45,6 @@ object BuilderPlanDump {
       // mirror Bench/Engine's join-strategy ladder so dumped plans match
       // what the bench actually runs (see Engine.session)
       .config("spark.sql.join.preferSortMergeJoin", "false")
-      // AQE runtime SMJ->SHJ rewrite from TRUE post-shuffle sizes (the
-      // static rule above cannot price checkpoint-fed relations, whose
-      // size estimate is the unknown-stats default): build a local hash
-      // map when every partition of a side is under 256 MiB. Bounded
-      // per-task; a side that exceeds it stays sort-merge.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "256m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -41,13 +41,6 @@ object Engine {
       // where it must. Replaces per-call SHUFFLE_HASH hints, which
       // overrode the broadcast choice at small scales.
       .config("spark.sql.join.preferSortMergeJoin", "false")
-      // AQE runtime SMJ->SHJ rewrite from TRUE post-shuffle sizes (the
-      // static rule above cannot price checkpoint-fed relations, whose
-      // size estimate is the unknown-stats default): build a local hash
-      // map when every partition of a side is under 256 MiB. Bounded
-      // per-task; a side that exceeds it stays sort-merge.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "256m")
       .config("spark.sql.session.timeZone", "UTC")
       // Scan-split floor: Spark's split size is max(openCostInBytes,
       // totalBytes/parallelism) capped at maxPartitionBytes, and the 4 MiB

@@ -26,13 +26,6 @@ object PlanDump {
       .config("spark.sql.adaptive.enabled", "true")
       // mirror Bench/Engine's join-strategy ladder (see Engine.session)
       .config("spark.sql.join.preferSortMergeJoin", "false")
-      // AQE runtime SMJ->SHJ rewrite from TRUE post-shuffle sizes (the
-      // static rule above cannot price checkpoint-fed relations, whose
-      // size estimate is the unknown-stats default): build a local hash
-      // map when every partition of a side is under 256 MiB. Bounded
-      // per-task; a side that exceeds it stays sort-merge.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "256m")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 2).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -14,13 +14,6 @@ object Verify {
       // Same join-strategy ladder as Engine.session/Bench (see
       // Engine.session): broadcast < shuffled-hash < sort-merge.
       .config("spark.sql.join.preferSortMergeJoin", "false")
-      // AQE runtime SMJ->SHJ rewrite from TRUE post-shuffle sizes (the
-      // static rule above cannot price checkpoint-fed relations, whose
-      // size estimate is the unknown-stats default): build a local hash
-      // map when every partition of a side is under 256 MiB. Bounded
-      // per-task; a side that exceeds it stays sort-merge.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "256m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Same scan-split floor as Engine.session/Bench (see Engine.session).
